@@ -1,0 +1,568 @@
+"""Driver-facing query catalog.
+
+One named query per implemented operator from SURVEY.md §2, each bound
+to the driver's testdata tables with a DuckDB oracle SQL mirror. The
+driver runs both at sf0.01 and compares row count + schema +
+order-insensitive value hash (see BASELINE.md).
+
+Cross-engine determinism conventions (every query in this file follows
+them; violating any one breaks the value-hash match):
+
+- **Floats through transcendental/accumulation paths are rounded** on
+  both sides — ROUND(x, 4) for money-scale sums, ROUND(x, 6) for
+  ratios/statistics — because FP summation order and libm last-ulp
+  differences are not portable. Raw parquet doubles pass through
+  unrounded (identical bits in both engines).
+- **Integer aggregates are cast to BIGINT on both sides** (DuckDB
+  ``SUM(BIGINT)`` returns HUGEINT; DuckDB window ranks are BIGINT while
+  Spark's are INT).
+- **Every window ordering is a total order** (unique-key tiebreak):
+  ntile/rank/limit on ties is otherwise engine-dependent.
+- **Timestamps never appear in outputs or literals** — epoch
+  micro/second integers only (``unix_micros`` / ``epoch_us``), so
+  results cannot depend on session timezone.
+- **DuckDB ``regexp_replace`` always gets the ``'g'`` flag** (Spark
+  replaces globally by default).
+- Aggregate/computed column names are aliased identically in the
+  DataFrame code and the SQL (driver hashes after sorting columns by
+  name).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tcga_query_project_spark.functions.scalar import (
+    SIGNIF_BIN_SQL,
+    signif_bin,
+    utc_us,
+)
+from tcga_query_project_spark.operators import (
+    dedup,
+    nested,
+    relational,
+    similarity,
+    stats,
+    survival,
+    text,
+)
+from tcga_query_project_spark.sources.io import read_events, read_table
+from tcga_query_project_spark.streaming import windows as stream_windows
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, tags)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return read_events(spark, sf_dir)
+    return read_table(spark, sf_dir, name)
+
+
+# =========================================================================
+# Relational core (SURVEY.md §2.1-2.3, §2.6-2.9)
+# =========================================================================
+
+# orders/lineitem timestamps are TIMESTAMP_NTZ (wall-clock, no zone) in
+# both engines, so NTZ-vs-NTZ-literal comparison is timezone-free.
+_Q1_CUTOFF = "2001-09-02 00:00:00"
+
+
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order,
+           {SIGNIF_BIN_SQL.format(p="ROUND(AVG(l_discount), 6)")} AS disc_signif
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    HAVING COUNT(*) >= 10
+    """,
+    tags=("flagship", "A1", "A9", "O1", "P3"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (SURVEY.md §7 step 1): the reference's core shape —
+    filter → grouped cohort aggregate + HAVING (A1,
+    vital_status_DESeq.R:47) → significance-style binning (A9,
+    vital_status_DESeq.R:93-97) — recast over lineitem (TPC-H Q1-like).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    avg_disc = F.round(F.avg("l_discount"), 6)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                4,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            avg_disc.alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+            signif_bin(avg_disc).alias("disc_signif"),
+        )
+        .filter(F.col("count_order") >= 10)
+    )
+
+
+@register(
+    "p1_projection",
+    "SELECT c_custkey, c_name, c_acctbal FROM customer",
+    tags=("P1",),
+)
+def p1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: column projection (clinical-column subset,
+    surv_analysis_median_exp.R:107). Column pruning reaches the parquet
+    scan — only 3 of 5 columns are read."""
+    return _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+
+
+@register(
+    "p3_p5_filters",
+    """
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE value IS NOT NULL AND event_type != 'error' AND value > 100.0
+    """,
+    tags=("P3", "P5"),
+)
+def p3_p5_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 IS-NOT-NULL + P5 disequality filters
+    (``!is.na(...)`` vital_status_DESeq.R:29; ``!= "Stage_X"``
+    BRCA_path_stage_DESeq.R:45-46). Both predicates push into the scan.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("value").isNotNull()
+        & (F.col("event_type") != "error")
+        & (F.col("value") > 100.0)
+    ).select("event_id", "event_type", "value")
+
+
+@register(
+    "p4_isin_inlist",
+    """
+    SELECT p_partkey, p_brand, p_size FROM part
+    WHERE p_brand IN ('Brand#13', 'Brand#20') AND p_size >= 5
+    """,
+    tags=("P4",),
+)
+def p4_isin_inlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: literal IN-list membership (``%in% goi``,
+    vital_status_DESeq.R:88)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin("Brand#13", "Brand#20") & (F.col("p_size") >= 5))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+
+
+@register(
+    "j3_semi_join_dim",
+    """
+    SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13')
+    """,
+    tags=("J3", "P4"),
+)
+def j3_semi_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: derived-key semi-join through a broadcast filtered dimension
+    (gene_name → gene_id lookup, vital_status_DESeq.R:102-104)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return relational.dim_lookup_semi(
+        li, part.withColumnRenamed("p_partkey", "l_partkey"),
+        F.col("p_brand") == "Brand#13", "l_partkey"
+    ).select("l_orderkey", "l_partkey", "l_quantity")
+
+
+@register(
+    "p6_json_predicate",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+    """,
+    tags=("P6",),
+)
+def p6_json_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: predicate over nested/JSON fields (the treatments OR
+    predicate, drug_km_median_exp.R:50, as a JSON-property filter over
+    events.props)."""
+    ev = _t(spark, sf_dir, "events")
+    k = nested.json_int(F.col("props"), "k")
+    return ev.select("event_id", k.alias("k_val")).filter(F.col("k_val") > 50)
+
+
+@register(
+    "p7_cohort_semijoin",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+    tags=("P7",),
+)
+def p7_cohort_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: derived-cohort semi-join (treated-participant subset,
+    drug_km_median_exp.R:55-56). Cohort list broadcasts."""
+    orders = _t(spark, sf_dir, "orders")
+    cohort = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return nested.cohort_semi_join(orders, cohort, "o_custkey").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@register(
+    "j1_left_join_enrich",
+    """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 4) AS total_price,
+           ROUND(AVG(c.c_acctbal), 6) AS mean_acctbal
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("J1",),
+)
+def j1_left_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: left equi-join fact ⟕ dimension then group
+    (``left_join(clinical_data, gene_count, by="barcode")``,
+    vital_status_DESeq.R:116). The dimension side broadcasts — no
+    shuffle of the fact table."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(cust),
+            orders.o_custkey == cust.c_custkey,
+            "left",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            F.round(F.avg("c_acctbal"), 6).alias("mean_acctbal"),
+        )
+    )
+
+
+@register(
+    "a1_low_count_filter",
+    """
+    SELECT l_partkey, ROUND(SUM(l_quantity), 4) AS total
+    FROM lineitem GROUP BY l_partkey HAVING SUM(l_quantity) >= 300
+    """,
+    tags=("A1",),
+)
+def a1_low_count_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-group sum + HAVING — the low-count gene filter
+    (``rowSums(counts(data)) >= 10``, vital_status_DESeq.R:47-48)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return relational.min_total_filter(li, "l_partkey", "l_quantity", 300.0).select(
+        "l_partkey", F.round("total", 4).alias("total")
+    )
+
+
+@register(
+    "a2_a3_global_extremes",
+    """
+    SELECT MAX(l_extendedprice) AS max_price,
+           MIN(l_extendedprice) AS min_price,
+           CAST(SUM(CASE WHEN l_extendedprice > 50000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM lineitem
+    """,
+    tags=("A2", "A3"),
+)
+def a2_a3_global_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 global max (plot-bracket y position, vital_status_DESeq.R:142)
+    + A3 filtered counts (legend group sizes,
+    surv_analysis_median_exp.R:143-144)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.sum(F.when(F.col("l_extendedprice") > 50000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_high"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+
+
+@register(
+    "a8_pairwise_contrasts",
+    """
+    WITH per_level AS (
+      SELECT l_returnflag AS level, ROUND(AVG(l_quantity), 6) AS mean_qty,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT p.pair,
+           a.mean_qty AS mean_a, b.mean_qty AS mean_b,
+           ROUND(a.mean_qty - b.mean_qty, 6) AS diff,
+           a.n AS n_a, b.n AS n_b
+    FROM (VALUES ('A','N','A_vs_N'), ('A','R','A_vs_R'), ('N','R','N_vs_R'))
+         p(level_a, level_b, pair)
+    JOIN per_level a ON a.level = p.level_a
+    JOIN per_level b ON b.level = p.level_b
+    """,
+    tags=("A8",),
+)
+def a8_pairwise_contrasts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: pairwise contrast expansion over per-level partial aggregates
+    (``results(..., contrast=c(col, A, B))`` fan-out,
+    BRCA_path_stage_DESeq.R:113-122) — one pass over the fact table,
+    pair list joined against the tiny per-level aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_level = li.groupBy(F.col("l_returnflag").alias("level")).agg(
+        F.round(F.avg("l_quantity"), 6).alias("mean_qty"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    pairs = relational.pairwise_contrasts(
+        per_level, "level", [("A", "N"), ("A", "R"), ("N", "R")]
+    )
+    return pairs.select(
+        "pair",
+        F.col("mean_qty_a").alias("mean_a"),
+        F.col("mean_qty_b").alias("mean_b"),
+        F.round(F.col("mean_qty_a") - F.col("mean_qty_b"), 6).alias("diff"),
+        F.col("n_a"),
+        F.col("n_b"),
+    )
+
+
+@register(
+    "a9_signif_binning",
+    f"""
+    SELECT l_orderkey, l_linenumber, l_discount AS p_val,
+           {SIGNIF_BIN_SQL.format(p="l_discount")} AS p_signif
+    FROM lineitem
+    """,
+    tags=("A9", "F7"),
+)
+def a9_signif_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/F7: 4-deep significance binning with NULL propagation
+    (vital_status_DESeq.R:93-97); l_discount ∈ [0, 0.1] plays the padj
+    role, exercising every bin boundary."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_discount").alias("p_val"),
+        signif_bin(F.col("l_discount")).alias("p_signif"),
+    )
+
+
+@register(
+    "o1_o2_topk",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    tags=("O1", "O2"),
+)
+def o1_o2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+O2: ORDER BY + LIMIT with a total order (unique-key tiebreak —
+    SURVEY.md hard-part #4: the reference's sort-order alignment is not
+    portable). Plans as TakeOrderedAndProject (per-partition top-k)."""
+    orders = _t(spark, sf_dir, "orders")
+    return relational.topk(
+        orders.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        10,
+    )
+
+
+@register(
+    "u1_stack_unpivot",
+    """
+    SELECT 'qty' AS metric, ROUND(SUM(l_quantity), 4) AS total FROM lineitem
+    UNION ALL
+    SELECT 'price' AS metric, ROUND(SUM(l_extendedprice), 4) AS total FROM lineitem
+    """,
+    tags=("U1", "R3"),
+)
+def u1_stack_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/R3: wide→long melt via stack() — the per-gene loop +
+    ``do.call(rbind, ...)`` (vital_status_DESeq.R:118-126) as a single
+    projection."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = relational.stack_wide_to_long(
+        li, [], ["l_quantity", "l_extendedprice"], "metric_raw", "val"
+    )
+    return (
+        long.withColumn(
+            "metric",
+            F.when(F.col("metric_raw") == "l_quantity", "qty").otherwise("price"),
+        )
+        .groupBy("metric")
+        .agg(F.round(F.sum("val"), 4).alias("total"))
+    )
+
+
+@register(
+    "u2_union_label",
+    """
+    SELECT 'high' AS label, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(o_totalprice), 6) AS mean_price
+    FROM orders WHERE o_totalprice > 400000
+    UNION ALL
+    SELECT 'low' AS label, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(o_totalprice), 6) AS mean_price
+    FROM orders WHERE o_totalprice <= 100000
+    """,
+    tags=("U2",),
+)
+def u2_union_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: union of per-contrast tables with a names key
+    (``do.call(rbind, res)`` + rownames, BRCA_path_stage_DESeq.R:125-139).
+    """
+    orders = _t(spark, sf_dir, "orders")
+
+    def agg_of(df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("o_totalprice"), 6).alias("mean_price"),
+        )
+
+    high = agg_of(orders.filter(F.col("o_totalprice") > 400000))
+    low = agg_of(orders.filter(F.col("o_totalprice") <= 100000))
+    return relational.union_labeled([("high", high), ("low", low)], "label").select(
+        "label", "n", "mean_price"
+    )
+
+
+@register(
+    "r1_pivot_wide",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_F,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS qty_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("R1",),
+)
+def r1_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: long→wide pivot (matrix transpose ``t(gene_count)``,
+    vital_status_DESeq.R:106) with explicit pivot values (static plan,
+    deterministic columns)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = relational.pivot_wide(
+        li, "l_returnflag", "l_linestatus", ["F", "O"], F.sum("l_quantity"), "qty_"
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("qty_F", 4).alias("qty_F"),
+        F.round("qty_O", 4).alias("qty_O"),
+    )
+
+
+@register(
+    "r2_ragged_export",
+    """
+    WITH flt AS (
+      SELECT o_orderstatus AS s, o_totalprice AS v,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+      FROM orders WHERE o_totalprice > 450000
+    )
+    SELECT rn,
+           MAX(CASE WHEN s = 'P' THEN v END) AS v_P,
+           MAX(CASE WHEN s = 'O' THEN v END) AS v_O,
+           MAX(CASE WHEN s = 'F' THEN v END) AS v_F
+    FROM flt GROUP BY rn
+    """,
+    tags=("R2", "P8"),
+)
+def r2_ragged_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2: the reference's ``cbind.fill`` ragged export
+    (vital_status_DESeq.R:147-168): per-group value vectors laid
+    side-by-side, NULL-padded to the longest. Sink-layer-only shape."""
+    orders = _t(spark, sf_dir, "orders")
+    return relational.ragged_export(
+        orders.filter(F.col("o_totalprice") > 450000),
+        "o_orderstatus",
+        ["P", "O", "F"],
+        "o_totalprice",
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        "v_",
+    ).select("rn", "v_P", "v_O", "v_F")
+
+
+@register(
+    "f_scalar_suite",
+    """
+    SELECT c_custkey,
+           concat(upper(substring(c_mktsegment, 1, 3)), '-',
+                  CAST(c_custkey AS VARCHAR)) AS cust_tag,
+           substring(c_name, 1, 12) AS short_name,
+           regexp_replace(c_name, '#', '_', 'g') AS uscore_name,
+           CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS bal_flag,
+           ROUND(CAST(c_acctbal AS DOUBLE) / 1000.0, 6) AS bal_k
+    FROM customer
+    """,
+    tags=("F1", "F2", "F3", "F4", "F5", "F8"),
+)
+def f_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F8 scalar surface: upper (toupper, vital_status_DESeq.R:4),
+    concat (paste), substring (substr barcode, drug_km_median_exp.R:47),
+    regexp_replace (gsub, BRCA_path_stage_DESeq.R:43-44), 2-way
+    conditional (ifelse, surv_analysis_median_exp.R:110), numeric cast
+    (sapply as.numeric, surv_analysis_median_exp.R:109)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.concat(
+            F.upper(F.substring("c_mktsegment", 1, 3)),
+            F.lit("-"),
+            F.col("c_custkey").cast("string"),
+        ).alias("cust_tag"),
+        F.substring("c_name", 1, 12).alias("short_name"),
+        F.regexp_replace("c_name", "#", "_").alias("uscore_name"),
+        F.when(F.col("c_acctbal") < 0, "neg").otherwise("pos").alias("bal_flag"),
+        F.round(F.col("c_acctbal").cast("double") / 1000.0, 6).alias("bal_k"),
+    )

@@ -1,0 +1,88 @@
+"""Scalar expression helpers (SURVEY.md §2.9, §2.4 A9).
+
+Everything here is a *column expression builder* — pure built-in
+``pyspark.sql.functions`` compositions, JVM-side, whole-stage-codegen
+friendly. No Python UDFs.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def signif_bin(padj: Column) -> Column:
+    """A9/F7: p-value → significance symbol.
+
+    Mirrors the nested ifelse chains of the reference
+    (vital_status_DESeq.R:93-97, BRCA_path_stage_DESeq.R:141-145):
+    ``ns`` > 0.05 ≥ ``*`` > 0.01 ≥ ``**`` > 0.001 ≥ ``***`` > 0.0001 ≥
+    ``****``; NULL padj propagates to NULL (R's ifelse NA semantics,
+    handled downstream at BRCA_path_stage_DESeq.R:183).
+    """
+    return (
+        F.when(padj.isNull(), F.lit(None).cast("string"))
+        .when(padj > 0.05, F.lit("ns"))
+        .when(padj > 0.01, F.lit("*"))
+        .when(padj > 0.001, F.lit("**"))
+        .when(padj > 0.0001, F.lit("***"))
+        .otherwise(F.lit("****"))
+    )
+
+
+# DuckDB mirror of signif_bin, kept adjacent so the two never drift.
+SIGNIF_BIN_SQL = (
+    "CASE WHEN {p} IS NULL THEN NULL"
+    " WHEN {p} > 0.05 THEN 'ns'"
+    " WHEN {p} > 0.01 THEN '*'"
+    " WHEN {p} > 0.001 THEN '**'"
+    " WHEN {p} > 0.0001 THEN '***'"
+    " ELSE '****' END"
+)
+
+
+def normal_sf_two_sided(z: Column) -> Column:
+    """Two-sided tail probability of the standard normal, via the
+    Abramowitz & Stegun 26.2.17 polynomial (|error| < 7.5e-8).
+
+    Used for the normal-approximation Wilcoxon rank-sum p-value (A4;
+    the reference delegates to ``compare_means(..., method="wilcox")``,
+    vital_status_DESeq.R:130). Pure built-ins so the identical formula is
+    expressible in the DuckDB oracle (NORMAL_SF_TWO_SIDED_SQL).
+    """
+    az = F.abs(z)
+    t = 1.0 / (1.0 + 0.2316419 * az)
+    poly = t * (
+        0.319381530
+        + t * (-0.356563782 + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429)))
+    )
+    pdf = F.exp(-(az * az) / 2.0) / 2.5066282746310002  # sqrt(2*pi)
+    p = 2.0 * pdf * poly
+    return F.least(p, F.lit(1.0))
+
+
+NORMAL_SF_TWO_SIDED_SQL = (
+    "LEAST(2.0 * (EXP(-(ABS({z})*ABS({z}))/2.0) / 2.5066282746310002) * "
+    "((1.0/(1.0+0.2316419*ABS({z}))) * (0.319381530 + (1.0/(1.0+0.2316419*ABS({z}))) * "
+    "(-0.356563782 + (1.0/(1.0+0.2316419*ABS({z}))) * (1.781477937 + "
+    "(1.0/(1.0+0.2316419*ABS({z}))) * (-1.821255978 + (1.0/(1.0+0.2316419*ABS({z}))) * "
+    "1.330274429))))), 1.0)"
+)
+
+
+def utc_us(y: int, m: int, d: int, hh: int = 0, mm: int = 0, ss: int = 0) -> int:
+    """Epoch microseconds of a UTC wall-clock instant.
+
+    All timestamp literals in engine queries are epoch integers so query
+    semantics cannot depend on the SparkSession timezone.
+    """
+    dt = _dt.datetime(y, m, d, hh, mm, ss, tzinfo=_dt.timezone.utc)
+    return int(dt.timestamp()) * 1_000_000
+
+
+def epoch_us(ts: Column) -> Column:
+    """Timestamp → epoch microseconds (BIGINT), timezone-independent.
+    DuckDB mirror: ``epoch_us(ts)``."""
+    return F.unix_micros(ts)

@@ -1,0 +1,237 @@
+"""Deduplication operators (north-star extensions; SURVEY.md §2.10).
+
+Exact and near-duplicate detection over a document corpus. The MinHash
+implementation is deliberately *portable-hash* based (md5, available
+bit-identically in DuckDB) so every stage is oracle-checkable; swapping
+``md5`` for ``xxhash64`` is a one-line change that roughly halves hash
+cost at production scale.
+
+Scale design: every stage is explode → groupBy → join on
+content-derived keys. Nothing collects; candidate generation is
+band-bucket equi-join (LSH), so the quadratic all-pairs comparison is
+never materialized — the join only produces pairs sharing a band
+bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tcga_query_project_spark.operators.text import tokens
+
+
+def normalized_text(text: Column) -> Column:
+    return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on normalized text: one row per
+    distinct content with the keeper id (min id) and duplicate count.
+    Equivalent semantics to ``dropDuplicates`` but keeps the lineage
+    (which ids collapsed), which a training-data pipeline needs.
+    """
+    return (
+        df.select(F.col(id_col), normalized_text(F.col(text_col)).alias("_key"))
+        .groupBy("_key")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_dups"),
+        )
+        .select("keep_id", "n_dups")
+    )
+
+
+def shingle_set(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct word k-gram shingles per document (one row per
+    (doc, shingle)). Built with array ``transform`` over the token list
+    — no Python, no explode-then-window."""
+    toks = tokens(normalized_text(F.col(text_col)))
+    n = F.size(toks)
+    # guard: Spark's sequence(1, 0) yields a DESCENDING [1,0], not empty,
+    # so short documents need an explicit empty-array branch.
+    shingles = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + off) for off in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+
+
+def minhash_signature(
+    shingles: DataFrame, id_col: str, num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature: for seed s, ``min(md5(s || '|' || shingle))``.
+
+    md5-as-permutation: the hex string ordering is a uniform permutation
+    of shingle space, so the min over a document's shingle set is a
+    standard MinHash. One row per (doc, seed). A single explode by seed
+    then a partial-aggregated min — shuffle carries num_hashes rows per
+    document.
+    """
+    seeds = F.explode(F.sequence(F.lit(1), F.lit(num_hashes))).alias("seed")
+    return (
+        shingles.select(F.col(id_col), F.col("shingle"), seeds)
+        .select(
+            F.col(id_col),
+            F.col("seed"),
+            F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle"))).alias("_h"),
+        )
+        .groupBy(id_col, "seed")
+        .agg(F.min("_h").alias("minhash"))
+    )
+
+
+def lsh_candidates(
+    signatures: DataFrame, id_col: str, band_size: int = 2
+) -> DataFrame:
+    """LSH banding: group seeds into bands of ``band_size``; documents
+    sharing any band signature become candidate pairs (id_a < id_b).
+
+    The band signature is the concatenation of the band's minhashes in
+    seed order; the self-join is an equi-join on (band, signature), so
+    only colliding documents pair up.
+    """
+    banded = signatures.withColumn(
+        "band", F.floor((F.col("seed") - 1) / band_size).cast("long")
+    )
+    band_sigs = banded.groupBy(id_col, "band").agg(
+        # band signature = minhashes joined in seed order (portable:
+        # string_agg(minhash, '|' ORDER BY seed) on the oracle side)
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda x: x["minhash"],
+                ),
+                "|",
+            )
+        ).alias("band_sig")
+    )
+    a = band_sigs.select(
+        F.col(id_col).alias("id_a"), F.col("band"), F.col("band_sig")
+    )
+    b = band_sigs.select(
+        F.col(id_col).alias("id_b"), F.col("band"), F.col("band_sig")
+    )
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    pairs: DataFrame, shingles: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: |A∩B| via a shingle
+    equi-join, |A∪B| = |A|+|B|−|A∩B|. Only candidate pairs are scored —
+    the expensive exact measure runs on the LSH-filtered set.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).cast("double").alias("_sz"))
+    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("_inter"))
+    )
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"_inter": 0.0})
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_szb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_inter") / (F.col("_sza") + F.col("_szb") - F.col("_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pipeline: shingle → minhash → band →
+    candidate join → exact-Jaccard verify → threshold."""
+    sh = shingle_set(df, id_col, text_col, k)
+    sig = minhash_signature(sh, id_col, num_hashes)
+    cand = lsh_candidates(sig, id_col, band_size)
+    return jaccard_pairs(cand, sh, id_col).filter(F.col("jaccard") >= threshold)
+
+
+# --- SimHash --------------------------------------------------------------
+
+_HEX_VAL = {c: i for i, c in enumerate("0123456789abcdef")}
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash over word tokens (portable variant).
+
+    Per token, the first 4 hex chars of md5 give 16 bits; each bit
+    contributes ±1 to its position's counter; the sign pattern is the
+    fingerprint. 16 bits keeps the bit-expansion (tokens × 16 rows)
+    cheap and the whole computation is expressible in ANSI SQL for the
+    oracle. Production variant: 64-bit via xxhash64 + bitwise ops —
+    same dataflow.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(normalized_text(F.col(text_col)))).alias("_t")
+    )
+    hashed = toks.select(
+        F.col(id_col), F.substring(F.md5(F.col("_t")), 1, 4).alias("_h4")
+    )
+    bits = hashed.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"),
+        F.col("_h4"),
+    )
+    # nibble index (1-based hex char) = bit // 4 + 1; bit-in-nibble = 3 - bit % 4.
+    # Explicit floor(): Spark's double→int cast truncates but DuckDB's
+    # rounds, so the oracle mirror must share the floor.
+    nib_char = F.substring(
+        F.col("_h4"), (F.floor(F.col("bit") / 4) + 1).cast("int"), 1
+    )
+    mapping = F.lit(None).cast("int")
+    for c, v in reversed(list(_HEX_VAL.items())):
+        mapping = F.when(nib_char == c, F.lit(v)).otherwise(mapping)
+    bit_val = (
+        F.floor(
+            mapping / F.pow(F.lit(2.0), (3 - F.col("bit") % 4).cast("double"))
+        ).cast("long")
+        % 2
+    )
+    contrib = bits.select(
+        F.col(id_col),
+        F.col("bit"),
+        F.when(bit_val == 1, 1).otherwise(-1).alias("_sign"),
+    )
+    return (
+        contrib.groupBy(id_col, "bit")
+        .agg(F.sum("_sign").alias("_s"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("_s") > 0, F.pow(F.lit(2.0), F.col("bit").cast("double")))
+                .otherwise(0.0)
+            )
+            .cast("long")
+            .alias("simhash")
+        )
+    )

@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (north-star; SURVEY.md §2.10).
+
+``embeddings(vec_id, embedding ARRAY<FLOAT>, label)`` — approximate
+nearest neighbor with a brute-force cosine baseline and an LSH-bucketed
+scale path. All vector math is built-in higher-order array functions
+(``zip_with``/``aggregate``) evaluated JVM-side in double precision; no
+Python in the scoring loop.
+
+Scale notes: brute force is O(|Q|·|C|) — right answer for small query
+sets against a broadcast candidate side, or as the verify stage after
+bucketing. The LSH path buckets by sign-pattern against deterministic
+hyperplanes so candidate generation is an equi-join on bucket id,
+cutting the cross product by ~2^bits per table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def array_stats(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Typed-array column profile: dimensionality, L2 norm, mean
+    component. The multimodal-metadata pattern: opaque payload + cheap
+    per-row derived features, all expression-level."""
+    v = F.col(vec_col)
+    total = F.aggregate(
+        F.transform(v, lambda x: x.cast("double")), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(v).cast("long").alias("dim"),
+        F.round(_norm(v), 6).alias("l2_norm"),
+        F.round(total / F.size(v).cast("double"), 6).alias("mean_val"),
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force cosine top-k: every query row scored against every
+    candidate (self-matches excluded), ranked per query with a
+    deterministic tiebreak on candidate id.
+
+    The query side is expected to be small — Spark broadcasts it, so the
+    candidate scan never shuffles; the only shuffle is the tiny per-query
+    top-k window. Norms are precomputed per row (not per pair).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 4
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_bucket(vec: Column, dim: int, bits: int = 8, seed: int = 7) -> Column:
+    """Deterministic random-hyperplane LSH bucket id.
+
+    Hyperplane b's weight for dimension i is derived from
+    ``hash(seed, b, i)`` mapped to ±1 — reproducible across runs and
+    engines, no stored model. Bucket id packs the sign bits.
+    """
+    bucket = F.lit(0).cast("long")
+    for b in range(bits):
+        acc = F.lit(0.0)
+        for i in range(dim):
+            sign = 1.0 if (hash((seed, b, i)) & 1) else -1.0
+            acc = acc + F.element_at(vec, i + 1).cast("double") * F.lit(sign)
+        bucket = bucket + F.when(acc > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+    return bucket
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    bits: int = 8,
+) -> DataFrame:
+    """IVF/LSH-bucketed ANN: candidates restricted to the query's bucket
+    (equi-join on bucket id), then exact cosine + top-k inside the
+    bucket. Recall trades off with ``bits``; multi-probe = union over
+    neighboring buckets (not implemented in v1)."""
+    with_bucket = df.withColumn(
+        "_bucket", hyperplane_bucket(F.col(vec_col), dim, bits)
+    )
+    q = with_bucket.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "_bucket"
+    )
+    c = with_bucket.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "_bucket"
+    )
+    scored = (
+        q.join(c, "_bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )

@@ -1,0 +1,173 @@
+"""Statistical operators (SURVEY.md §2.4 A4-A9).
+
+The reference delegates these to Bioconductor C/C++ kernels (``DESeq``,
+``vst``, ``compare_means``). Here each is a pure Spark SQL composition —
+groupBy + window aggregates, JVM-side, shuffle-partitioned by the
+grouping key (gene) — so they scale horizontally instead of being bound
+to one R process. The only op that leaves the JVM is the per-gene NB GLM
+fit (A6), in :mod:`tcga_query_project_spark.operators.glm`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from tcga_query_project_spark.functions.scalar import normal_sf_two_sided
+
+
+def size_factors(
+    fact: DataFrame, gene: str, sample: str, value: str
+) -> DataFrame:
+    """A5: DESeq2 median-of-ratios size-factor estimation — the
+    normalization inside ``DESeq(data)`` / ``vst`` (reference
+    vital_status_DESeq.R:51,100; per-cohort variant
+    drug_km_median_exp.R:61-68).
+
+    Faithful to DESeq2's estimateSizeFactors: the per-gene log geometric
+    mean uses *all* samples, and genes with any zero count are excluded
+    (their log-geomean is -inf in DESeq2). Then per sample:
+    ``sf = exp(median(ln(count) - log_geomean))`` over surviving genes.
+
+    Two hash aggregations partitioned by gene then by sample; the
+    gene-level aggregate is tiny (one row per gene) and broadcasts back
+    onto the fact table.
+    """
+    per_gene = (
+        fact.groupBy(gene)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.when(F.col(value) > 0, 1).otherwise(0)).alias("_n_pos"),
+            F.avg(F.when(F.col(value) > 0, F.log(F.col(value)))).alias("_log_geomean"),
+        )
+        .filter(F.col("_n_pos") == F.col("_n"))  # all-positive genes only
+        .select(gene, "_log_geomean")
+    )
+    return (
+        fact.join(per_gene, gene)
+        .groupBy(sample)
+        .agg(
+            F.percentile(
+                F.log(F.col(value)) - F.col("_log_geomean"), F.lit(0.5)
+            ).alias("_log_sf")
+        )
+        .select(F.col(sample), F.exp("_log_sf").alias("size_factor"))
+    )
+
+
+def log_normalize(
+    fact: DataFrame, sf: DataFrame, sample: str, value: str, out: str = "normalized"
+) -> DataFrame:
+    """A7 (v1): variance-stabilizing transform stand-in —
+    ``log2(count / size_factor + 1)``.
+
+    The reference's ``vst()`` (vital_status_DESeq.R:100-101) fits a
+    dispersion-aware transform; downstream it is consumed only through
+    rank-based operations (median splits W1, boxplots), which are
+    invariant under monotone transforms — so this monotone surrogate
+    preserves the pipeline's semantics. Documented divergence
+    (SURVEY.md §2.4 A7).
+    """
+    return fact.join(F.broadcast(sf), sample).withColumn(
+        out, F.log2(F.col(value) / F.col("size_factor") + 1.0)
+    )
+
+
+def wilcoxon_rank_sum(
+    df: DataFrame,
+    gene: str,
+    label: str,
+    value: str,
+    label_a: str,
+    label_b: str,
+) -> DataFrame:
+    """A4: per-gene two-sample Wilcoxon rank-sum (Mann-Whitney U) test,
+    normal approximation with tie correction — the reference's
+    ``compare_means(counts ~ group, group.by="gene", method="wilcox")``
+    (vital_status_DESeq.R:130, lettercode_DESeq.R:133).
+
+    All-SQL formulation: average ranks come from per-(gene,value) counts
+    plus a running sum — no per-row window sort state, and one shuffle
+    keyed by gene. For n as in TCGA (~1.2k samples/gene) the normal
+    approximation is standard; exact small-sample p would drop to
+    ``applyInPandas`` + scipy.
+
+    Output per gene: n_a, n_b, u_stat (group-a U), z, p_value.
+    """
+    two = df.filter(F.col(label).isin(label_a, label_b))
+    per_value = two.groupBy(gene, value).agg(
+        F.count(F.lit(1)).cast("double").alias("_cnt"),
+        F.sum(F.when(F.col(label) == label_a, 1).otherwise(0))
+        .cast("double")
+        .alias("_cnt_a"),
+    )
+    w = (
+        Window.partitionBy(gene)
+        .orderBy(value)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_value.withColumn(
+        "_avg_rank",
+        F.coalesce(F.sum("_cnt").over(w), F.lit(0.0)) + (F.col("_cnt") + 1.0) / 2.0,
+    )
+    stats = ranked.groupBy(gene).agg(
+        F.sum("_cnt_a").alias("n_a_d"),
+        (F.sum("_cnt") - F.sum("_cnt_a")).alias("n_b_d"),
+        F.sum(F.col("_cnt_a") * F.col("_avg_rank")).alias("_r_a"),
+        F.sum(F.col("_cnt") * F.col("_cnt") * F.col("_cnt") - F.col("_cnt")).alias(
+            "_tie"
+        ),
+    )
+    n_a, n_b = F.col("n_a_d"), F.col("n_b_d")
+    n = n_a + n_b
+    u = F.col("_r_a") - n_a * (n_a + 1.0) / 2.0
+    mu = n_a * n_b / 2.0
+    var = (
+        n_a * n_b / 12.0 * ((n + 1.0) - F.col("_tie") / (n * (n - 1.0)))
+    )
+    z = F.when(var > 0, (u - mu) / F.sqrt(var))
+    return stats.select(
+        F.col(gene),
+        n_a.cast("long").alias("n_a"),
+        n_b.cast("long").alias("n_b"),
+        u.alias("u_stat"),
+        z.alias("z"),
+        normal_sf_two_sided(z).alias("p_value"),
+    )
+
+
+def bh_adjust(
+    df: DataFrame,
+    p: str,
+    partition_cols: list[str],
+    tiebreak: Column,
+    out: str = "padj",
+) -> DataFrame:
+    """Benjamini-Hochberg adjusted p-values — the ``padj`` column the
+    reference reads off ``results()`` (A6 component;
+    vital_status_DESeq.R:90-97).
+
+    Window formulation: rank p ascending (total order via ``tiebreak``),
+    then ``padj(i) = min_{j>=i} p(j)*n/j`` as a running minimum over the
+    descending-rank frame, capped at 1. One window per partition
+    (per contrast), no Python.
+    """
+    w_rank = Window.partitionBy(*partition_cols).orderBy(F.col(p).asc(), tiebreak)
+    w_n = Window.partitionBy(*partition_cols)
+    w_cummin = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col("_rank").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("_rank", F.row_number().over(w_rank).cast("double"))
+        .withColumn("_n_tests", F.count(F.lit(1)).over(w_n).cast("double"))
+        .withColumn(
+            out,
+            F.least(
+                F.lit(1.0),
+                F.min(F.col(p) * F.col("_n_tests") / F.col("_rank")).over(w_cummin),
+            ),
+        )
+        .drop("_rank", "_n_tests")
+    )

@@ -1,0 +1,240 @@
+"""Survival-analysis operators (SURVEY.md §2.5 W1-W5).
+
+The reference delegates to the R ``survival``/``survminer`` packages:
+``Surv`` + ``survfit`` (surv_analysis_median_exp.R:129-150), log-rank p
+(``ggsurvplot(pval=T)``, :155), Greenwood CIs (:156), median line
+(:158). Here each is a window/groupBy composition over a tidy
+``(subject, time, status, stratum)`` table — one shuffle keyed by
+stratum, cumulative windows ordered by time, all JVM-side. The
+reference's per-gene plot loop disappears: partitioning by
+(gene, stratum) computes every gene's curve in one pass
+(SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from tcga_query_project_spark.functions.scalar import normal_sf_two_sided
+
+
+def ntile_strata(
+    df: DataFrame,
+    value: str,
+    n: int,
+    partition_cols: list[str],
+    tiebreak: Column,
+    keep_extremes_only: bool = True,
+    out: str = "stratum",
+) -> DataFrame:
+    """W1 + P9: quantile stratification — ``ntile(km_plot[gene], n)``
+    (surv_analysis_median_exp.R:131-141, drug_km_median_exp.R:105-108).
+
+    n=2 is the median split; for n>2 only tiles 1 and n are kept
+    (``keep <- which(tmp %in% 1 | tmp %in% n)``,
+    surv_analysis_median_exp.R:139-140), labeled LOW/HIGH
+    (:141). ``tiebreak`` makes the ordering total — ntile bucket
+    membership on ties is otherwise engine-dependent
+    (SURVEY.md §7 hard-part #4).
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(F.col(value).asc(), tiebreak)
+    tiled = df.withColumn("_tile", F.ntile(n).over(w))
+    if keep_extremes_only:
+        tiled = tiled.filter(F.col("_tile").isin(1, n))
+    return tiled.withColumn(
+        out,
+        F.when(F.col("_tile") == 1, F.lit("LOW"))
+        .when(F.col("_tile") == n, F.lit("HIGH"))
+        .otherwise(F.lit("MID")),
+    ).drop("_tile")
+
+
+def km_curve(
+    df: DataFrame,
+    time: str,
+    status: str,
+    strata_cols: list[str],
+) -> DataFrame:
+    """W2 + W5: Kaplan-Meier product-limit estimator with Greenwood
+    variance — ``survfit(Surv(time, status) ~ stratum)``
+    (surv_analysis_median_exp.R:129-150) and ``conf.int=T`` (:156).
+
+    Input: one row per subject with ``time`` (numeric), ``status``
+    (1 = event/death, 0 = censored) and stratum key columns.
+    Output: one row per (stratum, observed time):
+    ``n_at_risk, n_events, n_censored, survival, greenwood_var``.
+
+    Semantics (R ``survival`` conventions): subjects censored at t are
+    at risk through t (deaths at t happen "first"); S(t) multiplies
+    ``(1 - d/n)`` over event times ≤ t; once n_events == n_at_risk the
+    curve hits 0 and Greenwood variance is undefined (NULL). Computed as
+    ``exp(Σ ln(1-d/n))`` with an explicit zero flag rather than ln(0).
+    """
+    per_time = df.groupBy(*strata_cols, time).agg(
+        F.sum(F.col(status)).cast("double").alias("_d"),
+        F.sum(1 - F.col(status)).cast("double").alias("_c"),
+    )
+    w_tot = Window.partitionBy(*strata_cols)
+    w_prev = (
+        Window.partitionBy(*strata_cols)
+        .orderBy(F.col(time).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy(*strata_cols)
+        .orderBy(F.col(time).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    at_risk = per_time.withColumn(
+        "_n",
+        F.sum(F.col("_d") + F.col("_c")).over(w_tot)
+        - F.coalesce(F.sum(F.col("_d") + F.col("_c")).over(w_prev), F.lit(0.0)),
+    )
+    factored = at_risk.withColumn("_factor", 1.0 - F.col("_d") / F.col("_n"))
+    surv = (
+        factored.withColumn(
+            "_hit_zero",
+            F.max(F.when(F.col("_factor") <= 0, 1).otherwise(0)).over(w_cum),
+        )
+        .withColumn(
+            "survival",
+            F.when(F.col("_hit_zero") == 1, F.lit(0.0)).otherwise(
+                F.exp(
+                    F.sum(
+                        F.when(F.col("_factor") > 0, F.log("_factor")).otherwise(0.0)
+                    ).over(w_cum)
+                )
+            ),
+        )
+        .withColumn(
+            "greenwood_var",
+            F.when(F.col("survival") <= 0, F.lit(None).cast("double")).otherwise(
+                F.col("survival")
+                * F.col("survival")
+                * F.sum(
+                    F.when(
+                        (F.col("_d") > 0) & (F.col("_n") > F.col("_d")),
+                        F.col("_d") / (F.col("_n") * (F.col("_n") - F.col("_d"))),
+                    ).otherwise(0.0)
+                ).over(w_cum)
+            ),
+        )
+    )
+    return surv.select(
+        *strata_cols,
+        F.col(time),
+        F.col("_n").cast("long").alias("n_at_risk"),
+        F.col("_d").cast("long").alias("n_events"),
+        F.col("_c").cast("long").alias("n_censored"),
+        F.col("survival"),
+        F.col("greenwood_var"),
+    )
+
+
+def median_survival(km: DataFrame, time: str, strata_cols: list[str]) -> DataFrame:
+    """W4: median survival time — the first observed time where the KM
+    curve drops to ≤ 0.5 (``surv.median.line="hv"``,
+    surv_analysis_median_exp.R:158). NULL when the curve never crosses
+    0.5 (left join against the stratum list preserves such strata).
+    """
+    strata = km.select(*strata_cols).distinct()
+    crossed = (
+        km.filter(F.col("survival") <= 0.5)
+        .groupBy(*strata_cols)
+        .agg(F.min(time).alias("median_time"))
+    )
+    return strata.join(crossed, strata_cols, "left")
+
+
+def logrank_test(
+    df: DataFrame,
+    time: str,
+    status: str,
+    group: str,
+    extra_partition: list[str] | None = None,
+) -> DataFrame:
+    """W3: two-group log-rank (Mantel-Cox) test —
+    ``ggsurvplot(s1, pval=T)`` (surv_analysis_median_exp.R:155,
+    drug_km_median_exp.R:117).
+
+    At each time with ≥1 event: expected group-1 deaths ``e1 = d·n1/n``
+    and hypergeometric variance ``v = d·(n1/n)·(1-n1/n)·(n-d)/(n-1)``;
+    ``chi2 = (Σ(d1-e1))² / Σv``, p from chi²(1) = two-sided normal tail
+    of sqrt(chi2). Groups are ordered by name; "group 1" is the first.
+
+    ``extra_partition`` computes many independent tests (e.g. per gene)
+    in one pass.
+
+    Scale note: built entirely from equi-joins on (partition, time) plus
+    cumulative windows — no time-range theta join (which Spark would plan
+    as a nested-loop join). The grid × group expansion is |distinct
+    times| × |groups| rows, already reduced from subject level.
+    """
+    part = list(extra_partition or [])
+
+    # Removals (deaths d_g + any-cause exits r_g) per (group, time).
+    per_gt = df.groupBy(*part, group, time).agg(
+        F.sum(F.col(status)).cast("double").alias("_d_g"),
+        F.count(F.lit(1)).cast("double").alias("_r_g"),
+    )
+    # Common time grid: every observed time, for every group.
+    times = per_gt.select(*part, time).distinct()
+    groups_df = per_gt.select(*part, group).distinct()
+    grid = times.join(groups_df, part) if part else times.crossJoin(groups_df)
+    cells = grid.join(per_gt, [*part, group, time], "left").na.fill(
+        {"_d_g": 0.0, "_r_g": 0.0}
+    )
+    # n_g(t) = group total − removals strictly before t.
+    w_tot = Window.partitionBy(*part, group)
+    w_prev = (
+        Window.partitionBy(*part, group)
+        .orderBy(F.col(time).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    at_risk = cells.withColumn(
+        "_n_g",
+        F.sum("_r_g").over(w_tot)
+        - F.coalesce(F.sum("_r_g").over(w_prev), F.lit(0.0)),
+    ).withColumn(
+        # "group 1" = lexicographically first label within the partition
+        "_is_g1",
+        (F.col(group) == F.min(group).over(Window.partitionBy(*part) if part else Window.partitionBy(F.lit(1)))).cast("int"),
+    )
+    per_t = (
+        at_risk.groupBy(*part, time)
+        .agg(
+            F.sum("_n_g").alias("_n"),
+            F.sum("_d_g").alias("_d"),
+            F.sum(F.col("_n_g") * F.col("_is_g1")).alias("_n1"),
+            F.sum(F.col("_d_g") * F.col("_is_g1")).alias("_d1"),
+        )
+        .filter(F.col("_d") > 0)
+    )
+    terms = per_t.select(
+        *part,
+        (F.col("_d1") - F.col("_d") * F.col("_n1") / F.col("_n")).alias("_oe"),
+        F.when(
+            F.col("_n") > 1,
+            F.col("_d")
+            * (F.col("_n1") / F.col("_n"))
+            * (1.0 - F.col("_n1") / F.col("_n"))
+            * (F.col("_n") - F.col("_d"))
+            / (F.col("_n") - 1.0),
+        )
+        .otherwise(0.0)
+        .alias("_v"),
+    )
+    agg_cols = [
+        F.sum("_oe").alias("_sum_oe"),
+        F.sum("_v").alias("_sum_v"),
+    ]
+    stats = terms.groupBy(*part).agg(*agg_cols) if part else terms.agg(*agg_cols)
+    chi2 = F.when(
+        F.col("_sum_v") > 0, F.col("_sum_oe") * F.col("_sum_oe") / F.col("_sum_v")
+    )
+    return stats.select(
+        *part,
+        chi2.alias("chi2"),
+        normal_sf_two_sided(F.sqrt(chi2)).alias("p_value"),
+    )

@@ -1,0 +1,118 @@
+"""Text-analysis operators (north-star extensions; SURVEY.md §2.10).
+
+Training-data-pipeline text ops over a ``documents(doc_id, text, lang,
+source, n_chars)`` table. Everything is built-in expression work
+(split/filter/transform/aggregate on arrays) — JVM-side, no UDFs, so the
+token pipeline stays inside whole-stage codegen and scales linearly with
+document count; there is no per-document Python cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: words = whitespace-split of trimmed text. Kept as a shared expression
+#: (and mirrored in catalog oracle SQL as string_split_regex) so Spark
+#: and DuckDB tokenize identically.
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting + lexical profile per document: token count,
+    distinct-token count, type-token ratio, mean token length.
+
+    The BPE-ish tokenizer of real pipelines is approximated by the
+    whitespace regex; swapping in a smarter regex changes only
+    :func:`tokens`.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    total_chars = F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", ""))
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        n_distinct.alias("n_types"),
+        F.round(n_distinct.cast("double") / n.cast("double"), 6).alias("ttr"),
+        F.round(total_chars.cast("double") / n.cast("double"), 6).alias(
+            "mean_token_len"
+        ),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality scoring: length band + stopword ratio +
+    repetition penalty, composed into one [0,1] score. The exact weights
+    are illustrative; the point is the *shape* — a pure-expression
+    per-document score usable as a filter at ingest scale.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks).cast("double")
+    stop = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    ).cast("double")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    stop_ratio = stop / n
+    length_ok = F.when((n >= 10) & (n <= 1000), 1.0).otherwise(0.0)
+    score = F.round(
+        0.4 * length_ok + 0.3 * F.least(stop_ratio * 4.0, F.lit(1.0)) + 0.3 * ttr, 6
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(ttr, 6).alias("ttr"),
+        score.alias("quality_score"),
+    )
+
+
+# language marker words → language code, checked in order; deterministic
+# n-gram-style heuristic (real language ID would swap in a model or a
+# charset n-gram table — the dataflow is identical).
+LANG_MARKERS: list[tuple[str, tuple[str, ...]]] = [
+    ("en", ("the", "and", "is")),
+    ("fr", ("le", "la", "et")),
+    ("de", ("der", "und", "die")),
+    ("es", ("el", "los", "y")),
+]
+
+
+def langid_heuristic(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Language-ID heuristic: first language whose marker-word list
+    intersects the token set; 'und' (undetermined) otherwise."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    pred = F.lit("und")
+    for lang, markers in reversed(LANG_MARKERS):
+        hit = F.size(F.filter(toks, lambda t: t.isin(*markers))) > 0
+        pred = F.when(hit, F.lit(lang)).otherwise(pred)
+    return df.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprinting: md5 over the whitespace-normalized,
+    lower-cased text. Stand-in for a rolling hash; collision-free enough
+    for exact-dup detection at corpus scale and portable across engines
+    (DuckDB md5 produces identical hex)."""
+    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.select(F.col(id_col), F.md5(normalized).alias("fingerprint"))
+
+
+def lang_profile(df: DataFrame, lang_col: str, text_col: str) -> DataFrame:
+    """Corpus profile per language: documents, total/mean tokens, mean
+    chars. Map-side partial aggregation; one small shuffle by lang."""
+    n = F.size(tokens(F.col(text_col))).cast("long")
+    return (
+        df.select(F.col(lang_col), n.alias("_n"), F.length(text_col).alias("_chars"))
+        .groupBy(lang_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_n").alias("total_tokens"),
+            F.round(F.avg("_n"), 6).alias("mean_tokens"),
+            F.round(F.avg("_chars"), 6).alias("mean_chars"),
+        )
+    )
