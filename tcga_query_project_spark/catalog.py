@@ -566,3 +566,378 @@ def f_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("c_acctbal") < 0, "neg").otherwise("pos").alias("bal_flag"),
         F.round(F.col("c_acctbal").cast("double") / 1000.0, 6).alias("bal_k"),
     )
+
+
+# =========================================================================
+# Statistical + survival layer (SURVEY.md §2.4 A4-A9, §2.5 W1-W5)
+# =========================================================================
+
+from tcga_query_project_spark.functions.scalar import NORMAL_SF_TWO_SIDED_SQL  # noqa: E402
+
+
+@register(
+    "a4_wilcoxon_ranksum",
+    f"""
+    WITH two AS (
+      SELECT l_returnflag AS g, l_linestatus AS lab, l_quantity AS v
+      FROM lineitem WHERE l_linestatus IN ('F', 'O')
+    ),
+    pv AS (
+      SELECT g, v, CAST(COUNT(*) AS DOUBLE) AS cnt,
+             CAST(SUM(CASE WHEN lab = 'F' THEN 1 ELSE 0 END) AS DOUBLE) AS cnt_a
+      FROM two GROUP BY g, v
+    ),
+    rk AS (
+      SELECT *, COALESCE(SUM(cnt) OVER (
+                  PARTITION BY g ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + (cnt + 1.0) / 2.0 AS avg_rank
+      FROM pv
+    ),
+    st AS (
+      SELECT g, SUM(cnt_a) AS na, SUM(cnt) - SUM(cnt_a) AS nb,
+             SUM(cnt_a * avg_rank) AS ra,
+             SUM(cnt * cnt * cnt - cnt) AS tie
+      FROM rk GROUP BY g
+    ),
+    zs AS (
+      SELECT g, na, nb,
+             ra - na * (na + 1.0) / 2.0 AS u,
+             CASE WHEN na * nb / 12.0 * ((na + nb + 1.0)
+                    - tie / ((na + nb) * (na + nb - 1.0))) > 0
+                  THEN (ra - na * (na + 1.0) / 2.0 - na * nb / 2.0)
+                       / SQRT(na * nb / 12.0 * ((na + nb + 1.0)
+                              - tie / ((na + nb) * (na + nb - 1.0))))
+             END AS z
+      FROM st
+    )
+    SELECT g AS l_returnflag,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(u, 4) AS u_stat, ROUND(z, 6) AS z,
+           ROUND({NORMAL_SF_TWO_SIDED_SQL.format(z="z")}, 6) AS p_value
+    FROM zs
+    """,
+    tags=("A4",),
+)
+def a4_wilcoxon_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: per-gene two-sample Wilcoxon rank-sum with tie-corrected
+    normal approximation (``compare_means(counts ~ group,
+    group.by="gene", method="wilcox")``, vital_status_DESeq.R:130) —
+    l_returnflag plays the gene, l_linestatus the two-level factor."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = stats.wilcoxon_rank_sum(
+        li, "l_returnflag", "l_linestatus", "l_quantity", "F", "O"
+    )
+    return out.select(
+        "l_returnflag",
+        "n_a",
+        "n_b",
+        F.round("u_stat", 4).alias("u_stat"),
+        F.round("z", 6).alias("z"),
+        F.round("p_value", 6).alias("p_value"),
+    )
+
+
+@register(
+    "a5_size_factors",
+    """
+    WITH pg AS (
+      SELECT l_partkey, COUNT(*) AS n,
+             SUM(CASE WHEN l_quantity > 0 THEN 1 ELSE 0 END) AS n_pos,
+             AVG(CASE WHEN l_quantity > 0 THEN LN(l_quantity) END) AS lg
+      FROM lineitem GROUP BY l_partkey
+    ),
+    r AS (
+      SELECT l.l_suppkey, LN(l.l_quantity) - pg.lg AS lr
+      FROM lineitem l JOIN pg ON l.l_partkey = pg.l_partkey
+      WHERE pg.n_pos = pg.n
+    )
+    SELECT l_suppkey, ROUND(EXP(quantile_cont(lr, 0.5)), 6) AS size_factor
+    FROM r GROUP BY l_suppkey
+    """,
+    tags=("A5",),
+)
+def a5_size_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: DESeq2 median-of-ratios size factors (inside ``DESeq(data)``,
+    vital_status_DESeq.R:51) — l_partkey as gene, l_suppkey as sample.
+    All-positive-gene exclusion mirrors DESeq2's -inf log-geomean rule.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    sf = stats.size_factors(li, "l_partkey", "l_suppkey", "l_quantity")
+    return sf.select(
+        "l_suppkey", F.round("size_factor", 6).alias("size_factor")
+    )
+
+
+@register(
+    "bh_adjust",
+    """
+    WITH p AS (
+      SELECT o_orderkey, o_orderstatus,
+             o_totalprice / MAX(o_totalprice)
+               OVER (PARTITION BY o_orderstatus) AS p_raw
+      FROM orders
+    ),
+    r AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+                 PARTITION BY o_orderstatus
+                 ORDER BY p_raw ASC, o_orderkey ASC) AS DOUBLE) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY o_orderstatus) AS DOUBLE) AS nt
+      FROM p
+    ),
+    adj AS (
+      SELECT *, LEAST(1.0, MIN(p_raw * nt / rk) OVER (
+                  PARTITION BY o_orderstatus ORDER BY rk DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS padj
+      FROM r
+    )
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(p_raw, 6) AS p_val, ROUND(padj, 6) AS padj
+    FROM adj
+    """,
+    tags=("A6-padj",),
+)
+def bh_adjust_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg padj (the adjustment inside ``results()``,
+    vital_status_DESeq.R:90): per-status partition, o_totalprice scaled
+    into (0,1] plays the raw p-value."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus")
+    withp = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") / F.max("o_totalprice").over(w)).alias("p_raw"),
+    )
+    adj = stats.bh_adjust(
+        withp, "p_raw", ["o_orderstatus"], F.col("o_orderkey").asc()
+    )
+    return adj.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("p_raw", 6).alias("p_val"),
+        F.round("padj", 6).alias("padj"),
+    )
+
+
+@register(
+    "w1_ntile_extremes",
+    """
+    WITH t AS (
+      SELECT event_id, event_type,
+             CAST(ntile(4) OVER (PARTITION BY event_type
+                                 ORDER BY value ASC, event_id ASC) AS BIGINT) AS tile
+      FROM events
+    )
+    SELECT event_id, event_type,
+           CASE WHEN tile = 1 THEN 'LOW'
+                WHEN tile = 4 THEN 'HIGH' ELSE 'MID' END AS stratum
+    FROM t WHERE tile IN (1, 4)
+    """,
+    tags=("W1", "P9"),
+)
+def w1_ntile_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+P9: ntile stratification, extremes kept, LOW/HIGH labels
+    (``ntile(km_plot[gene], n)`` + tiles 1|n filter,
+    surv_analysis_median_exp.R:131-141)."""
+    ev = _t(spark, sf_dir, "events")
+    return survival.ntile_strata(
+        ev, "value", 4, ["event_type"], F.col("event_id").asc()
+    ).select("event_id", "event_type", "stratum")
+
+
+# Shared survival-cohort construction: per-user follow-up time (span of
+# their events, whole seconds), death = any 'error' event, stratified by
+# a median split on ROUND(total value, 2) — the rounding makes the
+# ordering key FP-portable (SUM(double) order differs across engines).
+_SURV_CTE = """
+    subj AS (
+      SELECT user_id,
+             date_diff('second', MIN(ts), MAX(ts)) AS time_s,
+             MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS status,
+             ROUND(SUM(value), 2) AS total_value
+      FROM events GROUP BY user_id
+    ),
+    strat AS (
+      SELECT user_id, time_s, status,
+             CASE WHEN ntile(2) OVER (ORDER BY total_value ASC, user_id ASC) = 1
+                  THEN 'LOW' ELSE 'HIGH' END AS stratum
+      FROM subj
+    )
+"""
+
+_KM_CTE = (
+    _SURV_CTE
+    + """,
+    km0 AS (
+      SELECT stratum, time_s, CAST(SUM(status) AS DOUBLE) AS d,
+             CAST(SUM(1 - status) AS DOUBLE) AS c
+      FROM strat GROUP BY stratum, time_s
+    ),
+    km1 AS (
+      SELECT *, SUM(d + c) OVER (PARTITION BY stratum)
+              - COALESCE(SUM(d + c) OVER (
+                  PARTITION BY stratum ORDER BY time_s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+      FROM km0
+    ),
+    km2 AS (SELECT *, 1.0 - d / n AS factor FROM km1),
+    km3 AS (
+      SELECT *,
+             MAX(CASE WHEN factor <= 0 THEN 1 ELSE 0 END) OVER w AS hit_zero,
+             SUM(CASE WHEN factor > 0 THEN LN(factor) ELSE 0 END) OVER w AS logsum,
+             SUM(CASE WHEN d > 0 AND n > d THEN d / (n * (n - d)) ELSE 0 END)
+               OVER w AS gw_sum
+      FROM km2
+      WINDOW w AS (PARTITION BY stratum ORDER BY time_s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+"""
+)
+
+
+def _survival_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    subj = ev.groupBy("user_id").agg(
+        (
+            F.expr("unix_micros(max(ts)) DIV 1000000")
+            - F.expr("unix_micros(min(ts)) DIV 1000000")
+        ).alias("time_s"),
+        F.max(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "status"
+        ),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return survival.ntile_strata(
+        subj, "total_value", 2, [], F.col("user_id").asc()
+    ).drop("total_value")
+
+
+@register(
+    "w2_km_curve",
+    "WITH "
+    + _KM_CTE
+    + """
+    SELECT stratum, time_s,
+           CAST(n AS BIGINT) AS n_at_risk, CAST(d AS BIGINT) AS n_events,
+           CAST(c AS BIGINT) AS n_censored,
+           ROUND(CASE WHEN hit_zero = 1 THEN 0.0 ELSE EXP(logsum) END, 6)
+             AS survival,
+           CASE WHEN hit_zero = 1 THEN NULL
+                ELSE ROUND(EXP(logsum) * EXP(logsum) * gw_sum, 6)
+           END AS greenwood_var
+    FROM km3
+    """,
+    tags=("W2", "W5", "F5", "F6"),
+)
+def w2_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2+W5: Kaplan-Meier product-limit curve with Greenwood variance
+    (``survfit(Surv(time, status) ~ stratum)``,
+    surv_analysis_median_exp.R:129-150; ``conf.int=T`` :156), cohort
+    derived from events (time = follow-up span, death = error event,
+    strata = median split on engagement — the W1 shape)."""
+    subj = _survival_subjects(spark, sf_dir)
+    km = survival.km_curve(subj, "time_s", "status", ["stratum"])
+    return km.select(
+        "stratum",
+        "time_s",
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        F.round("survival", 6).alias("survival"),
+        F.round("greenwood_var", 6).alias("greenwood_var"),
+    )
+
+
+@register(
+    "w3_logrank",
+    "WITH "
+    + _SURV_CTE
+    + """,
+    gt AS (
+      SELECT stratum, time_s, CAST(SUM(status) AS DOUBLE) AS d_g,
+             CAST(COUNT(*) AS DOUBLE) AS r_g
+      FROM strat GROUP BY stratum, time_s
+    ),
+    grid AS (
+      SELECT t.time_s, g.stratum
+      FROM (SELECT DISTINCT time_s FROM gt) t
+      CROSS JOIN (SELECT DISTINCT stratum FROM gt) g
+    ),
+    cells AS (
+      SELECT grid.time_s, grid.stratum,
+             COALESCE(gt.d_g, 0) AS d_g, COALESCE(gt.r_g, 0) AS r_g
+      FROM grid LEFT JOIN gt USING (stratum, time_s)
+    ),
+    ar AS (
+      SELECT *, SUM(r_g) OVER (PARTITION BY stratum)
+              - COALESCE(SUM(r_g) OVER (
+                  PARTITION BY stratum ORDER BY time_s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_g,
+             CASE WHEN stratum = MIN(stratum) OVER () THEN 1 ELSE 0 END AS is_g1
+      FROM cells
+    ),
+    pt AS (
+      SELECT time_s, SUM(n_g) AS n, SUM(d_g) AS d,
+             SUM(n_g * is_g1) AS n1, SUM(d_g * is_g1) AS d1
+      FROM ar GROUP BY time_s HAVING SUM(d_g) > 0
+    ),
+    terms AS (
+      SELECT d1 - d * n1 / n AS oe,
+             CASE WHEN n > 1 THEN d * (n1 / n) * (1.0 - n1 / n) * (n - d) / (n - 1.0)
+                  ELSE 0 END AS v
+      FROM pt
+    ),
+    st AS (SELECT SUM(oe) AS soe, SUM(v) AS sv FROM terms),
+    chi AS (
+      SELECT CASE WHEN sv > 0 THEN soe * soe / sv END AS chi2_raw FROM st
+    )
+    SELECT ROUND(chi2_raw, 6) AS chi2,
+           ROUND("""
+    + NORMAL_SF_TWO_SIDED_SQL.format(z="SQRT(chi2_raw)")
+    + """, 6) AS p_value
+    FROM chi
+    """,
+    tags=("W3",),
+)
+def w3_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: two-group log-rank (Mantel-Cox) test
+    (``ggsurvplot(s1, pval=T)``, surv_analysis_median_exp.R:155) on the
+    same events-derived cohort as w2_km_curve."""
+    subj = _survival_subjects(spark, sf_dir)
+    out = survival.logrank_test(subj, "time_s", "status", "stratum")
+    return out.select(
+        F.round("chi2", 6).alias("chi2"), F.round("p_value", 6).alias("p_value")
+    )
+
+
+@register(
+    "w4_median_survival",
+    "WITH "
+    + _KM_CTE
+    + """,
+    surv AS (
+      SELECT stratum, time_s,
+             ROUND(CASE WHEN hit_zero = 1 THEN 0.0 ELSE EXP(logsum) END, 6)
+               AS survival
+      FROM km3
+    )
+    SELECT s.stratum, m.median_time_s
+    FROM (SELECT DISTINCT stratum FROM surv) s
+    LEFT JOIN (
+      SELECT stratum, MIN(time_s) AS median_time_s
+      FROM surv WHERE survival <= 0.5 GROUP BY stratum
+    ) m USING (stratum)
+    """,
+    tags=("W4",),
+)
+def w4_median_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: median survival time — first time the KM curve reaches ≤ 0.5
+    (``surv.median.line="hv"``, surv_analysis_median_exp.R:158).
+    Thresholding happens on the 6-decimal-rounded survival so the
+    boundary decision is FP-portable."""
+    subj = _survival_subjects(spark, sf_dir)
+    km = survival.km_curve(subj, "time_s", "status", ["stratum"]).withColumn(
+        "survival", F.round("survival", 6)
+    )
+    out = survival.median_survival(km, "time_s", ["stratum"])
+    return out.select("stratum", F.col("median_time").alias("median_time_s"))
