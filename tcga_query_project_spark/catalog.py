@@ -941,3 +941,430 @@ def w4_median_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = survival.median_survival(km, "time_s", ["stratum"])
     return out.select("stratum", F.col("median_time").alias("median_time_s"))
+
+
+# =========================================================================
+# Streaming-symmetric time windows (SURVEY.md §2.10; batch semantics here,
+# identical code paths run under readStream + watermark)
+# =========================================================================
+
+
+@register(
+    "st_tumbling_hourly",
+    """
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "tumbling"),
+)
+def st_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows over events (north-star streaming layer;
+    epoch-aligned so the batch oracle is date_trunc)."""
+    ev = _t(spark, sf_dir, "events")
+    return stream_windows.tumbling_agg(
+        ev,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        ],
+    ).select("window_start_us", "event_type", "n_events", "total_value")
+
+
+@register(
+    "st_session_windows",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 86400000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    i AS (
+      SELECT *, SUM(new_s) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM e
+    )
+    SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM i GROUP BY user_id, island
+    """,
+    tags=("streaming", "session"),
+)
+def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (1-day inactivity gap) per user — Spark
+    ``session_window``; the batch oracle is the classic gaps-and-islands
+    formulation, which pins down the boundary semantics (new session
+    when the gap is >= the timeout)."""
+    ev = _t(spark, sf_dir, "events")
+    return stream_windows.session_agg(
+        ev,
+        "ts",
+        "1 day",
+        ["user_id"],
+        [
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        ],
+    ).select("user_id", "session_start_us", "n_events", "total_value")
+
+
+# =========================================================================
+# North-star: dedup / similarity / text analysis (SURVEY.md §2.10)
+# =========================================================================
+
+# shared DuckDB fragments, kept adjacent to the Spark expressions they
+# mirror (operators/text.py tokens / dedup.py normalized_text)
+_SQL_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_SQL_TOKS_RAW = "string_split_regex(trim(text), '\\s+')"
+_SQL_TOKS_NORM = f"string_split_regex(trim({_SQL_NORM}), '\\s+')"
+
+
+@register(
+    "dd_exact_dedup",
+    f"""
+    SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) - 1 AS BIGINT) AS n_dups
+    FROM (SELECT doc_id, {_SQL_NORM} AS k FROM documents)
+    GROUP BY k
+    """,
+    tags=("dedup-exact",),
+)
+def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on normalized text: keeper id +
+    duplicate count per distinct content."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs, "doc_id", "text")
+
+
+@register(
+    "dd_fingerprint",
+    f"SELECT doc_id, md5({_SQL_NORM}) AS fingerprint FROM documents",
+    tags=("fingerprint",),
+)
+def dd_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (md5 over normalized text; portable
+    across engines bit-for-bit)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.fingerprint(docs, "doc_id", "text")
+
+
+_MINHASH_CTE = f"""
+    docs AS (SELECT doc_id, {_SQL_TOKS_NORM} AS toks FROM documents),
+    sh0 AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(generate_series(1, len(toks) - 2),
+                         i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+                  ELSE [] END AS sl
+      FROM docs
+    ),
+    sh AS (SELECT DISTINCT doc_id, unnest(sl) AS shingle FROM sh0)
+"""
+
+
+@register(
+    "dd_minhash_lsh",
+    "WITH "
+    + _MINHASH_CTE
+    + """,
+    seeds AS (SELECT unnest(generate_series(1, 8)) AS seed),
+    sig AS (
+      SELECT doc_id, seed, MIN(md5(concat(seed, '|', shingle))) AS mh
+      FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(FLOOR((seed - 1) / 2.0) AS BIGINT) AS band,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+      FROM sig GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, CAST(COUNT(*) AS DOUBLE) AS i
+      FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+                  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(COALESCE(i.i, 0) / (za.sz + zb.sz - COALESCE(i.i, 0)), 6)
+             AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes za ON za.doc_id = c.id_a
+    JOIN sizes zb ON zb.doc_id = c.id_b
+    WHERE ROUND(COALESCE(i.i, 0) / (za.sz + zb.sz - COALESCE(i.i, 0)), 6) >= 0.2
+    """,
+    tags=("dedup-minhash-lsh",),
+)
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate detection: word-3-gram shingles → 8
+    portable-md5 minhashes → bands of 2 → candidate equi-join → exact
+    Jaccard verification ≥ 0.2. The oracle replays the identical hash
+    pipeline (md5 ordering is engine-independent)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.near_duplicates(
+        docs, "doc_id", "text", k=3, num_hashes=8, band_size=2, threshold=0.2
+    )
+
+
+@register(
+    "dd_ngram_jaccard",
+    "WITH "
+    + _MINHASH_CTE.replace("FROM documents", "FROM documents WHERE doc_id < 30")
+    + """,
+    ids AS (SELECT doc_id FROM documents WHERE doc_id < 30),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ids a JOIN ids b ON a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, CAST(COUNT(*) AS DOUBLE) AS i
+      FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+                  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(COALESCE(i.i, 0) / (za.sz + zb.sz - COALESCE(i.i, 0)), 6)
+             AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes za ON za.doc_id = c.id_a
+    JOIN sizes zb ON zb.doc_id = c.id_b
+    WHERE ROUND(COALESCE(i.i, 0) / (za.sz + zb.sz - COALESCE(i.i, 0)), 6) > 0
+    """,
+    tags=("dedup-ngram-jaccard",),
+)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity over an all-pairs subset
+    (doc_id < 30) — the verify stage of near-dedup run standalone."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    sh = dedup.shingle_set(docs, "doc_id", "text", 3)
+    a = docs.select(F.col("doc_id").alias("id_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return dedup.jaccard_pairs(pairs, sh, "doc_id").filter(F.col("jaccard") > 0)
+
+
+_HEX_CASE = " ".join(
+    f"WHEN '{c}' THEN {i}" for i, c in enumerate("0123456789abcdef")
+)
+
+
+@register(
+    "dd_simhash16",
+    f"""
+    WITH docs AS (SELECT doc_id, {_SQL_TOKS_NORM} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS t FROM docs),
+    h AS (SELECT doc_id, substring(md5(t), 1, 4) AS h4 FROM tok),
+    bits AS (
+      SELECT doc_id, h4, unnest(generate_series(0, 15)) AS bit FROM h
+    ),
+    nib AS (
+      SELECT doc_id, bit,
+             CASE substring(h4, CAST(FLOOR(bit / 4.0) AS INT) + 1, 1)
+                  {_HEX_CASE} END AS nv
+      FROM bits
+    ),
+    sgn AS (
+      SELECT doc_id, bit,
+             CASE WHEN CAST(FLOOR(nv / POW(2.0, CAST(3 - bit % 4 AS DOUBLE)))
+                       AS BIGINT) % 2 = 1
+                  THEN 1 ELSE -1 END AS s
+      FROM nib
+    ),
+    agg AS (SELECT doc_id, bit, SUM(s) AS ss FROM sgn GROUP BY doc_id, bit)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN ss > 0 THEN POW(2.0, CAST(bit AS DOUBLE))
+                         ELSE 0.0 END) AS BIGINT) AS simhash
+    FROM agg GROUP BY doc_id
+    """,
+    tags=("dedup-simhash",),
+)
+def dd_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (portable md5-nibble variant; the
+    production path swaps in xxhash64 at 64 bits with the same
+    dataflow)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash16(docs, "doc_id", "text")
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings WHERE vec_id < 10),
+    px AS (
+      SELECT q.qid, c.vec_id AS cid,
+             unnest(q.e) AS xa, unnest(c.embedding) AS xb
+      FROM q CROSS JOIN embeddings c
+      WHERE c.vec_id != q.qid
+    ),
+    dots AS (
+      SELECT qid, cid, SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) AS dot
+      FROM px GROUP BY qid, cid
+    ),
+    norms AS (
+      SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+      GROUP BY vec_id
+    ),
+    scored AS (
+      SELECT d.qid AS query_id, d.cid AS neighbor_id,
+             ROUND(d.dot / (nq.nrm * nc.nrm), 4) AS cosine
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.qid
+      JOIN norms nc ON nc.vec_id = d.cid
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+    tags=("ann-topk",),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors against the whole
+    embeddings table — the ANN baseline (LSH-bucketed variant in
+    operators/similarity.py is the scale path). Ranking happens on the
+    4-decimal-rounded cosine so tie order is FP-portable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk(q, emb, "vec_id", "embedding", k=5)
+
+
+@register(
+    "emb_array_stats",
+    """
+    WITH x AS (SELECT vec_id, unnest(embedding) AS v FROM embeddings),
+    s AS (
+      SELECT vec_id,
+             SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS sq,
+             SUM(CAST(v AS DOUBLE)) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS dim
+      FROM x GROUP BY vec_id
+    )
+    SELECT vec_id, dim, ROUND(SQRT(sq), 6) AS l2_norm,
+           ROUND(tot / CAST(dim AS DOUBLE), 6) AS mean_val
+    FROM s
+    """,
+    tags=("multimodal-array",),
+)
+def emb_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-array (multimodal) column profile: dim, L2 norm, mean —
+    higher-order array functions, no explode on the Spark side."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.array_stats(emb, "vec_id", "embedding")
+
+
+@register(
+    "tx_token_stats",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_TOKS_RAW} AS toks,
+             length(regexp_replace(trim(text), '\\s+', '', 'g')) AS chars
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+           ROUND(CAST(len(list_distinct(toks)) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE), 6) AS ttr,
+           ROUND(CAST(chars AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6)
+             AS mean_token_len
+    FROM d
+    """,
+    tags=("text-tokens",),
+)
+def tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + lexical profile per document (north-star text
+    analysis)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.token_stats(docs, "doc_id", "text")
+
+
+@register(
+    "tx_quality_score",
+    f"""
+    WITH d AS (SELECT doc_id, {_SQL_TOKS_RAW} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS n,
+             CAST(len(list_filter(toks,
+               t -> t IN ('the','a','and','of','to','in','is','it')))
+               AS DOUBLE) AS stop,
+             CAST(len(list_distinct(toks)) AS DOUBLE) AS types
+      FROM d
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           ROUND(stop / n, 6) AS stopword_ratio,
+           ROUND(types / n, 6) AS ttr,
+           ROUND(0.4 * (CASE WHEN n >= 10 AND n <= 1000 THEN 1.0 ELSE 0.0 END)
+                 + 0.3 * LEAST(stop / n * 4.0, 1.0)
+                 + 0.3 * (types / n), 6) AS quality_score
+    FROM m
+    """,
+    tags=("text-quality",),
+)
+def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality score (length band + stopword ratio +
+    repetition penalty)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.quality_score(docs, "doc_id", "text")
+
+
+@register(
+    "tx_lang_profile",
+    f"""
+    WITH d AS (
+      SELECT lang, CAST(len({_SQL_TOKS_RAW}) AS BIGINT) AS n,
+             length(text) AS chars
+      FROM documents
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           ROUND(AVG(n), 6) AS mean_tokens, ROUND(AVG(chars), 6) AS mean_chars
+    FROM d GROUP BY lang
+    """,
+    tags=("text-profile",),
+)
+def tx_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per language."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.lang_profile(docs, "lang", "text")
+
+
+@register(
+    "tx_langid_heuristic",
+    f"""
+    WITH d AS (
+      SELECT doc_id, list_distinct({_SQL_TOKS_RAW}) AS toks FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN len(list_filter(toks, t -> t IN ('the','and','is'))) > 0 THEN 'en'
+           WHEN len(list_filter(toks, t -> t IN ('le','la','et'))) > 0 THEN 'fr'
+           WHEN len(list_filter(toks, t -> t IN ('der','und','die'))) > 0 THEN 'de'
+           WHEN len(list_filter(toks, t -> t IN ('el','los','y'))) > 0 THEN 'es'
+           ELSE 'und' END AS pred_lang
+    FROM d
+    """,
+    tags=("text-langid",),
+)
+def tx_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (deterministic n-gram-style
+    classifier shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.langid_heuristic(docs, "doc_id", "text")
