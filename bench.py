@@ -1,0 +1,83 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline catalog queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: ``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}``.
+
+Each query is executed to completion through the ``noop`` datasource
+sink — full distributed execution with zero driver-side collect cost,
+so the timing is the engine's, not pandas'.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from tcga_query_project_spark.catalog import REGISTRY
+from tcga_query_project_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline set: one per workload class (relational / stats / survival /
+# streaming-window / dedup / similarity / text). Keep this the stable
+# cross-round comparison surface; add, don't rename.
+HEADLINE = [
+    "q1_pricing_summary",
+    "j1_left_join_enrich",
+    "a1_low_count_filter",
+    "a4_wilcoxon_ranksum",
+    "a5_size_factors",
+    "bh_adjust",
+    "w1_ntile_extremes",
+    "w2_km_curve",
+    "w3_logrank",
+    "st_tumbling_hourly",
+    "st_session_windows",
+    "dd_exact_dedup",
+    "dd_minhash_lsh",
+    "dd_simhash16",
+    "ann_cosine_topk",
+    "tx_token_stats",
+    "tx_quality_score",
+]
+
+
+def main() -> None:
+    spark = get_spark("bench", cpus=CPUS)
+    # Warm the JVM + file listing once so per-query times measure the
+    # query, not session startup.
+    REGISTRY["q1_pricing_summary"].build(spark, SF_DIR).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY.get(name)
+        if spec is None:
+            continue
+        df = spec.build(spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+    out = {
+        "metric": "headline_query_wall_time_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
