@@ -45,8 +45,16 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def shingle_set(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """Distinct word k-gram shingles per document (one row per
     (doc, shingle)). Built with array ``transform`` over the token list
-    — no Python, no explode-then-window."""
-    toks = tokens(normalized_text(F.col(text_col)))
+    — no Python, no explode-then-window.
+
+    The token array is materialized in its own projection first: the
+    lambda below indexes it per shingle, and an inlined tokenizer
+    expression would re-run per element (measured 28x slower at sf0.1).
+    """
+    toks_df = df.select(
+        F.col(id_col), tokens(normalized_text(F.col(text_col))).alias("_toks")
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
     # guard: Spark's sequence(1, 0) yields a DESCENDING [1,0], not empty,
     # so short documents need an explicit empty-array branch.
@@ -54,13 +62,11 @@ def shingle_set(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFr
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + off) for off in range(k)]
-            ),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
+    return toks_df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
     )
 
 
