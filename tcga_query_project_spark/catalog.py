@@ -44,6 +44,7 @@ from tcga_query_project_spark.functions.scalar import (
 )
 from tcga_query_project_spark.operators import (
     dedup,
+    glm,
     nested,
     relational,
     similarity,
@@ -534,6 +535,46 @@ def r2_ragged_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p2_rename_dim_join",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, p.p_name AS part_name
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+    tags=("P2", "J1"),
+)
+def p2_rename_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: the reference's gene_id → gene-symbol rename
+    (``colnames(gene_count)[tmp] <- gene``, vital_status_DESeq.R:109-113)
+    done the long-schema way — a broadcast join against the dimension
+    table, aliasing the dim attribute (SURVEY.md §2.2 P2: 'the rename is
+    a join with the genes dim — strictly better')."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select("l_orderkey", "l_linenumber", F.col("p_name").alias("part_name"))
+
+
+@register(
+    "o3_first_element",
+    r"""
+    SELECT doc_id, string_split_regex(trim(text), '\s+')[1] AS first_token
+    FROM documents
+    """,
+    tags=("O3",),
+)
+def o3_first_element(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: first element of a nested collection
+    (``treat_tmp$submitter_id[1]``, drug_km_median_exp.R:47) —
+    ``element_at(..., 1)`` over the tokenized text array."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.element_at(text.tokens(F.col("text")), 1).alias("first_token"),
+    )
+
+
+@register(
     "f_scalar_suite",
     """
     SELECT c_custkey,
@@ -666,6 +707,69 @@ def a5_size_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf = stats.size_factors(li, "l_partkey", "l_suppkey", "l_quantity")
     return sf.select(
         "l_suppkey", F.round("size_factor", 6).alias("size_factor")
+    )
+
+
+@register(
+    "a7_log_normalize",
+    """
+    WITH pg AS (
+      SELECT l_partkey, COUNT(*) AS n,
+             SUM(CASE WHEN l_quantity > 0 THEN 1 ELSE 0 END) AS n_pos,
+             AVG(CASE WHEN l_quantity > 0 THEN LN(l_quantity) END) AS lg
+      FROM lineitem GROUP BY l_partkey
+    ),
+    r AS (
+      SELECT l.l_suppkey, LN(l.l_quantity) - pg.lg AS lr
+      FROM lineitem l JOIN pg ON l.l_partkey = pg.l_partkey
+      WHERE pg.n_pos = pg.n
+    ),
+    sf AS (
+      SELECT l_suppkey, EXP(quantile_cont(lr, 0.5)) AS size_factor
+      FROM r GROUP BY l_suppkey
+    )
+    SELECT l.l_orderkey, l.l_linenumber,
+           ROUND(LOG2(l.l_quantity / sf.size_factor + 1.0), 6) AS normalized
+    FROM lineitem l JOIN sf ON l.l_suppkey = sf.l_suppkey
+    """,
+    tags=("A7", "A5"),
+)
+def a7_log_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 (v1): size-factor normalization ``log2(count/sf + 1)`` — the
+    engine's VST stand-in (``vst(data, blind=F)``,
+    vital_status_DESeq.R:100-101; divergence documented in
+    operators/stats.log_normalize). Composes A5 size factors with the
+    normalization join — the size-factor table broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    sf = stats.size_factors(li, "l_partkey", "l_suppkey", "l_quantity")
+    out = stats.log_normalize(li, sf, "l_suppkey", "l_quantity")
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round("normalized", 6).alias("normalized")
+    )
+
+
+@register(
+    "a6_nb_glm_wald",
+    None,  # iterative IRLS fit — not SQL-expressible; driver rows-only check
+    tags=("A6",),
+)
+def a6_nb_glm_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-gene negative-binomial GLM Wald contrast via
+    ``applyInPandas`` (``DESeq(data)`` + ``results()``,
+    vital_status_DESeq.R:51,89) — l_partkey plays the gene, l_suppkey
+    the sample, l_linestatus the two-level condition. The engine's only
+    Python-boundary operator; unit-tested against closed-form Poisson
+    MLE in tests/test_glm.py (the driver check here is rows-only)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sf = stats.size_factors(li, "l_partkey", "l_suppkey", "l_quantity")
+    fact = li.select(
+        "l_partkey",
+        F.col("l_suppkey").alias("sample"),
+        "l_linestatus",
+        "l_quantity",
+    )
+    return glm.nb_glm_wald(
+        fact, "l_partkey", "l_linestatus", "l_quantity", sf.withColumnRenamed("l_suppkey", "sample"), "sample", "F", "O"
     )
 
 
@@ -1016,6 +1120,40 @@ def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "session_start_us", "n_events", "total_value")
 
 
+@register(
+    "st_sliding_windows",
+    """
+    WITH w AS (
+      SELECT unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws, value
+      FROM events
+    )
+    SELECT epoch_us(ws) AS window_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM w GROUP BY ws
+    """,
+    tags=("streaming", "sliding"),
+)
+def st_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) 2h/1h windows over events: each event lands in
+    two epoch-aligned windows; the batch oracle materializes both window
+    starts per event explicitly. Same code path runs under readStream +
+    watermark (streaming/windows.sliding_agg)."""
+    ev = _t(spark, sf_dir, "events")
+    return stream_windows.sliding_agg(
+        ev,
+        "ts",
+        "2 hours",
+        "1 hour",
+        [],
+        [
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        ],
+    ).select("window_start_us", "n_events", "total_value")
+
+
 # =========================================================================
 # North-star: dedup / similarity / text analysis (SURVEY.md §2.10)
 # =========================================================================
@@ -1198,6 +1336,41 @@ def dd_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     dataflow)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash16(docs, "doc_id", "text")
+
+
+@register(
+    "dd_embedding_neardup",
+    """
+    WITH px AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             unnest(a.embedding) AS xa, unnest(b.embedding) AS xb
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT ia, ib, SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) AS dot
+      FROM px GROUP BY ia, ib
+    ),
+    norms AS (
+      SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+      GROUP BY vec_id
+    )
+    SELECT d.ia AS id_a, d.ib AS id_b,
+           ROUND(d.dot / (na.nrm * nb.nrm), 4) AS cosine
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.ia
+    JOIN norms nb ON nb.vec_id = d.ib
+    WHERE ROUND(d.dot / (na.nrm * nb.nrm), 4) >= 0.35
+    """,
+    tags=("dedup-embedding-cosine",),
+)
+def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.35, rounded to
+    4 decimals so the threshold decision is FP-portable). Brute-force
+    all-pairs here; operators/similarity.cosine_topk_lsh is the bucketed
+    scale path with this as its verify stage."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup(emb, "vec_id", "embedding", 0.35)
 
 
 @register(

@@ -182,6 +182,45 @@ def near_duplicates(
     return jaccard_pairs(cand, sh, id_col).filter(F.col("jaccard") >= threshold)
 
 
+def embedding_near_dup(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (id_a < id_b) pairs
+    whose cosine similarity (rounded to 4 decimals for FP portability)
+    reaches ``threshold``.
+
+    Brute-force all-pairs — correct and fine up to ~10^4 vectors per
+    partition-side; the scale path swaps the crossJoin for the
+    hyperplane-LSH bucket equi-join in
+    :func:`operators.similarity.cosine_topk_lsh` (candidates only from
+    matching buckets), keeping this exact check as the verify stage.
+    """
+    from tcga_query_project_spark.operators.similarity import _dot, _norm
+
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        _norm(F.col(vec_col)).alias("_na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        _norm(F.col(vec_col)).alias("_nb"),
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 4
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 # --- SimHash --------------------------------------------------------------
 
 _HEX_VAL = {c: i for i, c in enumerate("0123456789abcdef")}

@@ -1,0 +1,195 @@
+"""A6: per-gene negative-binomial GLM with Wald tests (applyInPandas).
+
+The reference delegates this to DESeq2's C++ core (``DESeq(data)`` →
+``results()``; reference vital_status_DESeq.R:51,89,
+BRCA_path_stage_DESeq.R:71,113-122). This module is the engine's only
+deliberate JVM exit: the per-gene model fit is irreducibly iterative
+(IRLS), so it runs as a grouped-map Pandas UDF — one Arrow batch per
+gene group, numpy inside, executors fan the genes out horizontally.
+Everything around it (size factors, BH adjustment, significance bins)
+stays in pure Spark SQL (operators/stats.py).
+
+Scope (documented divergence, SURVEY.md §7 "hard parts" #1): v1 fits
+the NB GLM with a method-of-moments per-gene dispersion (no shrinkage
+across genes, no Cook's distance outlier handling) and unshrunken MLE
+log2 fold changes. Wald statistics follow the same construction as
+DESeq2 (coefficient / standard error from the observed information).
+
+Design for 100 TB: the input is the long expression fact table
+partitioned by gene; ``groupBy(gene).applyInPandas`` shuffles once on
+the gene key, each task fits ~thousands of tiny regressions
+independently, and the output (one row per gene per contrast) is
+dimension-sized. No driver collection, no global state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+RESULT_SCHEMA = StructType(
+    [
+        StructField("gene", StringType()),
+        StructField("base_mean", DoubleType()),
+        StructField("log2_fold_change", DoubleType()),
+        StructField("lfc_se", DoubleType()),
+        StructField("wald_stat", DoubleType()),
+        StructField("pvalue", DoubleType()),
+        StructField("n_a", LongType()),
+        StructField("n_b", LongType()),
+    ]
+)
+
+_LN2 = float(np.log(2.0))
+
+
+def _normal_sf_two_sided(z: np.ndarray) -> np.ndarray:
+    """Two-sided standard-normal tail (Abramowitz & Stegun 26.2.17),
+    identical polynomial to functions.scalar.normal_sf_two_sided so
+    Python-side and SQL-side p-values agree to the approximation's 7.5e-8.
+    """
+    az = np.abs(z)
+    t = 1.0 / (1.0 + 0.2316419 * az)
+    poly = t * (
+        0.319381530
+        + t * (-0.356563782 + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429)))
+    )
+    pdf = np.exp(-(az * az) / 2.0) / 2.5066282746310002
+    return np.minimum(2.0 * pdf * poly, 1.0)
+
+
+def _fit_nb_irls(
+    y: np.ndarray, x: np.ndarray, offset: np.ndarray, alpha: float, max_iter: int = 50
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """IRLS for the NB(mean mu, dispersion alpha) log-link GLM
+    ``log mu = X beta + offset`` (var = mu + alpha * mu^2).
+
+    Returns (beta, standard errors) or None if the fit degenerates.
+    For alpha=0 this reduces to Poisson IRLS. Working weights
+    w = mu / (1 + alpha * mu) are the canonical NB2 GLM weights.
+    """
+    n, p = x.shape
+    beta = np.zeros(p)
+    # moment start: intercept at log of offset-adjusted mean
+    mean0 = max(np.mean(y / np.exp(offset)), 1e-8)
+    beta[0] = np.log(mean0)
+    for _ in range(max_iter):
+        eta = x @ beta + offset
+        eta = np.clip(eta, -30.0, 30.0)
+        mu = np.exp(eta)
+        w = mu / (1.0 + alpha * mu)
+        z = eta - offset + (y - mu) / mu
+        xtw = x.T * w
+        try:
+            xtwx = xtw @ x
+            beta_new = np.linalg.solve(xtwx, xtw @ z)
+        except np.linalg.LinAlgError:
+            return None
+        if not np.all(np.isfinite(beta_new)):
+            return None
+        if np.max(np.abs(beta_new - beta)) < 1e-8:
+            beta = beta_new
+            break
+        beta = beta_new
+    eta = np.clip(x @ beta + offset, -30.0, 30.0)
+    mu = np.exp(eta)
+    w = mu / (1.0 + alpha * mu)
+    try:
+        cov = np.linalg.inv((x.T * w) @ x)
+    except np.linalg.LinAlgError:
+        return None
+    se = np.sqrt(np.clip(np.diag(cov), 0.0, np.inf))
+    return beta, se
+
+
+def _moment_dispersion(y: np.ndarray, mu: np.ndarray) -> float:
+    """Method-of-moments NB2 dispersion:
+    alpha = max(0, (s2 - mean) / mean^2) pooled over fitted means."""
+    resid = (y - mu) ** 2 - mu
+    denom = np.sum(mu**2)
+    if denom <= 0:
+        return 0.0
+    return float(max(np.sum(resid) / denom, 0.0))
+
+
+def _fit_one_gene(pdf: pd.DataFrame) -> pd.DataFrame:
+    gene = pdf["gene"].iloc[0]
+    y = pdf["count"].to_numpy(dtype=np.float64)
+    grp = (pdf["cond"] == "B").to_numpy(dtype=np.float64)  # 0 = A (ref), 1 = B
+    sf = pdf["size_factor"].to_numpy(dtype=np.float64)
+    n_a = int(np.sum(grp == 0))
+    n_b = int(np.sum(grp == 1))
+    out = {
+        "gene": gene,
+        "base_mean": float(np.mean(y / sf)),
+        "log2_fold_change": np.nan,
+        "lfc_se": np.nan,
+        "wald_stat": np.nan,
+        "pvalue": np.nan,
+        "n_a": n_a,
+        "n_b": n_b,
+    }
+    if n_a == 0 or n_b == 0 or np.all(y == 0):
+        return pd.DataFrame([out])
+    x = np.column_stack([np.ones_like(grp), grp])
+    offset = np.log(sf)
+    # pass 1: Poisson fit for mu-hat, then moment dispersion, then NB refit
+    fit = _fit_nb_irls(y, x, offset, alpha=0.0)
+    if fit is None:
+        return pd.DataFrame([out])
+    beta, _ = fit
+    mu = np.exp(np.clip(x @ beta + offset, -30.0, 30.0))
+    alpha = _moment_dispersion(y, mu)
+    fit = _fit_nb_irls(y, x, offset, alpha=alpha)
+    if fit is None:
+        return pd.DataFrame([out])
+    beta, se = fit
+    if se[1] <= 0 or not np.isfinite(se[1]):
+        return pd.DataFrame([out])
+    wald = beta[1] / se[1]
+    out.update(
+        log2_fold_change=float(beta[1] / _LN2),
+        lfc_se=float(se[1] / _LN2),
+        wald_stat=float(wald),
+        pvalue=float(_normal_sf_two_sided(np.array([wald]))[0]),
+    )
+    return pd.DataFrame([out])
+
+
+def nb_glm_wald(
+    fact: DataFrame,
+    gene: str,
+    cond: str,
+    value: str,
+    size_factors: DataFrame,
+    sample: str,
+    level_a: str,
+    level_b: str,
+) -> DataFrame:
+    """Per-gene NB GLM Wald contrast level_b vs level_a.
+
+    ``fact``: long expression table (gene, sample, cond, count);
+    ``size_factors``: (sample, size_factor) from stats.size_factors —
+    broadcast onto the fact, then one shuffle keyed by gene into
+    grouped-map Arrow batches.
+    """
+    prepared = (
+        fact.filter(F.col(cond).isin(level_a, level_b))
+        .join(F.broadcast(size_factors), sample)
+        .select(
+            F.col(gene).cast("string").alias("gene"),
+            F.when(F.col(cond) == level_b, F.lit("B")).otherwise("A").alias("cond"),
+            F.col(value).cast("double").alias("count"),
+            F.col("size_factor").cast("double"),
+        )
+    )
+    return prepared.groupBy("gene").applyInPandas(_fit_one_gene, RESULT_SCHEMA)

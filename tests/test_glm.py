@@ -1,0 +1,88 @@
+"""A6 NB GLM unit tests (SURVEY.md §5: golden values for the only
+Python-boundary operator)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tcga_query_project_spark.operators import glm, stats
+
+
+def test_poisson_closed_form(spark):
+    # With dispersion 0 the NB GLM is Poisson; for a one-factor design
+    # with offsets the MLE has a closed form:
+    # exp(beta1) = (sum_b y / sum_b sf) / (sum_a y / sum_a sf).
+    rows = [
+        ("g1", "s1", "A", 10.0), ("g1", "s2", "A", 12.0),
+        ("g1", "s3", "B", 40.0), ("g1", "s4", "B", 44.0),
+    ]
+    fact = spark.createDataFrame(rows, "gene string, sample string, cond string, count double")
+    sf = spark.createDataFrame(
+        [("s1", 1.0), ("s2", 1.0), ("s3", 1.0), ("s4", 1.0)],
+        "sample string, size_factor double",
+    )
+    out = glm.nb_glm_wald(fact, "gene", "cond", "count", sf, "sample", "A", "B").collect()[0]
+    expected_lfc = np.log2(84.0 / 22.0)
+    # moment dispersion on this tiny sample may be >0; the group-mean
+    # ratio remains the MLE for the saturated one-factor NB model too.
+    assert abs(out["log2_fold_change"] - expected_lfc) < 1e-6
+    assert out["n_a"] == 2 and out["n_b"] == 2
+    assert out["pvalue"] is not None and 0.0 <= out["pvalue"] <= 1.0
+
+
+def test_size_factor_offsets_shift_lfc(spark):
+    # doubling group B's size factors should halve the fold change
+    rows = [
+        ("g1", "s1", "A", 10.0), ("g1", "s2", "A", 10.0),
+        ("g1", "s3", "B", 40.0), ("g1", "s4", "B", 40.0),
+    ]
+    fact = spark.createDataFrame(rows, "gene string, sample string, cond string, count double")
+    sf = spark.createDataFrame(
+        [("s1", 1.0), ("s2", 1.0), ("s3", 2.0), ("s4", 2.0)],
+        "sample string, size_factor double",
+    )
+    out = glm.nb_glm_wald(fact, "gene", "cond", "count", sf, "sample", "A", "B").collect()[0]
+    assert abs(out["log2_fold_change"] - 1.0) < 1e-6  # 20/10 → log2 = 1
+
+
+def test_null_gene_large_p_and_de_gene_small_p(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(30):
+        rows.append(("null_g", f"a{i}", "A", float(rng.poisson(50))))
+        rows.append(("null_g", f"b{i}", "B", float(rng.poisson(50))))
+        rows.append(("de_g", f"a{i}", "A", float(rng.poisson(20))))
+        rows.append(("de_g", f"b{i}", "B", float(rng.poisson(200))))
+    fact = spark.createDataFrame(rows, "gene string, sample string, cond string, count double")
+    samples = sorted({r[1] for r in rows})
+    sf = spark.createDataFrame([(s, 1.0) for s in samples], "sample string, size_factor double")
+    out = {
+        r["gene"]: r
+        for r in glm.nb_glm_wald(
+            fact, "gene", "cond", "count", sf, "sample", "A", "B"
+        ).collect()
+    }
+    assert out["de_g"]["pvalue"] < 1e-8
+    assert abs(out["de_g"]["log2_fold_change"] - np.log2(10)) < 0.3
+    assert out["null_g"]["pvalue"] > 0.01
+    assert abs(out["null_g"]["log2_fold_change"]) < 0.3
+
+
+def test_degenerate_groups_yield_null_stats(spark):
+    # all-zero counts and single-group genes must not crash the fit
+    rows = [
+        ("zero", "s1", "A", 0.0), ("zero", "s2", "B", 0.0),
+        ("onegrp", "s1", "A", 5.0), ("onegrp", "s2", "A", 7.0),
+    ]
+    fact = spark.createDataFrame(rows, "gene string, sample string, cond string, count double")
+    sf = spark.createDataFrame(
+        [("s1", 1.0), ("s2", 1.0)], "sample string, size_factor double"
+    )
+    out = {
+        r["gene"]: r
+        for r in glm.nb_glm_wald(
+            fact, "gene", "cond", "count", sf, "sample", "A", "B"
+        ).collect()
+    }
+    assert out["zero"]["pvalue"] is None
+    assert out["onegrp"]["pvalue"] is None

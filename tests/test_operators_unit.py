@@ -1,0 +1,159 @@
+"""Unit tests per operator (SURVEY.md §5 strategy #2): tiny hand-built
+inputs with hand-worked expected outputs."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tcga_query_project_spark.functions.scalar import signif_bin
+from tcga_query_project_spark.operators import stats, survival
+
+
+def test_km_curve_hand_worked(spark):
+    # Classic product-limit worked example: times 1,2,2,3,4,5 with
+    # censoring. Subjects: (t=1,dead),(t=2,dead),(t=2,censored),
+    # (t=3,dead),(t=4,censored),(t=5,dead)
+    rows = [(1.0, 1), (2.0, 1), (2.0, 0), (3.0, 1), (4.0, 0), (5.0, 1)]
+    df = spark.createDataFrame(rows, "time double, status int").withColumn(
+        "g", F.lit("all")
+    )
+    km = {
+        r["time"]: r
+        for r in survival.km_curve(df, "time", "status", ["g"]).collect()
+    }
+    # t=1: n=6, d=1 → S=5/6
+    assert km[1.0]["n_at_risk"] == 6
+    assert abs(km[1.0]["survival"] - 5 / 6) < 1e-12
+    # t=2: n=5, d=1, c=1 → S=5/6 * 4/5 = 2/3 (censored at-risk through t)
+    assert km[2.0]["n_at_risk"] == 5
+    assert km[2.0]["n_events"] == 1 and km[2.0]["n_censored"] == 1
+    assert abs(km[2.0]["survival"] - 2 / 3) < 1e-12
+    # t=3: n=3, d=1 → S=2/3 * 2/3 = 4/9
+    assert km[3.0]["n_at_risk"] == 3
+    assert abs(km[3.0]["survival"] - 4 / 9) < 1e-12
+    # t=4: censor only; survival unchanged
+    assert km[4.0]["n_events"] == 0
+    assert abs(km[4.0]["survival"] - 4 / 9) < 1e-12
+    # t=5: last subject dies → S=0, Greenwood undefined
+    assert km[5.0]["n_at_risk"] == 1
+    assert km[5.0]["survival"] == 0.0
+    assert km[5.0]["greenwood_var"] is None
+    # Greenwood at t=1: S^2 * d/(n(n-d)) = (5/6)^2 * 1/30
+    assert abs(km[1.0]["greenwood_var"] - (5 / 6) ** 2 * (1 / 30)) < 1e-12
+
+
+def test_km_zero_at_risk_tail_and_ties(spark):
+    # all die at the same time → one step to 0
+    rows = [(3.0, 1)] * 4
+    df = spark.createDataFrame(rows, "time double, status int").withColumn(
+        "g", F.lit("x")
+    )
+    out = survival.km_curve(df, "time", "status", ["g"]).collect()
+    assert len(out) == 1
+    assert out[0]["survival"] == 0.0 and out[0]["n_at_risk"] == 4
+
+
+def test_size_factors_median_of_ratios(spark):
+    # 3 genes x 3 samples; sample B has exactly 2x sample A counts,
+    # C has 4x. Geometric structure → size factors proportional 1:2:4,
+    # and DESeq2 normalizes nothing further (no unit-mean rescale in
+    # the reference path).
+    rows = []
+    base = {"g1": 4, "g2": 8, "g3": 16}
+    for s, mult in [("A", 1), ("B", 2), ("C", 4)]:
+        for g, b in base.items():
+            rows.append((g, s, float(b * mult)))
+    df = spark.createDataFrame(rows, "gene string, sample string, cnt double")
+    sf = {
+        r["sample"]: r["size_factor"]
+        for r in stats.size_factors(df, "gene", "sample", "cnt").collect()
+    }
+    # geomean per gene g: (b * 2b * 4b)^(1/3) = 2b  → ratios per sample:
+    # A: b/2b = 0.5, B: 1.0, C: 2.0 (same for every gene → median = that)
+    assert abs(sf["A"] - 0.5) < 1e-12
+    assert abs(sf["B"] - 1.0) < 1e-12
+    assert abs(sf["C"] - 2.0) < 1e-12
+
+
+def test_size_factors_excludes_zero_genes(spark):
+    rows = [
+        ("g1", "A", 4.0), ("g1", "B", 8.0),
+        ("g2", "A", 0.0), ("g2", "B", 100.0),  # zero → excluded
+    ]
+    df = spark.createDataFrame(rows, "gene string, sample string, cnt double")
+    sf = {
+        r["sample"]: r["size_factor"]
+        for r in stats.size_factors(df, "gene", "sample", "cnt").collect()
+    }
+    # only g1 survives: geomean = sqrt(32) → A: 4/sqrt(32), B: 8/sqrt(32)
+    assert abs(sf["A"] - 4 / math.sqrt(32)) < 1e-12
+    assert abs(sf["B"] - 8 / math.sqrt(32)) < 1e-12
+
+
+def test_signif_bin_boundaries(spark):
+    vals = [(0.06,), (0.05,), (0.011,), (0.01,), (0.0011,), (0.001,),
+            (0.00011,), (0.0001,), (None,)]
+    df = spark.createDataFrame(vals, "p double")
+    out = [r["s"] for r in df.select(signif_bin(F.col("p")).alias("s")).collect()]
+    # boundaries are inclusive on the more-significant side (p > cut)
+    assert out == ["ns", "*", "*", "**", "**", "***", "***", "****", None]
+
+
+def test_bh_adjust_known_values(spark):
+    # textbook BH example: p = .01,.02,.03,.04 (n=4)
+    # padj = min over j>=i of p_j*n/j → .04,.04,.04,.04
+    df = spark.createDataFrame(
+        [(1, 0.01), (2, 0.02), (3, 0.03), (4, 0.04)], "id int, p double"
+    )
+    out = stats.bh_adjust(df, "p", [], F.col("id").asc())
+    vals = {r["id"]: r["padj"] for r in out.collect()}
+    for i in vals:
+        assert abs(vals[i] - 0.04) < 1e-12
+    # a dominating small p stays itself
+    df2 = spark.createDataFrame(
+        [(1, 0.001), (2, 0.5), (3, 0.9)], "id int, p double"
+    )
+    v2 = {r["id"]: r["padj"] for r in stats.bh_adjust(df2, "p", [], F.col("id").asc()).collect()}
+    assert abs(v2[1] - 0.003) < 1e-12      # 0.001*3/1
+    assert abs(v2[2] - 0.75) < 1e-12       # 0.5*3/2
+    assert abs(v2[3] - 0.9) < 1e-12        # min(0.9*3/3, ...) = 0.9
+
+
+def test_wilcoxon_matches_closed_form(spark):
+    # two groups with no ties: A={1,2,3}, B={4,5,6} → U_A = 0,
+    # var = n_a*n_b*(n+1)/12 = 5.25, z = (0 - 4.5)/sqrt(5.25) = -1.96396,
+    # two-sided normal-approx p ≈ 0.0495
+    rows = [("g", "A", 1.0), ("g", "A", 2.0), ("g", "A", 3.0),
+            ("g", "B", 4.0), ("g", "B", 5.0), ("g", "B", 6.0)]
+    df = spark.createDataFrame(rows, "gene string, lab string, v double")
+    out = stats.wilcoxon_rank_sum(df, "gene", "lab", "v", "A", "B").collect()[0]
+    assert out["u_stat"] == 0.0
+    assert abs(out["z"] + 1.9639610121239315) < 1e-12
+    assert abs(out["p_value"] - 0.0495346) < 1e-4
+
+
+def test_logrank_identical_groups_is_null_chi2_zero(spark):
+    # two identical groups → observed == expected → chi2 == 0
+    rows = []
+    for g in ["a", "b"]:
+        for t, s in [(1.0, 1), (2.0, 1), (3.0, 0), (4.0, 1)]:
+            rows.append((g, t, s))
+    df = spark.createDataFrame(rows, "grp string, time double, status int")
+    out = survival.logrank_test(df, "time", "status", "grp").collect()[0]
+    assert abs(out["chi2"]) < 1e-12
+    assert out["p_value"] > 0.999
+
+
+def test_ntile_strata_median_split(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id int, v double"
+    )
+    out = survival.ntile_strata(df, "v", 2, [], F.col("id").asc())
+    labs = {r["id"]: r["stratum"] for r in out.collect()}
+    assert all(labs[i] == "LOW" for i in range(5))
+    assert all(labs[i] == "HIGH" for i in range(5, 10))
+    # n=4: extremes only — middle dropped
+    out4 = survival.ntile_strata(df, "v", 4, [], F.col("id").asc())
+    labs4 = {r["id"]: r["stratum"] for r in out4.collect()}
+    assert set(labs4) == {0, 1, 2, 8, 9}  # tile sizes 3,3,2,2 → 1st and 4th kept
