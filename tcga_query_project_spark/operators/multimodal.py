@@ -1,0 +1,159 @@
+"""Multimodal (image/audio/video) column operators (north-star;
+SURVEY.md §2.10).
+
+Media payloads are opaque ``BinaryType`` columns plus a typed metadata
+struct — the parquet-native pattern for multimodal training data: the
+payload bytes never parse on the JVM, scans prune to metadata unless a
+stage explicitly needs pixels/samples.
+
+Decode / feature-extract run as Arrow-batched ``mapInPandas`` — one
+Python worker per partition, batch-at-a-time iterator, bounded memory
+regardless of corpus size. The actual codecs (PIL/librosa/av) are NOT
+in this container, so the decode kernels are deterministic stand-ins
+gated behind ``_HAVE_CODECS``; the Spark-side plumbing — schemas,
+partitioning, UDF signatures, Arrow batch shapes — is real and tested.
+Swapping the stub for a real codec changes only the marked inner
+function.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:  # pragma: no cover - codecs absent in this container by design
+    import PIL.Image  # noqa: F401
+
+    _HAVE_CODECS = True
+except ImportError:
+    _HAVE_CODECS = False
+
+#: media table schema: payload + typed metadata (width/height for
+#: images, sample_rate/duration for audio; unused fields null).
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_s", DoubleType()),
+    ]
+)
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def _decode_features(payload: bytes, kind: str, dim: int) -> np.ndarray:
+    """Decode + featurize one payload.
+
+    STUB: real pipelines decode with PIL/librosa and run a model or
+    pooling here. Without codecs we emit a deterministic byte-histogram
+    feature (16 buckets tiled to ``dim``), so tests can assert exact
+    values and the dataflow (bytes → fixed-dim float vector) is
+    faithful. Raises if someone expects real decoding.
+    """
+    if _HAVE_CODECS:  # pragma: no cover
+        raise NotImplementedError(
+            "real codec path not implemented; plug PIL/librosa here"
+        )
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr >> 4, minlength=16).astype(np.float64)
+    total = hist.sum()
+    if total > 0:
+        hist /= total
+    reps = int(np.ceil(dim / 16))
+    return np.tile(hist, reps)[:dim].astype(np.float32)
+
+
+def extract_features(media: DataFrame, dim: int = 32) -> DataFrame:
+    """Per-item feature extraction over the payload column via
+    ``mapInPandas``: Arrow streams partition batches into Python; each
+    batch maps payload bytes → a ``dim``-float feature vector.
+
+    Scale shape: linear scan, no shuffle, output is (id, small vector)
+    — write it bucketed by id for the downstream ANN join. Batch size is
+    bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` so
+    executor memory stays flat at any corpus size.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_features(p, k, dim)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "feature": feats,
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        fn, FEATURES_SCHEMA
+    )
+
+
+def frame_sample_plan(
+    media: DataFrame, every_s: float = 1.0
+) -> DataFrame:
+    """Video frame-sampling *plan*: one row per (media_id, frame_ts) at
+    ``every_s`` intervals across the clip duration — pure expression
+    work (sequence + explode), no decode. The decode of the planned
+    frames is a second ``mapInPandas`` pass shaped like
+    :func:`extract_features`; planning stays JVM-side so the expensive
+    Python stage receives exactly the frames it must touch.
+    """
+    n_frames = F.greatest(
+        F.lit(1), F.floor(F.col("duration_s") / F.lit(every_s)).cast("int")
+    )
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_frames - 1),
+                    lambda i: i.cast("double") * F.lit(every_s),
+                )
+            ).alias("frame_ts"),
+        )
+    )
+
+
+def metadata_profile(media: DataFrame) -> DataFrame:
+    """Metadata-only profile — proves payload pruning: aggregates read
+    just the typed metadata columns, so the parquet scan never touches
+    the (huge) payload pages."""
+    return media.groupBy("kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.round(F.avg(F.col("width") * F.col("height")), 2).alias("mean_pixels"),
+        F.round(F.avg("duration_s"), 4).alias("mean_duration_s"),
+    )

@@ -1,0 +1,114 @@
+"""Property-based tests (SURVEY.md §5 strategy #4, hypothesis).
+
+Each property pins an algebraic invariant of a statistical operator;
+example counts are kept small because every example is a Spark job.
+"""
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from tcga_query_project_spark.operators import stats, survival
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+subjects = st.lists(
+    st.tuples(
+        st.floats(min_value=0.5, max_value=100.0, allow_nan=False),
+        st.integers(min_value=0, max_value=1),
+    ),
+    min_size=2,
+    max_size=20,
+)
+
+
+@given(data=subjects)
+@settings(**SETTINGS)
+def test_km_curve_monotone_in_unit_interval(spark, data):
+    df = spark.createDataFrame(
+        [(float(t), s) for t, s in data], "time double, status int"
+    ).withColumn("g", F.lit("x"))
+    rows = sorted(
+        survival.km_curve(df, "time", "status", ["g"]).collect(),
+        key=lambda r: r["time"],
+    )
+    prev = 1.0
+    for r in rows:
+        assert -1e-12 <= r["survival"] <= 1.0 + 1e-12
+        assert r["survival"] <= prev + 1e-12  # non-increasing
+        prev = r["survival"]
+    # at-risk counts decrease and start at n
+    assert rows[0]["n_at_risk"] == len(data)
+
+
+@given(
+    n=st.integers(min_value=2, max_value=6),
+    values=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=6,
+        max_size=30,
+    ),
+)
+@settings(**SETTINGS)
+def test_ntile_bucket_sizes_differ_by_at_most_one(spark, n, values):
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)], "id int, v double"
+    )
+    out = survival.ntile_strata(
+        df, "v", n, [], F.col("id").asc(), keep_extremes_only=False
+    )
+    # reconstruct tile sizes from the labels by recomputing ntile
+    tiled = df.withColumn(
+        "t",
+        F.ntile(n).over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
+                F.col("v").asc(), F.col("id").asc()
+            )
+        ),
+    )
+    sizes = [r["c"] for r in tiled.groupBy("t").agg(F.count("*").alias("c")).collect()]
+    assert max(sizes) - min(sizes) <= 1
+    assert out.count() == len(values)
+
+
+@given(
+    ps=st.lists(
+        st.floats(min_value=1e-12, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_bh_padj_bounds_and_monotonicity(spark, ps):
+    df = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(ps)], "id int, p double"
+    )
+    rows = stats.bh_adjust(df, "p", [], F.col("id").asc()).collect()
+    byp = sorted(rows, key=lambda r: (r["p"], r["id"]))
+    prev = 0.0
+    for r in byp:
+        assert r["p"] - 1e-15 <= r["padj"] <= 1.0 + 1e-15  # padj >= p, <= 1
+        assert r["padj"] >= prev - 1e-15  # monotone in p-rank
+        prev = r["padj"]
+
+
+@given(
+    a=st.lists(st.integers(min_value=0, max_value=50), min_size=3, max_size=15),
+    b=st.lists(st.integers(min_value=0, max_value=50), min_size=3, max_size=15),
+)
+@settings(**SETTINGS)
+def test_wilcoxon_invariant_under_monotone_transform(spark, a, b):
+    rows = [("g", "A", float(v)) for v in a] + [("g", "B", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "gene string, lab string, v double")
+    base = stats.wilcoxon_rank_sum(df, "gene", "lab", "v", "A", "B").collect()[0]
+    # exp() is strictly monotone → identical ranks → identical statistic
+    df2 = df.withColumn("v", F.exp(F.col("v") / 10.0))
+    trans = stats.wilcoxon_rank_sum(df2, "gene", "lab", "v", "A", "B").collect()[0]
+    assert base["u_stat"] == trans["u_stat"]
+    if base["p_value"] is None:
+        assert trans["p_value"] is None
+    else:
+        assert abs(base["p_value"] - trans["p_value"]) < 1e-12

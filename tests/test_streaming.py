@@ -1,0 +1,78 @@
+"""Batch/stream symmetry tests (SURVEY.md §2.10): the same
+streaming/windows.py functions run over a readStream source with a
+watermark and must produce exactly the batch results once the stream
+drains (availableNow trigger → memory sink)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tcga_query_project_spark.sources.io import read_events
+from tcga_query_project_spark.streaming import windows as sw
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run_stream(spark, build, name):
+    """Run a streaming query to completion (availableNow) and return
+    the memory-sink rows."""
+    q = (
+        build.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, tmp_path_factory):
+    # materialize events with a clean micros timestamp, then re-read it
+    # as a file stream — the readStream side of the same table.
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    batch = read_events(spark, SF)
+    batch.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    return batch, stream
+
+
+def _sorted_rows(df, cols):
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+def test_tumbling_stream_equals_batch(spark, events_stream):
+    batch, stream = events_stream
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    ]
+    b = sw.tumbling_agg(batch, "ts", "1 hour", ["event_type"], aggs)
+    s_df = sw.tumbling_agg(stream, "ts", "1 hour", ["event_type"], aggs,
+                           watermark="1 minute")
+    assert s_df.isStreaming
+    s = _run_stream(spark, s_df, "t_tumble")
+    cols = ["window_start_us", "event_type", "n_events", "total_value"]
+    assert _sorted_rows(s, cols) == _sorted_rows(b, cols)
+
+
+def test_session_stream_equals_batch(spark, events_stream):
+    batch, stream = events_stream
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_events")]
+    b = sw.session_agg(batch, "ts", "1 day", ["user_id"], aggs)
+    s_df = sw.session_agg(stream, "ts", "1 day", ["user_id"], aggs,
+                          watermark="1 minute")
+    s = _run_stream(spark, s_df, "t_session")
+    cols = ["user_id", "session_start_us", "n_events"]
+    assert _sorted_rows(s, cols) == _sorted_rows(b, cols)
+
+
+def test_sliding_stream_equals_batch(spark, events_stream):
+    batch, stream = events_stream
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_events")]
+    b = sw.sliding_agg(batch, "ts", "2 hours", "1 hour", [], aggs)
+    s_df = sw.sliding_agg(stream, "ts", "2 hours", "1 hour", [], aggs,
+                          watermark="1 minute")
+    s = _run_stream(spark, s_df, "t_slide")
+    cols = ["window_start_us", "n_events"]
+    assert _sorted_rows(s, cols) == _sorted_rows(b, cols)
