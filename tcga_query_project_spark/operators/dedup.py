@@ -175,10 +175,24 @@ def near_duplicates(
     threshold: float = 0.5,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pipeline: shingle → minhash → band →
-    candidate join → exact-Jaccard verify → threshold."""
-    sh = shingle_set(df, id_col, text_col, k)
+    candidate join → exact-Jaccard verify → threshold.
+
+    The shingle set feeds four downstream branches (signatures, pair
+    sizes, and both sides of the intersection join) and the candidate
+    pairs feed two; both are persisted (memory, spill-to-disk) so the
+    tokenize/hash stage runs once, not per branch. At cluster scale the
+    same role is played by a parquet checkpoint between the candidate
+    and verify stages.
+    """
+    from pyspark import StorageLevel
+
+    sh = shingle_set(df, id_col, text_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sig = minhash_signature(sh, id_col, num_hashes)
-    cand = lsh_candidates(sig, id_col, band_size)
+    cand = lsh_candidates(sig, id_col, band_size).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     return jaccard_pairs(cand, sh, id_col).filter(F.col("jaccard") >= threshold)
 
 
@@ -223,60 +237,46 @@ def embedding_near_dup(
 
 # --- SimHash --------------------------------------------------------------
 
-_HEX_VAL = {c: i for i, c in enumerate("0123456789abcdef")}
-
 
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash over word tokens (portable variant).
 
     Per token, the first 4 hex chars of md5 give 16 bits; each bit
     contributes ±1 to its position's counter; the sign pattern is the
-    fingerprint. 16 bits keeps the bit-expansion (tokens × 16 rows)
-    cheap and the whole computation is expressible in ANSI SQL for the
-    oracle. Production variant: 64-bit via xxhash64 + bitwise ops —
-    same dataflow.
+    fingerprint. Production variant: 64-bit via xxhash64 — same
+    dataflow with a wider integer.
+
+    Shape: one row per token (no per-bit explode) — the token hash is
+    parsed to a 16-bit integer once, and the 16 per-bit ±1 counters
+    collapse into 16 bitwise-AND aggregate columns in a single hash
+    aggregation: ``sign_b > 0  ⇔  2·Σ bit_b > n_tokens``. The DuckDB
+    oracle keeps the equivalent md5-nibble formulation (identical
+    output, engine-portable hex parsing).
     """
     toks = df.select(
         F.col(id_col), F.explode(tokens(normalized_text(F.col(text_col)))).alias("_t")
     )
+    # bit b (our numbering: b//4 = hex-char index, 3 - b%4 = bit within
+    # nibble) is bit (15 - b) of the integer value of the 4-char prefix.
     hashed = toks.select(
-        F.col(id_col), F.substring(F.md5(F.col("_t")), 1, 4).alias("_h4")
-    )
-    bits = hashed.select(
         F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"),
-        F.col("_h4"),
+        F.conv(F.substring(F.md5(F.col("_t")), 1, 4), 16, 10)
+        .cast("long")
+        .alias("_v"),
     )
-    # nibble index (1-based hex char) = bit // 4 + 1; bit-in-nibble = 3 - bit % 4.
-    # Explicit floor(): Spark's double→int cast truncates but DuckDB's
-    # rounds, so the oracle mirror must share the floor.
-    nib_char = F.substring(
-        F.col("_h4"), (F.floor(F.col("bit") / 4) + 1).cast("int"), 1
-    )
-    mapping = F.lit(None).cast("int")
-    for c, v in reversed(list(_HEX_VAL.items())):
-        mapping = F.when(nib_char == c, F.lit(v)).otherwise(mapping)
-    bit_val = (
-        F.floor(
-            mapping / F.pow(F.lit(2.0), (3 - F.col("bit") % 4).cast("double"))
-        ).cast("long")
-        % 2
-    )
-    contrib = bits.select(
-        F.col(id_col),
-        F.col("bit"),
-        F.when(bit_val == 1, 1).otherwise(-1).alias("_sign"),
-    )
-    return (
-        contrib.groupBy(id_col, "bit")
-        .agg(F.sum("_sign").alias("_s"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.when(F.col("_s") > 0, F.pow(F.lit(2.0), F.col("bit").cast("double")))
-                .otherwise(0.0)
+    bit_sums = hashed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.shiftright(F.col("_v"), 15 - b).bitwiseAND(F.lit(1))).alias(
+                f"_b{b}"
             )
-            .cast("long")
-            .alias("simhash")
-        )
+            for b in range(16)
+        ],
     )
+    simhash = None
+    for b in range(16):
+        term = F.when(
+            F.col(f"_b{b}") * 2 > F.col("_n"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        simhash = term if simhash is None else simhash + term
+    return bit_sums.select(F.col(id_col), simhash.alias("simhash"))
