@@ -477,6 +477,44 @@ def u2_union_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "u3_except_intersect",
+    """
+    SELECT 'only_building' AS which, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+    )
+    UNION ALL
+    SELECT 'both' AS which, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+    )
+    """,
+    tags=("U3",),
+)
+def u3_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference + intersection (SURVEY.md §2.7: absent from the
+    reference, free from Spark — ``exceptAll``/``intersect`` —
+    registered so the surface is oracle-covered)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    big = orders.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("k")
+    )
+    only = building.subtract(big).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).select(F.lit("only_building").alias("which"), "n")
+    both = building.intersect(big).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).select(F.lit("both").alias("which"), "n")
+    return only.unionByName(both)
+
+
+@register(
     "r1_pivot_wide",
     """
     SELECT l_returnflag,
@@ -1518,6 +1556,53 @@ def tx_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus profile per language."""
     docs = _t(spark, sf_dir, "documents")
     return text.lang_profile(docs, "lang", "text")
+
+
+# =========================================================================
+# End-to-end reference pipelines (SURVEY.md §3) over seeded TCGA-shaped
+# fixtures — rows-only driver checks (iterative GLM / composed DAGs are
+# not single-statement-SQL-expressible); golden-value assertions live in
+# tests/test_pipelines.py.
+# =========================================================================
+
+
+@register(
+    "tcga_de_pipeline",
+    None,
+    tags=("pipeline-A", "A1", "A5", "A6", "A9"),
+)
+def tcga_de_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry point A (§3.1): the full differential-expression pipeline
+    (lettercode_DESeq.R recast) on the deterministic TCGA fixtures —
+    sample filter → gene floor → size factors → NB GLM Wald → BH →
+    significance bins. ``sf_dir`` unused: the pipeline's inputs are the
+    reference-shaped star schema, not the TPC-H tables."""
+    from tcga_query_project_spark import fixtures
+    from tcga_query_project_spark.pipelines import differential_expression as dp
+
+    t = fixtures.load_fixtures(spark)
+    return dp.differential_expression(
+        t["expression"], t["genes"], t["samples"], "short_letter_code", "NT", "TP"
+    )
+
+
+@register(
+    "tcga_drug_km_pipeline",
+    None,
+    tags=("pipeline-C", "P6", "P7", "F4", "W1", "W2"),
+)
+def tcga_drug_km_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry point C (§3.3): drug-cohort KM curves
+    (drug_km_median_exp.R recast) — nested-treatments cohort selection,
+    cohort-relative size factors, median-split strata, KM curves —
+    returning the per-(drug, gene, stratum) curve table."""
+    from tcga_query_project_spark import fixtures
+    from tcga_query_project_spark.pipelines import survival_analysis as sp
+
+    t = fixtures.load_fixtures(spark)
+    return sp.drug_km(
+        t["expression"], t["genes"], t["samples"], fixtures.DRUG_CLASSES, ["ATAT1"]
+    )["curves"]
 
 
 @register(
