@@ -89,6 +89,31 @@ def checkpoint(df: DataFrame, stage_dir: str, name: str, overwrite: bool = False
     return spark.read.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Scale-path table layout: bucketed (+ optionally sorted) parquet
+    saved as a catalog table.
+
+    This is the 100 TB answer to the reference's in-RAM matrix: the
+    expression fact table bucketed by ``gene_id`` makes every per-gene
+    stage (A1 floor, A4 ranks, A5 geomeans, A6 GLM groups, W1/W2
+    windows) shuffle-free — Spark recognizes both sides of a join or a
+    groupBy as co-partitioned and elides the Exchange. Dim tables stay
+    broadcast so only one physical layout is ever needed.
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def write_csv_single(df: DataFrame, path: str, null_fill: str | None = "") -> None:
     """S5 CSV sink with the reference's NA→"" blank-fill on export
     (P8; reference vital_status_DESeq.R:174-175).

@@ -42,3 +42,20 @@ def test_read_events_normalizes_nanos(spark):
     ev = io.read_events(spark, "/root/testdata/sf0.001")
     assert dict(ev.dtypes)["ts"] == "timestamp"
     assert ev.count() > 0
+
+
+def test_write_bucketed_elides_shuffle(spark, tmp_path):
+    """Bucketed layout: a groupBy on the bucket key over the saved table
+    must plan without an Exchange (the 100 TB co-location strategy)."""
+    # table lands in ./spark-warehouse (gitignored); dropped in finally
+    df = spark.range(10_000).withColumn("gene_id", F.col("id") % 100).withColumn(
+        "cnt", F.col("id") % 7
+    )
+    io.write_bucketed(df, "bucketed_expr_test", ["gene_id"], n_buckets=8)
+    try:
+        scan = spark.table("bucketed_expr_test")
+        agg = scan.groupBy("gene_id").sum("cnt")
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_expr_test")

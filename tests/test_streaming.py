@@ -76,3 +76,44 @@ def test_sliding_stream_equals_batch(spark, events_stream):
     s = _run_stream(spark, s_df, "t_slide")
     cols = ["window_start_us", "n_events"]
     assert _sorted_rows(s, cols) == _sorted_rows(b, cols)
+
+
+def test_stateful_running_totals_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: state must persist across micro-batches —
+    two files processed one-per-trigger; the last emitted row per key
+    equals the batch groupBy totals over both files."""
+    from tcga_query_project_spark.streaming.stateful import running_totals
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    half1 = [(1, 10.0), (1, 5.0), (2, 1.0)]
+    half2 = [(1, 2.5), (2, 4.0), (3, 7.0)]
+    schema = "user_id long, value double"
+    spark.createDataFrame(half1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(half2, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = running_totals(stream, "user_id", "value")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_stateful").collect()
+    # update mode: several rows per key; the final totals must match the
+    # batch aggregation over the union of both files
+    final = {}
+    for r in rows:
+        final[r["key"]] = (r["n_events"], r["total_value"])
+    assert final[1] == (3, 17.5)
+    assert final[2] == (2, 5.0)
+    assert final[3] == (1, 7.0)
+    # state crossed micro-batches: key 1 must have been emitted twice
+    assert sum(1 for r in rows if r["key"] == 1) == 2
