@@ -1252,12 +1252,15 @@ _MINHASH_CTE = f"""
     + """,
     seeds AS (SELECT unnest(generate_series(1, 8)) AS seed),
     sig AS (
-      SELECT doc_id, seed, MIN(md5(concat(seed, '|', shingle))) AS mh
+      SELECT doc_id, seed,
+             MIN(((2 * seed + 1)
+                    * (('0x' || substring(md5(shingle), 1, 8))::BIGINT)
+                  + seed * 1000003) % 4294967311) AS mh
       FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
     ),
     bands AS (
       SELECT doc_id, CAST(FLOOR((seed - 1) / 2.0) AS BIGINT) AS band,
-             md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+             md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_sig
       FROM sig GROUP BY doc_id, band
     ),
     cand AS (

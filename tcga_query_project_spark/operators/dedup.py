@@ -70,25 +70,41 @@ def shingle_set(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFr
     )
 
 
+#: modulus for the minhash permutation family — smallest prime > 2^32,
+#: so (2·seed+1)·v + seed·1000003 stays within signed-64 range.
+MINHASH_PRIME = 4294967311
+
+
 def minhash_signature(
     shingles: DataFrame, id_col: str, num_hashes: int = 8
 ) -> DataFrame:
-    """MinHash signature: for seed s, ``min(md5(s || '|' || shingle))``.
+    """MinHash signature via one base hash + a linear permutation family.
 
-    md5-as-permutation: the hex string ordering is a uniform permutation
-    of shingle space, so the min over a document's shingle set is a
-    standard MinHash. One row per (doc, seed). A single explode by seed
-    then a partial-aggregated min — shuffle carries num_hashes rows per
-    document.
+    Each shingle is hashed ONCE (md5 → first 32 bits as integer v, a
+    parse both engines share bit-for-bit); seed i's permutation is
+    ``h_i = ((2i+1)·v + 1000003·i) mod P`` with P prime > 2^32 — the
+    classic universal-hash MinHash family. This cuts the expensive
+    digest count by num_hashes× versus hashing (seed, shingle) pairs;
+    the seed fan-out carries only a long. One partial-aggregated min
+    per (doc, seed) — the shuffle is num_hashes rows per document.
     """
-    seeds = F.explode(F.sequence(F.lit(1), F.lit(num_hashes))).alias("seed")
+    base = shingles.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("_v"),
+    )
+    seed = F.col("seed")
+    h = ((2 * seed + 1) * F.col("_v") + seed * F.lit(1000003)) % F.lit(
+        MINHASH_PRIME
+    )
     return (
-        shingles.select(F.col(id_col), F.col("shingle"), seeds)
-        .select(
+        base.select(
             F.col(id_col),
-            F.col("seed"),
-            F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle"))).alias("_h"),
+            F.explode(F.sequence(F.lit(1), F.lit(num_hashes))).alias("seed"),
+            F.col("_v"),
         )
+        .select(F.col(id_col), seed, h.alias("_h"))
         .groupBy(id_col, "seed")
         .agg(F.min("_h").alias("minhash"))
     )
@@ -109,12 +125,13 @@ def lsh_candidates(
     )
     band_sigs = banded.groupBy(id_col, "band").agg(
         # band signature = minhashes joined in seed order (portable:
-        # string_agg(minhash, '|' ORDER BY seed) on the oracle side)
+        # string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) on the
+        # oracle side)
         F.md5(
             F.array_join(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                    lambda x: x["minhash"],
+                    lambda x: x["minhash"].cast("string"),
                 ),
                 "|",
             )
