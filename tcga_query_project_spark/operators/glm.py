@@ -121,15 +121,11 @@ def _moment_dispersion(y: np.ndarray, mu: np.ndarray) -> float:
     return float(max(np.sum(resid) / denom, 0.0))
 
 
-def _fit_one_gene(pdf: pd.DataFrame) -> pd.DataFrame:
-    gene = pdf["gene"].iloc[0]
-    y = pdf["count"].to_numpy(dtype=np.float64)
-    grp = (pdf["cond"] == "B").to_numpy(dtype=np.float64)  # 0 = A (ref), 1 = B
-    sf = pdf["size_factor"].to_numpy(dtype=np.float64)
+def _fit_core(y: np.ndarray, grp: np.ndarray, sf: np.ndarray) -> dict:
+    """Fit one two-level NB contrast; returns the stat fields."""
     n_a = int(np.sum(grp == 0))
     n_b = int(np.sum(grp == 1))
     out = {
-        "gene": gene,
         "base_mean": float(np.mean(y / sf)),
         "log2_fold_change": np.nan,
         "lfc_se": np.nan,
@@ -139,22 +135,22 @@ def _fit_one_gene(pdf: pd.DataFrame) -> pd.DataFrame:
         "n_b": n_b,
     }
     if n_a == 0 or n_b == 0 or np.all(y == 0):
-        return pd.DataFrame([out])
+        return out
     x = np.column_stack([np.ones_like(grp), grp])
     offset = np.log(sf)
     # pass 1: Poisson fit for mu-hat, then moment dispersion, then NB refit
     fit = _fit_nb_irls(y, x, offset, alpha=0.0)
     if fit is None:
-        return pd.DataFrame([out])
+        return out
     beta, _ = fit
     mu = np.exp(np.clip(x @ beta + offset, -30.0, 30.0))
     alpha = _moment_dispersion(y, mu)
     fit = _fit_nb_irls(y, x, offset, alpha=alpha)
     if fit is None:
-        return pd.DataFrame([out])
+        return out
     beta, se = fit
     if se[1] <= 0 or not np.isfinite(se[1]):
-        return pd.DataFrame([out])
+        return out
     wald = beta[1] / se[1]
     out.update(
         log2_fold_change=float(beta[1] / _LN2),
@@ -162,6 +158,16 @@ def _fit_one_gene(pdf: pd.DataFrame) -> pd.DataFrame:
         wald_stat=float(wald),
         pvalue=float(_normal_sf_two_sided(np.array([wald]))[0]),
     )
+    return out
+
+
+def _fit_one_gene(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = _fit_core(
+        pdf["count"].to_numpy(dtype=np.float64),
+        (pdf["cond"] == "B").to_numpy(dtype=np.float64),  # 0 = A (ref), 1 = B
+        pdf["size_factor"].to_numpy(dtype=np.float64),
+    )
+    out["gene"] = pdf["gene"].iloc[0]
     return pd.DataFrame([out])
 
 
@@ -193,3 +199,66 @@ def nb_glm_wald(
         )
     )
     return prepared.groupBy("gene").applyInPandas(_fit_one_gene, RESULT_SCHEMA)
+
+
+PAIR_RESULT_SCHEMA = StructType(
+    [StructField("pair", StringType()), *RESULT_SCHEMA.fields]
+)
+
+
+def _fit_one_gene_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = _fit_core(
+        pdf["count"].to_numpy(dtype=np.float64),
+        (pdf["cond"] == "B").to_numpy(dtype=np.float64),
+        pdf["size_factor"].to_numpy(dtype=np.float64),
+    )
+    out["gene"] = pdf["gene"].iloc[0]
+    out["pair"] = pdf["pair"].iloc[0]
+    return pd.DataFrame([out])
+
+
+def nb_glm_wald_pairs(
+    fact: DataFrame,
+    gene: str,
+    cond: str,
+    value: str,
+    size_factors: DataFrame,
+    sample: str,
+    pairs: list[tuple[str, str]],
+) -> DataFrame:
+    """A8 at scale: ALL pairwise contrasts in one pass
+    (``results(..., contrast=c(col, A, B))`` fan-out,
+    BRCA_path_stage_DESeq.R:113-122).
+
+    The pair list becomes a broadcast membership table
+    (level → pair, role); joining it replicates each fact row once per
+    pair its level participates in (×(levels−1) at worst, not ×pairs),
+    then a single ``groupBy(gene, pair)`` grouped-map fits every
+    contrast — one shuffle of the fact table total, versus one full
+    scan+shuffle per pair in the loop formulation. Size factors are
+    computed once on the whole cohort, matching DESeq2's fit-once /
+    extract-contrasts semantics.
+    """
+    spark = fact.sparkSession
+    memb_rows = []
+    for a, b in pairs:
+        pair = f"{a}_vs_{b}"
+        memb_rows.append((a, pair, "A"))
+        memb_rows.append((b, pair, "B"))
+    memb = spark.createDataFrame(
+        memb_rows, f"{cond} string, pair string, _role string"
+    )
+    prepared = (
+        fact.join(F.broadcast(memb), cond)
+        .join(F.broadcast(size_factors), sample)
+        .select(
+            F.col(gene).cast("string").alias("gene"),
+            F.col("pair"),
+            F.col("_role").alias("cond"),
+            F.col(value).cast("double").alias("count"),
+            F.col("size_factor").cast("double"),
+        )
+    )
+    return prepared.groupBy("gene", "pair").applyInPandas(
+        _fit_one_gene_pair, PAIR_RESULT_SCHEMA
+    )

@@ -89,21 +89,37 @@ def pairwise_de(
     samples: DataFrame,
     group_col: str,
     pairs: list[tuple[str, str]],
+    min_total: float = 10.0,
 ) -> DataFrame:
     """A8/U2: the BRCA pairwise fan-out
-    (``results(..., contrast=c(col, A, B))`` x 10 pairs,
-    BRCA_path_stage_DESeq.R:113-139) — one DE pass per pair, stacked
-    with a ``pair`` key via unionByName."""
-    parts = []
-    for a, b in pairs:
-        de = differential_expression(
-            expression, genes, samples, group_col, a, b
-        ).withColumn("pair", F.lit(f"{a}_vs_{b}"))
-        parts.append(de)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    (``results(..., contrast=c(col, A, B))`` × 10 pairs,
+    BRCA_path_stage_DESeq.R:113-139) — single-pass: DESeq2 fits the
+    model ONCE on the full cohort and extracts contrasts, so here the
+    cohort/floor/size-factor stages run once and
+    ``glm.nb_glm_wald_pairs`` fits every (gene, pair) contrast in one
+    grouped-map shuffle. BH adjustment is per contrast
+    (``results()`` adjusts within each pair), hence partitioned by
+    ``pair``."""
+    levels = sorted({lv for p in pairs for lv in p})
+    fact = prepare_cohort(expression, samples, group_col, levels, min_total)
+    sf = stats.size_factors(fact, "gene_id", "barcode", "count")
+    de = glm.nb_glm_wald_pairs(
+        fact, "gene_id", "cond", "count", sf, "barcode", pairs
+    )
+    adjusted = stats.bh_adjust(
+        de.filter(F.col("pvalue").isNotNull()),
+        "pvalue",
+        ["pair"],
+        F.col("gene").asc(),
+    )
+    missing = de.filter(F.col("pvalue").isNull()).withColumn(
+        "padj", F.lit(None).cast("double")
+    )
+    return (
+        adjusted.unionByName(missing)
+        .withColumn("p_signif", signif_bin(F.col("padj")))
+        .withColumnRenamed("gene", "gene_id")
+    )
 
 
 def goi_counts(
