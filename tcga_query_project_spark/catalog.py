@@ -50,6 +50,7 @@ from tcga_query_project_spark.operators import (
     similarity,
     stats,
     survival,
+    temporal,
     text,
 )
 from tcga_query_project_spark.sources.io import read_events, read_table
@@ -1156,6 +1157,38 @@ def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         ],
     ).select("user_id", "session_start_us", "n_events", "total_value")
+
+
+@register(
+    "tj_asof_join",
+    """
+    SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+           epoch_us(r.ts) AS asof_ts_us, r.value AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND r.ts <= l.ts
+    """,
+    tags=("asof-join",),
+)
+def tj_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (beyond the reference surface; SURVEY.md §2.3 note):
+    each click gains the user's most recent purchase at-or-before it.
+    Spark lacks the operator — implemented via the one-shuffle
+    union-tag + running-last window (operators/temporal.asof_join),
+    checked against DuckDB's native ASOF JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = temporal.asof_join(
+        clicks, purchases, "user_id", "ts", "ts", ["value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("asof_ts").alias("asof_ts_us"),
+        F.col("asof_value").alias("asof_value"),
+    )
 
 
 @register(

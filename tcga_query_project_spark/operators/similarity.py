@@ -128,23 +128,61 @@ def cosine_topk_lsh(
     dim: int,
     k: int = 5,
     bits: int = 8,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """IVF/LSH-bucketed ANN: candidates restricted to the query's bucket
-    (equi-join on bucket id), then exact cosine + top-k inside the
-    bucket. Recall trades off with ``bits``; multi-probe = union over
-    neighboring buckets (not implemented in v1)."""
-    with_bucket = df.withColumn(
-        "_bucket", hyperplane_bucket(F.col(vec_col), dim, bits)
+    """LSH-bucketed ANN: each row lands in one bucket per hash table
+    (``n_tables`` independent hyperplane sets); candidate pairs share a
+    bucket in ANY table — an explode + equi-join on (table, bucket),
+    deduped — then exact cosine + top-k over candidates only.
+
+    Recall/cost dial: P(candidate) ≈ 1 − (1 − p^bits)^n_tables with p
+    the per-plane agreement probability; more tables buys recall
+    linearly in scan cost while the join stays equi (never quadratic).
+    The expensive exact scoring runs once per distinct candidate pair.
+    """
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                hyperplane_bucket(
+                    F.col(vec_col), dim, bits, seed=7 + 1000 * t
+                ).alias("bkt"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    with_bucket = df.select(
+        F.col(id_col), F.col(vec_col), F.explode(buckets).alias("_b")
+    ).select(
+        F.col(id_col), F.col(vec_col), F.col("_b.tbl").alias("_tbl"),
+        F.col("_b.bkt").alias("_bkt"),
     )
     q = with_bucket.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "_bucket"
+        F.col(id_col).alias("query_id"), "_tbl", "_bkt"
     )
     c = with_bucket.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "_bucket"
+        F.col(id_col).alias("neighbor_id"), "_tbl", "_bkt"
     )
-    scored = (
-        q.join(c, "_bucket")
+    cand = (
+        q.join(c, ["_tbl", "_bkt"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    scored = (
+        cand.join(
+            vecs.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+            ),
+            "query_id",
+        )
+        .join(
+            vecs.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+            ),
+            "neighbor_id",
+        )
         .select(
             "query_id",
             "neighbor_id",

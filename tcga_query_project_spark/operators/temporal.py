@@ -1,0 +1,104 @@
+"""Temporal join operators (beyond the reference surface; SURVEY.md
+§2.3 notes the reference has no as-of/range joins — they're part of the
+engine's complete surface because event-table workloads need them).
+
+As-of join: for each left event, the most recent right event at or
+before it, per key — the time-series primitive DuckDB spells
+``ASOF JOIN`` and Spark lacks as a built-in.
+
+Implementation is the union-tag trick, NOT a range theta-join: a theta
+join on ``r.ts <= l.ts`` plans as a broadcast nested-loop (quadratic
+per key); instead both sides union into one stream, one window sorted
+by (key, ts) carries the last right payload forward, and left rows
+read it. One shuffle, linear state, scales to any key cardinality —
+the same pattern Structured Streaming uses for stream-stream interval
+joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """Left as-of join: every ``left`` row gains the ``payload_cols`` of
+    the latest ``right`` row with ``right.ts <= left.ts`` and the same
+    ``on`` key (nulls when no prior right row exists).
+
+    Ties (right.ts == left.ts): the right row counts (DuckDB ASOF
+    semantics, ``>=``). When several right rows share the exact same
+    timestamp, the last by payload order wins deterministically via the
+    (ts, side-tag) sort; callers needing a different tie rule should
+    pre-aggregate the right side to unique (key, ts).
+
+    ``tolerance``: optional max staleness (a Column interval in the
+    same units as the ts columns after ``unix``-style comparison is not
+    imposed here; filter on ``_asof_age`` downstream if needed).
+    """
+    # right payloads travel under reserved names so a left column with
+    # the same name never conflates with them in the union
+    l_tagged = left.withColumn("_side", F.lit(1)).withColumn(
+        "_ets", F.col(left_ts)
+    )
+    r_tagged = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ets"),
+        *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
+    ).withColumn("_side", F.lit(0))
+    for c in left.columns:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None))
+    for c in payload_cols:
+        l_tagged = l_tagged.withColumn(f"_r_{c}", F.lit(None))
+    unioned = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
+    # right rows (side 0) sort before left rows at equal ts → a right
+    # row at exactly left.ts is visible to that left row (>= semantics)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ets").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # carry the whole right payload as ONE struct: the struct is
+    # non-null for every right row even when individual payload fields
+    # are null, so ignorenulls skips left rows only — a null payload in
+    # the matched right row is carried faithfully.
+    carry = F.last(
+        F.when(
+            F.col("_side") == 0,
+            F.struct(
+                F.col("_ets").alias("_ts"),
+                *[F.col(f"_r_{c}").alias(c) for c in payload_cols],
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    carried = unioned.select(
+        *[c for c in left.columns],
+        F.col("_side"),
+        carry.alias("_asof"),
+    )
+    out = carried.filter(F.col("_side") == 1).drop("_side")
+    if tolerance is not None:
+        out = out.withColumn(
+            "_asof",
+            F.when(
+                F.col(left_ts).cast("double")
+                - F.col("_asof._ts").cast("double")
+                <= tolerance,
+                F.col("_asof"),
+            ),
+        )
+    return out.select(
+        *left.columns,
+        F.col("_asof._ts").alias("asof_ts"),
+        *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in payload_cols],
+    )

@@ -157,3 +157,51 @@ def test_ntile_strata_median_split(spark):
     out4 = survival.ntile_strata(df, "v", 4, [], F.col("id").asc())
     labs4 = {r["id"]: r["stratum"] for r in out4.collect()}
     assert set(labs4) == {0, 1, 2, 8, 9}  # tile sizes 3,3,2,2 → 1st and 4th kept
+
+
+def test_asof_join_semantics(spark):
+    from tcga_query_project_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 7, "d")],
+        "k int, ts int, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, None), (1, 1, 50.0), (2, 9, 9.0)],
+        "k int, ts int, v double",
+    )
+    out = {
+        r["tag"]: r
+        for r in temporal.asof_join(left, right, "k", "ts", "ts", ["v"]).collect()
+    }
+    # exact-tie: right row at ts=10 matches the left ts=10 (>= semantics)
+    assert out["a"]["asof_ts"] == 10 and out["a"]["asof_v"] == 100.0
+    # latest prior is the ts=15 row whose payload is NULL — the null must
+    # be carried (not skipped for an earlier non-null)
+    assert out["b"]["asof_ts"] == 15 and out["b"]["asof_v"] is None
+    # plain predecessor
+    assert out["c"]["asof_ts"] == 1 and out["c"]["asof_v"] == 50.0
+    # right row strictly after left → no match
+    assert out["d"]["asof_ts"] is None and out["d"]["asof_v"] is None
+
+
+def test_cosine_topk_lsh_recall(spark):
+    """LSH-bucketed ANN: same-bucket candidates must reproduce most of
+    the brute-force top-1 neighbors (recall sanity on sf0.001)."""
+    from tcga_query_project_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    brute = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.cosine_topk(emb, emb, "vec_id", "embedding", k=1).collect()
+    }
+    lsh = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.cosine_topk_lsh(
+            emb, "vec_id", "embedding", dim=64, k=1, bits=4, n_tables=8
+        ).collect()
+    }
+    hits = sum(1 for q, n in brute.items() if lsh.get(q) == n)
+    # synthetic near-random vectors are LSH's worst case (top-1 cosine
+    # ~0.5); clustered real embeddings recall far higher
+    assert hits / len(brute) > 0.5
