@@ -1225,6 +1225,51 @@ def st_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("window_start_us", "n_events", "total_value")
 
 
+@register(
+    "st_rollup_hierarchy",
+    """
+    WITH m AS (
+      SELECT epoch_us(date_trunc('minute', ts)) AS wm_us, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS sv
+      FROM events GROUP BY 1, 2
+    )
+    SELECT wm_us - wm_us % 3600000000 AS window_start_us, event_type,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           ROUND(SUM(sv), 4) AS total_value
+    FROM m GROUP BY 1, 2
+    """,
+    tags=("streaming", "rollup"),
+)
+def st_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup: hourly aggregates computed FROM minute
+    partials, not from raw events — the continuous-aggregate pattern
+    (each resolution reaggregates the one below; raw data is scanned
+    once no matter how many resolutions exist). Batch here; under
+    streaming the minute level is the incremental state and coarser
+    levels are cheap follow-on jobs."""
+    ev = _t(spark, sf_dir, "events")
+    minutes = stream_windows.tumbling_agg(
+        ev,
+        "ts",
+        "1 minute",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sv"),
+        ],
+    )
+    hour_us = (
+        F.col("window_start_us") - F.col("window_start_us") % F.lit(3_600_000_000)
+    )
+    return (
+        minutes.groupBy(hour_us.alias("window_start_us"), "event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.round(F.sum("sv"), 4).alias("total_value"),
+        )
+    )
+
+
 # =========================================================================
 # North-star: dedup / similarity / text analysis (SURVEY.md §2.10)
 # =========================================================================

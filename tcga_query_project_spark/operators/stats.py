@@ -171,3 +171,48 @@ def bh_adjust(
         )
         .drop("_rank", "_n_tests")
     )
+
+
+def bh_adjust_distinct(
+    df: DataFrame,
+    p: str,
+    partition_cols: list[str] | None = None,
+    out: str = "padj",
+) -> DataFrame:
+    """BH adjustment via the distinct-p formulation — the 100 TB path.
+
+    :func:`bh_adjust` windows over every row; with no partition columns
+    that is a single-partition sort (WindowExec warns, and at billions
+    of tests it is the bottleneck). BH padj is a function of the p
+    *value* alone (tied p share a padj, computed at the tie group's
+    largest rank), so: aggregate to distinct p with counts (parallel
+    hash agg), run the rank/cummin windows over the distinct values —
+    orders of magnitude smaller — and broadcast-join the padj back onto
+    the rows. Exact same output as the row-level formulation.
+    """
+    part = list(partition_cols or [])
+    per_p = df.groupBy(*part, p).agg(F.count(F.lit(1)).alias("_c"))
+    w_cum = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(p).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_n = Window.partitionBy(*part) if part else Window.partitionBy(F.lit(1))
+    ranked = per_p.withColumn(
+        "_max_rank", F.sum("_c").over(w_cum).cast("double")
+    ).withColumn("_n_tests", F.sum("_c").over(w_n).cast("double"))
+    w_cummin = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(p).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    adjusted = ranked.withColumn(
+        out,
+        F.least(
+            F.lit(1.0),
+            F.min(F.col(p) * F.col("_n_tests") / F.col("_max_rank")).over(
+                w_cummin
+            ),
+        ),
+    ).select(*part, p, out)
+    return df.join(F.broadcast(adjusted), [*part, p])

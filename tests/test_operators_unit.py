@@ -205,3 +205,20 @@ def test_cosine_topk_lsh_recall(spark):
     # synthetic near-random vectors are LSH's worst case (top-1 cosine
     # ~0.5); clustered real embeddings recall far higher
     assert hits / len(brute) > 0.5
+
+
+def test_bh_adjust_distinct_matches_rowwise(spark):
+    """The distinct-p (scale) formulation must agree exactly with the
+    row-level windows, including tie groups."""
+    import random
+
+    rng = random.Random(3)
+    vals = [round(rng.random(), 2) for _ in range(200)]  # plenty of ties
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id int, p double"
+    )
+    row = {r["id"]: r["padj"] for r in stats.bh_adjust(df, "p", [], F.col("id").asc()).collect()}
+    dis = {r["id"]: r["padj"] for r in stats.bh_adjust_distinct(df, "p").collect()}
+    assert set(row) == set(dis)
+    for i in row:
+        assert abs(row[i] - dis[i]) < 1e-12, (i, row[i], dis[i])
