@@ -377,6 +377,60 @@ def a8_pairwise_contrasts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a10_rollup_totals",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("A10", "grouping-sets"),
+)
+def a10_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set rollup (beyond the reference surface): subtotals per
+    (flag, status), per flag, and grand total in ONE pass — Spark
+    ``rollup`` = partial-agg tree, no triple scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+@register(
+    "cdc_latest_snapshot",
+    """
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("cdc", "snapshot"),
+)
+def cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: the latest change per key (the MERGE-INTO
+    'current snapshot' emulated engine-side — anti-join-free, one
+    window). Total order tiebreak on event_id keeps it deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+        )
+    )
+
+
+@register(
     "a9_signif_binning",
     f"""
     SELECT l_orderkey, l_linenumber, l_discount AS p_val,

@@ -117,3 +117,67 @@ def test_stateful_running_totals_across_microbatches(spark, tmp_path):
     assert final[3] == (1, 7.0)
     # state crossed micro-batches: key 1 must have been emitted twice
     assert sum(1 for r in rows if r["key"] == 1) == 2
+
+
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    """Late-data handling: an event older than the committed watermark
+    must be excluded from its (already-finalized) window; append mode
+    emits a window only once the watermark passes its end.
+
+    Batches are driven one write + processAllAvailable at a time —
+    under a single availableNow run the source pre-plans every file
+    against the start-of-run watermark, so the late row would not yet
+    be late (observed empirically; the sequential-commit form below is
+    the semantics the engine promises).
+    """
+    import datetime as dt
+
+    def t(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    schema = "ts timestamp, value double"
+    spark.createDataFrame(
+        [(t(10, 30), 1.0), (t(11, 30), 1.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = sw.tumbling_agg(
+        stream,
+        "ts",
+        "1 hour",
+        [],
+        [F.count(F.lit(1)).cast("long").alias("n")],
+        watermark="10 minutes",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1 → watermark 11:20
+        # batch 2: LATE event at 05:00 (dropped) + 20:00 (advances wm)
+        spark.createDataFrame(
+            [(t(5, 0), 99.0), (t(20, 0), 1.0)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        # batch 3: push the watermark past 21:00 so 20:00 emits too
+        spark.createDataFrame([(t(23, 0), 1.0)], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["window_start_us"]: r["n"]
+        for r in spark.sql("SELECT * FROM t_late").collect()
+    }
+    us = lambda h: int(
+        dt.datetime(2024, 1, 1, h, tzinfo=dt.timezone.utc).timestamp()
+    ) * 1_000_000
+    assert us(5) not in got, "late event must be dropped, not resurrected"
+    assert got.get(us(10)) == 1 and got.get(us(11)) == 1
+    assert got.get(us(20)) == 1
