@@ -1,0 +1,151 @@
+"""Exact small-sample tests (SURVEY.md §2.4 A4 fallback path).
+
+The SQL Wilcoxon (operators/stats.wilcoxon_rank_sum) uses the normal
+approximation — correct for TCGA-sized groups (~hundreds). For small
+cohorts the reference's ``compare_means(..., method="wilcox")``
+switches to the exact Mann-Whitney U distribution; scipy is not in
+this container, so the exact null distribution is computed directly by
+the classic dynamic program (count of rank arrangements per U value),
+inside an Arrow-batched grouped-map kernel.
+
+Exactness holds for tie-free data (as in R/scipy); groups with ties or
+n_a*n_b above ``max_exact`` fall back to the tie-corrected normal
+approximation, and the ``method`` column records which path ran.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from tcga_query_project_spark.operators.glm import _normal_sf_two_sided
+
+EXACT_SCHEMA = StructType(
+    [
+        StructField("gene", StringType()),
+        StructField("n_a", LongType()),
+        StructField("n_b", LongType()),
+        StructField("u_stat", DoubleType()),
+        StructField("p_value", DoubleType()),
+        StructField("method", StringType()),
+    ]
+)
+
+
+def _u_null_counts(n1: int, n2: int) -> np.ndarray:
+    """Counts of rank arrangements per U value under H0 (no ties):
+    ``c[u]`` = number of ways group A attains statistic u.
+
+    Mann-Whitney recurrence (the Gaussian-binomial coefficient DP):
+    ``f(u; m, n) = f(u - n; m - 1, n) + f(u; m, n - 1)`` — adding an
+    m-th A-observation larger than all n B's contributes n to U, while
+    adding an n-th B contributes nothing. Rolling over m keeps memory
+    at O(n2 · n1·n2); the inner u-dimension is a vectorized shift-add.
+    """
+    max_u = n1 * n2
+    width = max_u + 1
+    # level m-1: one count-array per n in 0..n2
+    prev = [np.zeros(width) for _ in range(n2 + 1)]
+    for n in range(n2 + 1):
+        prev[n][0] = 1.0  # m=0: only u=0
+    for _m in range(1, n1 + 1):
+        cur = [np.zeros(width) for _ in range(n2 + 1)]
+        cur[0][0] = 1.0  # n=0: only u=0
+        for n in range(1, n2 + 1):
+            shifted = np.zeros(width)
+            shifted[n:] = prev[n][: width - n]
+            cur[n] = cur[n - 1] + shifted
+        prev = cur
+    return prev[n2]
+
+
+def _exact_p_two_sided(u: float, n1: int, n2: int) -> float:
+    counts = _u_null_counts(n1, n2)
+    total = counts.sum()
+    u_int = int(round(u))
+    lower = counts[: u_int + 1].sum() / total
+    upper = counts[u_int:].sum() / total
+    return float(min(1.0, 2.0 * min(lower, upper)))
+
+
+def _wilcoxon_one_gene(max_exact: int):
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        gene = pdf["gene"].iloc[0]
+        a = pdf.loc[pdf["cond"] == "A", "value"].to_numpy(dtype=np.float64)
+        b = pdf.loc[pdf["cond"] == "B", "value"].to_numpy(dtype=np.float64)
+        n1, n2 = len(a), len(b)
+        out = {
+            "gene": gene,
+            "n_a": n1,
+            "n_b": n2,
+            "u_stat": np.nan,
+            "p_value": np.nan,
+            "method": "degenerate",
+        }
+        if n1 == 0 or n2 == 0:
+            return pd.DataFrame([out])
+        pooled = np.concatenate([a, b])
+        order = np.argsort(pooled, kind="mergesort")
+        ranks = np.empty_like(pooled)
+        # average ranks for ties
+        sorted_vals = pooled[order]
+        rank_vals = np.arange(1, len(pooled) + 1, dtype=np.float64)
+        i = 0
+        while i < len(sorted_vals):
+            j = i
+            while j + 1 < len(sorted_vals) and sorted_vals[j + 1] == sorted_vals[i]:
+                j += 1
+            rank_vals[i : j + 1] = rank_vals[i : j + 1].mean()
+            i = j + 1
+        ranks[order] = rank_vals
+        r_a = ranks[:n1].sum()
+        u = r_a - n1 * (n1 + 1) / 2.0
+        out["u_stat"] = float(u)
+        has_ties = len(np.unique(pooled)) < len(pooled)
+        if not has_ties and n1 * n2 <= max_exact:
+            out["p_value"] = _exact_p_two_sided(u, n1, n2)
+            out["method"] = "exact"
+        else:
+            n = float(n1 + n2)
+            _, tie_counts = np.unique(pooled, return_counts=True)
+            tie = float((tie_counts**3 - tie_counts).sum())
+            var = n1 * n2 / 12.0 * ((n + 1.0) - tie / (n * (n - 1.0)))
+            if var > 0:
+                z = (u - n1 * n2 / 2.0) / np.sqrt(var)
+                out["p_value"] = float(_normal_sf_two_sided(np.array([z]))[0])
+                out["method"] = "normal-approx"
+        return pd.DataFrame([out])
+
+    return fn
+
+
+def wilcoxon_exact(
+    df: DataFrame,
+    gene: str,
+    label: str,
+    value: str,
+    label_a: str,
+    label_b: str,
+    max_exact: int = 2_500,
+) -> DataFrame:
+    """A4 exact path: per-gene two-sample Mann-Whitney U with the exact
+    null distribution where applicable (no ties, n_a*n_b <= max_exact),
+    tie-corrected normal approximation otherwise. Same shuffle shape as
+    the SQL variant — one grouped-map pass keyed by gene."""
+    prepared = df.filter(F.col(label).isin(label_a, label_b)).select(
+        F.col(gene).cast("string").alias("gene"),
+        F.when(F.col(label) == label_a, "A").otherwise("B").alias("cond"),
+        F.col(value).cast("double").alias("value"),
+    )
+    return prepared.groupBy("gene").applyInPandas(
+        _wilcoxon_one_gene(max_exact), EXACT_SCHEMA
+    )

@@ -86,3 +86,43 @@ def test_degenerate_groups_yield_null_stats(spark):
     }
     assert out["zero"]["pvalue"] is None
     assert out["onegrp"]["pvalue"] is None
+
+
+def test_wilcoxon_exact_known_value(spark):
+    # R: wilcox.test(1:3, 4:6) → exact two-sided p = 0.1, U = 0
+    from tcga_query_project_spark.operators import exact_tests
+
+    rows = [("g", "A", 1.0), ("g", "A", 2.0), ("g", "A", 3.0),
+            ("g", "B", 4.0), ("g", "B", 5.0), ("g", "B", 6.0)]
+    df = spark.createDataFrame(rows, "gene string, lab string, v double")
+    out = exact_tests.wilcoxon_exact(df, "gene", "lab", "v", "A", "B").collect()[0]
+    assert out["method"] == "exact"
+    assert out["u_stat"] == 0.0
+    assert abs(out["p_value"] - 0.1) < 1e-12
+
+
+def test_wilcoxon_exact_agrees_with_normal_for_large_n(spark):
+    # for moderately large tie-free samples the exact p and the SQL
+    # normal approximation must be close
+    import numpy as np
+    from tcga_query_project_spark.operators import exact_tests, stats as sqlstats
+
+    rng = np.random.default_rng(11)
+    a = rng.permutation(np.arange(0.0, 30.0))[:15]
+    b = rng.permutation(np.arange(100.0, 130.0, 1.5))[:15] - 94.75  # .25/.75 fractions → tie-free vs integer a
+    rows = [("g", "A", float(v)) for v in a] + [("g", "B", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "gene string, lab string, v double")
+    ex = exact_tests.wilcoxon_exact(df, "gene", "lab", "v", "A", "B").collect()[0]
+    ap = sqlstats.wilcoxon_rank_sum(df, "gene", "lab", "v", "A", "B").collect()[0]
+    assert ex["method"] == "exact"
+    assert ex["u_stat"] == ap["u_stat"]
+    assert abs(ex["p_value"] - ap["p_value"]) < 0.02
+
+
+def test_wilcoxon_exact_ties_fall_back(spark):
+    from tcga_query_project_spark.operators import exact_tests
+
+    rows = [("g", "A", 1.0), ("g", "A", 2.0), ("g", "B", 2.0), ("g", "B", 3.0)]
+    df = spark.createDataFrame(rows, "gene string, lab string, v double")
+    out = exact_tests.wilcoxon_exact(df, "gene", "lab", "v", "A", "B").collect()[0]
+    assert out["method"] == "normal-approx"
