@@ -841,6 +841,97 @@ def a7_log_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SF_CTE = """
+    pg AS (
+      SELECT l_partkey, COUNT(*) AS n,
+             SUM(CASE WHEN l_quantity > 0 THEN 1 ELSE 0 END) AS n_pos,
+             AVG(CASE WHEN l_quantity > 0 THEN LN(l_quantity) END) AS lg
+      FROM lineitem GROUP BY l_partkey
+    ),
+    r AS (
+      SELECT l.l_suppkey, LN(l.l_quantity) - pg.lg AS lr
+      FROM lineitem l JOIN pg ON l.l_partkey = pg.l_partkey
+      WHERE pg.n_pos = pg.n
+    ),
+    sfac AS (
+      SELECT l_suppkey, EXP(quantile_cont(lr, 0.5)) AS size_factor
+      FROM r GROUP BY l_suppkey
+    )
+"""
+
+
+@register(
+    "a7b_vst_fitted",
+    "WITH "
+    + _SF_CTE
+    + """,
+    q AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             l.l_quantity / s.size_factor AS qv,
+             1.0 / s.size_factor AS inv_sf
+      FROM lineitem l JOIN sfac s ON l.l_suppkey = s.l_suppkey
+    ),
+    pgm AS (
+      SELECT l_partkey, AVG(qv) AS mu, VAR_SAMP(qv) AS s2,
+             AVG(inv_sf) AS xi
+      FROM q GROUP BY l_partkey
+    ),
+    disp AS (
+      SELECT l_partkey, ROUND(mu, 8) AS mu,
+             ROUND(GREATEST((s2 - mu * xi) / (mu * mu), 0.0), 8) AS alpha
+      FROM pgm
+    ),
+    dispf AS (
+      SELECT * FROM disp WHERE mu > 0 AND alpha IS NOT NULL
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM (SELECT 1.0 / mu AS x, alpha AS y FROM dispf WHERE alpha > 0)
+    ),
+    trend AS (
+      SELECT GREATEST(CASE WHEN n * sxx - sx * sx > 0
+                           THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                           ELSE 0.0 END, 0.0) AS a1,
+             CASE WHEN n > 0
+                  THEN sy / n - GREATEST(
+                         CASE WHEN n * sxx - sx * sx > 0
+                              THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                              ELSE 0.0 END, 0.0) * sx / n
+                  ELSE 0.0 END AS a0
+      FROM sums
+    )
+    SELECT q.l_partkey, q.l_suppkey,
+           ROUND(q.qv, 6) AS normalized_count,
+           ROUND(CASE WHEN t.a0 > 0
+                      THEN LOG2((1 + t.a1 + 2 * t.a0 * q.qv
+                                 + 2 * SQRT(t.a0 * q.qv
+                                            * (1 + t.a1 + t.a0 * q.qv)))
+                                / (4 * t.a0))
+                      ELSE LOG2(q.qv + 1.0) END, 6) AS vst
+    FROM q CROSS JOIN trend t
+    """,
+    tags=("A7", "vst-v2"),
+)
+def a7b_vst_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 (v2): the dispersion-aware parametric VST — DESeq2's
+    ``vst(data, blind=F)`` closed form over a fitted alpha(mu) = a0 +
+    a1/mu trend (vital_status_DESeq.R:100-101). Entirely SQL: per-gene
+    moments → least-squares trend → closed-form transform. l_partkey
+    plays the gene, l_suppkey the sample."""
+    li = _t(spark, sf_dir, "lineitem")
+    sf = stats.size_factors(li, "l_partkey", "l_suppkey", "l_quantity")
+    out = stats.vst_fitted(
+        li, sf, "l_partkey", "l_suppkey", "l_quantity", round_intermediates=8
+    )
+    return out.select(
+        "l_partkey",
+        "l_suppkey",
+        F.round("normalized_count", 6).alias("normalized_count"),
+        F.round("vst", 6).alias("vst"),
+    )
+
+
 @register(
     "a6_nb_glm_wald",
     None,  # iterative IRLS fit — not SQL-expressible; driver rows-only check

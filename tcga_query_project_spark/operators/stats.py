@@ -73,6 +73,143 @@ def log_normalize(
     )
 
 
+def vst_fitted(
+    fact: DataFrame,
+    sf: DataFrame,
+    gene: str,
+    sample: str,
+    value: str,
+    out: str = "vst",
+    round_intermediates: int | None = None,
+) -> DataFrame:
+    """A7 (v2): dispersion-aware variance-stabilizing transform — the
+    shape of DESeq2's parametric VST (``vst(data, blind=F)``,
+    vital_status_DESeq.R:100-101), entirely in SQL.
+
+    Three stages, all aggregates/expressions:
+    1. per-gene mean and method-of-moments dispersion of the
+       size-factor-normalized counts  q = K/sf:
+       ``alpha_g = max((s2_g − mu_g·mean(1/sf)) / mu_g², 0)``
+       (the mean(1/sf) term is the Poisson noise floor under
+       normalization);
+    2. parametric trend fit  alpha(mu) ≈ a0 + a1/mu  by least squares
+       over genes (closed form from five sums; genes with alpha≤0
+       excluded, mirroring DESeq2's gamma-family trend fit in spirit);
+    3. the DESeq2 closed-form transform for that trend:
+       ``vst(q) = log2( (1 + a1 + 2·a0·q + 2·sqrt(a0·q·(1 + a1 + a0·q)))
+                        / (4·a0) )``,
+       monotone in q, ~log2(q) for large q, linear near 0.
+
+    Degenerate trend (a0 ≤ 0: data at/below Poisson noise) falls back
+    to ``log2(q + 1)`` — the v1 transform — keeping the operator total.
+    Cohort-relative by construction: pass cohort-restricted ``fact``/
+    ``sf`` for the drug-cohort pipeline (SURVEY §3.3 step 3).
+
+    ``round_intermediates``: round per-gene mu/alpha to this many
+    decimals before the trend fit — pins the alpha>0 gene set and the
+    regression inputs across engines so the DuckDB oracle agrees
+    exactly (catalog determinism conventions); None = full precision.
+    """
+    q_tbl = fact.join(F.broadcast(sf), sample).select(
+        F.col(gene),
+        F.col(sample),
+        (F.col(value) / F.col("size_factor")).alias("_q"),
+        (1.0 / F.col("size_factor")).alias("_inv_sf"),
+    )
+    per_gene = q_tbl.groupBy(gene).agg(
+        F.avg("_q").alias("_mu"),
+        F.var_samp("_q").alias("_s2"),
+        F.avg("_inv_sf").alias("_xi"),
+    )
+    alpha_expr = F.greatest(
+        (F.col("_s2") - F.col("_mu") * F.col("_xi"))
+        / (F.col("_mu") * F.col("_mu")),
+        F.lit(0.0),
+    )
+    mu_expr = F.col("_mu")
+    if round_intermediates is not None:
+        alpha_expr = F.round(alpha_expr, round_intermediates)
+        mu_expr = F.round(mu_expr, round_intermediates)
+    disp = per_gene.select(
+        F.col(gene),
+        mu_expr.alias("_mu"),
+        alpha_expr.alias("_alpha"),
+    ).filter((F.col("_mu") > 0) & F.col("_alpha").isNotNull())
+    # least-squares alpha ~ a0 + a1 * (1/mu) over genes with alpha > 0
+    trend = (
+        disp.filter(F.col("_alpha") > 0)
+        .select((1.0 / F.col("_mu")).alias("_x"), F.col("_alpha").alias("_y"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_x").alias("_sx"),
+            F.sum("_y").alias("_sy"),
+            F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+            F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        )
+        .select(
+            # a1 clamped >= 0: DESeq2's parametric trend enforces
+            # positive coefficients; a negative a1 would make the
+            # closed form's log argument negative at q=0.
+            F.greatest(
+                F.when(
+                    F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+                    > 0,
+                    (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+                    / (
+                        F.col("_n") * F.col("_sxx")
+                        - F.col("_sx") * F.col("_sx")
+                    ),
+                ).otherwise(F.lit(0.0)),
+                F.lit(0.0),
+            ).alias("a1"),
+            F.when(
+                F.col("_n") > 0,
+                F.col("_sy") / F.col("_n")
+                - F.greatest(
+                    F.when(
+                        F.col("_n") * F.col("_sxx")
+                        - F.col("_sx") * F.col("_sx")
+                        > 0,
+                        (
+                            F.col("_n") * F.col("_sxy")
+                            - F.col("_sx") * F.col("_sy")
+                        )
+                        / (
+                            F.col("_n") * F.col("_sxx")
+                            - F.col("_sx") * F.col("_sx")
+                        ),
+                    ).otherwise(F.lit(0.0)),
+                    F.lit(0.0),
+                )
+                * F.col("_sx")
+                / F.col("_n"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("a0"),
+        )
+    )
+    q = F.col("_q")
+    a0, a1 = F.col("a0"), F.col("a1")
+    closed_form = F.log2(
+        (
+            1.0
+            + a1
+            + 2.0 * a0 * q
+            + 2.0 * F.sqrt(a0 * q * (1.0 + a1 + a0 * q))
+        )
+        / (4.0 * a0)
+    )
+    return (
+        q_tbl.crossJoin(F.broadcast(trend))
+        .withColumn(
+            out,
+            F.when(a0 > 0, closed_form).otherwise(F.log2(q + 1.0)),
+        )
+        .select(gene, sample, "_q", out)
+        .withColumnRenamed("_q", "normalized_count")
+    )
+
+
 def wilcoxon_rank_sum(
     df: DataFrame,
     gene: str,

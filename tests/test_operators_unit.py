@@ -222,3 +222,35 @@ def test_bh_adjust_distinct_matches_rowwise(spark):
     assert set(row) == set(dis)
     for i in row:
         assert abs(row[i] - dis[i]) < 1e-12, (i, row[i], dis[i])
+
+
+def test_vst_fitted_monotone_and_log_like(spark):
+    """Fitted VST: monotone in the normalized count, and ~log2 spacing
+    for large counts (variance-stabilization shape)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for g in range(30):
+        base = float(rng.uniform(5, 500))
+        for s in range(20):
+            # overdispersed counts: gamma-poisson
+            lam = rng.gamma(4.0, base / 4.0)
+            rows.append((f"g{g}", f"s{s}", float(rng.poisson(lam))))
+    df = spark.createDataFrame(rows, "gene string, sample string, cnt double")
+    sf = spark.createDataFrame(
+        [(f"s{s}", 1.0) for s in range(20)], "sample string, size_factor double"
+    )
+    out = stats.vst_fitted(df, sf, "gene", "sample", "cnt").collect()
+    pts = sorted((r["normalized_count"], r["vst"]) for r in out)
+    for (q1, v1), (q2, v2) in zip(pts, pts[1:]):
+        if q2 > q1:
+            assert v2 > v1 - 1e-9  # monotone
+    # log-like at the top end: doubling q adds ~1 in vst
+    qs = [p[0] for p in pts]
+    hi = [p for p in pts if p[0] > np.percentile(qs, 80)]
+    q_lo, v_lo = hi[0]
+    q_hi, v_hi = hi[-1]
+    if q_hi > 2 * q_lo:
+        expected = np.log2(q_hi / q_lo)
+        assert abs((v_hi - v_lo) - expected) < 0.5
