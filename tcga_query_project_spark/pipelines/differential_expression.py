@@ -22,6 +22,35 @@ from tcga_query_project_spark.functions.scalar import signif_bin
 from tcga_query_project_spark.operators import glm, relational, stats
 
 
+#: the reference's explicit stage order (BRCA_path_stage_DESeq.R:47) —
+#: carried as an explicit rank because Spark has no ordered-categorical
+#: type and contrast direction / axis order depend on it
+#: (SURVEY.md §1.2 factor row; §7 hard-part #3).
+STAGE_LEVELS = ["Stage_0", "Stage_I", "Stage_II", "Stage_III", "Stage_IV"]
+
+
+def normalize_stage_labels(
+    samples: DataFrame, col: str = "ajcc_pathologic_stage"
+) -> DataFrame:
+    """The BRCA stage-cleaning preamble (BRCA_path_stage_DESeq.R:42-47):
+    drop null stages (P3), collapse sub-stages by deleting the UPPERCASE
+    A/B/C letters (F3 ``gsub("A|B|C","",...)`` — 'Stage' itself is safe,
+    its only 'a' is lowercase), space→underscore (F3), drop
+    indeterminate ``Stage_X`` (P5), and attach the explicit
+    ``stage_rank`` ordering column. Labels outside the reference's level
+    list keep rank NULL (the factor() would have made them NA)."""
+    cleaned = (
+        samples.filter(F.col(col).isNotNull())
+        .withColumn(col, F.regexp_replace(F.col(col), "A|B|C", ""))
+        .withColumn(col, F.regexp_replace(F.col(col), " ", "_"))
+        .filter(F.col(col) != "Stage_X")
+    )
+    rank = F.lit(None).cast("int")
+    for i, level in reversed(list(enumerate(STAGE_LEVELS))):
+        rank = F.when(F.col(col) == level, F.lit(i)).otherwise(rank)
+    return cleaned.withColumn("stage_rank", rank)
+
+
 def prepare_cohort(
     expression: DataFrame,
     samples: DataFrame,

@@ -131,3 +131,22 @@ def test_config_tsvs_roundtrip(spark, tmp_path):
     ther = read_tsv_config(spark, paths["therapeutics"], header=True)
     assert ther.columns == ["Taxane", "Anthracycline"]
     assert ther.count() == 3  # ragged row kept, empty cell → null
+
+
+def test_normalize_stage_labels(spark, tcga):
+    out = de_pipe.normalize_stage_labels(tcga["samples"])
+    stages = {r["ajcc_pathologic_stage"] for r in out.collect()}
+    # raw "Stage IA"/"Stage IIB" collapse; Stage_X and nulls dropped
+    assert stages <= {"Stage_I", "Stage_II", "Stage_III", "Stage_IV", "Stage_0"}
+    assert "Stage_X" not in stages
+    ranks = {
+        (r["ajcc_pathologic_stage"], r["stage_rank"]) for r in out.collect()
+    }
+    for stage, rank in ranks:
+        assert rank == de_pipe.STAGE_LEVELS.index(stage)
+    # the cleaned labels feed the pairwise fan-out directly
+    pw = de_pipe.pairwise_de(
+        tcga["expression"], tcga["genes"], out,
+        "ajcc_pathologic_stage", [("Stage_I", "Stage_II")],
+    )
+    assert pw.count() > 0
