@@ -42,9 +42,14 @@ HEADLINE = [
     "dd_exact_dedup",
     "dd_minhash_lsh",
     "dd_simhash16",
+    "dd_embedding_neardup",
     "ann_cosine_topk",
     "tx_token_stats",
     "tx_quality_score",
+    "a7b_vst_fitted",
+    "tj_asof_join",
+    "st_rollup_hierarchy",
+    "cdc_latest_snapshot",
 ]
 
 
