@@ -50,6 +50,8 @@ HEADLINE = [
     "tj_asof_join",
     "st_rollup_hierarchy",
     "cdc_latest_snapshot",
+    "q3_shipping_priority",
+    "w6_rolling_range",
 ]
 
 

@@ -1852,3 +1852,218 @@ def tx_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     classifier shape)."""
     docs = _t(spark, sf_dir, "documents")
     return text.langid_heuristic(docs, "doc_id", "text")
+
+
+# =========================================================================
+# Join / window / aggregate extensions (beyond the reference surface —
+# SURVEY.md §2.3 note "the engine gets these free from Spark"; made
+# explicit here so each has an oracle-gated query and a plan worth
+# having at 100 TB).
+# =========================================================================
+
+
+@register(
+    "j5_anti_join",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+    tags=("J5", "anti-join"),
+)
+def j5_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti-join (NOT EXISTS): customers who never placed an urgent
+    order. The filter on the right side is pushed below the join, so at
+    scale the anti-join probes ~1/5 of orders; AQE picks broadcast-anti
+    when the filtered side fits."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+_Q3_CUTOFF = "2001-06-01 00:00:00"
+
+
+@register(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '{_Q3_CUTOFF}'
+      AND l_shipdate > TIMESTAMP '{_Q3_CUTOFF}'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    tags=("Q3", "J1", "O1", "O2"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join + grouped top-k (TPC-H Q3 shape): the J1 fact⟕dim
+    pattern chained twice. Plan at scale: the filtered customer dim
+    broadcasts into orders (no shuffle), then one shuffle join on
+    l_orderkey; top-k is TakeOrderedAndProject on the rounded revenue
+    (rounding makes the rank order FP-portable)."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cutoff = F.lit(_Q3_CUTOFF).cast("timestamp_ntz")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+    return relational.topk(
+        joined, [F.col("revenue").desc(), F.col("l_orderkey").asc()], 10
+    ).select(
+        "l_orderkey",
+        "revenue",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+        "o_orderpriority",
+    )
+
+
+# Value bands for the non-equi range join: a literal dimension, exactly
+# the shape of a rate-card / SLA-tier / bucket-boundary lookup.
+_VALUE_BANDS = [("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 1e18)]
+
+
+@register(
+    "tj_range_join",
+    """
+    SELECT b.band, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(e.value), 4) AS total_value
+    FROM events e
+    JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 200.0),
+                 ('high', 200.0, 1e18)) b(band, lo, hi)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+    tags=("range-join",),
+)
+def tj_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/band) join: events matched to a value-band
+    dimension on ``lo <= value < hi``. No equi-key → Spark plans a
+    BroadcastNestedLoopJoin, which IS the right 100 TB plan when the
+    band table is small (each fact partition scans k bands in place;
+    no shuffle of the fact side)."""
+    ev = _t(spark, sf_dir, "events")
+    bands = F.broadcast(
+        spark.createDataFrame(_VALUE_BANDS, "band STRING, lo DOUBLE, hi DOUBLE")
+    )
+    return (
+        ev.join(bands, (ev.value >= bands.lo) & (ev.value < bands.hi))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "w6_rolling_range",
+    """
+    SELECT event_id,
+           ROUND(SUM(value) OVER w, 4) AS roll_sum,
+           CAST(COUNT(*) OVER w AS BIGINT) AS roll_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("W6", "rolling-window"),
+)
+def w6_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range rolling aggregate: per-user trailing-1-hour sum/count
+    via ``rangeBetween`` on epoch seconds (value-based frame, so tie
+    order among equal timestamps cannot affect the result). One shuffle
+    on user_id; the frame is computed in a single sorted pass per
+    partition — no self-join."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.expr("unix_micros(ts) DIV 1000000"))
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("roll_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("roll_n"),
+    )
+
+
+@register(
+    "w7_lag_deltas",
+    """
+    SELECT event_id, user_id,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_prev_us,
+           LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_next_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    tags=("W7", "lag-lead"),
+)
+def w7_lag_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead inter-event gaps per user (the sessionization /
+    feature-engineering primitive). Total order (ts, event_id) makes
+    neighbor choice deterministic under timestamp ties; integer
+    microsecond arithmetic — no FP at all."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    us = F.unix_micros("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_prev_us"),
+        (F.lead(us).over(w) - us).alias("gap_next_us"),
+    )
+
+
+@register(
+    "a11_group_moments",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(STDDEV_SAMP(value), 4) AS sd_value,
+           ROUND(VAR_SAMP(value), 4) AS var_value,
+           ROUND(CORR(value, CAST(epoch_us(ts) // 1000000 AS DOUBLE)), 6)
+             AS corr_value_time,
+           ROUND(quantile_cont(value, 0.5), 6) AS median_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("A11", "moments"),
+)
+def a11_group_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregate suite per group: sample stddev/variance,
+    Pearson correlation against time, and the exact interpolated median
+    (``percentile`` — a single-pass sort-based exact quantile, vs the
+    sketch-based ``percentile_approx`` used where 100 TB inputs make
+    exactness unaffordable). All JVM-side built-ins."""
+    ev = _t(spark, sf_dir, "events")
+    ts_s = F.expr("unix_micros(ts) DIV 1000000").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.round(F.var_samp("value"), 4).alias("var_value"),
+        F.round(F.corr(F.col("value"), ts_s), 6).alias("corr_value_time"),
+        F.round(F.percentile("value", 0.5), 6).alias("median_value"),
+    )
