@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from tcga_query_project_spark.operators.partitioning import fan_out
 from tcga_query_project_spark.operators.text import tokens
 
 
@@ -50,7 +51,13 @@ def shingle_set(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFr
     The token array is materialized in its own projection first: the
     lambda below indexes it per shingle, and an inlined tokenizer
     expression would re-run per element (measured 28x slower at sf0.1).
+
+    ``fan_out`` guards against a single-split scan serializing the
+    tokenize→shingle→hash stage (measured 5x at sf0.1, where
+    documents.parquet arrives as ONE partition); no-op when the scan
+    already parallelizes.
     """
+    df = fan_out(df, id_col)
     toks_df = df.select(
         F.col(id_col), tokens(normalized_text(F.col(text_col))).alias("_toks")
     )
@@ -245,8 +252,13 @@ def embedding_near_dup(
         StructType,
     )
 
-    src = df.select(F.col(id_col), F.col(vec_col))
-    pdf = src.toPandas()
+    # the broadcast side collects straight from the scan; only the
+    # streamed (mapInPandas) side is fanned out — one Arrow batch per
+    # partition does one matmul, and a single-split scan would
+    # serialize the whole kernel.
+    cols = df.select(F.col(id_col), F.col(vec_col))
+    pdf = cols.toPandas()
+    src = fan_out(cols, id_col)
     ids = pdf[id_col].to_numpy()
     mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     norms = np.linalg.norm(mat, axis=1)
@@ -303,6 +315,7 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     oracle keeps the equivalent md5-nibble formulation (identical
     output, engine-portable hex parsing).
     """
+    df = fan_out(df, id_col)
     toks = df.select(
         F.col(id_col), F.explode(tokens(normalized_text(F.col(text_col)))).alias("_t")
     )

@@ -19,6 +19,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from tcga_query_project_spark.operators.partitioning import fan_out
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -78,7 +80,10 @@ def cosine_topk(
         F.col(vec_col).alias("_qv"),
         _norm(F.col(vec_col)).alias("_qn"),
     )
-    c = candidates.select(
+    # the candidate side carries the per-pair dot-product work; a
+    # single-split scan would run it on one core (fan_out is a no-op
+    # once the scan itself parallelizes).
+    c = fan_out(candidates, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         _norm(F.col(vec_col)).alias("_cn"),
@@ -151,7 +156,7 @@ def cosine_topk_lsh(
             for t in range(n_tables)
         ]
     )
-    with_bucket = df.select(
+    with_bucket = fan_out(df, id_col).select(
         F.col(id_col), F.col(vec_col), F.explode(buckets).alias("_b")
     ).select(
         F.col(id_col), F.col(vec_col), F.col("_b.tbl").alias("_tbl"),
