@@ -31,3 +31,76 @@ def fan_out(df: DataFrame, key: str | None = None, target: int | None = None) ->
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, F.col(key)) if key else df.repartition(target)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join: split each hot key's left-side rows across
+    ``salt`` sub-keys and replicate the (small) right side once per
+    sub-key, so no single task receives a whole hot key.
+
+    AQE's skew-join splitting (on in session.py) already handles most
+    skew for *sort-merge* joins; salting is the explicit fallback for
+    the cases AQE cannot split — a hot key inside a broadcast-unfriendly
+    aggregation-feeding join, or engines/paths with AQE off. Result is
+    row-identical to ``left.join(right, key, how)``.
+
+    The left row's salt comes from a hash over all its columns — any
+    assignment is correct (the right side matches every salt value);
+    hashing the row keeps it deterministic for tests without needing an
+    id column. Supported ``how``: inner / left (semantics where the
+    right side is the replicated one).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted_l = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(*left.columns), F.lit(salt)).cast("int")
+    )
+    # explode(sequence(...)) yields INT elements, matching the cast above
+    salted_r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return salted_l.join(salted_r, [key, "_salt"], how).drop("_salt")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple],
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-safe two-phase aggregation: partial-aggregate on
+    (keys + salt), then final-aggregate on keys — a hot group's rows
+    are combined by ``salt`` tasks in parallel before one tiny final
+    merge, instead of one task absorbing the whole group.
+
+    ``aggs`` maps output column → (kind, input column) with kind in
+    {sum, count, min, max} (the re-aggregable aggregates; avg = sum
+    + count composed by the caller). Spark's own map-side partial
+    aggregation covers this when the upstream partitioning is random;
+    explicit salting matters when the input is *already* partitioned by
+    the hot key (map-side combine then sees one giant group per task).
+    """
+    supported = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    partial_cols, final_cols = [], []
+    for out, (kind, col) in aggs.items():
+        if kind not in supported:
+            raise ValueError(f"salted_agg: unsupported aggregate {kind!r}")
+        partial_cols.append(supported[kind](col).alias(f"_p_{out}"))
+        refold = F.sum if kind in ("sum", "count") else supported[kind]
+        cast = (lambda c: c.cast("long")) if kind == "count" else (lambda c: c)
+        final_cols.append(cast(refold(f"_p_{out}")).alias(out))
+    return (
+        df.withColumn(
+            "_salt", F.pmod(F.xxhash64(*df.columns), F.lit(salt)).cast("int")
+        )
+        .groupBy(*keys, "_salt")
+        .agg(*partial_cols)
+        .groupBy(*keys)
+        .agg(*final_cols)
+    )

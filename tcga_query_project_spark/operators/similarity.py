@@ -109,6 +109,104 @@ def cosine_topk(
     )
 
 
+def cosine_topk_ivf(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    sample_n: int = 2000,
+    iters: int = 5,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize vectors to their nearest
+    centroid cell, probe each query against its ``n_probe`` nearest
+    cells, exact-rerank only the cells' members.
+
+    Index build is a driver-side spherical k-means on a bounded seeded
+    sample (the classic IVF recipe — the coarse quantizer is *supposed*
+    to be trained on a sample; only assignment is distributed).
+    Assignment stays entirely expression-level: the unit-norm centroids
+    become literal arrays, each row computes one dot per centroid and
+    keeps the ``n_probe`` best via array_sort — no Python, no shuffle.
+    (Raw dot ranks cells identically to cosine: centroid norms are 1 and
+    the row norm is a per-row constant.) Candidate generation is then an
+    equi-join on cell id — never quadratic — and the cost/recall dial is
+    ``n_probe/n_centroids`` (expected scan fraction of the corpus per
+    query).
+
+    Deterministic for fixed seed/sample; returns the same schema as
+    :func:`cosine_topk` (query_id, neighbor_id, cosine, rank).
+    """
+    import numpy as np
+
+    def _unit(mat):
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        return mat / norms[:, None]
+
+    sample = df.select(vec_col).limit(sample_n).toPandas()
+    train = _unit(np.array([np.asarray(v, dtype=np.float64) for v in sample[vec_col]]))
+    rng = np.random.default_rng(seed)
+    centroids = train[rng.choice(len(train), size=min(n_centroids, len(train)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(train @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = train[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _unit(centroids)
+
+    vec = F.col(vec_col)
+    # negative dot in the sort key → array_sort ascending = best first;
+    # centroid index breaks exact ties deterministically.
+    cell_scores = F.array(
+        *[
+            F.struct(
+                (-_dot(vec, F.array(*[F.lit(float(x)) for x in c]))).alias("nd"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probes = F.transform(
+        F.slice(F.array_sort(cell_scores), 1, n_probe), lambda s: s["i"]
+    )
+    based = fan_out(df.select(F.col(id_col), F.col(vec_col)), id_col).withColumn(
+        "_probes", probes
+    )
+    cands = based.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+        F.col("_probes")[0].alias("_cell"),  # index under nearest cell only
+    )
+    queries = based.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
+        F.explode("_probes").alias("_cell"),
+    )
+    scored = (
+        queries.join(cands, "_cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 4
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
 def hyperplane_bucket(vec: Column, dim: int, bits: int = 8, seed: int = 7) -> Column:
     """Deterministic random-hyperplane LSH bucket id.
 

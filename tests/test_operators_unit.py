@@ -254,3 +254,80 @@ def test_vst_fitted_monotone_and_log_like(spark):
     if q_hi > 2 * q_lo:
         expected = np.log2(q_hi / q_lo)
         assert abs((v_hi - v_lo) - expected) < 0.5
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join must be row-identical to the plain equi-join under
+    heavy key skew (one key holding ~90% of rows), for inner and left."""
+    from tcga_query_project_spark.operators.partitioning import salted_join
+
+    left_rows = [("hot", i) for i in range(450)] + [
+        (k, i) for i, k in enumerate(["a", "b", "c", "orphan"] * 10)
+    ]
+    left = spark.createDataFrame(left_rows, "k string, v int")
+    right = spark.createDataFrame(
+        [("hot", 1), ("a", 2), ("b", 3), ("c", 4), ("unused", 9)],
+        "k string, label int",
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            tuple(r) for r in left.join(right, "k", how).select("k", "v", "label").collect()
+        )
+        salted = sorted(
+            tuple(r)
+            for r in salted_join(left, right, "k", how, salt=8)
+            .select("k", "v", "label")
+            .collect()
+        )
+        assert salted == plain, how
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    """Two-phase salted aggregation must equal the direct groupBy for
+    every re-aggregable kind, including a single giant group."""
+    from tcga_query_project_spark.operators.partitioning import salted_agg
+
+    rows = [("hot", float(i)) for i in range(1000)] + [("cold", 5.0), ("cold", -2.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    plain = {
+        r["k"]: (r["s"], r["n"], r["lo"], r["hi"])
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count("v").alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["s"], r["n"], r["lo"], r["hi"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            {"s": ("sum", "v"), "n": ("count", "v"), "lo": ("min", "v"), "hi": ("max", "v")},
+            salt=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_cosine_topk_ivf_recall(spark):
+    """IVF ANN: probing n_probe of n_centroids cells must reproduce most
+    brute-force top-1 neighbors; exact rerank means hits are identical
+    pairs, not merely similar."""
+    from tcga_query_project_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    brute = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.cosine_topk(emb, emb, "vec_id", "embedding", k=1).collect()
+    }
+    ivf = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.cosine_topk_ivf(
+            emb, "vec_id", "embedding", k=1, n_centroids=8, n_probe=4, seed=42
+        ).collect()
+    }
+    hits = sum(1 for q, n in brute.items() if ivf.get(q) == n)
+    assert hits / len(brute) > 0.5
