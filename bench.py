@@ -52,6 +52,8 @@ HEADLINE = [
     "cdc_latest_snapshot",
     "q3_shipping_priority",
     "w6_rolling_range",
+    "q5_local_supplier_volume",
+    "sk_approx_profile",
 ]
 
 

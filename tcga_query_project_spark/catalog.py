@@ -2040,6 +2040,138 @@ def w7_lag_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    tags=("Q5", "J1", "J3"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table join (TPC-H Q5 shape): revenue by nation where customer
+    and supplier share the nation. Declared fully declaratively —
+    Catalyst reorders the joins, broadcasts every dim that fits
+    (region/nation always; supplier/customer under the threshold), and
+    only the lineitem⟕orders edge shuffles at scale. The
+    ``c_nationkey = s_nationkey`` second condition rides the same join,
+    not a separate theta-join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "o4_topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=("O4", "topk-per-group"),
+)
+def o4_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (the grouped counterpart of O1+O2): top-3 orders
+    per priority via a rank window with a total-order tiebreak. One
+    shuffle on the group key; at scale the window's sort is per-group,
+    never global."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "w8_rank_suite",
+    """
+    SELECT event_id,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           ROUND(PERCENT_RANK() OVER w, 6) AS prank,
+           ROUND(CUME_DIST() OVER w, 6) AS cdist
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+    """,
+    tags=("W8", "rank-suite"),
+)
+def w8_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-function suite per group: rank, dense_rank, percent_rank,
+    cume_dist under one total-order window (unique (value, event_id)
+    key — rank semantics on ties are otherwise engine-dependent)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
+    "sk_approx_profile",
+    None,  # sketch implementations differ per engine — tolerance-tested
+    # against exact answers in tests/test_operators_unit.py instead
+    tags=("sketch", "approx"),
+)
+def sk_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-group profile: HLL distinct users + KLL-style
+    quartiles of value (operators/sketches.approx_profile). THE
+    100 TB form of a11_group_moments: one pass, mergeable sketch state,
+    the shuffle carries sketches instead of rows."""
+    from tcga_query_project_spark.operators import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    prof = sketches.approx_profile(ev, "event_type", "user_id", "value")
+    return prof.select(
+        "event_type",
+        "approx_distinct",
+        F.round(F.col("approx_quartiles")[0], 6).alias("q1"),
+        F.round(F.col("approx_quartiles")[1], 6).alias("q2"),
+        F.round(F.col("approx_quartiles")[2], 6).alias("q3"),
+        "n",
+    )
+
+
+@register(
     "a11_group_moments",
     """
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

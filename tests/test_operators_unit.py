@@ -331,3 +331,51 @@ def test_cosine_topk_ivf_recall(spark):
     }
     hits = sum(1 for q, n in brute.items() if ivf.get(q) == n)
     assert hits / len(brute) > 0.5
+
+
+def test_approx_profile_within_tolerance(spark):
+    """Sketch aggregates vs exact answers on sf0.001 events: HLL distinct
+    within 5% (default rsd), approx quartiles within the value span of
+    the adjacent exact quartiles."""
+    from tcga_query_project_spark.operators import sketches
+    from tcga_query_project_spark.sources.io import read_events
+
+    ev = read_events(spark, "/root/testdata/sf0.001")
+    approx = {
+        r["event_type"]: r
+        for r in sketches.approx_profile(ev, "event_type", "user_id", "value").collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("nd"),
+            F.percentile("value", F.lit(0.5)).alias("med"),
+        )
+        .collect()
+    }
+    for et, ex in exact.items():
+        ap = approx[et]
+        assert abs(ap["approx_distinct"] - ex["nd"]) <= max(2, 0.05 * ex["nd"])
+        assert abs(ap["approx_quartiles"][1] - ex["med"]) <= 0.05 * max(ex["med"], 1.0)
+
+
+def test_mergeable_distinct_rollup(spark):
+    """Sketch rollup: per-bucket HLL sketches union into the global
+    estimate — the merge happens on sketch bytes, and the total must
+    track the exact global distinct (which per-bucket exact counts
+    cannot produce by summing)."""
+    from tcga_query_project_spark.operators import sketches
+    from tcga_query_project_spark.sources.io import read_events
+
+    ev = read_events(spark, "/root/testdata/sf0.001")
+    per_bucket, total = sketches.mergeable_distinct_rollup(
+        ev, F.date_trunc("day", "ts"), "user_id"
+    )
+    exact_total = ev.select("user_id").distinct().count()
+    est = total.collect()[0]["approx_distinct_total"]
+    assert abs(est - exact_total) <= max(2, 0.05 * exact_total)
+    # per-bucket estimates exist and sum to >= the global distinct
+    rows = per_bucket.collect()
+    assert len(rows) > 1
+    assert sum(r["approx_distinct"] for r in rows) >= est * 0.95
