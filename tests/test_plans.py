@@ -1,0 +1,86 @@
+"""Plan-quality regression tests (SURVEY.md §4): the physical
+properties that make the catalog queries viable at 100 TB, pinned so a
+refactor that silently loses pushdown / pruning / a broadcast / the
+top-k operator fails CI, not production.
+
+Each test runs the query first (noop sink) so the captured plan is the
+FINAL adaptive plan — the one that executed."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tcga_query_project_spark import plans
+from tcga_query_project_spark.catalog import REGISTRY
+from tests.conftest import SF_SMALL
+
+
+def _run(spark, name):
+    df = REGISTRY[name].build(spark, SF_SMALL)
+    df.write.format("noop").mode("overwrite").save()
+    return df
+
+
+def test_projection_prunes_scan(spark):
+    df = _run(spark, "p1_projection")
+    [schema] = plans.read_schemas(df)
+    assert schema == "c_custkey:bigint,c_name:string,c_acctbal:double"
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    df = _run(spark, "q1_pricing_summary")
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "LessThanOrEqual(l_shipdate" in pushed
+    # pruning: the unused l_orderkey/l_partkey/l_suppkey never read
+    assert all("l_orderkey" not in s for s in plans.read_schemas(df))
+
+
+def test_fact_dim_joins_broadcast(spark):
+    for name in ("j1_left_join_enrich", "j5_anti_join", "q3_shipping_priority",
+                 "q5_local_supplier_volume"):
+        df = _run(spark, name)
+        assert plans.has_operator(df, "BroadcastHashJoin"), name
+        assert not plans.has_operator(df, "CartesianProduct"), name
+
+
+def test_topk_plans_as_take_ordered(spark):
+    for name in ("o1_o2_topk", "q3_shipping_priority"):
+        df = _run(spark, name)
+        assert plans.has_operator(df, "TakeOrderedAndProject"), name
+        # a global Sort would be the scale bug TakeOrdered avoids
+        assert not plans.has_operator(df, "Exchange rangepartitioning"), name
+
+
+def test_range_join_is_broadcast_nested_loop(spark):
+    df = _run(spark, "tj_range_join")
+    assert plans.has_operator(df, "BroadcastNestedLoopJoin")
+    assert not plans.has_operator(df, "CartesianProduct")
+
+
+def test_single_shuffle_window_queries(spark):
+    # one hash exchange each: the window/group key, nothing else
+    for name, max_ex in (("w6_rolling_range", 1), ("cdc_latest_snapshot", 1),
+                         ("w7_lag_deltas", 1), ("o4_topk_per_group", 1)):
+        df = _run(spark, name)
+        assert plans.count_exchanges(df) <= max_ex, name
+
+
+def test_events_scan_prunes_props(spark):
+    # props (the widest column) must not be read by queries not using it
+    for name in ("w6_rolling_range", "cdc_latest_snapshot", "a11_group_moments"):
+        df = _run(spark, name)
+        assert all("props" not in s for s in plans.read_schemas(df)), name
+
+
+def test_catalog_queries_pass_scale_lint(spark):
+    """No catalog query may plan a row-at-a-time Python UDF or an
+    unbroadcast cartesian product; global single-partition windows are
+    allowed only where the input is provably tiny (none today)."""
+    flagged = {}
+    for name in ("q1_pricing_summary", "j1_left_join_enrich", "a4_wilcoxon_ranksum",
+                 "a5_size_factors", "w2_km_curve", "dd_exact_dedup",
+                 "ann_cosine_topk", "tx_token_stats", "q5_local_supplier_volume"):
+        df = REGISTRY[name].build(spark, SF_SMALL)
+        findings = plans.scale_lint(df)
+        if findings:
+            flagged[name] = findings
+    assert not flagged, flagged
