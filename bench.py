@@ -54,6 +54,7 @@ HEADLINE = [
     "w6_rolling_range",
     "q5_local_supplier_volume",
     "sk_approx_profile",
+    "pp_corpus_clean",
 ]
 
 

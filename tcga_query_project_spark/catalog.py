@@ -1784,6 +1784,59 @@ def tx_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_profile(docs, "lang", "text")
 
 
+@register(
+    "pp_corpus_clean",
+    f"""
+    WITH dd AS (
+      SELECT doc_id, text,
+             ROW_NUMBER() OVER (PARTITION BY {_SQL_NORM}
+                                ORDER BY doc_id ASC) AS rn
+      FROM documents
+    ),
+    kept AS (SELECT doc_id, text FROM dd WHERE rn = 1),
+    d AS (SELECT doc_id, {_SQL_TOKS_RAW} AS toks FROM kept),
+    m AS (
+      SELECT doc_id, toks, list_distinct(toks) AS dtoks,
+             CAST(len(toks) AS DOUBLE) AS n,
+             CAST(len(list_filter(toks,
+               t -> t IN ('the','a','and','of','to','in','is','it')))
+               AS DOUBLE) AS stop
+      FROM d
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST(n AS BIGINT) AS n_tokens,
+             ROUND(stop / n, 6) AS stopword_ratio,
+             ROUND(CAST(len(dtoks) AS DOUBLE) / n, 6) AS ttr,
+             ROUND(0.4 * (CASE WHEN n >= 10 AND n <= 1000 THEN 1.0 ELSE 0.0 END)
+                   + 0.3 * LEAST(stop / n * 4.0, 1.0)
+                   + 0.3 * (CAST(len(dtoks) AS DOUBLE) / n), 6) AS quality_score,
+             CASE WHEN len(list_filter(dtoks, t -> t IN ('the','and','is'))) > 0 THEN 'en'
+                  WHEN len(list_filter(dtoks, t -> t IN ('le','la','et'))) > 0 THEN 'fr'
+                  WHEN len(list_filter(dtoks, t -> t IN ('der','und','die'))) > 0 THEN 'de'
+                  WHEN len(list_filter(dtoks, t -> t IN ('el','los','y'))) > 0 THEN 'es'
+                  ELSE 'und' END AS pred_lang
+      FROM m
+    )
+    SELECT * FROM f WHERE quality_score >= 0.4 AND pred_lang = 'en'
+    """,
+    tags=("pipeline-corpus", "dedup-exact", "text-quality", "text-langid"),
+)
+def pp_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star end-to-end corpus prep (pipelines/corpus_prep): exact
+    dedup (first-arrival-wins window on normalized content) → ONE fused
+    feature projection (token stats + quality + language ID from a
+    single materialized token array) → quality ≥ 0.4, English only.
+    The composed form has exactly one content shuffle; composing the
+    standalone operators by join would tokenize 4x and shuffle 3x."""
+    from tcga_query_project_spark.pipelines import corpus_prep
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_prep.corpus_clean(
+        docs, "doc_id", "text", min_quality=0.4, langs=("en",)
+    )
+
+
 # =========================================================================
 # End-to-end reference pipelines (SURVEY.md §3) over seeded TCGA-shaped
 # fixtures — rows-only driver checks (iterative GLM / composed DAGs are

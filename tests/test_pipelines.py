@@ -150,3 +150,27 @@ def test_normalize_stage_labels(spark, tcga):
         "ajcc_pathologic_stage", [("Stage_I", "Stage_II")],
     )
     assert pw.count() > 0
+
+
+def test_corpus_clean_dedups_filters_and_classifies(spark):
+    """Planted corpus: the duplicate loses to the lower id, the
+    too-short and French docs are filtered, the good English doc
+    survives with its features."""
+    from tcga_query_project_spark.pipelines.corpus_prep import corpus_clean
+
+    good = "the cat and the dog is in the house " + " ".join(
+        f"w{i}" for i in range(20)
+    )
+    rows = [
+        (1, good),
+        (2, "  " + good.upper() + "  "),          # exact dup of 1 (normalized)
+        (3, "short text"),                         # < 10 tokens → length_ok=0
+        (4, "le chat et la maison " + " ".join(f"m{i}" for i in range(20))),  # fr
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in corpus_clean(docs).collect()}
+    assert set(out) == {1}
+    r = out[1]
+    assert r["pred_lang"] == "en"
+    assert r["n_tokens"] == 29
+    assert r["quality_score"] >= 0.4
