@@ -209,3 +209,38 @@ def test_stream_dedup_drops_duplicates(spark, tmp_path_factory):
     assert got["n"] == want and got["d"] == want
     # batch path: same call, same scope
     assert sd.exact_dedup_stream(doubled, ["event_id"]).count() == want
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_stream):
+    """Stream-stream inner interval join (purchases within 1h after a
+    click, same user) must reproduce the batch join exactly once the
+    stream drains."""
+    from tcga_query_project_spark.streaming import joins as sj
+
+    batch, stream = events_stream
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id"),
+            df.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id"),
+        )
+
+    bl, br = split(batch)
+    sl, sr = split(stream)
+    cols = ["user_id", "event_id", "event_id_r"]
+
+    b = sj.interval_join(bl, br, "user_id", within="1 hour").select(*cols)
+    s_df = sj.interval_join(sl, sr, "user_id", within="1 hour", watermark="2 hours")
+    assert s_df.isStreaming
+    q = (
+        s_df.select(*cols)
+        .writeStream.format("memory")
+        .queryName("t_ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    s = spark.sql("SELECT * FROM t_ssjoin")
+    assert _sorted_rows(s, cols) == _sorted_rows(b, cols)
+    assert len(_sorted_rows(b, cols)) > 0
