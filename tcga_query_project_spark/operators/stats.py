@@ -110,6 +110,13 @@ def vst_fitted(
     regression inputs across engines so the DuckDB oracle agrees
     exactly (catalog determinism conventions); None = full precision.
     """
+    # Materialize the per-sample size-factor table once, driver-side.
+    # sf is one row per sample — the samples dimension, broadcastable by
+    # definition (SURVEY §4). Inlining it as a literal local table means
+    # the two downstream passes over the fact (trend fit, final
+    # transform) reuse it instead of each re-running the two
+    # size-factor shuffles embedded in its lineage.
+    sf = fact.sparkSession.createDataFrame(sf.collect(), sf.schema)
     q_tbl = fact.join(F.broadcast(sf), sample).select(
         F.col(gene),
         F.col(sample),
@@ -188,23 +195,30 @@ def vst_fitted(
             .alias("a0"),
         )
     )
+    # The trend is a single row of two doubles — collect it and embed
+    # the coefficients as literals. The final transform then needs no
+    # cross join and exactly one scan of the fact; at 100 TB the trend
+    # job aggregates per-gene partials (tiny) and the big pass stays a
+    # single map-side expression.
+    coef = trend.first()
+    a0_v, a1_v = float(coef["a0"]), float(coef["a1"])
     q = F.col("_q")
-    a0, a1 = F.col("a0"), F.col("a1")
-    closed_form = F.log2(
-        (
-            1.0
-            + a1
-            + 2.0 * a0 * q
-            + 2.0 * F.sqrt(a0 * q * (1.0 + a1 + a0 * q))
+    if a0_v > 0:
+        vst_expr = F.log2(
+            (
+                1.0
+                + a1_v
+                + 2.0 * a0_v * q
+                + 2.0 * F.sqrt(a0_v * q * (1.0 + a1_v + a0_v * q))
+            )
+            / (4.0 * a0_v)
         )
-        / (4.0 * a0)
-    )
+    else:
+        # Degenerate trend: data at/below the Poisson noise floor —
+        # fall back to the v1 transform (see docstring).
+        vst_expr = F.log2(q + 1.0)
     return (
-        q_tbl.crossJoin(F.broadcast(trend))
-        .withColumn(
-            out,
-            F.when(a0 > 0, closed_form).otherwise(F.log2(q + 1.0)),
-        )
+        q_tbl.withColumn(out, vst_expr)
         .select(gene, sample, "_q", out)
         .withColumnRenamed("_q", "normalized_count")
     )
