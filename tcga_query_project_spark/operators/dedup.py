@@ -85,15 +85,16 @@ MINHASH_PRIME = 4294967311
 def minhash_signature(
     shingles: DataFrame, id_col: str, num_hashes: int = 8
 ) -> DataFrame:
-    """MinHash signature via one base hash + a linear permutation family.
+    """Wide MinHash signature: one row per document with columns
+    ``_mh1.._mhN``, via one base hash + a linear permutation family.
 
     Each shingle is hashed ONCE (md5 → first 32 bits as integer v, a
     parse both engines share bit-for-bit); seed i's permutation is
     ``h_i = ((2i+1)·v + 1000003·i) mod P`` with P prime > 2^32 — the
-    classic universal-hash MinHash family. This cuts the expensive
-    digest count by num_hashes× versus hashing (seed, shingle) pairs;
-    the seed fan-out carries only a long. One partial-aggregated min
-    per (doc, seed) — the shuffle is num_hashes rows per document.
+    classic universal-hash MinHash family. All N mins are computed in a
+    SINGLE groupBy over the shingle rows (one ``min`` aggregate per
+    seed): no seed fan-out, no N× row explosion — the shuffle carries
+    map-side partial mins, N longs per (doc, input-partition).
     """
     base = shingles.select(
         F.col(id_col),
@@ -101,19 +102,14 @@ def minhash_signature(
         .cast("long")
         .alias("_v"),
     )
-    seed = F.col("seed")
-    h = ((2 * seed + 1) * F.col("_v") + seed * F.lit(1000003)) % F.lit(
-        MINHASH_PRIME
-    )
-    return (
-        base.select(
-            F.col(id_col),
-            F.explode(F.sequence(F.lit(1), F.lit(num_hashes))).alias("seed"),
-            F.col("_v"),
-        )
-        .select(F.col(id_col), seed, h.alias("_h"))
-        .groupBy(id_col, "seed")
-        .agg(F.min("_h").alias("minhash"))
+    v = F.col("_v")
+    return base.groupBy(id_col).agg(
+        *[
+            F.min(
+                ((2 * i + 1) * v + i * F.lit(1000003)) % F.lit(MINHASH_PRIME)
+            ).alias(f"_mh{i}")
+            for i in range(1, num_hashes + 1)
+        ]
     )
 
 
@@ -127,23 +123,39 @@ def lsh_candidates(
     seed order; the self-join is an equi-join on (band, signature), so
     only colliding documents pair up.
     """
-    banded = signatures.withColumn(
-        "band", F.floor((F.col("seed") - 1) / band_size).cast("long")
+    seeds = sorted(
+        (int(c[3:]) for c in signatures.columns if c.startswith("_mh")),
     )
-    band_sigs = banded.groupBy(id_col, "band").agg(
-        # band signature = minhashes joined in seed order (portable:
-        # string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) on the
-        # oracle side)
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                    lambda x: x["minhash"].cast("string"),
-                ),
-                "|",
+    bands = [
+        seeds[j : j + band_size] for j in range(0, len(seeds), band_size)
+    ]
+    # band signature = minhashes joined in seed order (portable:
+    # string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) on the oracle
+    # side). The wide signature row makes this a narrow per-row
+    # expression — the per-(doc, band) inline explode is num_bands
+    # structs per document, no shuffle.
+    band_sigs = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"_mh{i}").cast("string")
+                                    for i in grp
+                                ],
+                            )
+                        ).alias("band_sig"),
+                    )
+                    for j, grp in enumerate(bands)
+                ]
             )
-        ).alias("band_sig")
-    )
+        ).alias("_b"),
+    ).select(F.col(id_col), F.col("_b.band"), F.col("_b.band_sig"))
     a = band_sigs.select(
         F.col(id_col).alias("id_a"), F.col("band"), F.col("band_sig")
     )
