@@ -105,8 +105,12 @@ def minhash_signature(
     v = F.col("_v")
     return base.groupBy(id_col).agg(
         *[
+            # offset computed as a Python int and cast to long: an
+            # IntegerType `i * lit(1000003)` would wrap past int32 for
+            # num_hashes >= 2148 (ANSI mode: throw).
             F.min(
-                ((2 * i + 1) * v + i * F.lit(1000003)) % F.lit(MINHASH_PRIME)
+                ((2 * i + 1) * v + F.lit(i * 1000003).cast("long"))
+                % F.lit(MINHASH_PRIME)
             ).alias(f"_mh{i}")
             for i in range(1, num_hashes + 1)
         ]
@@ -126,6 +130,12 @@ def lsh_candidates(
     seeds = sorted(
         (int(c[3:]) for c in signatures.columns if c.startswith("_mh")),
     )
+    if not seeds:
+        raise ValueError(
+            "lsh_candidates: no _mh<N> signature columns in input "
+            f"(got {signatures.columns}); pass the wide output of "
+            "minhash_signature()"
+        )
     bands = [
         seeds[j : j + band_size] for j in range(0, len(seeds), band_size)
     ]

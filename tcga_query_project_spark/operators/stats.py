@@ -109,6 +109,18 @@ def vst_fitted(
     decimals before the trend fit — pins the alpha>0 gene set and the
     regression inputs across engines so the DuckDB oracle agrees
     exactly (catalog determinism conventions); None = full precision.
+
+    **Eager contract:** unlike the other operators in this module,
+    *calling this function runs Spark jobs immediately* — one to inline
+    the size-factor table (``sf.collect()``) and one to fit the trend
+    (``trend.first()``) — so that the returned plan embeds the
+    coefficients as literals and the final transform is a single
+    map-side pass over ``fact`` (no cross join, no re-derivation of the
+    size-factor shuffles at 100 TB). Consequence: the trend fit and the
+    returned transform scan ``fact`` in *separate actions*; if the
+    source can change between them, pass a persisted/checkpointed
+    ``fact`` so the coefficients and the transformed rows see the same
+    snapshot.
     """
     # Materialize the per-sample size-factor table once, driver-side.
     # sf is one row per sample — the samples dimension, broadcastable by

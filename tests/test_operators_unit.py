@@ -379,3 +379,15 @@ def test_mergeable_distinct_rollup(spark):
     rows = per_bucket.collect()
     assert len(rows) > 1
     assert sum(r["approx_distinct"] for r in rows) >= est * 0.95
+
+
+def test_lsh_candidates_rejects_missing_signature_columns(spark):
+    # A long (id, seed, minhash) frame — the pre-wide-refactor schema —
+    # must fail loudly, not silently produce zero candidates.
+    from tcga_query_project_spark.operators import dedup
+
+    legacy = spark.createDataFrame(
+        [(1, 1, 42)], "doc_id long, seed int, minhash long"
+    )
+    with pytest.raises(ValueError, match="_mh"):
+        dedup.lsh_candidates(legacy, "doc_id")
