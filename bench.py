@@ -25,8 +25,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # Headline set: one per workload class (relational / stats / survival /
-# streaming-window / dedup / similarity / text). Keep this the stable
-# cross-round comparison surface; add, don't rename.
+# streaming-window / dedup / similarity / text). Stable cross-round
+# comparison surface. Round-2 renames (registry consolidated to 48
+# oracle-checked queries): w3_logrank→w3_w4_survival_tests,
+# st_session_windows→st_session_sliding (absorbs sliding),
+# dd_exact_dedup+dd_simhash16→dd_doc_signatures,
+# tx_token_stats+tx_quality_score→tx_doc_metrics,
+# a7b_vst_fitted→a7_normalize_vst; st_tumbling_hourly folded into
+# st_rollup_hierarchy (same hourly output, computed from minute
+# partials).
 HEADLINE = [
     "q1_pricing_summary",
     "j1_left_join_enrich",
@@ -36,17 +43,15 @@ HEADLINE = [
     "bh_adjust",
     "w1_ntile_extremes",
     "w2_km_curve",
-    "w3_logrank",
-    "st_tumbling_hourly",
-    "st_session_windows",
-    "dd_exact_dedup",
+    "w3_w4_survival_tests",
+    "st_session_sliding",
+    "dd_doc_signatures",
     "dd_minhash_lsh",
-    "dd_simhash16",
     "dd_embedding_neardup",
     "ann_cosine_topk",
-    "tx_token_stats",
-    "tx_quality_score",
-    "a7b_vst_fitted",
+    "ann_lsh_bucketed",
+    "tx_doc_metrics",
+    "a7_normalize_vst",
     "tj_asof_join",
     "st_rollup_hierarchy",
     "cdc_latest_snapshot",
@@ -55,6 +60,7 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "sk_approx_profile",
     "pp_corpus_clean",
+    "mm_binary_meta",
 ]
 
 

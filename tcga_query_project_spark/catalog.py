@@ -147,18 +147,6 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "p1_projection",
-    "SELECT c_custkey, c_name, c_acctbal FROM customer",
-    tags=("P1",),
-)
-def p1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1: column projection (clinical-column subset,
-    surv_analysis_median_exp.R:107). Column pruning reaches the parquet
-    scan — only 3 of 5 columns are read."""
-    return _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
-
-
-@register(
     "p3_p5_filters",
     """
     SELECT event_id, event_type, value
@@ -309,32 +297,6 @@ def a1_low_count_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a2_a3_global_extremes",
-    """
-    SELECT MAX(l_extendedprice) AS max_price,
-           MIN(l_extendedprice) AS min_price,
-           CAST(SUM(CASE WHEN l_extendedprice > 50000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
-           CAST(COUNT(*) AS BIGINT) AS n_total
-    FROM lineitem
-    """,
-    tags=("A2", "A3"),
-)
-def a2_a3_global_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 global max (plot-bracket y position, vital_status_DESeq.R:142)
-    + A3 filtered counts (legend group sizes,
-    surv_analysis_median_exp.R:143-144)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.max("l_extendedprice").alias("max_price"),
-        F.min("l_extendedprice").alias("min_price"),
-        F.sum(F.when(F.col("l_extendedprice") > 50000, 1).otherwise(0))
-        .cast("long")
-        .alias("n_high"),
-        F.count(F.lit(1)).cast("long").alias("n_total"),
-    )
-
-
-@register(
     "a8_pairwise_contrasts",
     """
     WITH per_level AS (
@@ -381,20 +343,33 @@ def a8_pairwise_contrasts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 4) AS sum_qty,
-           CAST(COUNT(*) AS BIGINT) AS n
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(l_extendedprice) AS max_price,
+           MIN(l_extendedprice) AS min_price,
+           CAST(SUM(CASE WHEN l_extendedprice > 50000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
-    tags=("A10", "grouping-sets"),
+    tags=("A2", "A3", "A10", "grouping-sets"),
 )
 def a10_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-set rollup (beyond the reference surface): subtotals per
     (flag, status), per flag, and grand total in ONE pass — Spark
-    ``rollup`` = partial-agg tree, no triple scan."""
+    ``rollup`` = partial-agg tree, no triple scan. The grand-total row
+    carries A2's global max/min (plot-bracket y position,
+    vital_status_DESeq.R:142) and A3's filtered count (legend group
+    sizes, surv_analysis_median_exp.R:143-144) — the rollup's
+    grouping-null row IS the global aggregate, so A2/A3 ride the same
+    single pass."""
     li = _t(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
         F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.sum(F.when(F.col("l_extendedprice") > 50000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_high"),
     )
 
 
@@ -431,142 +406,147 @@ def cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a9_signif_binning",
-    f"""
-    SELECT l_orderkey, l_linenumber, l_discount AS p_val,
-           {SIGNIF_BIN_SQL.format(p="l_discount")} AS p_signif
-    FROM lineitem
-    """,
-    tags=("A9", "F7"),
-)
-def a9_signif_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9/F7: 4-deep significance binning with NULL propagation
-    (vital_status_DESeq.R:93-97); l_discount ∈ [0, 0.1] plays the padj
-    role, exercising every bin boundary."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.col("l_discount").alias("p_val"),
-        signif_bin(F.col("l_discount")).alias("p_signif"),
-    )
-
-
-@register(
-    "o1_o2_topk",
+    "o1_o4_topk_suite",
     """
-    SELECT o_orderkey, o_totalprice FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    SELECT 'global' AS scope, o_orderkey, o_totalprice FROM (
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    )
+    UNION ALL
+    SELECT o_orderpriority AS scope, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
     """,
-    tags=("O1", "O2"),
+    tags=("O1", "O2", "O4", "topk-per-group"),
 )
-def o1_o2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o1_o4_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1+O2: ORDER BY + LIMIT with a total order (unique-key tiebreak —
     SURVEY.md hard-part #4: the reference's sort-order alignment is not
-    portable). Plans as TakeOrderedAndProject (per-partition top-k)."""
+    portable), planning as TakeOrderedAndProject (per-partition top-k);
+    plus O4, its grouped counterpart — top-3 per priority via a rank
+    window. One shuffle on the group key for the windowed half; the
+    global half never globally sorts (per-partition heaps + driver
+    merge)."""
     orders = _t(spark, sf_dir, "orders")
-    return relational.topk(
+    global_top = relational.topk(
         orders.select("o_orderkey", "o_totalprice"),
         [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
         10,
+    ).select(F.lit("global").alias("scope"), "o_orderkey", "o_totalprice")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
-
-
-@register(
-    "u1_stack_unpivot",
-    """
-    SELECT 'qty' AS metric, ROUND(SUM(l_quantity), 4) AS total FROM lineitem
-    UNION ALL
-    SELECT 'price' AS metric, ROUND(SUM(l_extendedprice), 4) AS total FROM lineitem
-    """,
-    tags=("U1", "R3"),
-)
-def u1_stack_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U1/R3: wide→long melt via stack() — the per-gene loop +
-    ``do.call(rbind, ...)`` (vital_status_DESeq.R:118-126) as a single
-    projection."""
-    li = _t(spark, sf_dir, "lineitem")
-    long = relational.stack_wide_to_long(
-        li, [], ["l_quantity", "l_extendedprice"], "metric_raw", "val"
-    )
-    return (
-        long.withColumn(
-            "metric",
-            F.when(F.col("metric_raw") == "l_quantity", "qty").otherwise("price"),
+    per_group = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_orderpriority").alias("scope"), "o_orderkey", "o_totalprice"
         )
-        .groupBy("metric")
-        .agg(F.round(F.sum("val"), 4).alias("total"))
     )
+    return global_top.unionByName(per_group)
 
 
 @register(
-    "u2_union_label",
+    "u_set_ops_suite",
     """
-    SELECT 'high' AS label, CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(AVG(o_totalprice), 6) AS mean_price
+    SELECT concat('stack_', metric) AS which, n, val FROM (
+      SELECT 'qty' AS metric, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(l_quantity), 4) AS val FROM lineitem
+      UNION ALL
+      SELECT 'price' AS metric, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(l_extendedprice), 4) AS val FROM lineitem
+    )
+    UNION ALL
+    SELECT 'label_high' AS which, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(o_totalprice), 6) AS val
     FROM orders WHERE o_totalprice > 400000
     UNION ALL
-    SELECT 'low' AS label, CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(AVG(o_totalprice), 6) AS mean_price
+    SELECT 'label_low' AS which, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(o_totalprice), 6) AS val
     FROM orders WHERE o_totalprice <= 100000
-    """,
-    tags=("U2",),
-)
-def u2_union_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U2: union of per-contrast tables with a names key
-    (``do.call(rbind, res)`` + rownames, BRCA_path_stage_DESeq.R:125-139).
-    """
-    orders = _t(spark, sf_dir, "orders")
-
-    def agg_of(df: DataFrame) -> DataFrame:
-        return df.agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.avg("o_totalprice"), 6).alias("mean_price"),
-        )
-
-    high = agg_of(orders.filter(F.col("o_totalprice") > 400000))
-    low = agg_of(orders.filter(F.col("o_totalprice") <= 100000))
-    return relational.union_labeled([("high", high), ("low", low)], "label").select(
-        "label", "n", "mean_price"
-    )
-
-
-@register(
-    "u3_except_intersect",
-    """
-    SELECT 'only_building' AS which, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    UNION ALL
+    SELECT 'only_building' AS which, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(NULL AS DOUBLE) AS val FROM (
       SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
       EXCEPT
       SELECT o_custkey FROM orders WHERE o_totalprice > 200000
     )
     UNION ALL
-    SELECT 'both' AS which, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT 'both' AS which, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(NULL AS DOUBLE) AS val FROM (
       SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
       INTERSECT
       SELECT o_custkey FROM orders WHERE o_totalprice > 200000
     )
     """,
-    tags=("U3",),
+    tags=("U1", "U2", "U3", "R3"),
 )
-def u3_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set difference + intersection (SURVEY.md §2.7: absent from the
-    reference, free from Spark — ``exceptAll``/``intersect`` —
-    registered so the surface is oracle-covered)."""
-    cust = _t(spark, sf_dir, "customer")
+def u_set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation suite, one labeled row per branch:
+
+    - U1/R3 wide→long melt via stack() — the per-gene loop +
+      ``do.call(rbind, ...)`` (vital_status_DESeq.R:118-126) as a single
+      projection (``stack_qty``/``stack_price`` rows);
+    - U2 union of per-contrast tables with a names key
+      (``do.call(rbind, res)`` + rownames,
+      BRCA_path_stage_DESeq.R:125-139) (``label_high``/``label_low``);
+    - U3 set difference + intersection (absent from the reference, free
+      from Spark — ``subtract``/``intersect``)
+      (``only_building``/``both``).
+    """
+    li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+
+    long = relational.stack_wide_to_long(
+        li, [], ["l_quantity", "l_extendedprice"], "metric_raw", "val"
+    )
+    stacked = (
+        long.withColumn(
+            "metric",
+            F.when(F.col("metric_raw") == "l_quantity", "qty").otherwise("price"),
+        )
+        .groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("val"), 4).alias("val"),
+        )
+        .select(
+            F.concat(F.lit("stack_"), F.col("metric")).alias("which"), "n", "val"
+        )
+    )
+
+    def agg_of(df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("o_totalprice"), 6).alias("val"),
+        )
+
+    high = agg_of(orders.filter(F.col("o_totalprice") > 400000))
+    low = agg_of(orders.filter(F.col("o_totalprice") <= 100000))
+    labeled = relational.union_labeled(
+        [("label_high", high), ("label_low", low)], "which"
+    ).select("which", "n", "val")
+
     building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
         F.col("c_custkey").alias("k")
     )
     big = orders.filter(F.col("o_totalprice") > 200000).select(
         F.col("o_custkey").alias("k")
     )
+    null_val = F.lit(None).cast("double").alias("val")
     only = building.subtract(big).agg(
         F.count(F.lit(1)).cast("long").alias("n")
-    ).select(F.lit("only_building").alias("which"), "n")
+    ).select(F.lit("only_building").alias("which"), "n", null_val)
     both = building.intersect(big).agg(
         F.count(F.lit(1)).cast("long").alias("n")
-    ).select(F.lit("both").alias("which"), "n")
-    return only.unionByName(both)
+    ).select(F.lit("both").alias("which"), "n", null_val)
+
+    return stacked.unionByName(labeled).unionByName(only).unionByName(both)
 
 
 @register(
@@ -649,28 +629,9 @@ def p2_rename_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "o3_first_element",
-    r"""
-    SELECT doc_id, string_split_regex(trim(text), '\s+')[1] AS first_token
-    FROM documents
-    """,
-    tags=("O3",),
-)
-def o3_first_element(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O3: first element of a nested collection
-    (``treat_tmp$submitter_id[1]``, drug_km_median_exp.R:47) —
-    ``element_at(..., 1)`` over the tokenized text array."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.element_at(text.tokens(F.col("text")), 1).alias("first_token"),
-    )
-
-
-@register(
     "f_scalar_suite",
     """
-    SELECT c_custkey,
+    SELECT c_custkey, c_name, c_acctbal,
            concat(upper(substring(c_mktsegment, 1, 3)), '-',
                   CAST(c_custkey AS VARCHAR)) AS cust_tag,
            substring(c_name, 1, 12) AS short_name,
@@ -679,10 +640,13 @@ def o3_first_element(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(c_acctbal AS DOUBLE) / 1000.0, 6) AS bal_k
     FROM customer
     """,
-    tags=("F1", "F2", "F3", "F4", "F5", "F8"),
+    tags=("P1", "F1", "F2", "F3", "F4", "F5", "F8"),
 )
 def f_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1-F8 scalar surface: upper (toupper, vital_status_DESeq.R:4),
+    """P1 column projection (clinical-column subset,
+    surv_analysis_median_exp.R:107 — c_custkey/c_name/c_acctbal pass
+    through raw, and column pruning still reaches the parquet scan) +
+    F1-F8 scalar surface: upper (toupper, vital_status_DESeq.R:4),
     concat (paste), substring (substr barcode, drug_km_median_exp.R:47),
     regexp_replace (gsub, BRCA_path_stage_DESeq.R:43-44), 2-way
     conditional (ifelse, surv_analysis_median_exp.R:110), numeric cast
@@ -690,6 +654,8 @@ def f_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     return cust.select(
         "c_custkey",
+        "c_name",
+        "c_acctbal",
         F.concat(
             F.upper(F.substring("c_mktsegment", 1, 3)),
             F.lit("-"),
@@ -803,44 +769,6 @@ def a5_size_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "a7_log_normalize",
-    """
-    WITH pg AS (
-      SELECT l_partkey, COUNT(*) AS n,
-             SUM(CASE WHEN l_quantity > 0 THEN 1 ELSE 0 END) AS n_pos,
-             AVG(CASE WHEN l_quantity > 0 THEN LN(l_quantity) END) AS lg
-      FROM lineitem GROUP BY l_partkey
-    ),
-    r AS (
-      SELECT l.l_suppkey, LN(l.l_quantity) - pg.lg AS lr
-      FROM lineitem l JOIN pg ON l.l_partkey = pg.l_partkey
-      WHERE pg.n_pos = pg.n
-    ),
-    sf AS (
-      SELECT l_suppkey, EXP(quantile_cont(lr, 0.5)) AS size_factor
-      FROM r GROUP BY l_suppkey
-    )
-    SELECT l.l_orderkey, l.l_linenumber,
-           ROUND(LOG2(l.l_quantity / sf.size_factor + 1.0), 6) AS normalized
-    FROM lineitem l JOIN sf ON l.l_suppkey = sf.l_suppkey
-    """,
-    tags=("A7", "A5"),
-)
-def a7_log_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7 (v1): size-factor normalization ``log2(count/sf + 1)`` — the
-    engine's VST stand-in (``vst(data, blind=F)``,
-    vital_status_DESeq.R:100-101; divergence documented in
-    operators/stats.log_normalize). Composes A5 size factors with the
-    normalization join — the size-factor table broadcasts."""
-    li = _t(spark, sf_dir, "lineitem")
-    sf = stats.size_factors(li, "l_partkey", "l_suppkey", "l_quantity")
-    out = stats.log_normalize(li, sf, "l_suppkey", "l_quantity")
-    return out.select(
-        "l_orderkey", "l_linenumber", F.round("normalized", 6).alias("normalized")
-    )
-
-
 _SF_CTE = """
     pg AS (
       SELECT l_partkey, COUNT(*) AS n,
@@ -861,7 +789,7 @@ _SF_CTE = """
 
 
 @register(
-    "a7b_vst_fitted",
+    "a7_normalize_vst",
     "WITH "
     + _SF_CTE
     + """,
@@ -903,6 +831,7 @@ _SF_CTE = """
     )
     SELECT q.l_partkey, q.l_suppkey,
            ROUND(q.qv, 6) AS normalized_count,
+           ROUND(LOG2(q.qv + 1.0), 6) AS log_norm,
            ROUND(CASE WHEN t.a0 > 0
                       THEN LOG2((1 + t.a1 + 2 * t.a0 * q.qv
                                  + 2 * SQRT(t.a0 * q.qv
@@ -911,14 +840,20 @@ _SF_CTE = """
                       ELSE LOG2(q.qv + 1.0) END, 6) AS vst
     FROM q CROSS JOIN trend t
     """,
-    tags=("A7", "vst-v2"),
+    tags=("A5", "A7", "vst-v1", "vst-v2"),
 )
-def a7b_vst_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7 (v2): the dispersion-aware parametric VST — DESeq2's
-    ``vst(data, blind=F)`` closed form over a fitted alpha(mu) = a0 +
-    a1/mu trend (vital_status_DESeq.R:100-101). Entirely SQL: per-gene
-    moments → least-squares trend → closed-form transform. l_partkey
-    plays the gene, l_suppkey the sample."""
+def a7_normalize_vst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7, both variants over one normalized-count table (l_partkey
+    plays the gene, l_suppkey the sample; composes A5 size factors):
+
+    - v1 ``log_norm = log2(count/sf + 1)`` — the monotone VST stand-in
+      (``vst(data, blind=F)``, vital_status_DESeq.R:100-101; divergence
+      documented in operators/stats.log_normalize);
+    - v2 ``vst`` — the dispersion-aware parametric VST: DESeq2's closed
+      form over a fitted alpha(mu) = a0 + a1/mu trend, entirely SQL
+      (per-gene moments → least-squares trend → closed-form transform,
+      operators/stats.vst_fitted).
+    """
     li = _t(spark, sf_dir, "lineitem")
     sf = stats.size_factors(li, "l_partkey", "l_suppkey", "l_quantity")
     out = stats.vst_fitted(
@@ -928,6 +863,7 @@ def a7b_vst_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         "l_suppkey",
         F.round("normalized_count", 6).alias("normalized_count"),
+        F.round(F.log2(F.col("normalized_count") + 1.0), 6).alias("log_norm"),
         F.round("vst", 6).alias("vst"),
     )
 
@@ -980,15 +916,20 @@ def a6_nb_glm_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM r
     )
     SELECT o_orderkey, o_orderstatus,
-           ROUND(p_raw, 6) AS p_val, ROUND(padj, 6) AS padj
+           ROUND(p_raw, 6) AS p_val, ROUND(padj, 6) AS padj,
+           {p_signif_sql} AS p_signif
     FROM adj
-    """,
-    tags=("A6-padj",),
+    """.format(p_signif_sql=SIGNIF_BIN_SQL.format(p="ROUND(padj, 6)")),
+    tags=("A6-padj", "A9", "F7"),
 )
 def bh_adjust_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benjamini-Hochberg padj (the adjustment inside ``results()``,
     vital_status_DESeq.R:90): per-status partition, o_totalprice scaled
-    into (0,1] plays the raw p-value."""
+    into (0,1] plays the raw p-value. The padj then feeds A9/F7's 4-deep
+    significance binning (vital_status_DESeq.R:93-97) — exactly the
+    reference's composition (bin the *adjusted* p) — with the bin
+    decided on the 6-decimal-rounded padj so the boundary choice is
+    FP-portable."""
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderstatus")
     withp = orders.select(
@@ -999,11 +940,13 @@ def bh_adjust_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = stats.bh_adjust(
         withp, "p_raw", ["o_orderstatus"], F.col("o_orderkey").asc()
     )
+    padj6 = F.round("padj", 6)
     return adj.select(
         "o_orderkey",
         "o_orderstatus",
         F.round("p_raw", 6).alias("p_val"),
-        F.round("padj", 6).alias("padj"),
+        padj6.alias("padj"),
+        signif_bin(padj6).alias("p_signif"),
     )
 
 
@@ -1137,9 +1080,9 @@ def w2_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "w3_logrank",
+    "w3_w4_survival_tests",
     "WITH "
-    + _SURV_CTE
+    + _KM_CTE
     + """,
     gt AS (
       SELECT stratum, time_s, CAST(SUM(status) AS DOUBLE) AS d_g,
@@ -1178,57 +1121,51 @@ def w2_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     st AS (SELECT SUM(oe) AS soe, SUM(v) AS sv FROM terms),
     chi AS (
       SELECT CASE WHEN sv > 0 THEN soe * soe / sv END AS chi2_raw FROM st
-    )
-    SELECT ROUND(chi2_raw, 6) AS chi2,
-           ROUND("""
-    + NORMAL_SF_TWO_SIDED_SQL.format(z="SQRT(chi2_raw)")
-    + """, 6) AS p_value
-    FROM chi
-    """,
-    tags=("W3",),
-)
-def w3_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3: two-group log-rank (Mantel-Cox) test
-    (``ggsurvplot(s1, pval=T)``, surv_analysis_median_exp.R:155) on the
-    same events-derived cohort as w2_km_curve."""
-    subj = _survival_subjects(spark, sf_dir)
-    out = survival.logrank_test(subj, "time_s", "status", "stratum")
-    return out.select(
-        F.round("chi2", 6).alias("chi2"), F.round("p_value", 6).alias("p_value")
-    )
-
-
-@register(
-    "w4_median_survival",
-    "WITH "
-    + _KM_CTE
-    + """,
+    ),
     surv AS (
       SELECT stratum, time_s,
              ROUND(CASE WHEN hit_zero = 1 THEN 0.0 ELSE EXP(logsum) END, 6)
                AS survival
       FROM km3
+    ),
+    med AS (
+      SELECT s.stratum, m.median_time_s
+      FROM (SELECT DISTINCT stratum FROM surv) s
+      LEFT JOIN (
+        SELECT stratum, MIN(time_s) AS median_time_s
+        FROM surv WHERE survival <= 0.5 GROUP BY stratum
+      ) m USING (stratum)
     )
-    SELECT s.stratum, m.median_time_s
-    FROM (SELECT DISTINCT stratum FROM surv) s
-    LEFT JOIN (
-      SELECT stratum, MIN(time_s) AS median_time_s
-      FROM surv WHERE survival <= 0.5 GROUP BY stratum
-    ) m USING (stratum)
+    SELECT med.stratum, med.median_time_s,
+           ROUND(chi2_raw, 6) AS chi2,
+           ROUND("""
+    + NORMAL_SF_TWO_SIDED_SQL.format(z="SQRT(chi2_raw)")
+    + """, 6) AS p_value
+    FROM med CROSS JOIN chi
     """,
-    tags=("W4",),
+    tags=("W3", "W4"),
 )
-def w4_median_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W4: median survival time — first time the KM curve reaches ≤ 0.5
-    (``surv.median.line="hv"``, surv_analysis_median_exp.R:158).
-    Thresholding happens on the 6-decimal-rounded survival so the
-    boundary decision is FP-portable."""
+def w3_w4_survival_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 two-group log-rank (Mantel-Cox) test (``ggsurvplot(s1,
+    pval=T)``, surv_analysis_median_exp.R:155) + W4 median survival
+    time — first time the KM curve reaches ≤ 0.5
+    (``surv.median.line="hv"``, surv_analysis_median_exp.R:158) — on the
+    same events-derived cohort as w2_km_curve: one row per stratum
+    carrying its median and the (global) test statistic, exactly the
+    annotation set a KM plot needs. Median thresholding happens on the
+    6-decimal-rounded survival so the boundary decision is FP-portable;
+    the scalar test result joins on via a literal-sized cross join."""
     subj = _survival_subjects(spark, sf_dir)
     km = survival.km_curve(subj, "time_s", "status", ["stratum"]).withColumn(
         "survival", F.round("survival", 6)
     )
-    out = survival.median_survival(km, "time_s", ["stratum"])
-    return out.select("stratum", F.col("median_time").alias("median_time_s"))
+    med = survival.median_survival(km, "time_s", ["stratum"]).select(
+        "stratum", F.col("median_time").alias("median_time_s")
+    )
+    lr = survival.logrank_test(subj, "time_s", "status", "stratum").select(
+        F.round("chi2", 6).alias("chi2"), F.round("p_value", 6).alias("p_value")
+    )
+    return med.crossJoin(F.broadcast(lr))
 
 
 # =========================================================================
@@ -1238,33 +1175,7 @@ def w4_median_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "st_tumbling_hourly",
-    """
-    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 4) AS total_value
-    FROM events GROUP BY 1, 2
-    """,
-    tags=("streaming", "tumbling"),
-)
-def st_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour windows over events (north-star streaming layer;
-    epoch-aligned so the batch oracle is date_trunc)."""
-    ev = _t(spark, sf_dir, "events")
-    return stream_windows.tumbling_agg(
-        ev,
-        "ts",
-        "1 hour",
-        ["event_type"],
-        [
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
-        ],
-    ).select("window_start_us", "event_type", "n_events", "total_value")
-
-
-@register(
-    "st_session_windows",
+    "st_session_sliding",
     """
     WITH e AS (
       SELECT user_id, event_id, ts, value,
@@ -1278,30 +1189,65 @@ def st_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         PARTITION BY user_id ORDER BY ts, event_id
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
       FROM e
+    ),
+    sess AS (
+      SELECT 'session' AS kind, user_id, epoch_us(MIN(ts)) AS start_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             ROUND(SUM(value), 4) AS total_value
+      FROM i GROUP BY user_id, island
+    ),
+    sw AS (
+      SELECT unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws, value
+      FROM events
+    ),
+    slid AS (
+      SELECT 'sliding' AS kind, CAST(NULL AS BIGINT) AS user_id,
+             epoch_us(ws) AS start_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             ROUND(SUM(value), 4) AS total_value
+      FROM sw GROUP BY ws
     )
-    SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 4) AS total_value
-    FROM i GROUP BY user_id, island
+    SELECT * FROM sess UNION ALL SELECT * FROM slid
     """,
-    tags=("streaming", "session"),
+    tags=("streaming", "session", "sliding"),
 )
-def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows (1-day inactivity gap) per user — Spark
-    ``session_window``; the batch oracle is the classic gaps-and-islands
-    formulation, which pins down the boundary semantics (new session
-    when the gap is >= the timeout)."""
+def st_session_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-symmetric event-time windows, two kinds in one labeled
+    result:
+
+    - ``session`` rows: session windows (1-day inactivity gap) per user
+      — Spark ``session_window``; the batch oracle is the classic
+      gaps-and-islands formulation, which pins down the boundary
+      semantics (new session when the gap is >= the timeout);
+    - ``sliding`` rows: hopping 2h/1h windows — each event lands in two
+      epoch-aligned windows; the oracle materializes both window starts
+      per event explicitly.
+
+    Both run the identical code path under readStream + watermark
+    (streaming/windows.session_agg / sliding_agg)."""
     ev = _t(spark, sf_dir, "events")
-    return stream_windows.session_agg(
-        ev,
-        "ts",
-        "1 day",
-        ["user_id"],
-        [
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
-        ],
-    ).select("user_id", "session_start_us", "n_events", "total_value")
+    metrics = [
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    ]
+    sess = stream_windows.session_agg(ev, "ts", "1 day", ["user_id"], metrics).select(
+        F.lit("session").alias("kind"),
+        "user_id",
+        F.col("session_start_us").alias("start_us"),
+        "n_events",
+        "total_value",
+    )
+    slid = stream_windows.sliding_agg(
+        ev, "ts", "2 hours", "1 hour", [], metrics
+    ).select(
+        F.lit("sliding").alias("kind"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.col("window_start_us").alias("start_us"),
+        "n_events",
+        "total_value",
+    )
+    return sess.unionByName(slid)
 
 
 @register(
@@ -1334,40 +1280,6 @@ def tj_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("asof_ts").alias("asof_ts_us"),
         F.col("asof_value").alias("asof_value"),
     )
-
-
-@register(
-    "st_sliding_windows",
-    """
-    WITH w AS (
-      SELECT unnest([date_trunc('hour', ts),
-                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws, value
-      FROM events
-    )
-    SELECT epoch_us(ws) AS window_start_us,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 4) AS total_value
-    FROM w GROUP BY ws
-    """,
-    tags=("streaming", "sliding"),
-)
-def st_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding (hopping) 2h/1h windows over events: each event lands in
-    two epoch-aligned windows; the batch oracle materializes both window
-    starts per event explicitly. Same code path runs under readStream +
-    watermark (streaming/windows.sliding_agg)."""
-    ev = _t(spark, sf_dir, "events")
-    return stream_windows.sliding_agg(
-        ev,
-        "ts",
-        "2 hours",
-        "1 hour",
-        [],
-        [
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
-        ],
-    ).select("window_start_us", "n_events", "total_value")
 
 
 @register(
@@ -1425,33 +1337,84 @@ _SQL_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 _SQL_TOKS_RAW = "string_split_regex(trim(text), '\\s+')"
 _SQL_TOKS_NORM = f"string_split_regex(trim({_SQL_NORM}), '\\s+')"
 
+_HEX_CASE = " ".join(
+    f"WHEN '{c}' THEN {i}" for i, c in enumerate("0123456789abcdef")
+)
+
 
 @register(
-    "dd_exact_dedup",
+    "dd_doc_signatures",
     f"""
-    SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) - 1 AS BIGINT) AS n_dups
-    FROM (SELECT doc_id, {_SQL_NORM} AS k FROM documents)
-    GROUP BY k
-    """,
-    tags=("dedup-exact",),
+    WITH base AS (
+      SELECT doc_id, {_SQL_NORM} AS k, md5({_SQL_NORM}) AS fingerprint
+      FROM documents
+    ),
+    grp AS (
+      SELECT doc_id, fingerprint,
+             MIN(doc_id) OVER (PARTITION BY k) AS keep_id,
+             CAST(COUNT(*) OVER (PARTITION BY k) - 1 AS BIGINT) AS n_dups
+      FROM base
+    ),
+    docs AS (SELECT doc_id, {_SQL_TOKS_NORM} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS t FROM docs),
+    h AS (SELECT doc_id, substring(md5(t), 1, 4) AS h4 FROM tok),
+    bits AS (
+      SELECT doc_id, h4, unnest(generate_series(0, 15)) AS bit FROM h
+    ),
+    nib AS (
+      SELECT doc_id, bit,
+             CASE substring(h4, CAST(FLOOR(bit / 4.0) AS INT) + 1, 1)
+                  {{hex_case}} END AS nv
+      FROM bits
+    ),
+    sgn AS (
+      SELECT doc_id, bit,
+             CASE WHEN CAST(FLOOR(nv / POW(2.0, CAST(3 - bit % 4 AS DOUBLE)))
+                       AS BIGINT) % 2 = 1
+                  THEN 1 ELSE -1 END AS s
+      FROM nib
+    ),
+    agg AS (SELECT doc_id, bit, SUM(s) AS ss FROM sgn GROUP BY doc_id, bit),
+    sim AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN ss > 0 THEN POW(2.0, CAST(bit AS DOUBLE))
+                           ELSE 0.0 END) AS BIGINT) AS simhash
+      FROM agg GROUP BY doc_id
+    )
+    SELECT g.doc_id, g.fingerprint, g.keep_id, g.n_dups, sim.simhash
+    FROM grp g JOIN sim USING (doc_id)
+    """.format(hex_case=_HEX_CASE),
+    tags=("dedup-exact", "fingerprint", "dedup-simhash"),
 )
-def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup via hash-groupBy on normalized text: keeper id +
-    duplicate count per distinct content."""
-    docs = _t(spark, sf_dir, "documents")
-    return dedup.exact_duplicates(docs, "doc_id", "text")
+def dd_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document signature suite — the three content-hash dedup
+    primitives in one row per document:
 
+    - ``fingerprint``: md5 over normalized text (portable across
+      engines bit-for-bit; stand-in for a rolling hash);
+    - ``keep_id``/``n_dups``: exact-dedup lineage via a window over the
+      normalized content (first-arrival keeper + duplicate count —
+      same semantics as dedup.exact_duplicates, kept per-document so
+      the row carries its own dedup verdict);
+    - ``simhash``: 16-bit SimHash (portable md5-nibble variant; the
+      production path swaps in xxhash64 at 64 bits, same dataflow).
 
-@register(
-    "dd_fingerprint",
-    f"SELECT doc_id, md5({_SQL_NORM}) AS fingerprint FROM documents",
-    tags=("fingerprint",),
-)
-def dd_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting (md5 over normalized text; portable
-    across engines bit-for-bit)."""
+    One content shuffle for the dedup window, one token shuffle for the
+    simhash aggregation, joined on doc_id."""
     docs = _t(spark, sf_dir, "documents")
-    return text.fingerprint(docs, "doc_id", "text")
+    norm = dedup.normalized_text(F.col("text"))
+    base = docs.select(
+        F.col("doc_id"), norm.alias("_k"), F.md5(norm).alias("fingerprint")
+    )
+    w = Window.partitionBy("_k")
+    grp = base.select(
+        "doc_id",
+        "fingerprint",
+        F.min("doc_id").over(w).alias("keep_id"),
+        (F.count(F.lit(1)).over(w) - 1).cast("long").alias("n_dups"),
+    )
+    sim = dedup.simhash16(docs, "doc_id", "text")
+    return grp.join(sim, "doc_id")
 
 
 _MINHASH_CTE = f"""
@@ -1518,88 +1481,6 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_duplicates(
         docs, "doc_id", "text", k=3, num_hashes=8, band_size=2, threshold=0.2
     )
-
-
-@register(
-    "dd_ngram_jaccard",
-    "WITH "
-    + _MINHASH_CTE.replace("FROM documents", "FROM documents WHERE doc_id < 30")
-    + """,
-    ids AS (SELECT doc_id FROM documents WHERE doc_id < 30),
-    cand AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM ids a JOIN ids b ON a.doc_id < b.doc_id
-    ),
-    sizes AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS sz FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT c.id_a, c.id_b, CAST(COUNT(*) AS DOUBLE) AS i
-      FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
-                  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
-      GROUP BY c.id_a, c.id_b
-    )
-    SELECT c.id_a, c.id_b,
-           ROUND(COALESCE(i.i, 0) / (za.sz + zb.sz - COALESCE(i.i, 0)), 6)
-             AS jaccard
-    FROM cand c
-    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-    JOIN sizes za ON za.doc_id = c.id_a
-    JOIN sizes zb ON zb.doc_id = c.id_b
-    WHERE ROUND(COALESCE(i.i, 0) / (za.sz + zb.sz - COALESCE(i.i, 0)), 6) > 0
-    """,
-    tags=("dedup-ngram-jaccard",),
-)
-def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard similarity over an all-pairs subset
-    (doc_id < 30) — the verify stage of near-dedup run standalone."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
-    sh = dedup.shingle_set(docs, "doc_id", "text", 3)
-    a = docs.select(F.col("doc_id").alias("id_a"))
-    b = docs.select(F.col("doc_id").alias("id_b"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    return dedup.jaccard_pairs(pairs, sh, "doc_id").filter(F.col("jaccard") > 0)
-
-
-_HEX_CASE = " ".join(
-    f"WHEN '{c}' THEN {i}" for i, c in enumerate("0123456789abcdef")
-)
-
-
-@register(
-    "dd_simhash16",
-    f"""
-    WITH docs AS (SELECT doc_id, {_SQL_TOKS_NORM} AS toks FROM documents),
-    tok AS (SELECT doc_id, unnest(toks) AS t FROM docs),
-    h AS (SELECT doc_id, substring(md5(t), 1, 4) AS h4 FROM tok),
-    bits AS (
-      SELECT doc_id, h4, unnest(generate_series(0, 15)) AS bit FROM h
-    ),
-    nib AS (
-      SELECT doc_id, bit,
-             CASE substring(h4, CAST(FLOOR(bit / 4.0) AS INT) + 1, 1)
-                  {_HEX_CASE} END AS nv
-      FROM bits
-    ),
-    sgn AS (
-      SELECT doc_id, bit,
-             CASE WHEN CAST(FLOOR(nv / POW(2.0, CAST(3 - bit % 4 AS DOUBLE)))
-                       AS BIGINT) % 2 = 1
-                  THEN 1 ELSE -1 END AS s
-      FROM nib
-    ),
-    agg AS (SELECT doc_id, bit, SUM(s) AS ss FROM sgn GROUP BY doc_id, bit)
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN ss > 0 THEN POW(2.0, CAST(bit AS DOUBLE))
-                         ELSE 0.0 END) AS BIGINT) AS simhash
-    FROM agg GROUP BY doc_id
-    """,
-    tags=("dedup-simhash",),
-)
-def dd_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash fingerprints (portable md5-nibble variant; the
-    production path swaps in xxhash64 at 64 bits with the same
-    dataflow)."""
-    docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash16(docs, "doc_id", "text")
 
 
 @register(
@@ -1708,59 +1589,52 @@ def emb_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "tx_token_stats",
+    "tx_doc_metrics",
     f"""
     WITH d AS (
       SELECT doc_id, {_SQL_TOKS_RAW} AS toks,
              length(regexp_replace(trim(text), '\\s+', '', 'g')) AS chars
       FROM documents
-    )
-    SELECT doc_id,
-           CAST(len(toks) AS BIGINT) AS n_tokens,
-           CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
-           ROUND(CAST(len(list_distinct(toks)) AS DOUBLE)
-                 / CAST(len(toks) AS DOUBLE), 6) AS ttr,
-           ROUND(CAST(chars AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6)
-             AS mean_token_len
-    FROM d
-    """,
-    tags=("text-tokens",),
-)
-def tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + lexical profile per document (north-star text
-    analysis)."""
-    docs = _t(spark, sf_dir, "documents")
-    return text.token_stats(docs, "doc_id", "text")
-
-
-@register(
-    "tx_quality_score",
-    f"""
-    WITH d AS (SELECT doc_id, {_SQL_TOKS_RAW} AS toks FROM documents),
+    ),
     m AS (
-      SELECT doc_id,
+      SELECT doc_id, toks, chars, list_distinct(toks) AS dtoks,
              CAST(len(toks) AS DOUBLE) AS n,
              CAST(len(list_filter(toks,
                t -> t IN ('the','a','and','of','to','in','is','it')))
-               AS DOUBLE) AS stop,
-             CAST(len(list_distinct(toks)) AS DOUBLE) AS types
+               AS DOUBLE) AS stop
       FROM d
     )
-    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+    SELECT doc_id,
+           toks[1] AS first_token,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(len(dtoks) AS BIGINT) AS n_types,
+           ROUND(CAST(len(dtoks) AS DOUBLE) / n, 6) AS ttr,
+           ROUND(CAST(chars AS DOUBLE) / n, 6) AS mean_token_len,
            ROUND(stop / n, 6) AS stopword_ratio,
-           ROUND(types / n, 6) AS ttr,
            ROUND(0.4 * (CASE WHEN n >= 10 AND n <= 1000 THEN 1.0 ELSE 0.0 END)
                  + 0.3 * LEAST(stop / n * 4.0, 1.0)
-                 + 0.3 * (types / n), 6) AS quality_score
+                 + 0.3 * (CAST(len(dtoks) AS DOUBLE) / n), 6) AS quality_score,
+           CASE WHEN len(list_filter(dtoks, t -> t IN ('the','and','is'))) > 0 THEN 'en'
+                WHEN len(list_filter(dtoks, t -> t IN ('le','la','et'))) > 0 THEN 'fr'
+                WHEN len(list_filter(dtoks, t -> t IN ('der','und','die'))) > 0 THEN 'de'
+                WHEN len(list_filter(dtoks, t -> t IN ('el','los','y'))) > 0 THEN 'es'
+                ELSE 'und' END AS pred_lang
     FROM m
     """,
-    tags=("text-quality",),
+    tags=("text-tokens", "text-quality", "text-langid", "O3"),
 )
-def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic document quality score (length band + stopword ratio +
-    repetition penalty)."""
+def tx_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text-metric suite (north-star text analysis), one
+    fused projection over a single materialized token array
+    (operators/text.doc_metrics): token counting + lexical profile,
+    heuristic quality score (length band + stopword ratio + repetition
+    penalty), marker-word language ID, and the first token (O3 — first
+    element of a nested collection, ``treat_tmp$submitter_id[1]``,
+    drug_km_median_exp.R:47). Composing the standalone operators by
+    join would tokenize 4x and shuffle 3x; the fused form is a pure
+    narrow map — no shuffle at all."""
     docs = _t(spark, sf_dir, "documents")
-    return text.quality_score(docs, "doc_id", "text")
+    return text.doc_metrics(docs, "doc_id", "text")
 
 
 @register(
@@ -1882,29 +1756,6 @@ def tcga_drug_km_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.drug_km(
         t["expression"], t["genes"], t["samples"], fixtures.DRUG_CLASSES, ["ATAT1"]
     )["curves"]
-
-
-@register(
-    "tx_langid_heuristic",
-    f"""
-    WITH d AS (
-      SELECT doc_id, list_distinct({_SQL_TOKS_RAW}) AS toks FROM documents
-    )
-    SELECT doc_id,
-      CASE WHEN len(list_filter(toks, t -> t IN ('the','and','is'))) > 0 THEN 'en'
-           WHEN len(list_filter(toks, t -> t IN ('le','la','et'))) > 0 THEN 'fr'
-           WHEN len(list_filter(toks, t -> t IN ('der','und','die'))) > 0 THEN 'de'
-           WHEN len(list_filter(toks, t -> t IN ('el','los','y'))) > 0 THEN 'es'
-           ELSE 'und' END AS pred_lang
-    FROM d
-    """,
-    tags=("text-langid",),
-)
-def tx_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language-ID heuristic (deterministic n-gram-style
-    classifier shape)."""
-    docs = _t(spark, sf_dir, "documents")
-    return text.langid_heuristic(docs, "doc_id", "text")
 
 
 # =========================================================================
@@ -2064,31 +1915,46 @@ def w6_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "w7_lag_deltas",
+    "w7_w8_window_suite",
     """
     SELECT event_id, user_id,
-           epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_prev_us,
-           LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_next_us
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER wu AS gap_prev_us,
+           LEAD(epoch_us(ts)) OVER wu - epoch_us(ts) AS gap_next_us,
+           CAST(RANK() OVER wt AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER wt AS BIGINT) AS drnk,
+           ROUND(PERCENT_RANK() OVER wt, 6) AS prank,
+           ROUND(CUME_DIST() OVER wt, 6) AS cdist
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    WINDOW wu AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+           wt AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
     """,
-    tags=("W7", "lag-lead"),
+    tags=("W7", "W8", "lag-lead", "rank-suite"),
 )
-def w7_lag_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead inter-event gaps per user (the sessionization /
-    feature-engineering primitive). Total order (ts, event_id) makes
-    neighbor choice deterministic under timestamp ties; integer
-    microsecond arithmetic — no FP at all."""
+def w7_w8_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 lag/lead inter-event gaps per user (the sessionization /
+    feature-engineering primitive; integer microsecond arithmetic — no
+    FP at all) + W8 rank-function suite (rank, dense_rank, percent_rank,
+    cume_dist) per event_type — two window specs over one scan; Spark
+    plans them as two window exchanges feeding one projection. Both
+    orderings are total (unique tiebreak keys) so neighbor/tie choices
+    are engine-independent."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
+    wu = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wt = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
     )
     us = F.unix_micros("ts")
     return ev.select(
         "event_id",
         "user_id",
-        (us - F.lag(us).over(w)).alias("gap_prev_us"),
-        (F.lead(us).over(w) - us).alias("gap_next_us"),
+        (us - F.lag(us).over(wu)).alias("gap_prev_us"),
+        (F.lead(us).over(wu) - us).alias("gap_next_us"),
+        F.rank().over(wt).cast("long").alias("rnk"),
+        F.dense_rank().over(wt).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(wt), 6).alias("prank"),
+        F.round(F.cume_dist().over(wt), 6).alias("cdist"),
     )
 
 
@@ -2137,65 +2003,6 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue")
         )
-    )
-
-
-@register(
-    "o4_topk_per_group",
-    """
-    SELECT o_orderpriority, o_orderkey, o_totalprice
-    FROM (
-      SELECT o_orderpriority, o_orderkey, o_totalprice,
-             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
-                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
-      FROM orders
-    ) WHERE rn <= 3
-    """,
-    tags=("O4", "topk-per-group"),
-)
-def o4_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group top-k (the grouped counterpart of O1+O2): top-3 orders
-    per priority via a rank window with a total-order tiebreak. One
-    shuffle on the group key; at scale the window's sort is per-group,
-    never global."""
-    orders = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
-    )
-    return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("o_orderpriority", "o_orderkey", "o_totalprice")
-    )
-
-
-@register(
-    "w8_rank_suite",
-    """
-    SELECT event_id,
-           CAST(RANK() OVER w AS BIGINT) AS rnk,
-           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
-           ROUND(PERCENT_RANK() OVER w, 6) AS prank,
-           ROUND(CUME_DIST() OVER w, 6) AS cdist
-    FROM events
-    WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
-    """,
-    tags=("W8", "rank-suite"),
-)
-def w8_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rank-function suite per group: rank, dense_rank, percent_rank,
-    cume_dist under one total-order window (unique (value, event_id)
-    key — rank semantics on ties are otherwise engine-dependent)."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("value").asc(), F.col("event_id").asc()
-    )
-    return ev.select(
-        "event_id",
-        F.rank().over(w).cast("long").alias("rnk"),
-        F.dense_rank().over(w).cast("long").alias("drnk"),
-        F.round(F.percent_rank().over(w), 6).alias("prank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
 
 
@@ -2251,4 +2058,111 @@ def a11_group_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("value"), 4).alias("var_value"),
         F.round(F.corr(F.col("value"), ts_s), 6).alias("corr_value_time"),
         F.round(F.percentile("value", 0.5), 6).alias("median_value"),
+    )
+
+
+@register(
+    "mm_binary_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha_hex,
+           CASE WHEN octet_length(encode(text)) < 400 THEN 'small'
+                WHEN octet_length(encode(text)) < 1200 THEN 'medium'
+                ELSE 'large' END AS size_band
+    FROM documents
+    """,
+    tags=("multimodal-binary",),
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing (SURVEY.md §2.10): an opaque
+    ``BinaryType`` payload (here: the UTF-8 encoding of the text column
+    — the driver testdata ships no real media bytes) plus typed
+    metadata derived engine-side: byte length, SHA-256 content hash,
+    and a size-band classification — the decode-free projection a media
+    pipeline runs to prune/route payloads *before* any codec touches
+    them. The decode / feature-extract stage itself is the Arrow-batched
+    ``mapInPandas`` kernel in operators/multimodal.py (deterministic
+    stub behind ``_HAVE_CODECS``, exact-value-tested in
+    tests/test_multimodal.py) — not oracle-checkable in SQL, so this
+    query pins the binary schema + metadata path and the tests pin the
+    kernel."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    n_bytes = F.length(payload).cast("long")
+    return docs.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        F.sha2(payload, 256).alias("sha_hex"),
+        F.when(n_bytes < 400, "small")
+        .when(n_bytes < 1200, "medium")
+        .otherwise("large")
+        .alias("size_band"),
+    )
+
+
+@register(
+    "ann_lsh_bucketed",
+    """
+    WITH b AS (
+      SELECT vec_id, embedding,
+             CASE WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1 ELSE 0 END
+           + CASE WHEN CAST(embedding[2] AS DOUBLE) > 0 THEN 2 ELSE 0 END
+           + CASE WHEN CAST(embedding[3] AS DOUBLE) > 0 THEN 4 ELSE 0 END
+           + CASE WHEN CAST(embedding[4] AS DOUBLE) > 0 THEN 8 ELSE 0 END AS bkt
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+      GROUP BY vec_id
+    ),
+    px AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             unnest(q.embedding) AS xa, unnest(c.embedding) AS xb
+      FROM b q JOIN b c ON q.bkt = c.bkt AND q.vec_id != c.vec_id
+      WHERE q.vec_id < 50
+    ),
+    dots AS (
+      SELECT qid, cid, SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) AS dot
+      FROM px GROUP BY qid, cid
+    ),
+    scored AS (
+      SELECT d.qid AS query_id, d.cid AS neighbor_id,
+             ROUND(d.dot / (nq.nrm * nc.nrm), 4) AS cosine
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.qid
+      JOIN norms nc ON nc.vec_id = d.cid
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+    """,
+    tags=("ann-lsh", "ann-bucketed"),
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed (LSH) ANN — the scale path next to ann_cosine_topk's
+    brute force: deterministic sign-LSH bucket (axis-aligned hyperplanes
+    on the leading 4 components, operators/similarity.sign_bucket),
+    candidate generation via equi-join on bucket id, exact cosine
+    re-rank of candidates only — each of the 50 query vectors scores
+    ~1/16th of the corpus instead of all of it. Recall < 1 by
+    construction (the ANN trade-off); the bucketing is deterministic and
+    mirrored verbatim in the oracle, so the *result* is exact and
+    hash-checkable. The k-means IVF variant (data-trained centroids,
+    operators/similarity.cosine_topk_ivf) is recall-tested in
+    tests/test_operators_unit.py — a learned index cannot be mirrored in
+    static oracle SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_bucketed(
+        emb,
+        "vec_id",
+        "embedding",
+        k=3,
+        bits=4,
+        query_filter=F.col("query_id") < 50,
     )

@@ -207,6 +207,80 @@ def cosine_topk_ivf(
     )
 
 
+def sign_bucket(vec: Column, bits: int = 4) -> Column:
+    """Axis-aligned hyperplane LSH bucket: bit b is the sign of
+    component b+1. The simplest member of the hyperplane family —
+    deterministic, model-free, and expressible verbatim in any SQL
+    engine (which is why the catalog's oracle-checked bucketed-ANN query
+    uses it; :func:`hyperplane_bucket` is the random-rotation variant
+    for skewed component distributions)."""
+    bucket = F.lit(0).cast("long")
+    for b in range(bits):
+        bucket = bucket + F.when(
+            F.element_at(vec, b + 1).cast("double") > 0, F.lit(1 << b)
+        ).otherwise(F.lit(0)).cast("long")
+    return bucket
+
+
+def cosine_topk_bucketed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    bits: int = 4,
+    query_filter: Column | None = None,
+) -> DataFrame:
+    """Bucketed ANN with deterministic sign-LSH: candidates = rows in
+    the query's own bucket (single-probe). Candidate generation is an
+    equi-join on bucket id — the corpus is scanned once, bucketed once,
+    and each query exactly-scores only ~|corpus|/2^bits rows. Recall is
+    by construction < 1 (that is the ANN trade); the bucket assignment
+    is deterministic, so results are reproducible across engines.
+
+    At 100 TB: bucket the corpus ONCE (write bucketed/partitioned by
+    bucket id), broadcast the query side per bucket; the per-bucket
+    top-k never sees other buckets' rows.
+    """
+    based = fan_out(df.select(F.col(id_col), F.col(vec_col)), id_col).select(
+        F.col(id_col),
+        F.col(vec_col),
+        sign_bucket(F.col(vec_col), bits).alias("_bkt"),
+        _norm(F.col(vec_col)).alias("_nrm"),
+    )
+    q = based.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_nrm").alias("_qn"),
+        "_bkt",
+    )
+    if query_filter is not None:
+        q = q.filter(query_filter)
+    c = based.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_nrm").alias("_cn"),
+        "_bkt",
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "_bkt")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 4
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
 def hyperplane_bucket(vec: Column, dim: int, bits: int = 8, seed: int = 7) -> Column:
     """Deterministic random-hyperplane LSH bucket id.
 

@@ -93,6 +93,46 @@ def langid_heuristic(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), pred.alias("pred_lang"))
 
 
+def doc_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Fused per-document text-metric projection: token stats
+    (:func:`token_stats`), quality score (:func:`quality_score`),
+    language ID (:func:`langid_heuristic`) and the first token (O3,
+    ``treat_tmp$submitter_id[1]`` drug_km_median_exp.R:47) computed from
+    ONE materialized token array in ONE projection — the corpus-prep
+    fusion pattern (pipelines/corpus_prep): composing the standalone
+    operators by join would tokenize 4x and shuffle 3x; this form is a
+    single narrow map over the scan, no shuffle at all.
+    """
+    toks_df = df.select(F.col(id_col), F.col(text_col), tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
+    dtoks = F.array_distinct(toks)
+    n = F.size(toks).cast("double")
+    n_types = F.size(dtoks).cast("double")
+    total_chars = F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", ""))
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+    ttr = n_types / n
+    stop_ratio = stop / n
+    length_ok = F.when((n >= 10) & (n <= 1000), 1.0).otherwise(0.0)
+    score = F.round(
+        0.4 * length_ok + 0.3 * F.least(stop_ratio * 4.0, F.lit(1.0)) + 0.3 * ttr, 6
+    )
+    pred = F.lit("und")
+    for lang, markers in reversed(LANG_MARKERS):
+        hit = F.size(F.filter(dtoks, lambda t: t.isin(*markers))) > 0
+        pred = F.when(hit, F.lit(lang)).otherwise(pred)
+    return toks_df.select(
+        F.col(id_col),
+        F.element_at(toks, 1).alias("first_token"),
+        n.cast("long").alias("n_tokens"),
+        n_types.cast("long").alias("n_types"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(total_chars.cast("double") / n, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        score.alias("quality_score"),
+        pred.alias("pred_lang"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Document fingerprinting: md5 over the whitespace-normalized,
     lower-cased text. Stand-in for a rolling hash; collision-free enough

@@ -21,9 +21,12 @@ def _run(spark, name):
 
 
 def test_projection_prunes_scan(spark):
-    df = _run(spark, "p1_projection")
+    # f_scalar_suite (P1 host) touches 4 of customer's columns; pruning
+    # must keep the unused c_nationkey out of the parquet scan.
+    df = _run(spark, "f_scalar_suite")
     [schema] = plans.read_schemas(df)
-    assert schema == "c_custkey:bigint,c_name:string,c_acctbal:double"
+    assert "c_custkey" in schema and "c_acctbal" in schema
+    assert "c_nationkey" not in schema
 
 
 def test_q1_filter_pushed_to_scan(spark):
@@ -43,7 +46,7 @@ def test_fact_dim_joins_broadcast(spark):
 
 
 def test_topk_plans_as_take_ordered(spark):
-    for name in ("o1_o2_topk", "q3_shipping_priority"):
+    for name in ("o1_o4_topk_suite", "q3_shipping_priority"):
         df = _run(spark, name)
         assert plans.has_operator(df, "TakeOrderedAndProject"), name
         # a global Sort would be the scale bug TakeOrdered avoids
@@ -58,8 +61,9 @@ def test_range_join_is_broadcast_nested_loop(spark):
 
 def test_single_shuffle_window_queries(spark):
     # one hash exchange each: the window/group key, nothing else
+    # w7_w8 runs two window specs (user_id + event_type) → two exchanges
     for name, max_ex in (("w6_rolling_range", 1), ("cdc_latest_snapshot", 1),
-                         ("w7_lag_deltas", 1), ("o4_topk_per_group", 1)):
+                         ("w7_w8_window_suite", 2)):
         df = _run(spark, name)
         assert plans.count_exchanges(df) <= max_ex, name
 
@@ -77,8 +81,9 @@ def test_catalog_queries_pass_scale_lint(spark):
     allowed only where the input is provably tiny (none today)."""
     flagged = {}
     for name in ("q1_pricing_summary", "j1_left_join_enrich", "a4_wilcoxon_ranksum",
-                 "a5_size_factors", "w2_km_curve", "dd_exact_dedup",
-                 "ann_cosine_topk", "tx_token_stats", "q5_local_supplier_volume"):
+                 "a5_size_factors", "w2_km_curve", "dd_doc_signatures",
+                 "ann_cosine_topk", "ann_lsh_bucketed", "tx_doc_metrics",
+                 "mm_binary_meta", "q5_local_supplier_volume"):
         df = REGISTRY[name].build(spark, SF_SMALL)
         findings = plans.scale_lint(df)
         if findings:

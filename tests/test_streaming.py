@@ -244,3 +244,39 @@ def test_stream_stream_interval_join_equals_batch(spark, events_stream):
     s = spark.sql("SELECT * FROM t_ssjoin")
     assert _sorted_rows(s, cols) == _sorted_rows(b, cols)
     assert len(_sorted_rows(b, cols)) > 0
+
+
+def test_rollup_hierarchy_equals_direct_tumbling(spark):
+    """st_rollup_hierarchy computes hourly aggregates FROM minute
+    partials; dropping the standalone tumbling-hourly query is only
+    sound if the re-aggregation is value-identical to aggregating the
+    raw events directly into hourly buckets."""
+    from tests.conftest import SF_SMALL
+    from tcga_query_project_spark.catalog import REGISTRY
+
+    rolled = (
+        REGISTRY["st_rollup_hierarchy"].build(spark, SF_SMALL).toPandas()
+    )
+    ev = read_events(spark, SF_SMALL)
+    direct = (
+        sw.tumbling_agg(
+            ev,
+            "ts",
+            "1 hour",
+            ["event_type"],
+            [
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            ],
+        )
+        .select("window_start_us", "event_type", "n_events", "total_value")
+        .toPandas()
+    )
+    key = ["window_start_us", "event_type"]
+    rolled = rolled.sort_values(key).reset_index(drop=True)
+    direct = direct.sort_values(key).reset_index(drop=True)
+    assert rolled[key + ["n_events"]].equals(direct[key + ["n_events"]])
+    # the rollup rounds minute partials to 4 decimals before re-summing
+    # (hash-portability convention), so allow <=5e-5 per contributing
+    # minute of drift vs the direct hourly sum
+    assert (rolled["total_value"] - direct["total_value"]).abs().max() < 0.01
