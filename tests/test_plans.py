@@ -89,3 +89,38 @@ def test_catalog_queries_pass_scale_lint(spark):
         if findings:
             flagged[name] = findings
     assert not flagged, flagged
+
+
+def test_bucketed_join_elides_shuffle(spark):
+    """Co-located join via bucketing (the 100 TB star-schema layout):
+    both sides pre-bucketed into the same bucket count on the join key
+    join WITHOUT any Exchange — the repeated fact-shuffle cost becomes
+    a one-time write-side cost."""
+    from tcga_query_project_spark.operators import partitioning
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    partitioning.write_bucketed(li, "bt_lineitem", "l_orderkey", 8, "l_orderkey")
+    partitioning.write_bucketed(orders, "bt_orders", "o_orderkey", 8, "o_orderkey")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the join strategy that can exploit bucketing (broadcast
+        # would trivially avoid the shuffle for a small table anyway)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.table("bt_lineitem")
+        b = spark.table("bt_orders")
+        joined = a.join(b, a.l_orderkey == b.o_orderkey)
+        joined.write.format("noop").mode("overwrite").save()
+        assert plans.count_exchanges(joined) == 0, plans.formatted_plan(joined)
+        assert plans.has_operator(joined, "SortMergeJoin")
+        # value parity with the plain (shuffling) join
+        plain = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
