@@ -137,3 +137,22 @@ def write_bucketed(
     if sort_col is not None:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Persist a table hive-partitioned by low-cardinality filter
+    columns (project / sample_type / date in the reference's ingest —
+    SURVEY.md §2.1 S4: the GDCquery predicates become partition-pruning
+    filters at the source).
+
+    A read with an equality/IN filter on a partition column never lists
+    or opens the other directories (plan shows the predicate under
+    PartitionFilters, not PushedFilters) — at 100 TB the difference
+    between scanning one project's files and scanning the world.
+    Partition columns must be low-cardinality: one directory (and at
+    least one file) per value; high-cardinality keys belong in
+    :func:`write_bucketed` buckets instead.
+    """
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

@@ -391,3 +391,38 @@ def test_lsh_candidates_rejects_missing_signature_columns(spark):
     )
     with pytest.raises(ValueError, match="_mh"):
         dedup.lsh_candidates(legacy, "doc_id")
+
+
+def test_cosine_topk_bucketed_recall_and_exactness(spark):
+    """Sign-bucket single-probe ANN: every returned neighbor must be the
+    true rank among the query's own-bucket candidates (exact rerank),
+    and same-bucket recall of brute-force top-1 must beat the 1/16
+    random-bucket baseline (cosine-similar vectors agree on sign bits
+    more often than not — on these near-isotropic synthetic embeddings
+    the edge is modest, ~2.6x baseline; clustered real embeddings give
+    the multi-table variant (cosine_topk_lsh) its recall headroom)."""
+    from pyspark.sql import functions as F
+
+    from tcga_query_project_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    brute = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.cosine_topk(emb, emb, "vec_id", "embedding", k=1).collect()
+    }
+    bucketed = similarity.cosine_topk_bucketed(
+        emb, "vec_id", "embedding", k=1, bits=4
+    ).collect()
+    got = {r["query_id"]: r["neighbor_id"] for r in bucketed}
+    hits = sum(1 for q, n in brute.items() if got.get(q) == n)
+    assert hits / len(brute) > 0.10  # 1/16 = 0.0625 random baseline
+    # exactness of the rerank: the returned cosine equals the brute
+    # cosine for the same pair
+    pair_cos = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.cosine_topk(emb, emb, "vec_id", "embedding", k=5).collect()
+    }
+    for r in bucketed:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in pair_cos:
+            assert abs(pair_cos[key] - r["cosine"]) < 1e-9
