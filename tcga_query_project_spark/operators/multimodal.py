@@ -121,6 +121,67 @@ def extract_features(media: DataFrame, dim: int = 32) -> DataFrame:
     )
 
 
+def resize_images(
+    media: DataFrame, width: int, height: int
+) -> DataFrame:
+    """Image resize over the payload column via ``mapInPandas`` — same
+    Arrow-batched shape as :func:`extract_features`, but payload → new
+    payload (bytes in, bytes out), with the metadata struct updated to
+    the target dimensions.
+
+    STUB kernel: without PIL the "resized" payload is a deterministic
+    function of (payload, w, h) — the byte stream truncated/tiled to
+    ``w*h`` bytes — so tests pin exact output sizes and bytes while the
+    plumbing (binary in/out columns through Arrow, metadata rewrite,
+    non-image rows passed through untouched) is the real pipeline
+    shape. Swapping in PIL changes only ``_resize_one``.
+    """
+
+    def _resize_one(payload: bytes, w: int, h: int) -> bytes:
+        if _HAVE_CODECS:  # pragma: no cover
+            raise NotImplementedError(
+                "real codec path not implemented; plug PIL.Image.resize here"
+            )
+        target = w * h
+        if len(payload) == 0:
+            return b"\x00" * target
+        reps = -(-target // len(payload))  # ceil
+        return (payload * reps)[:target]
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("kind", StringType()),
+            StructField("payload", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            is_img = pdf["kind"] == "image"
+            new_payload = [
+                _resize_one(p, width, height) if img else p
+                for p, img in zip(pdf["payload"], is_img)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": new_payload,
+                    "width": np.where(is_img, width, pdf["width"]).astype("object"),
+                    "height": np.where(is_img, height, pdf["height"]).astype(
+                        "object"
+                    ),
+                }
+            )
+
+    return media.select(
+        "media_id", "kind", "payload", "width", "height"
+    ).mapInPandas(fn, out_schema)
+
+
 def frame_sample_plan(
     media: DataFrame, every_s: float = 1.0
 ) -> DataFrame:

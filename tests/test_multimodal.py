@@ -65,3 +65,21 @@ def test_metadata_profile_prunes_payload(spark, media, tmp_path):
     assert rows["image"]["n_items"] == 2
     assert rows["image"]["mean_pixels"] == (256 + 64) / 2
     assert rows["audio"]["mean_duration_s"] == 2.5
+
+
+def test_resize_images_rewrites_payload_and_metadata(spark, media):
+    out = {
+        r["media_id"]: r
+        for r in multimodal.resize_images(media, 4, 4).collect()
+    }
+    # image rows: payload resized to exactly w*h bytes, metadata updated
+    assert len(out[1]["payload"]) == 16
+    assert out[1]["payload"] == bytes(range(16))  # truncation of 0..255
+    assert (out[1]["width"], out[1]["height"]) == (4, 4)
+    # short payload tiles up to the target size
+    assert len(out[2]["payload"]) == 16
+    # non-image rows pass through untouched
+    assert out[3]["payload"] == bytes([7, 7, 7, 255])
+    assert out[3]["width"] is None
+    assert out[4]["payload"] == b"\xff" * 128
+    assert (out[4]["width"], out[4]["height"]) == (320, 240)
