@@ -82,6 +82,105 @@ def shingle_set(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFr
 MINHASH_PRIME = 4294967311
 
 
+def shingle_array(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Distinct word k-gram shingles per document as ONE array column —
+    the no-explode representation: (doc, ARRAY<shingle>) instead of one
+    row per (doc, shingle).
+
+    Documents with fewer than ``k`` tokens get an empty array; callers
+    computing signatures must filter those out (they can never be
+    near-dup candidates, and an all-null signature would otherwise
+    bucket every short doc together).
+    """
+    df = fan_out(df, id_col)
+    toks_df = df.select(
+        F.col(id_col), tokens(normalized_text(F.col(text_col))).alias("_toks")
+    )
+    toks = F.col("_toks")
+    n = F.size(toks)
+    shingles = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks_df.select(
+        F.col(id_col), F.array_distinct(shingles).alias("shingles")
+    )
+
+
+def minhash_signature_arrays(
+    sh_arr: DataFrame, id_col: str, num_hashes: int = 8
+) -> DataFrame:
+    """Wide MinHash signature computed entirely as array expressions —
+    a NARROW MAP, no explode and no shuffle: each row hashes its
+    shingle array once (md5 → 32-bit int per shingle, materialized in
+    its own projection so the per-seed transforms reference it instead
+    of re-hashing), then takes ``array_min`` under each of the
+    ``num_hashes`` linear permutations.
+
+    This is the 100 TB-preferred form of :func:`minhash_signature`: the
+    exploded formulation shuffles one row per (doc, shingle) into a
+    grouped min; here signature computation rides the scan and the
+    first shuffle in the whole near-dup pipeline is the LSH band join.
+    Empty shingle arrays are excluded (see :func:`shingle_array`).
+    Output values are identical to :func:`minhash_signature`.
+    """
+    hashed = sh_arr.filter(F.size("shingles") > 0).select(
+        F.col(id_col),
+        F.col("shingles"),
+        F.transform(
+            F.col("shingles"),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+        ).alias("_hv"),
+    )
+    return hashed.select(
+        F.col(id_col),
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("_hv"),
+                    lambda v: ((2 * i + 1) * v + F.lit(i * 1000003).cast("long"))
+                    % F.lit(MINHASH_PRIME),
+                )
+            ).alias(f"_mh{i}")
+            for i in range(1, num_hashes + 1)
+        ],
+    )
+
+
+def jaccard_pairs_arrays(
+    pairs: DataFrame, sh_arr: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs from per-document shingle
+    ARRAYS: two equi-joins on document id attach both arrays, then
+    ``array_intersect``/sizes compute the measure per row — no
+    (doc, shingle)-grain shuffle, and the join payload is one array per
+    document instead of its exploded rows. Value-identical to
+    :func:`jaccard_pairs` (both operate on distinct shingle sets)."""
+    a = sh_arr.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("_sa")
+    )
+    b = sh_arr.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("_sb")
+    )
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb"))).cast("double")
+    sza = F.size("_sa").cast("double")
+    szb = F.size("_sb").cast("double")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / (sza + szb - inter), 6).alias("jaccard"),
+        )
+    )
+
+
 def minhash_signature(
     shingles: DataFrame, id_col: str, num_hashes: int = 8
 ) -> DataFrame:
@@ -223,23 +322,27 @@ def near_duplicates(
     """MinHash-LSH near-duplicate pipeline: shingle → minhash → band →
     candidate join → exact-Jaccard verify → threshold.
 
-    The shingle set feeds four downstream branches (signatures, pair
-    sizes, and both sides of the intersection join) and the candidate
-    pairs feed two; both are persisted (memory, spill-to-disk) so the
-    tokenize/hash stage runs once, not per branch. At cluster scale the
-    same role is played by a parquet checkpoint between the candidate
-    and verify stages.
+    Array-native dataflow (round 2): shingles stay one ARRAY per
+    document, signatures are a narrow map over that array
+    (:func:`minhash_signature_arrays`), so the FIRST shuffle in the
+    pipeline is the LSH band equi-join and the verify stage joins one
+    array per doc instead of exploded (doc, shingle) rows. The shingle
+    arrays feed three branches (signatures + both verify sides) and are
+    persisted (memory, spill-to-disk) so tokenize/shingle runs once; at
+    cluster scale the same role is played by a parquet checkpoint.
+    Results are value-identical to the exploded formulation (the DuckDB
+    oracle replays that one).
     """
     from pyspark import StorageLevel
 
-    sh = shingle_set(df, id_col, text_col, k).persist(
+    sh = shingle_array(df, id_col, text_col, k).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sig = minhash_signature(sh, id_col, num_hashes)
-    cand = lsh_candidates(sig, id_col, band_size).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sig = minhash_signature_arrays(sh, id_col, num_hashes)
+    cand = lsh_candidates(sig, id_col, band_size)
+    return jaccard_pairs_arrays(cand, sh, id_col).filter(
+        F.col("jaccard") >= threshold
     )
-    return jaccard_pairs(cand, sh, id_col).filter(F.col("jaccard") >= threshold)
 
 
 def embedding_near_dup(

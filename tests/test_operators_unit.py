@@ -426,3 +426,29 @@ def test_cosine_topk_bucketed_recall_and_exactness(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in pair_cos:
             assert abs(pair_cos[key] - r["cosine"]) < 1e-9
+
+
+def test_minhash_array_form_equals_exploded_form(spark):
+    """The array-native minhash/jaccard dataflow (narrow-map signatures,
+    array_intersect verify) must be value-identical to the exploded
+    (doc, shingle)-row formulation the DuckDB oracle replays."""
+    from tcga_query_project_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh_rows = dedup.shingle_set(docs, "doc_id", "text", 3)
+    sh_arr = dedup.shingle_array(docs, "doc_id", "text", 3)
+
+    sig_old = dedup.minhash_signature(sh_rows, "doc_id", 8)
+    sig_new = dedup.minhash_signature_arrays(sh_arr, "doc_id", 8)
+    old = {r["doc_id"]: tuple(r[f"_mh{i}"] for i in range(1, 9))
+           for r in sig_old.collect()}
+    new = {r["doc_id"]: tuple(r[f"_mh{i}"] for i in range(1, 9))
+           for r in sig_new.collect()}
+    assert old == new
+
+    cand = dedup.lsh_candidates(sig_new, "doc_id", 2)
+    jac_old = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in dedup.jaccard_pairs(cand, sh_rows, "doc_id").collect()}
+    jac_new = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in dedup.jaccard_pairs_arrays(cand, sh_arr, "doc_id").collect()}
+    assert jac_old == jac_new
