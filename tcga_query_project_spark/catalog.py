@@ -1592,12 +1592,12 @@ def emb_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tx_doc_metrics",
     f"""
     WITH d AS (
-      SELECT doc_id, {_SQL_TOKS_RAW} AS toks,
+      SELECT doc_id, text, {_SQL_TOKS_RAW} AS toks,
              length(regexp_replace(trim(text), '\\s+', '', 'g')) AS chars
       FROM documents
     ),
     m AS (
-      SELECT doc_id, toks, chars, list_distinct(toks) AS dtoks,
+      SELECT doc_id, text, toks, chars, list_distinct(toks) AS dtoks,
              CAST(len(toks) AS DOUBLE) AS n,
              CAST(len(list_filter(toks,
                t -> t IN ('the','a','and','of','to','in','is','it')))
@@ -1607,6 +1607,8 @@ def emb_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            toks[1] AS first_token,
            CAST(n AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+                AS BIGINT) AS n_tokens_bpe,
            CAST(len(dtoks) AS BIGINT) AS n_types,
            ROUND(CAST(len(dtoks) AS DOUBLE) / n, 6) AS ttr,
            ROUND(CAST(chars AS DOUBLE) / n, 6) AS mean_token_len,

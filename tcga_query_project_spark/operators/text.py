@@ -21,6 +21,19 @@ def tokens(text: Column) -> Column:
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
 
+#: BPE-ish pre-tokenizer: alphanumeric runs OR single punctuation marks —
+#: the split a subword tokenizer sees before merges. ASCII classes only,
+#: so Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte.
+BPE_TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """Sub-word-style token list (see :data:`BPE_TOKEN_PATTERN`): counts
+    from this column approximate an LLM tokenizer's token count far
+    better than whitespace words (punctuation splits off; 'don't' is 3).
+    """
+    return F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0)
+
 
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Token counting + lexical profile per document: token count,
@@ -124,6 +137,7 @@ def doc_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         F.element_at(toks, 1).alias("first_token"),
         n.cast("long").alias("n_tokens"),
+        F.size(bpe_tokens(F.col(text_col))).cast("long").alias("n_tokens_bpe"),
         n_types.cast("long").alias("n_types"),
         F.round(ttr, 6).alias("ttr"),
         F.round(total_chars.cast("double") / n, 6).alias("mean_token_len"),
@@ -155,4 +169,51 @@ def lang_profile(df: DataFrame, lang_col: str, text_col: str) -> DataFrame:
             F.round(F.avg("_n"), 6).alias("mean_tokens"),
             F.round(F.avg("_chars"), 6).alias("mean_chars"),
         )
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme; the rolling-
+    hash fingerprinting :func:`fingerprint`'s md5 stands in for, done
+    properly): hash every character ``k``-gram of the normalized text,
+    slide a window of ``w`` consecutive hashes, keep each window's
+    minimum, emit the distinct set.
+
+    Guarantee: any two documents sharing a substring of length
+    >= ``w + k - 1`` share at least one fingerprint — the property that
+    makes the fingerprint set a *local* similarity sketch rather than a
+    whole-document hash. All array expressions over one narrow
+    projection (k-gram hashes materialized once, windows reference
+    them), no explode, no shuffle; xxhash64 is the production 64-bit
+    hash (engine-portable replay is not needed — overlap tests compare
+    fingerprints to fingerprints).
+
+    Output: (id, fingerprints ARRAY<BIGINT>, n_fingerprints).
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    base = df.select(F.col(id_col), norm.alias("_norm"))
+    grams = base.select(
+        F.col(id_col),
+        F.expr(
+            f"transform(sequence(1, greatest(length(_norm) - {k - 1}, 0)),"
+            f" i -> xxhash64(substring(_norm, i, {k})))"
+        ).alias("_h"),
+    )
+    fps = F.when(
+        F.size("_h") >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_h") - (w - 1)),
+                lambda j: F.array_min(F.slice(F.col("_h"), j, w)),
+            )
+        ),
+    ).otherwise(F.when(F.size("_h") > 0, F.array(F.array_min("_h"))).otherwise(
+        F.array().cast("array<bigint>")
+    ))
+    return grams.select(
+        F.col(id_col),
+        fps.alias("fingerprints"),
+        F.size(fps).cast("long").alias("n_fingerprints"),
     )

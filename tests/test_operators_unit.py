@@ -452,3 +452,34 @@ def test_minhash_array_form_equals_exploded_form(spark):
     jac_new = {(r["id_a"], r["id_b"]): r["jaccard"]
                for r in dedup.jaccard_pairs_arrays(cand, sh_arr, "doc_id").collect()}
     assert jac_old == jac_new
+
+
+def test_winnow_fingerprints_shared_substring_guarantee(spark):
+    """Winnowing guarantee: documents sharing a substring of length
+    >= w + k - 1 share at least one fingerprint; disjoint-alphabet
+    documents share none; fingerprinting is deterministic."""
+    from tcga_query_project_spark.operators import text as tx
+
+    k, w = 5, 4
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, "PREFIX one " + shared + " SUFFIX alpha"),
+        (2, "totally different opening " + shared + " and closing words"),
+        (3, "zzzz qqqq xxxx vvvv kkkk wwww pppp"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in tx.winnow_fingerprints(df, "doc_id", "text", k, w).collect()
+    }
+    assert out[1] & out[2], "shared substring must yield a shared fingerprint"
+    assert not (out[1] & out[3])
+    out2 = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in tx.winnow_fingerprints(df, "doc_id", "text", k, w).collect()
+    }
+    assert out == out2
+    # short doc: fewer than w k-grams still yields its single min
+    short = spark.createDataFrame([(9, "abcdef")], "doc_id long, text string")
+    row = tx.winnow_fingerprints(short, "doc_id", "text", k, w).collect()[0]
+    assert row["n_fingerprints"] == 1
