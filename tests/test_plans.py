@@ -76,15 +76,13 @@ def test_events_scan_prunes_props(spark):
 
 
 def test_catalog_queries_pass_scale_lint(spark):
-    """No catalog query may plan a row-at-a-time Python UDF or an
-    unbroadcast cartesian product; global single-partition windows are
-    allowed only where the input is provably tiny (none today)."""
+    """No catalog query may plan a row-at-a-time Python UDF, an
+    unbroadcast cartesian product, or a single-partition global window —
+    enforced over the ENTIRE registry, so a new query with a
+    scale-hostile plan fails CI on arrival."""
     flagged = {}
-    for name in ("q1_pricing_summary", "j1_left_join_enrich", "a4_wilcoxon_ranksum",
-                 "a5_size_factors", "w2_km_curve", "dd_doc_signatures",
-                 "ann_cosine_topk", "ann_lsh_bucketed", "tx_doc_metrics",
-                 "mm_binary_meta", "q5_local_supplier_volume"):
-        df = REGISTRY[name].build(spark, SF_SMALL)
+    for name, spec in sorted(REGISTRY.items()):
+        df = spec.build(spark, SF_SMALL)
         findings = plans.scale_lint(df)
         if findings:
             flagged[name] = findings
