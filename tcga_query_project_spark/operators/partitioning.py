@@ -106,39 +106,6 @@ def salted_agg(
     )
 
 
-def write_bucketed(
-    df: DataFrame,
-    table: str,
-    bucket_col: str,
-    n_buckets: int = 32,
-    sort_col: str | None = None,
-) -> None:
-    """Persist a table bucketed (and optionally sorted) by its join/agg
-    key — the co-located-join layout for repeatedly-joined facts.
-
-    A join between two tables bucketed into the same ``n_buckets`` on
-    their join keys needs NO shuffle exchange at read time: each task
-    zips bucket i with bucket i (plan shows SortMergeJoin with no
-    Exchange below it; with ``sort_col`` the per-bucket sort is also
-    elided). At 100 TB this converts the dominant repeated cost of a
-    star-schema workload — re-shuffling the fact table for every
-    query — into a one-time write-side cost, exactly the reference's
-    cache-ladder idea (vital_status_DESeq.R:22-86) applied to physical
-    layout instead of R objects.
-
-    Uses the session catalog (``saveAsTable``): bucketing metadata
-    lives in the metastore; plain ``.parquet()`` files cannot carry it.
-    """
-    writer = (
-        df.write.mode("overwrite")
-        .format("parquet")
-        .bucketBy(n_buckets, bucket_col)
-    )
-    if sort_col is not None:
-        writer = writer.sortBy(sort_col)
-    writer.saveAsTable(table)
-
-
 def write_partitioned(
     df: DataFrame, path: str, partition_cols: list[str]
 ) -> None:
@@ -153,6 +120,6 @@ def write_partitioned(
     between scanning one project's files and scanning the world.
     Partition columns must be low-cardinality: one directory (and at
     least one file) per value; high-cardinality keys belong in
-    :func:`write_bucketed` buckets instead.
+    ``sources.io.write_bucketed`` buckets instead.
     """
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -125,3 +126,49 @@ def write_csv_single(df: DataFrame, path: str, null_fill: str | None = "") -> No
     if null_fill is not None:
         out = out.na.fill(null_fill)
     out.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str, shards: int | None = None) -> None:
+    """JSONL sink — the interchange format of LLM training-data
+    pipelines (one JSON object per line, gzip-splittable, schema
+    carried per record). Sharded by default (one file per partition);
+    pass ``shards`` to repartition first, e.g. to match a downstream
+    loader's worker count.
+    """
+    out = df.repartition(shards) if shards else df
+    out.write.mode("overwrite").json(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSONL source with production corrupt-record handling: PERMISSIVE
+    mode parks unparseable lines in ``corrupt_col`` (null columns
+    otherwise) instead of failing the job — at 100 TB some lines ARE
+    broken, and a full-job abort on line 3 of shard 48,191 is not an
+    option. Callers split the result:
+
+    ``good = df.filter(col(corrupt_col).isNull()).drop(corrupt_col)``
+    ``bad  = df.filter(col(corrupt_col).isNotNull())``  → quarantine.
+
+    With an explicit ``schema`` the scan also avoids the inference
+    pass (one full read of the data) — always pass one in production.
+    """
+    reader = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    if schema is not None:
+        if isinstance(schema, str):
+            schema = f"{schema}, {corrupt_col} STRING"
+            reader = reader.schema(schema)
+        else:
+            from pyspark.sql.types import StringType, StructField
+
+            reader = reader.schema(
+                StructType([*schema.fields, StructField(corrupt_col, StringType())])
+            )
+    return reader.json(path)

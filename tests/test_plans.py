@@ -94,7 +94,7 @@ def test_bucketed_join_elides_shuffle(spark):
     both sides pre-bucketed into the same bucket count on the join key
     join WITHOUT any Exchange — the repeated fact-shuffle cost becomes
     a one-time write-side cost."""
-    from tcga_query_project_spark.operators import partitioning
+    from tcga_query_project_spark.sources import io
 
     li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
         "l_orderkey", "l_quantity"
@@ -102,8 +102,8 @@ def test_bucketed_join_elides_shuffle(spark):
     orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
         "o_orderkey", "o_totalprice"
     )
-    partitioning.write_bucketed(li, "bt_lineitem", "l_orderkey", 8, "l_orderkey")
-    partitioning.write_bucketed(orders, "bt_orders", "o_orderkey", 8, "o_orderkey")
+    io.write_bucketed(li, "bt_lineitem", ["l_orderkey"], 8, ["l_orderkey"])
+    io.write_bucketed(orders, "bt_orders", ["o_orderkey"], 8, ["o_orderkey"])
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         # force the join strategy that can exploit bucketing (broadcast
