@@ -238,3 +238,46 @@ def logrank_test(
         chi2.alias("chi2"),
         normal_sf_two_sided(F.sqrt(chi2)).alias("p_value"),
     )
+
+
+def median_split_threshold(
+    df: DataFrame,
+    value: str,
+    out: str = "stratum",
+    exact: bool = True,
+    rsd_target: float = 0.001,
+) -> DataFrame:
+    """Scale-path median split — the billion-row alternative to
+    ``ntile(2)`` over an unpartitioned window (:func:`ntile_strata`
+    with no partition columns collapses to one task).
+
+    Two fully-parallel passes: (1) one aggregation computes the median
+    (exact interpolated ``percentile``, or ``percentile_approx`` with
+    ~``rsd_target`` relative error when an exact sort-based quantile is
+    unaffordable); (2) a broadcast join labels each row
+    LOW (value <= median) / HIGH. No global window anywhere.
+
+    Divergence from ``ntile(2)``, by construction: rows TIED at the
+    median all land in LOW, whereas ntile splits ties by the tiebreak
+    order to equalize bucket sizes. On tie-free values the two agree
+    exactly (tested); the reference's semantics
+    (surv_analysis_median_exp.R:137) don't specify tie placement, so
+    pick per deployment: oracle-pinned queries keep ntile, 100 TB
+    cohorts use this.
+    """
+    med_expr = (
+        F.percentile(F.col(value), F.lit(0.5))
+        if exact
+        else F.percentile_approx(
+            F.col(value), F.lit(0.5), F.lit(int(1.0 / rsd_target))
+        )
+    )
+    med = df.select(med_expr.alias("_median"))
+    return (
+        df.join(F.broadcast(med))
+        .withColumn(
+            out,
+            F.when(F.col(value) <= F.col("_median"), "LOW").otherwise("HIGH"),
+        )
+        .drop("_median")
+    )

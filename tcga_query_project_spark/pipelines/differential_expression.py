@@ -96,11 +96,12 @@ def differential_expression(
     de = glm.nb_glm_wald(
         fact, "gene_id", "cond", "count", sf, "barcode", level_a, level_b
     )
-    adjusted = stats.bh_adjust(
-        de.filter(F.col("pvalue").isNotNull()),
-        "pvalue",
-        [],
-        F.col("gene").asc(),
+    # distinct-p BH form: value-identical to the row-window formulation
+    # (equivalence-tested in test_properties) but with no global
+    # single-partition window — at 60k genes either works; at billions
+    # of tests only this one does.
+    adjusted = stats.bh_adjust_distinct(
+        de.filter(F.col("pvalue").isNotNull()), "pvalue"
     )
     missing = de.filter(F.col("pvalue").isNull()).withColumn(
         "padj", F.lit(None).cast("double")

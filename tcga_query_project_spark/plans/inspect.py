@@ -81,9 +81,17 @@ def scale_lint(df: DataFrame) -> list[str]:
         findings.append(
             "CartesianProduct — neither side broadcast; quadratic shuffle at scale"
         )
-    if re.search(r"Exchange SinglePartition(?!.*rollup)", plan) and re.search(
-        r"Window\b", plan
-    ):
+    # formatted mode prints the exchange's partitioning in the operator
+    # detail footer ("Arguments: SinglePartition, ..."), NOT inline as
+    # "Exchange SinglePartition" — check the simple-mode text too, which
+    # does inline it (a round-1 lint checked only the formatted text and
+    # was blind to every global window).
+    simple = formatted_plan(df, mode="simple")
+    has_single = (
+        "Exchange SinglePartition" in simple
+        or "Arguments: SinglePartition" in plan
+    )
+    if has_single and re.search(r"Window\b", plan):
         findings.append(
             "window over Exchange SinglePartition — a global (unpartitioned) "
             "window collapses to one task at scale"

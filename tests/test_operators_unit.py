@@ -483,3 +483,31 @@ def test_winnow_fingerprints_shared_substring_guarantee(spark):
     short = spark.createDataFrame([(9, "abcdef")], "doc_id long, text string")
     row = tx.winnow_fingerprints(short, "doc_id", "text", k, w).collect()[0]
     assert row["n_fingerprints"] == 1
+
+
+def test_median_split_threshold_matches_ntile_when_tie_free(spark):
+    """The scale-path median split (aggregate + broadcast label, no
+    global window) agrees with ntile(2) exactly on tie-free values —
+    odd and even counts."""
+    from tcga_query_project_spark.operators import survival as sv
+
+    for n in (10, 11):
+        df = spark.createDataFrame(
+            [(i, float(i * 7 % 97)) for i in range(n)], "id int, v double"
+        )
+        via_ntile = {
+            r["id"]: r["stratum"]
+            for r in sv.ntile_strata(df, "v", 2, [], F.col("id").asc()).collect()
+        }
+        via_threshold = {
+            r["id"]: r["stratum"]
+            for r in sv.median_split_threshold(df, "v").collect()
+        }
+        assert via_ntile == via_threshold, n
+    # ties at the median: all tied rows land LOW (documented divergence)
+    tied = spark.createDataFrame(
+        [(1, 1.0), (2, 5.0), (3, 5.0), (4, 9.0)], "id int, v double"
+    )
+    labs = {r["id"]: r["stratum"]
+            for r in sv.median_split_threshold(tied, "v").collect()}
+    assert labs == {1: "LOW", 2: "LOW", 3: "LOW", 4: "HIGH"}

@@ -75,15 +75,33 @@ def test_events_scan_prunes_props(spark):
         assert all("props" not in s for s in plans.read_schemas(df)), name
 
 
+# Single-partition windows tolerated ONLY over provably-reduced inputs
+# (the lint sees the plan shape, not cardinality). Each entry names the
+# reduction that bounds the window's input and the true 100 TB path.
+GLOBAL_WINDOW_ALLOWED = {
+    # ntile(2) over the per-user cohort AGGREGATE (one row per user,
+    # orders below raw events); oracle pins ntile tie semantics. The
+    # billion-user path is survival.median_split_threshold (aggregate +
+    # broadcast label, equivalence-tested).
+    "w2_km_curve",
+    "w3_w4_survival_tests",
+    # BH cummin over DISTINCT p values (stats.bh_adjust_distinct), not
+    # over test rows — the window input is the p-value cardinality.
+    "tcga_de_pipeline",
+}
+
+
 def test_catalog_queries_pass_scale_lint(spark):
     """No catalog query may plan a row-at-a-time Python UDF, an
-    unbroadcast cartesian product, or a single-partition global window —
-    enforced over the ENTIRE registry, so a new query with a
-    scale-hostile plan fails CI on arrival."""
+    unbroadcast cartesian product, or a (non-allowlisted)
+    single-partition global window — enforced over the ENTIRE registry,
+    so a new query with a scale-hostile plan fails CI on arrival."""
     flagged = {}
     for name, spec in sorted(REGISTRY.items()):
         df = spec.build(spark, SF_SMALL)
         findings = plans.scale_lint(df)
+        if name in GLOBAL_WINDOW_ALLOWED:
+            findings = [f for f in findings if "SinglePartition" not in f]
         if findings:
             flagged[name] = findings
     assert not flagged, flagged
@@ -144,3 +162,12 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # pruning is real: only the matching partition's rows come back
     expected = ev.filter(F.col("event_type") == "click").count()
     assert back.count() == expected
+
+
+def test_registry_within_driver_cap():
+    """The correctness driver checks at most 48 queries (alphabetical
+    prefix) — a 49th entry would silently go unverified."""
+    assert len(REGISTRY) <= 48, (
+        f"{len(REGISTRY)} queries registered; driver caps correctness at 48 — "
+        "merge into a suite query instead of adding a new entry"
+    )
