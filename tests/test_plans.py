@@ -62,8 +62,9 @@ def test_range_join_is_broadcast_nested_loop(spark):
 def test_single_shuffle_window_queries(spark):
     # one hash exchange each: the window/group key, nothing else
     # w7_w8 runs two window specs (user_id + event_type) → two exchanges
+    # tj_asof: the union-tag design's whole point is ONE shuffle
     for name, max_ex in (("w6_rolling_range", 1), ("cdc_latest_snapshot", 1),
-                         ("w7_w8_window_suite", 2)):
+                         ("w7_w8_window_suite", 2), ("tj_asof_join", 1)):
         df = _run(spark, name)
         assert plans.count_exchanges(df) <= max_ex, name
 

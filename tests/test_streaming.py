@@ -280,3 +280,69 @@ def test_rollup_hierarchy_equals_direct_tumbling(spark):
     # (hash-portability convention), so allow <=5e-5 per contributing
     # minute of drift vs the direct hourly sum
     assert (rolled["total_value"] - direct["total_value"]).abs().max() < 0.01
+
+
+def test_corpus_clean_stream_equals_batch_features(spark, tmp_path_factory):
+    """Streaming corpus prep over a stream carrying every document
+    TWICE must emit exactly the batch pipeline's output once — the
+    watermark dedup collapses the duplicates, the fused features and
+    filters are stateless and identical to batch.
+
+    The base corpus is pre-deduped by content key with a deterministic
+    keeper (min doc_id): content-duplicates in the raw table carry
+    *different raw text* under the same normalized key, so keeper
+    choice (first-arrival in a stream vs min-id in batch) legitimately
+    changes feature rows — the documented batch/stream divergence. With
+    a unique-key base, doubling the stream makes every duplicate group
+    byte-identical and the comparison exact."""
+    from pyspark.sql.window import Window
+
+    from tcga_query_project_spark.operators.dedup import normalized_text
+    from tcga_query_project_spark.streaming import pipeline as sp
+
+    raw = spark.read.parquet(f"{SF}/documents.parquet")
+    w = Window.partitionBy("_key").orderBy(F.col("doc_id").asc())
+    base = (
+        raw.withColumn("_key", normalized_text(F.col("text")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_key", "_rn")
+        # base offset keeps every synthetic event time safely above the
+        # initial (epoch-0) watermark — a ts AT the watermark is late
+        .withColumn(
+            "ingest_ts",
+            F.timestamp_micros((F.col("doc_id") + 1_000_000) * 1_000_000),
+        )
+    )
+    doubled = base.unionAll(base)
+    path = str(tmp_path_factory.mktemp("docs_stream"))
+    doubled.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(doubled.schema).parquet(path)
+
+    out = sp.corpus_clean_stream(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_corpus")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    feature_cols = [
+        "doc_id", "first_token", "n_tokens", "n_tokens_bpe", "n_types",
+        "ttr", "mean_token_len", "stopword_ratio", "quality_score",
+        "pred_lang",
+    ]
+    streamed = sorted(
+        tuple(r[c] for c in feature_cols)
+        for r in spark.sql("SELECT * FROM t_corpus").collect()
+    )
+    # same operator, batch scope, un-doubled input — the contract is
+    # that the doubled stream collapses to exactly this
+    batch_out = sorted(
+        tuple(r[c] for c in feature_cols)
+        for r in sp.corpus_clean_stream(base, ts_col="ingest_ts").collect()
+    )
+    assert streamed == batch_out
+    assert len(streamed) > 0
