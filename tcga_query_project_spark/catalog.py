@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from tcga_query_project_spark.functions.scalar import (
+    HASH_SPLIT_BUCKET_SQL,
     SIGNIF_BIN_SQL,
     signif_bin,
     utc_us,
@@ -1691,7 +1692,10 @@ def tx_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN len(list_filter(dtoks, t -> t IN ('le','la','et'))) > 0 THEN 'fr'
                   WHEN len(list_filter(dtoks, t -> t IN ('der','und','die'))) > 0 THEN 'de'
                   WHEN len(list_filter(dtoks, t -> t IN ('el','los','y'))) > 0 THEN 'es'
-                  ELSE 'und' END AS pred_lang
+                  ELSE 'und' END AS pred_lang,
+             CASE WHEN {HASH_SPLIT_BUCKET_SQL.format(key="doc_id")} < 90 THEN 'train'
+                  WHEN {HASH_SPLIT_BUCKET_SQL.format(key="doc_id")} < 95 THEN 'val'
+                  ELSE 'test' END AS split
       FROM m
     )
     SELECT * FROM f WHERE quality_score >= 0.4 AND pred_lang = 'en'

@@ -86,3 +86,39 @@ def epoch_us(ts: Column) -> Column:
     """Timestamp → epoch microseconds (BIGINT), timezone-independent.
     DuckDB mirror: ``epoch_us(ts)``."""
     return F.unix_micros(ts)
+
+
+#: DuckDB mirror of :func:`hash_split_bucket` (catalog determinism
+#: conventions): same md5-prefix integer, same modulus.
+HASH_SPLIT_BUCKET_SQL = (
+    "CAST(('0x' || substring(md5(CAST({key} AS VARCHAR)), 1, 8))::BIGINT"
+    " % 100 AS BIGINT)"
+)
+
+
+def hash_split_bucket(key: Column) -> Column:
+    """Deterministic 0-99 bucket from a row key — the train/val/test
+    split primitive of a training-data pipeline: stable across runs,
+    engines, partitionings, and data order (a ``rand()`` split is none
+    of those), so downstream epochs always see the same membership.
+    Portable md5-prefix construction (identical in DuckDB, see
+    ``HASH_SPLIT_BUCKET_SQL``); assign splits as e.g.
+    ``bucket < 90 → train, < 95 → val, else test``.
+    """
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+
+
+def split_label(
+    key: Column, train_pct: int = 90, val_pct: int = 5
+) -> Column:
+    """train/val/test label from :func:`hash_split_bucket`."""
+    b = hash_split_bucket(key)
+    return (
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+    )

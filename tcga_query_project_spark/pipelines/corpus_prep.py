@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from tcga_query_project_spark.functions.scalar import split_label
 from tcga_query_project_spark.operators.dedup import normalized_text
 from tcga_query_project_spark.operators.partitioning import fan_out
 from tcga_query_project_spark.operators.text import LANG_MARKERS, STOPWORDS, tokens
@@ -72,6 +73,9 @@ def corpus_clean(
         F.round(ttr, 6).alias("ttr"),
         quality.alias("quality_score"),
         pred.alias("pred_lang"),
+        # deterministic hash split (stable across runs/engines/order) —
+        # the downstream trainer's train/val/test membership
+        split_label(F.col(id_col)).alias("split"),
     )
     return feats.filter(
         (F.col("quality_score") >= min_quality) & F.col("pred_lang").isin(*langs)

@@ -511,3 +511,36 @@ def test_median_split_threshold_matches_ntile_when_tie_free(spark):
     labs = {r["id"]: r["stratum"]
             for r in sv.median_split_threshold(tied, "v").collect()}
     assert labs == {1: "LOW", 2: "LOW", 3: "LOW", 4: "HIGH"}
+
+
+def test_hash_split_bucket_engine_parity_and_proportions(spark):
+    """The train/val/test hash split must be bit-identical in DuckDB
+    (same md5-prefix construction) and roughly proportional."""
+    import duckdb
+
+    from tcga_query_project_spark.functions.scalar import (
+        HASH_SPLIT_BUCKET_SQL,
+        hash_split_bucket,
+        split_label,
+    )
+
+    df = spark.range(0, 2000).select(
+        F.col("id"),
+        hash_split_bucket(F.col("id")).alias("b"),
+        split_label(F.col("id")).alias("s"),
+    )
+    rows = df.collect()
+    sp = {r["id"]: r["b"] for r in rows}
+    du = dict(
+        duckdb.connect().execute(
+            "SELECT id, "
+            + HASH_SPLIT_BUCKET_SQL.format(key="id")
+            + " AS b FROM range(0, 2000) t(id)"
+        ).fetchall()
+    )
+    assert sp == du
+    counts = {}
+    for r in rows:
+        counts[r["s"]] = counts.get(r["s"], 0) + 1
+    assert 0.85 < counts["train"] / 2000 < 0.95
+    assert counts["val"] + counts["test"] == 2000 - counts["train"]
