@@ -1056,7 +1056,13 @@ def _survival_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS survival,
            CASE WHEN hit_zero = 1 THEN NULL
                 ELSE ROUND(EXP(logsum) * EXP(logsum) * gw_sum, 6)
-           END AS greenwood_var
+           END AS greenwood_var,
+           CASE WHEN hit_zero = 1 THEN NULL
+                ELSE ROUND(EXP(logsum) * EXP(-1.959963984540054 * SQRT(gw_sum)), 6)
+           END AS ci_lower,
+           CASE WHEN hit_zero = 1 THEN NULL
+                ELSE ROUND(LEAST(1.0, EXP(logsum) * EXP(1.959963984540054 * SQRT(gw_sum))), 6)
+           END AS ci_upper
     FROM km3
     """,
     tags=("W2", "W5", "F5", "F6"),
@@ -1077,6 +1083,8 @@ def w2_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_censored",
         F.round("survival", 6).alias("survival"),
         F.round("greenwood_var", 6).alias("greenwood_var"),
+        F.round("ci_lower", 6).alias("ci_lower"),
+        F.round("ci_upper", 6).alias("ci_upper"),
     )
 
 

@@ -108,18 +108,37 @@ def km_curve(
             ),
         )
         .withColumn(
+            "_gw_sum",
+            F.sum(
+                F.when(
+                    (F.col("_d") > 0) & (F.col("_n") > F.col("_d")),
+                    F.col("_d") / (F.col("_n") * (F.col("_n") - F.col("_d"))),
+                ).otherwise(0.0)
+            ).over(w_cum),
+        )
+        .withColumn(
             "greenwood_var",
             F.when(F.col("survival") <= 0, F.lit(None).cast("double")).otherwise(
-                F.col("survival")
-                * F.col("survival")
-                * F.sum(
-                    F.when(
-                        (F.col("_d") > 0) & (F.col("_n") > F.col("_d")),
-                        F.col("_d") / (F.col("_n") * (F.col("_n") - F.col("_d"))),
-                    ).otherwise(0.0)
-                ).over(w_cum)
+                F.col("survival") * F.col("survival") * F.col("_gw_sum")
             ),
         )
+    )
+    # 95% CI, conf.type="log" (R survfit default): se(log S)^2 is the
+    # cumulative Greenwood sum itself, CI = S * exp(±z * se(log S)),
+    # upper clamped to 1; undefined once the curve hits 0.
+    z95 = 1.959963984540054
+    se_log = F.sqrt(F.col("_gw_sum"))
+    alive = F.col("survival") > 0
+    surv = surv.withColumn(
+        "ci_lower",
+        F.when(alive, F.col("survival") * F.exp(-z95 * se_log)).otherwise(
+            F.lit(None).cast("double")
+        ),
+    ).withColumn(
+        "ci_upper",
+        F.when(
+            alive, F.least(F.lit(1.0), F.col("survival") * F.exp(z95 * se_log))
+        ).otherwise(F.lit(None).cast("double")),
     )
     return surv.select(
         *strata_cols,
@@ -129,6 +148,8 @@ def km_curve(
         F.col("_c").cast("long").alias("n_censored"),
         F.col("survival"),
         F.col("greenwood_var"),
+        F.col("ci_lower"),
+        F.col("ci_upper"),
     )
 
 

@@ -544,3 +544,26 @@ def test_hash_split_bucket_engine_parity_and_proportions(spark):
         counts[r["s"]] = counts.get(r["s"], 0) + 1
     assert 0.85 < counts["train"] / 2000 < 0.95
     assert counts["val"] + counts["test"] == 2000 - counts["train"]
+
+
+def test_km_log_ci_hand_worked(spark):
+    """95% log-transform CI (survfit conf.type='log' default):
+    CI = S * exp(±1.96 * sqrt(cumulative Greenwood sum))."""
+    rows = [(1.0, 1), (2.0, 1), (2.0, 0), (3.0, 1), (4.0, 0), (5.0, 1)]
+    df = spark.createDataFrame(rows, "time double, status int").withColumn(
+        "g", F.lit("all")
+    )
+    km = {
+        r["time"]: r
+        for r in survival.km_curve(df, "time", "status", ["g"]).collect()
+    }
+    z = 1.959963984540054
+    # t=1: S=5/6, gw_sum = 1/(6*5) = 1/30
+    s, gw = 5 / 6, 1 / 30
+    assert abs(km[1.0]["ci_lower"] - s * math.exp(-z * math.sqrt(gw))) < 1e-12
+    assert abs(km[1.0]["ci_upper"] - min(1.0, s * math.exp(z * math.sqrt(gw)))) < 1e-12
+    # t=2: S=2/3, gw_sum = 1/30 + 1/(5*4) = 1/30 + 1/20
+    s, gw = 2 / 3, 1 / 30 + 1 / 20
+    assert abs(km[2.0]["ci_lower"] - s * math.exp(-z * math.sqrt(gw))) < 1e-12
+    # curve at 0 → CI undefined
+    assert km[5.0]["ci_lower"] is None and km[5.0]["ci_upper"] is None
