@@ -1989,17 +1989,17 @@ def w7_w8_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Six-table join (TPC-H Q5 shape): revenue by nation where customer
-    and supplier share the nation. The fact table (lineitem) is pinned
-    as the stream side of every join — every dimension
-    (supplier/customer/nation/region) carries an explicit broadcast
-    hint, so the planner can never pick the fact as a build side (left
-    fully declarative, Catalyst's size estimate happily broadcast a
-    600k-row lineitem under the local threshold — precisely the plan
-    that dies at 100 TB). The only unhinted edge is lineitem⋈orders:
-    AQE broadcasts orders while it fits and degrades to the one
-    shuffle join on l_orderkey at scale. The
-    ``c_nationkey = s_nationkey`` second condition rides the customer
-    join, not a separate theta-join."""
+    and supplier share the nation. The fact table (lineitem) is the
+    LEFT/stream side of every join: with the original
+    ``(customer⋈orders)⋈lineitem`` order Catalyst happily made the
+    600k-row lineitem the broadcast build side under the local
+    threshold — precisely the plan that dies at 100 TB. With lineitem
+    leftmost, size-based planning builds the smaller right side at
+    every edge (broadcast while supplier/customer/orders fit their
+    thresholds, shuffle join once they don't — they scale with SF, so
+    no force-broadcast hints on them; only the bounded nation/region
+    dims are hinted). The ``c_nationkey = s_nationkey`` second
+    condition rides the customer join, not a separate theta-join."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -2007,10 +2007,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = F.broadcast(_t(spark, sf_dir, "nation"))
     region = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(cust),
+            cust,
             (orders.o_custkey == cust.c_custkey)
             & (supp.s_nationkey == cust.c_nationkey),
         )

@@ -148,38 +148,25 @@ def resize_images(
         reps = -(-target // len(payload))  # ceil
         return (payload * reps)[:target]
 
-    out_schema = StructType(
-        [
-            StructField("media_id", LongType()),
-            StructField("kind", StringType()),
-            StructField("payload", BinaryType()),
-            StructField("width", IntegerType()),
-            StructField("height", IntegerType()),
-        ]
-    )
-
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            out = pdf.copy()
             is_img = pdf["kind"] == "image"
-            new_payload = [
+            out["payload"] = [
                 _resize_one(p, width, height) if img else p
                 for p, img in zip(pdf["payload"], is_img)
             ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "payload": new_payload,
-                    "width": np.where(is_img, width, pdf["width"]).astype("object"),
-                    "height": np.where(is_img, height, pdf["height"]).astype(
-                        "object"
-                    ),
-                }
+            out["width"] = np.where(is_img, width, pdf["width"]).astype("object")
+            out["height"] = np.where(is_img, height, pdf["height"]).astype(
+                "object"
             )
+            yield out
 
-    return media.select(
-        "media_id", "kind", "payload", "width", "height"
-    ).mapInPandas(fn, out_schema)
+    # full MEDIA_SCHEMA in and out: non-image rows (and the audio/video
+    # metadata columns mime/sample_rate/duration_s) pass through intact
+    return media.select([f.name for f in MEDIA_SCHEMA.fields]).mapInPandas(
+        fn, MEDIA_SCHEMA
+    )
 
 
 def frame_sample_plan(

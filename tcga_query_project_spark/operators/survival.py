@@ -284,7 +284,9 @@ def median_split_threshold(
     exactly (tested); the reference's semantics
     (surv_analysis_median_exp.R:137) don't specify tie placement, so
     pick per deployment: oracle-pinned queries keep ntile, 100 TB
-    cohorts use this.
+    cohorts use this. NULL values land in LOW — matching ntile's
+    nulls-first ascending order (tile 1), so a null-valued subject's
+    stratum does not flip when swapping implementations.
     """
     med_expr = (
         F.percentile(F.col(value), F.lit(0.5))
@@ -298,7 +300,10 @@ def median_split_threshold(
         df.join(F.broadcast(med))
         .withColumn(
             out,
-            F.when(F.col(value) <= F.col("_median"), "LOW").otherwise("HIGH"),
+            F.when(
+                F.col(value).isNull() | (F.col(value) <= F.col("_median")),
+                "LOW",
+            ).otherwise("HIGH"),
         )
         .drop("_median")
     )

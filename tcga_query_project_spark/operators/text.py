@@ -194,12 +194,22 @@ def winnow_fingerprints(
     """
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     base = df.select(F.col(id_col), norm.alias("_norm"))
+    # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not an
+    # empty array (same trap dedup.shingle_array guards), so documents
+    # shorter than k need an explicit empty branch — without it every
+    # empty/short doc would hash a partial k-gram and spuriously share
+    # fingerprints.
     grams = base.select(
         F.col(id_col),
-        F.expr(
-            f"transform(sequence(1, greatest(length(_norm) - {k - 1}, 0)),"
-            f" i -> xxhash64(substring(_norm, i, {k})))"
-        ).alias("_h"),
+        F.when(
+            F.length("_norm") >= k,
+            F.expr(
+                f"transform(sequence(1, length(_norm) - {k - 1}),"
+                f" i -> xxhash64(substring(_norm, i, {k})))"
+            ),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("_h"),
     )
     fps = F.when(
         F.size("_h") >= w,

@@ -83,17 +83,26 @@ def scale_lint(df: DataFrame) -> list[str]:
         )
     # formatted mode prints the exchange's partitioning in the operator
     # detail footer ("Arguments: SinglePartition, ..."), NOT inline as
-    # "Exchange SinglePartition" — check the simple-mode text too, which
-    # does inline it (a round-1 lint checked only the formatted text and
-    # was blind to every global window).
+    # "Exchange SinglePartition" — so this check reads the simple-mode
+    # tree (a round-1 lint checked only the formatted text and was
+    # blind to every global window). Flag only a Window whose subtree
+    # REACHES a SinglePartition exchange before any other exchange —
+    # mere co-occurrence (partitioned window + unrelated global
+    # aggregate) is fine.
     simple = formatted_plan(df, mode="simple")
-    has_single = (
-        "Exchange SinglePartition" in simple
-        or "Arguments: SinglePartition" in plan
-    )
-    if has_single and re.search(r"Window\b", plan):
-        findings.append(
-            "window over Exchange SinglePartition — a global (unpartitioned) "
-            "window collapses to one task at scale"
-        )
+    lines = simple.splitlines()
+    for i, line in enumerate(lines):
+        if not re.search(r"\bWindow\b", line):
+            continue
+        for nxt in lines[i + 1 : i + 4]:  # Window → (Sort) → Exchange
+            if "Exchange SinglePartition" in nxt:
+                findings.append(
+                    "window over Exchange SinglePartition — a global "
+                    "(unpartitioned) window collapses to one task at scale"
+                )
+                break
+            if "Exchange" in nxt:
+                break
+        if findings and findings[-1].startswith("window over"):
+            break
     return findings

@@ -151,6 +151,9 @@ def read_jsonl(
     broken, and a full-job abort on line 3 of shard 48,191 is not an
     option. Callers split the result:
 
+    ``df = df.cache()``  (required before touching the corrupt column:
+    Spark forbids queries whose only referenced columns are the
+    internal corrupt-record column — cache/materialize first)
     ``good = df.filter(col(corrupt_col).isNull()).drop(corrupt_col)``
     ``bad  = df.filter(col(corrupt_col).isNotNull())``  → quarantine.
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tcga_query_project_spark.functions.scalar import split_label
 from tcga_query_project_spark.operators.dedup import normalized_text
 from tcga_query_project_spark.operators.text import doc_metrics
 from tcga_query_project_spark.streaming.dedup import exact_dedup_stream
@@ -45,7 +46,12 @@ def corpus_clean_stream(
     """
     keyed = docs.withColumn("_key", normalized_text(F.col(text_col)))
     deduped = exact_dedup_stream(keyed, ["_key"], ts_col, delay)
-    feats = doc_metrics(deduped, id_col, text_col)
+    feats = doc_metrics(deduped, id_col, text_col).withColumn(
+        # same deterministic train/val/test membership as the batch
+        # pipeline (hash of the id — stream/batch schema parity)
+        "split",
+        split_label(F.col(id_col)),
+    )
     return feats.filter(
         (F.col("quality_score") >= min_quality)
         & F.col("pred_lang").isin(*langs)
