@@ -129,3 +129,55 @@ def test_exact_u_null_distribution_invariants(n1, n2):
     counts = _u_null_counts(n1, n2)
     assert counts.sum() == math.comb(n1 + n2, n1)
     assert (counts == counts[::-1]).all()
+
+
+texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("ab c")),
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(docs=texts)
+@settings(**SETTINGS)
+def test_winnow_fingerprints_properties(spark, docs):
+    """Winnowing invariants on arbitrary text: deterministic; identical
+    normalized text → identical fingerprint set; docs shorter than k
+    (after whitespace normalization) → empty set."""
+    from tcga_query_project_spark.operators import text as tx
+
+    k, w = 5, 4
+    rows = [(i, t) for i, t in enumerate(docs)] + [
+        (len(docs) + i, t) for i, t in enumerate(docs)  # duplicate block
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (tuple(sorted(r["fingerprints"])), r["n_fingerprints"])
+        for r in tx.winnow_fingerprints(df, "doc_id", "text", k, w).collect()
+    }
+    for i, t in enumerate(docs):
+        # duplicate rows agree exactly
+        assert out[i] == out[len(docs) + i]
+        norm = " ".join(t.split()).lower()
+        if len(norm) < k:
+            assert out[i][1] == 0, (t, out[i])
+        else:
+            assert out[i][1] >= 1
+
+
+@given(ids=st.lists(st.integers(min_value=0, max_value=10**9),
+                    min_size=1, max_size=50, unique=True))
+@settings(**SETTINGS)
+def test_hash_split_deterministic_and_total(spark, ids):
+    """Every key gets exactly one split label, stable across calls."""
+    from tcga_query_project_spark.functions.scalar import split_label
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    one = {r["id"]: r["s"] for r in df.select("id", split_label(F.col("id")).alias("s")).collect()}
+    two = {r["id"]: r["s"] for r in df.select("id", split_label(F.col("id")).alias("s")).collect()}
+    assert one == two
+    assert set(one.values()) <= {"train", "val", "test"}
