@@ -175,3 +175,33 @@ def read_jsonl(
                 StructType([*schema.fields, StructField(corrupt_col, StringType())])
             )
     return reader.json(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    target_file_mb: int = 256,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into files of
+    roughly ``target_file_mb`` each and return the output file count.
+
+    Streaming sinks and per-trigger micro-batches leave thousands of
+    KB-scale files; at 100 TB the scan's task-scheduling and footer
+    overhead then dominates I/O. Sizing uses the dataset's actual
+    on-disk bytes (no row counting), and the rewrite is one
+    repartition — run it as the maintenance job between ingest and
+    query, writing to a new location (atomic swap by path rename at the
+    orchestrator level; never compact in place).
+    """
+    import glob as _glob
+
+    total = sum(
+        os.path.getsize(f)
+        for f in _glob.glob(os.path.join(src, "**", "*.parquet"), recursive=True)
+    )
+    n_files = max(1, int(total / (target_file_mb * 1024 * 1024)) + 1)
+    spark.read.parquet(src).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(dest)
+    return n_files

@@ -94,3 +94,18 @@ def test_jsonl_roundtrip_and_corrupt_record_quarantine(spark, tmp_path):
     assert bad.count() == 1
     assert [r["id"] for r in ok.collect()] == [10]
     mixed.unpersist()
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from tcga_query_project_spark.sources import io
+
+    src = str(tmp_path / "fragmented")
+    dest = str(tmp_path / "compacted")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.mode("overwrite").parquet(src)  # 64 tiny files
+    n = io.compact_parquet(spark, src, dest, target_file_mb=256)
+    assert n == 1  # tiny dataset → one right-sized file
+    import glob
+    files = glob.glob(f"{dest}/*.parquet")
+    assert len(files) == 1
+    assert spark.read.parquet(dest).count() == 10_000
