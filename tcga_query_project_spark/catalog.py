@@ -1679,9 +1679,13 @@ def tx_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     kept AS (SELECT doc_id, text FROM dd WHERE rn = 1),
-    d AS (SELECT doc_id, {_SQL_TOKS_RAW} AS toks FROM kept),
+    d AS (
+      SELECT doc_id, text, {_SQL_TOKS_RAW} AS toks,
+             length(regexp_replace(trim(text), '\\s+', '', 'g')) AS chars
+      FROM kept
+    ),
     m AS (
-      SELECT doc_id, toks, list_distinct(toks) AS dtoks,
+      SELECT doc_id, text, toks, chars, list_distinct(toks) AS dtoks,
              CAST(len(toks) AS DOUBLE) AS n,
              CAST(len(list_filter(toks,
                t -> t IN ('the','a','and','of','to','in','is','it')))
@@ -1690,9 +1694,14 @@ def tx_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     f AS (
       SELECT doc_id,
+             toks[1] AS first_token,
              CAST(n AS BIGINT) AS n_tokens,
-             ROUND(stop / n, 6) AS stopword_ratio,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+                  AS BIGINT) AS n_tokens_bpe,
+             CAST(len(dtoks) AS BIGINT) AS n_types,
              ROUND(CAST(len(dtoks) AS DOUBLE) / n, 6) AS ttr,
+             ROUND(CAST(chars AS DOUBLE) / n, 6) AS mean_token_len,
+             ROUND(stop / n, 6) AS stopword_ratio,
              ROUND(0.4 * (CASE WHEN n >= 10 AND n <= 1000 THEN 1.0 ELSE 0.0 END)
                    + 0.3 * LEAST(stop / n * 4.0, 1.0)
                    + 0.3 * (CAST(len(dtoks) AS DOUBLE) / n), 6) AS quality_score,
@@ -1713,8 +1722,9 @@ def tx_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pp_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star end-to-end corpus prep (pipelines/corpus_prep): exact
     dedup (first-arrival-wins window on normalized content) → ONE fused
-    feature projection (token stats + quality + language ID from a
-    single materialized token array) → quality ≥ 0.4, English only.
+    feature projection (text.doc_metrics — the same code path the
+    streaming pipeline runs, so batch and stream share one schema) →
+    quality ≥ 0.4, English only → deterministic train/val/test split.
     The composed form has exactly one content shuffle; composing the
     standalone operators by join would tokenize 4x and shuffle 3x."""
     from tcga_query_project_spark.pipelines import corpus_prep

@@ -135,6 +135,10 @@ def resize_images(
     plumbing (binary in/out columns through Arrow, metadata rewrite,
     non-image rows passed through untouched) is the real pipeline
     shape. Swapping in PIL changes only ``_resize_one``.
+
+    Contract: the input must carry the full :data:`MEDIA_SCHEMA` column
+    set (payload AND all metadata columns) — the full schema passes
+    through so mixed-modality rows keep mime/sample_rate/duration_s.
     """
 
     def _resize_one(payload: bytes, w: int, h: int) -> bytes:

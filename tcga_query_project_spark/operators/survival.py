@@ -265,7 +265,7 @@ def median_split_threshold(
     df: DataFrame,
     value: str,
     out: str = "stratum",
-    exact: bool = True,
+    exact: bool = False,
     rsd_target: float = 0.001,
 ) -> DataFrame:
     """Scale-path median split — the billion-row alternative to
@@ -273,9 +273,12 @@ def median_split_threshold(
     with no partition columns collapses to one task).
 
     Two fully-parallel passes: (1) one aggregation computes the median
-    (exact interpolated ``percentile``, or ``percentile_approx`` with
-    ~``rsd_target`` relative error when an exact sort-based quantile is
-    unaffordable); (2) a broadcast join labels each row
+    — default ``percentile_approx`` (mergeable sketch, bounded memory,
+    ~``rsd_target`` relative error: the only formulation that is
+    actually parallel at billions of rows); ``exact=True`` switches to
+    the exact interpolated ``percentile``, whose aggregate buffers
+    every value in the final reducer — small-cohort mode ONLY, not the
+    scale path; (2) a broadcast join labels each row
     LOW (value <= median) / HIGH. No global window anywhere.
 
     Divergence from ``ntile(2)``, by construction: rows TIED at the

@@ -21,7 +21,7 @@ from pyspark.sql.window import Window
 from tcga_query_project_spark.functions.scalar import split_label
 from tcga_query_project_spark.operators.dedup import normalized_text
 from tcga_query_project_spark.operators.partitioning import fan_out
-from tcga_query_project_spark.operators.text import LANG_MARKERS, STOPWORDS, tokens
+from tcga_query_project_spark.operators.text import doc_metrics
 
 
 def corpus_clean(
@@ -49,33 +49,16 @@ def corpus_clean(
         .filter(F.col("_rn") == 1)
         .select(id_col, text_col)
     )
-    with_toks = kept.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
-    )
-    toks = F.col("_toks")
-    n = F.size(toks).cast("double")
-    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
-    dtoks = F.array_distinct(toks)
-    ttr = F.size(dtoks).cast("double") / n
-    stop_ratio = stop / n
-    length_ok = F.when((n >= 10) & (n <= 1000), 1.0).otherwise(0.0)
-    quality = F.round(
-        0.4 * length_ok + 0.3 * F.least(stop_ratio * 4.0, F.lit(1.0)) + 0.3 * ttr, 6
-    )
-    pred = F.lit("und")
-    for lang, markers in reversed(LANG_MARKERS):
-        hit = F.size(F.filter(dtoks, lambda t: t.isin(*markers))) > 0
-        pred = F.when(hit, F.lit(lang)).otherwise(pred)
-    feats = with_toks.select(
-        F.col(id_col),
-        n.cast("long").alias("n_tokens"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(ttr, 6).alias("ttr"),
-        quality.alias("quality_score"),
-        pred.alias("pred_lang"),
+    # the fused feature projection is text.doc_metrics — the SAME code
+    # path the streaming pipeline (streaming/pipeline.corpus_clean_stream)
+    # runs, so batch and stream outputs share one schema:
+    # (id, first_token, n_tokens, n_tokens_bpe, n_types, ttr,
+    #  mean_token_len, stopword_ratio, quality_score, pred_lang, split)
+    feats = doc_metrics(kept, id_col, text_col).withColumn(
         # deterministic hash split (stable across runs/engines/order) —
         # the downstream trainer's train/val/test membership
-        split_label(F.col(id_col)).alias("split"),
+        "split",
+        split_label(F.col(id_col)),
     )
     return feats.filter(
         (F.col("quality_score") >= min_quality) & F.col("pred_lang").isin(*langs)

@@ -160,21 +160,30 @@ def read_jsonl(
     With an explicit ``schema`` the scan also avoids the inference
     pass (one full read of the data) — always pass one in production.
     """
-    reader = (
+    from pyspark.sql.types import StringType, StructField
+
+    if schema is None:
+        # inference only adds the corrupt column if it HAPPENS to hit a
+        # bad record — on clean input the documented quarantine recipe
+        # would then crash on an unresolved column. Infer once, strip
+        # any inferred corrupt column, and fall through to the explicit
+        # schema path so the column always exists.
+        inferred = spark.read.json(path).schema
+        schema = StructType(
+            [f for f in inferred.fields if f.name != corrupt_col]
+        )
+    if isinstance(schema, str):
+        full = f"{schema}, {corrupt_col} STRING"
+    else:
+        full = StructType(
+            [*schema.fields, StructField(corrupt_col, StringType())]
+        )
+    return (
         spark.read.option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(full)
+        .json(path)
     )
-    if schema is not None:
-        if isinstance(schema, str):
-            schema = f"{schema}, {corrupt_col} STRING"
-            reader = reader.schema(schema)
-        else:
-            from pyspark.sql.types import StringType, StructField
-
-            reader = reader.schema(
-                StructType([*schema.fields, StructField(corrupt_col, StringType())])
-            )
-    return reader.json(path)
 
 
 def compact_parquet(
@@ -189,18 +198,25 @@ def compact_parquet(
     Streaming sinks and per-trigger micro-batches leave thousands of
     KB-scale files; at 100 TB the scan's task-scheduling and footer
     overhead then dominates I/O. Sizing uses the dataset's actual
-    on-disk bytes (no row counting), and the rewrite is one
-    repartition — run it as the maintenance job between ingest and
-    query, writing to a new location (atomic swap by path rename at the
-    orchestrator level; never compact in place).
+    on-disk bytes via the Hadoop FileSystem API (so s3a://, hdfs://,
+    and local paths all size correctly — an os-level listing would see
+    zero bytes on remote stores and silently funnel everything into one
+    file), and the rewrite is one repartition — run it as the
+    maintenance job between ingest and query, writing to a new location
+    (atomic swap by path rename at the orchestrator level; never
+    compact in place).
     """
-    import glob as _glob
-
-    total = sum(
-        os.path.getsize(f)
-        for f in _glob.glob(os.path.join(src, "**", "*.parquet"), recursive=True)
-    )
-    n_files = max(1, int(total / (target_file_mb * 1024 * 1024)) + 1)
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(src)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    total = 0
+    while it.hasNext():
+        status = it.next()
+        if status.getPath().getName().endswith(".parquet"):
+            total += status.getLen()
+    target_bytes = target_file_mb * 1024 * 1024
+    n_files = max(1, -(-total // target_bytes))  # ceiling division
     spark.read.parquet(src).repartition(n_files).write.mode(
         "overwrite"
     ).parquet(dest)

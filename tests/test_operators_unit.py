@@ -499,17 +499,27 @@ def test_median_split_threshold_matches_ntile_when_tie_free(spark):
             r["id"]: r["stratum"]
             for r in sv.ntile_strata(df, "v", 2, [], F.col("id").asc()).collect()
         }
+        # exact=True (small-cohort mode): interpolated median reproduces
+        # ntile(2) membership exactly on tie-free values
         via_threshold = {
             r["id"]: r["stratum"]
-            for r in sv.median_split_threshold(df, "v").collect()
+            for r in sv.median_split_threshold(df, "v", exact=True).collect()
         }
         assert via_ntile == via_threshold, n
+        # default (approx, the actual scale path): a valid value-ordered
+        # 2-partition — every LOW value <= every HIGH value, both sides
+        # within one of ntile's balance
+        approx = sv.median_split_threshold(df, "v").collect()
+        lows = [r["v"] for r in approx if r["stratum"] == "LOW"]
+        highs = [r["v"] for r in approx if r["stratum"] == "HIGH"]
+        assert lows and highs and max(lows) <= min(highs)
+        assert abs(len(lows) - len(highs)) <= 2
     # ties at the median: all tied rows land LOW (documented divergence)
     tied = spark.createDataFrame(
         [(1, 1.0), (2, 5.0), (3, 5.0), (4, 9.0)], "id int, v double"
     )
     labs = {r["id"]: r["stratum"]
-            for r in sv.median_split_threshold(tied, "v").collect()}
+            for r in sv.median_split_threshold(tied, "v", exact=True).collect()}
     assert labs == {1: "LOW", 2: "LOW", 3: "LOW", 4: "HIGH"}
 
 
