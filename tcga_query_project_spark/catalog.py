@@ -638,7 +638,12 @@ def p2_rename_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            substring(c_name, 1, 12) AS short_name,
            regexp_replace(c_name, '#', '_', 'g') AS uscore_name,
            CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS bal_flag,
-           ROUND(CAST(c_acctbal AS DOUBLE) / 1000.0, 6) AS bal_k
+           ROUND(CAST(c_acctbal AS DOUBLE) / 1000.0, 6) AS bal_k,
+           lpad(c_mktsegment, 12, '*') AS seg_pad,
+           rpad(c_mktsegment, 12, '-') AS seg_rpad,
+           translate(c_name, '#0', '_O') AS name_tr,
+           CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT) AS seg_lev,
+           reverse(c_mktsegment) AS seg_rev
     FROM customer
     """,
     tags=("P1", "F1", "F2", "F3", "F4", "F5", "F8"),
@@ -666,6 +671,11 @@ def f_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("c_name", "#", "_").alias("uscore_name"),
         F.when(F.col("c_acctbal") < 0, "neg").otherwise("pos").alias("bal_flag"),
         F.round(F.col("c_acctbal").cast("double") / 1000.0, 6).alias("bal_k"),
+        F.lpad("c_mktsegment", 12, "*").alias("seg_pad"),
+        F.rpad("c_mktsegment", 12, "-").alias("seg_rpad"),
+        F.translate("c_name", "#0", "_O").alias("name_tr"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).cast("long").alias("seg_lev"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
     )
 
 
@@ -2068,17 +2078,25 @@ def sk_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(VAR_SAMP(value), 4) AS var_value,
            ROUND(CORR(value, CAST(epoch_us(ts) // 1000000 AS DOUBLE)), 6)
              AS corr_value_time,
-           ROUND(quantile_cont(value, 0.5), 6) AS median_value
+           ROUND(quantile_cont(value, 0.5), 6) AS median_value,
+           ROUND(skewness(value) * (COUNT(*) - 2)
+                 / SQRT(CAST(COUNT(*) * (COUNT(*) - 1) AS DOUBLE)), 6)
+             AS skew_value,
+           ROUND(kurtosis_pop(value), 6) AS kurt_value
     FROM events GROUP BY event_type
     """,
     tags=("A11", "moments"),
 )
 def a11_group_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Second-moment aggregate suite per group: sample stddev/variance,
-    Pearson correlation against time, and the exact interpolated median
+    """Moment aggregate suite per group: sample stddev/variance, Pearson
+    correlation against time, the exact interpolated median
     (``percentile`` — a single-pass sort-based exact quantile, vs the
     sketch-based ``percentile_approx`` used where 100 TB inputs make
-    exactness unaffordable). All JVM-side built-ins."""
+    exactness unaffordable), and third/fourth standardized moments.
+    All JVM-side built-ins. Bias conventions differ per engine: Spark's
+    skewness/kurtosis are the population (g1) and excess-population
+    forms, so the oracle de-biases DuckDB's sample skewness
+    (``G1 * (n-2)/sqrt(n(n-1)) = g1``) and uses ``kurtosis_pop``."""
     ev = _t(spark, sf_dir, "events")
     ts_s = F.expr("unix_micros(ts) DIV 1000000").cast("double")
     return ev.groupBy("event_type").agg(
@@ -2087,6 +2105,8 @@ def a11_group_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("value"), 4).alias("var_value"),
         F.round(F.corr(F.col("value"), ts_s), 6).alias("corr_value_time"),
         F.round(F.percentile("value", 0.5), 6).alias("median_value"),
+        F.round(F.skewness("value"), 6).alias("skew_value"),
+        F.round(F.kurtosis("value"), 6).alias("kurt_value"),
     )
 
 
