@@ -1591,11 +1591,15 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id,
              SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS sq,
              SUM(CAST(v AS DOUBLE)) AS tot,
+             MIN(CAST(v AS DOUBLE)) AS mn,
+             MAX(CAST(v AS DOUBLE)) AS mx,
              CAST(COUNT(*) AS BIGINT) AS dim
       FROM x GROUP BY vec_id
     )
     SELECT vec_id, dim, ROUND(SQRT(sq), 6) AS l2_norm,
-           ROUND(tot / CAST(dim AS DOUBLE), 6) AS mean_val
+           ROUND(tot / CAST(dim AS DOUBLE), 6) AS mean_val,
+           ROUND(mn, 6) AS min_val, ROUND(mx, 6) AS max_val,
+           ROUND(SQRT(sq / CAST(dim AS DOUBLE)), 6) AS rms
     FROM s
     """,
     tags=("multimodal-array",),
@@ -1922,7 +1926,10 @@ def tj_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id,
            ROUND(SUM(value) OVER w, 4) AS roll_sum,
-           CAST(COUNT(*) OVER w AS BIGINT) AS roll_n
+           CAST(COUNT(*) OVER w AS BIGINT) AS roll_n,
+           ROUND(AVG(value) OVER w, 6) AS roll_avg,
+           MIN(value) OVER w AS roll_min,
+           MAX(value) OVER w AS roll_max
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
                  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
@@ -1945,6 +1952,9 @@ def w6_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.sum("value").over(w), 4).alias("roll_sum"),
         F.count(F.lit(1)).over(w).cast("long").alias("roll_n"),
+        F.round(F.avg("value").over(w), 6).alias("roll_avg"),
+        F.min("value").over(w).alias("roll_min"),
+        F.max("value").over(w).alias("roll_max"),
     )
 
 

@@ -45,18 +45,22 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def array_stats(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """Typed-array column profile: dimensionality, L2 norm, mean
-    component. The multimodal-metadata pattern: opaque payload + cheap
-    per-row derived features, all expression-level."""
+    """Typed-array column profile: dimensionality, L2 norm, mean /
+    min / max component, RMS. The multimodal-metadata pattern: opaque
+    payload + cheap per-row derived features, all expression-level."""
     v = F.col(vec_col)
     total = F.aggregate(
         F.transform(v, lambda x: x.cast("double")), F.lit(0.0), lambda acc, x: acc + x
     )
+    dim_d = F.size(v).cast("double")
     return df.select(
         F.col(id_col),
         F.size(v).cast("long").alias("dim"),
         F.round(_norm(v), 6).alias("l2_norm"),
-        F.round(total / F.size(v).cast("double"), 6).alias("mean_val"),
+        F.round(total / dim_d, 6).alias("mean_val"),
+        F.round(F.array_min(v).cast("double"), 6).alias("min_val"),
+        F.round(F.array_max(v).cast("double"), 6).alias("max_val"),
+        F.round(_norm(v) / F.sqrt(dim_d), 6).alias("rms"),
     )
 
 
