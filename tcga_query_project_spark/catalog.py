@@ -1211,6 +1211,7 @@ def w3_w4_survival_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT 'session' AS kind, user_id, epoch_us(MIN(ts)) AS start_us,
+             epoch_us(MAX(ts)) + 86400000000 AS end_us,
              CAST(COUNT(*) AS BIGINT) AS n_events,
              ROUND(SUM(value), 4) AS total_value
       FROM i GROUP BY user_id, island
@@ -1223,6 +1224,7 @@ def w3_w4_survival_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     slid AS (
       SELECT 'sliding' AS kind, CAST(NULL AS BIGINT) AS user_id,
              epoch_us(ws) AS start_us,
+             epoch_us(ws) + 7200000000 AS end_us,
              CAST(COUNT(*) AS BIGINT) AS n_events,
              ROUND(SUM(value), 4) AS total_value
       FROM sw GROUP BY ws
@@ -1254,6 +1256,7 @@ def st_session_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("session").alias("kind"),
         "user_id",
         F.col("session_start_us").alias("start_us"),
+        F.col("session_end_us").alias("end_us"),
         "n_events",
         "total_value",
     )
@@ -1263,6 +1266,7 @@ def st_session_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("sliding").alias("kind"),
         F.lit(None).cast("long").alias("user_id"),
         F.col("window_start_us").alias("start_us"),
+        (F.col("window_start_us") + F.lit(7_200_000_000)).alias("end_us"),
         "n_events",
         "total_value",
     )

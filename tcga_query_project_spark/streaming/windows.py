@@ -80,5 +80,8 @@ def session_agg(
         w.groupBy(F.session_window(F.col(ts_col), gap).alias("_w"), *keys)
         .agg(*aggs)
         .withColumn("session_start_us", F.unix_micros(F.col("_w.start")))
+        # session_window.end = last event time + gap (Spark semantics;
+        # the batch oracle mirrors it as MAX(ts) + gap)
+        .withColumn("session_end_us", F.unix_micros(F.col("_w.end")))
         .drop("_w")
     )
