@@ -200,6 +200,58 @@ def frame_sample_plan(
     )
 
 
+FRAME_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_ts", DoubleType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def decode_frames(
+    plan: DataFrame, media: DataFrame, dim: int = 16
+) -> DataFrame:
+    """Second pass of the video path: decode exactly the frames that
+    :func:`frame_sample_plan` planned, one feature vector per
+    (media_id, frame_ts).
+
+    The plan (tiny: ids + timestamps) joins back to the payload table
+    so each Python task sees one Arrow batch of (payload, frame_ts)
+    pairs — payload bytes cross into Python once per planned frame
+    group, never for unplanned frames. STUB decode: a real pipeline
+    seeks the container to ``frame_ts`` and decodes; here the frame
+    "pixels" are a deterministic function of (payload, frame_ts) — the
+    byte histogram of a ts-dependent rotation of the payload — so tests
+    pin exact values while the join→mapInPandas dataflow is the real
+    shape.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload, ts in zip(pdf["payload"], pdf["frame_ts"]):
+                if _HAVE_CODECS:  # pragma: no cover
+                    raise NotImplementedError(
+                        "real codec path not implemented; seek+decode here"
+                    )
+                off = int(ts) % max(len(payload), 1)
+                rotated = payload[off:] + payload[:off]
+                feats.append(_decode_features(rotated, "video", dim))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_ts": pdf["frame_ts"],
+                    "feature": feats,
+                }
+            )
+
+    joined = plan.join(
+        media.select("media_id", "payload"), "media_id"
+    ).select("media_id", "frame_ts", "payload")
+    return joined.mapInPandas(fn, FRAME_FEATURES_SCHEMA)
+
+
 def metadata_profile(media: DataFrame) -> DataFrame:
     """Metadata-only profile — proves payload pruning: aggregates read
     just the typed metadata columns, so the parquet scan never touches

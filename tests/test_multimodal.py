@@ -83,3 +83,19 @@ def test_resize_images_rewrites_payload_and_metadata(spark, media):
     assert out[3]["width"] is None
     assert out[4]["payload"] == b"\xff" * 128
     assert (out[4]["width"], out[4]["height"]) == (320, 240)
+
+
+def test_decode_frames_covers_plan_exactly(spark, media):
+    plan = multimodal.frame_sample_plan(media, every_s=1.0)
+    out = multimodal.decode_frames(plan, media, dim=16).collect()
+    # one feature row per planned frame, nothing else
+    planned = {(r["media_id"], r["frame_ts"]) for r in plan.collect()}
+    got = {(r["media_id"], r["frame_ts"]) for r in out}
+    assert got == planned and len(out) == len(planned)
+    # deterministic, fixed-dim, and ts-dependent (rotation changes the
+    # histogram only when the payload isn't constant; media 4 is 0xff*128
+    # so its frames agree — assert dim + determinism instead)
+    for r in out:
+        assert len(r["feature"]) == 16
+    again = multimodal.decode_frames(plan, media, dim=16).collect()
+    assert sorted(map(str, out)) == sorted(map(str, again))
