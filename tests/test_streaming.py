@@ -346,3 +346,59 @@ def test_corpus_clean_stream_equals_batch_features(spark, tmp_path_factory):
     )
     assert streamed == batch_out
     assert len(streamed) > 0
+
+
+def test_continuous_aggregate_stream_rollup_equals_batch(spark, tmp_path_factory):
+    """The streaming continuous-aggregate (incremental minute partials
+    via foreachBatch) rolled up to hours must equal the batch hourly
+    aggregation over raw events — the hypertable pattern's correctness
+    contract, across the stream/batch boundary."""
+    base = tmp_path_factory.mktemp("contagg")
+    src = str(base / "src")
+    batch = read_events(spark, SF)
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("value").alias("sv"),
+    ]
+    q = sw.continuous_aggregate(
+        stream, "ts", ["event_type"], aggs,
+        minute_path=str(base / "minutes"),
+        checkpoint_path=str(base / "ckpt"),
+        watermark="1 minute",
+    )
+    q.awaitTermination(120)
+    hourly = sw.rollup_minutes(spark, str(base / "minutes"), ["event_type"])
+    # append-mode contract: a window emits only once the watermark
+    # passes its END — the stream's final minute window(s) stay open and
+    # are correctly withheld. Mirror that exactly: batch minute partials
+    # restricted to emitted windows (end <= max(ts) - watermark), then
+    # rolled up.
+    wm_us = (
+        batch.agg(F.max(F.unix_micros("ts"))).collect()[0][0] - 60_000_000
+    )
+    batch_minutes = sw.tumbling_agg(
+        batch, "ts", "1 minute", ["event_type"], aggs
+    ).filter(F.col("window_start_us") + 60_000_000 <= wm_us)
+    direct = (
+        batch_minutes.groupBy(
+            (
+                F.col("window_start_us")
+                - F.col("window_start_us") % F.lit(3_600_000_000)
+            ).alias("window_start_us"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.round(F.sum("sv"), 4).alias("total_value"),
+        )
+    )
+    cols = ["window_start_us", "event_type", "n_events", "total_value"]
+    got = _sorted_rows(hourly.select(*cols), cols)
+    want = _sorted_rows(direct, cols)
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        assert abs(g[3] - w[3]) < 1e-6, (g, w)
