@@ -63,7 +63,7 @@ def test_session_stream_equals_batch(spark, events_stream):
     s_df = sw.session_agg(stream, "ts", "1 day", ["user_id"], aggs,
                           watermark="1 minute")
     s = _run_stream(spark, s_df, "t_session")
-    cols = ["user_id", "session_start_us", "n_events"]
+    cols = ["user_id", "session_start_us", "session_end_us", "n_events"]
     assert _sorted_rows(s, cols) == _sorted_rows(b, cols)
 
 
