@@ -262,3 +262,221 @@ def nb_glm_wald_pairs(
     return prepared.groupBy("gene", "pair").applyInPandas(
         _fit_one_gene_pair, PAIR_RESULT_SCHEMA
     )
+
+
+# --- A6 v2: dispersion shrinkage (DESeq2's empirical-Bayes recipe) -------
+
+SHRUNK_RESULT_SCHEMA = StructType(
+    [
+        *RESULT_SCHEMA.fields,
+        StructField("dispersion_mom", DoubleType()),
+        StructField("dispersion_map", DoubleType()),
+    ]
+)
+
+_LGAMMA = np.frompyfunc(__import__("math").lgamma, 1, 1)
+
+
+def _nb_loglik_cr(y: np.ndarray, x: np.ndarray, offset: np.ndarray, alpha: float) -> float:
+    """Cox-Reid-adjusted NB2 profile log-likelihood at dispersion
+    ``alpha`` (beta profiled out by IRLS). -inf when the fit
+    degenerates. The CR term ``-0.5 log det(X'WX)`` is DESeq2's
+    adjustment removing the bias from estimating beta."""
+    fit = _fit_nb_irls(y, x, offset, alpha=alpha)
+    if fit is None:
+        return -np.inf
+    beta, _ = fit
+    mu = np.exp(np.clip(x @ beta + offset, -30.0, 30.0))
+    if alpha <= 1e-12:
+        ll = float(np.sum(y * np.log(np.maximum(mu, 1e-300)) - mu
+                          - _LGAMMA(y + 1.0).astype(np.float64)))
+    else:
+        k = 1.0 / alpha
+        ll = float(
+            np.sum(
+                _LGAMMA(y + k).astype(np.float64)
+                - _LGAMMA(np.full_like(y, k)).astype(np.float64)
+                - _LGAMMA(y + 1.0).astype(np.float64)
+                + k * np.log(k / (k + mu))
+                + y * np.log(np.maximum(mu, 1e-300) / (k + mu))
+            )
+        )
+    w = mu / (1.0 + alpha * mu)
+    sign, logdet = np.linalg.slogdet((x.T * w) @ x)
+    if sign <= 0:
+        return -np.inf
+    return ll - 0.5 * float(logdet)
+
+
+def _map_dispersion(
+    y: np.ndarray,
+    x: np.ndarray,
+    offset: np.ndarray,
+    alpha_trend: float,
+    prior_sigma2: float = 0.25,
+    lo: float = 1e-8,
+    hi: float = 10.0,
+    iters: int = 40,
+) -> float:
+    """Posterior mode of the dispersion: golden-section maximization of
+    ``CR-loglik(alpha) + logNormal(log alpha; log alpha_trend, sigma2)``
+    over log alpha — DESeq2's dispersion MAP (log-normal prior centered
+    at the fitted trend; default prior variance 0.25 mirrors DESeq2's
+    floor on dispPriorVar)."""
+    la_t = np.log(max(alpha_trend, lo))
+
+    def obj(la: float) -> float:
+        return _nb_loglik_cr(y, x, offset, float(np.exp(la))) - (
+            (la - la_t) ** 2
+        ) / (2.0 * prior_sigma2)
+
+    gr = (np.sqrt(5.0) - 1.0) / 2.0
+    a, b = np.log(lo), np.log(hi)
+    c, d = b - gr * (b - a), a + gr * (b - a)
+    fc, fd = obj(c), obj(d)
+    for _ in range(iters):
+        if fc >= fd:
+            b, d, fd = d, c, fc
+            c = b - gr * (b - a)
+            fc = obj(c)
+        else:
+            a, c, fc = c, d, fd
+            d = a + gr * (b - a)
+            fd = obj(d)
+    return float(np.exp((a + b) / 2.0))
+
+
+def _fit_core_shrunk(
+    y: np.ndarray,
+    grp: np.ndarray,
+    sf: np.ndarray,
+    a0: float,
+    a1: float,
+    prior_sigma2: float,
+) -> dict:
+    """Two-level NB contrast with MAP-shrunk dispersion."""
+    out = _fit_core(y, grp, sf)  # fills stats at MoM dispersion
+    out["dispersion_mom"] = np.nan
+    out["dispersion_map"] = np.nan
+    n_a, n_b = out["n_a"], out["n_b"]
+    if n_a == 0 or n_b == 0 or np.all(y == 0):
+        return out
+    x = np.column_stack([np.ones_like(grp), grp])
+    offset = np.log(sf)
+    fit0 = _fit_nb_irls(y, x, offset, alpha=0.0)
+    if fit0 is None:
+        return out
+    mu0 = np.exp(np.clip(x @ fit0[0] + offset, -30.0, 30.0))
+    alpha_mom = _moment_dispersion(y, mu0)
+    base_q = float(np.mean(y / sf))
+    alpha_trend = max(a0 + (a1 / base_q if base_q > 0 else 0.0), 1e-8)
+    alpha_map = _map_dispersion(y, x, offset, alpha_trend, prior_sigma2)
+    fit = _fit_nb_irls(y, x, offset, alpha=alpha_map)
+    if fit is None:
+        return out
+    beta, se = fit
+    out["dispersion_mom"] = float(alpha_mom)
+    out["dispersion_map"] = float(alpha_map)
+    if se[1] > 0 and np.isfinite(se[1]):
+        wald = beta[1] / se[1]
+        out.update(
+            log2_fold_change=float(beta[1] / _LN2),
+            lfc_se=float(se[1] / _LN2),
+            wald_stat=float(wald),
+            pvalue=float(_normal_sf_two_sided(np.array([wald]))[0]),
+        )
+    return out
+
+
+def nb_glm_wald_shrunk(
+    fact: DataFrame,
+    gene: str,
+    cond: str,
+    value: str,
+    size_factors: DataFrame,
+    sample: str,
+    level_a: str,
+    level_b: str,
+    prior_sigma2: float = 0.25,
+) -> DataFrame:
+    """A6 v2: per-gene NB GLM Wald contrast with DESeq2-style
+    empirical-Bayes dispersion shrinkage (``DESeq()``'s
+    estimateDispersions chain, vital_status_DESeq.R:51) — the
+    documented v1 divergence (no shrinkage) closed to a simplified but
+    principled form:
+
+    1. gene-wise dispersions: SQL aggregates (per-gene moments of
+       size-factor-normalized counts — no Python, one shuffle);
+    2. parametric trend ``alpha(mu) = a0 + a1/mu`` by least squares
+       over genes with positive gene-wise alpha (the same closed form
+       stats.vst_fitted fits; two doubles collected to the driver);
+    3. per-gene MAP dispersion — golden-section maximization of the
+       Cox-Reid-adjusted profile likelihood plus a log-normal prior
+       centered at the trend — then IRLS at alpha_MAP and Wald stats
+       (grouped-map applyInPandas, one shuffle keyed by gene).
+
+    Simplifications vs DESeq2 (documented): fixed prior variance
+    (DESeq2 estimates it from the MAD of residuals, floored at 0.25),
+    no iterative trend re-fit with outlier exclusion, no Cook's
+    distance outlier replacement. Output adds dispersion_mom /
+    dispersion_map so shrinkage is observable.
+
+    Eager contract: phases 1-2 run Spark jobs at call time (like
+    stats.vst_fitted) so the trend coefficients embed as literals in
+    the returned plan.
+    """
+    prepared = (
+        fact.filter(F.col(cond).isin(level_a, level_b))
+        .join(F.broadcast(size_factors), sample)
+        .select(
+            F.col(gene).cast("string").alias("gene"),
+            F.when(F.col(cond) == level_b, F.lit("B")).otherwise("A").alias("cond"),
+            F.col(value).cast("double").alias("count"),
+            F.col("size_factor").cast("double"),
+        )
+    )
+    q = F.col("count") / F.col("size_factor")
+    per_gene = prepared.groupBy("gene").agg(
+        F.avg(q).alias("_mu"),
+        F.var_samp(q).alias("_s2"),
+        F.avg(1.0 / F.col("size_factor")).alias("_xi"),
+    )
+    disp = per_gene.select(
+        F.greatest(
+            (F.col("_s2") - F.col("_mu") * F.col("_xi"))
+            / (F.col("_mu") * F.col("_mu")),
+            F.lit(0.0),
+        ).alias("_alpha"),
+        F.col("_mu"),
+    ).filter((F.col("_mu") > 0) & (F.col("_alpha") > 0))
+    sums = disp.select(
+        (1.0 / F.col("_mu")).alias("_x"), F.col("_alpha").alias("_y")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+    ).first()
+    n, sx, sy, sxy, sxx = (
+        sums["n"], sums["sx"], sums["sy"], sums["sxy"], sums["sxx"]
+    )
+    if n and n * sxx - sx * sx > 0:
+        a1 = max((n * sxy - sx * sy) / (n * sxx - sx * sx), 0.0)
+        a0 = max(sy / n - a1 * sx / n, 1e-8)
+    else:
+        a1, a0 = 0.0, max((sy / n) if n else 0.01, 1e-8)
+
+    def fit_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = _fit_core_shrunk(
+            pdf["count"].to_numpy(dtype=np.float64),
+            (pdf["cond"] == "B").to_numpy(dtype=np.float64),
+            pdf["size_factor"].to_numpy(dtype=np.float64),
+            a0,
+            a1,
+            prior_sigma2,
+        )
+        out["gene"] = pdf["gene"].iloc[0]
+        return pd.DataFrame([out])
+
+    return prepared.groupBy("gene").applyInPandas(fit_one, SHRUNK_RESULT_SCHEMA)

@@ -126,3 +126,69 @@ def test_wilcoxon_exact_ties_fall_back(spark):
     df = spark.createDataFrame(rows, "gene string, lab string, v double")
     out = exact_tests.wilcoxon_exact(df, "gene", "lab", "v", "A", "B").collect()[0]
     assert out["method"] == "normal-approx"
+
+
+def test_dispersion_shrinkage_pulls_outliers_toward_trend(spark):
+    """A6 v2: the MAP dispersion must sit between the gene-wise MoM
+    estimate and the cross-gene trend (shrinkage), pull hardest on the
+    most discrepant gene, and leave planted differential signal
+    detectable."""
+    rng = np.random.default_rng(7)
+    rows = []
+    n_per = 20
+    # 30 well-behaved NB genes (alpha ~ 0.05) + 1 variance outlier
+    for g in range(30):
+        base = 50.0
+        for i in range(n_per):
+            cond = "A" if i < n_per // 2 else "B"
+            lam = rng.gamma(shape=20.0, scale=base / 20.0)  # alpha=0.05
+            rows.append((f"g{g}", f"s{i}", cond, float(rng.poisson(lam))))
+    # outlier gene: huge empirical overdispersion by construction
+    for i in range(n_per):
+        cond = "A" if i < n_per // 2 else "B"
+        val = 5.0 if i % 2 == 0 else 200.0
+        rows.append(("g_outlier", f"s{i}", cond, val))
+    # DE gene: clean 4x fold change
+    for i in range(n_per):
+        cond = "A" if i < n_per // 2 else "B"
+        lam = 40.0 if cond == "A" else 160.0
+        rows.append(("g_de", f"s{i}", cond, float(rng.poisson(lam))))
+    fact = spark.createDataFrame(
+        rows, "gene string, sample string, cond string, cnt double"
+    )
+    sf = spark.createDataFrame(
+        [(f"s{i}", 1.0) for i in range(n_per)], "sample string, size_factor double"
+    )
+    out = {
+        r["gene"]: r
+        for r in glm.nb_glm_wald_shrunk(
+            fact, "gene", "cond", "cnt", sf, "sample", "A", "B"
+        ).collect()
+    }
+    # near-flat prior ≈ the unshrunk CR-MLE — the reference point
+    flat = {
+        r["gene"]: r
+        for r in glm.nb_glm_wald_shrunk(
+            fact, "gene", "cond", "cnt", sf, "sample", "A", "B",
+            prior_sigma2=100.0,
+        ).collect()
+    }
+    o, of = out["g_outlier"], flat["g_outlier"]
+    assert o["dispersion_mom"] > 0.3  # wildly overdispersed gene-wise
+    # the prior pulls log-dispersion toward the (low) trend: the tight
+    # prior's MAP must sit strictly below the flat prior's, and every
+    # estimate stays positive/finite
+    assert 0 < o["dispersion_map"] < of["dispersion_map"]
+    # with 20 informative samples the pull is modest (DESeq2 likewise
+    # lets data dominate at large n) — but it must be a real pull
+    assert of["dispersion_map"] / o["dispersion_map"] > 1.02
+    ok = [
+        out[f"g{g}"]["dispersion_map"]
+        for g in range(30)
+        if out[f"g{g}"]["dispersion_map"] is not None
+        and not np.isnan(out[f"g{g}"]["dispersion_map"])
+    ]
+    assert len(ok) >= 25
+    # planted DE signal survives shrinkage
+    assert out["g_de"]["pvalue"] < 1e-6
+    assert abs(out["g_de"]["log2_fold_change"] - 2.0) < 0.5
