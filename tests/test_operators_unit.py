@@ -577,3 +577,36 @@ def test_km_log_ci_hand_worked(spark):
     assert abs(km[2.0]["ci_lower"] - s * math.exp(-z * math.sqrt(gw))) < 1e-12
     # curve at 0 → CI undefined
     assert km[5.0]["ci_lower"] is None and km[5.0]["ci_upper"] is None
+
+
+def test_logrank_k_group_matches_two_group_and_null(spark):
+    """k-group log-rank: for k=2 the quadratic form reduces to the
+    two-group statistic exactly; identical k=3 groups give chi2 ~ 0 with
+    p ~ 1; separated groups give small p."""
+    rows2 = []
+    for g, times in [("a", [1, 2, 4, 6, 8]), ("b", [3, 5, 7, 9, 11])]:
+        for i, t in enumerate(times):
+            rows2.append((g, float(t), 1 if i % 2 == 0 else 0))
+    df2 = spark.createDataFrame(rows2, "grp string, time double, status int")
+    two = survival.logrank_test(df2, "time", "status", "grp").collect()[0]
+    kform = survival.logrank_test_k(df2, "time", "status", "grp").collect()[0]
+    assert kform["df"] == 1
+    assert abs(kform["chi2"] - two["chi2"]) < 1e-9
+
+    rows3 = []
+    for g in ["a", "b", "c"]:
+        for t, s in [(1.0, 1), (2.0, 1), (3.0, 0), (4.0, 1)]:
+            rows3.append((g, t, s))
+    df3 = spark.createDataFrame(rows3, "grp string, time double, status int")
+    null3 = survival.logrank_test_k(df3, "time", "status", "grp").collect()[0]
+    assert null3["df"] == 2
+    assert abs(null3["chi2"]) < 1e-9
+    assert null3["p_value"] > 0.99
+
+    sep = []
+    for g, base in [("a", 1.0), ("b", 10.0), ("c", 100.0)]:
+        for i in range(8):
+            sep.append((g, base + i * 0.5, 1))
+    dfs = spark.createDataFrame(sep, "grp string, time double, status int")
+    out = survival.logrank_test_k(dfs, "time", "status", "grp").collect()[0]
+    assert out["p_value"] < 1e-4
