@@ -9,11 +9,14 @@ gene group, numpy inside, executors fan the genes out horizontally.
 Everything around it (size factors, BH adjustment, significance bins)
 stays in pure Spark SQL (operators/stats.py).
 
-Scope (documented divergence, SURVEY.md §7 "hard parts" #1): v1 fits
-the NB GLM with a method-of-moments per-gene dispersion (no shrinkage
-across genes, no Cook's distance outlier handling) and unshrunken MLE
-log2 fold changes. Wald statistics follow the same construction as
-DESeq2 (coefficient / standard error from the observed information).
+Scope (SURVEY.md §7 "hard parts" #1): v1 (:func:`nb_glm_wald`) fits
+the NB GLM with a method-of-moments per-gene dispersion; v2
+(:func:`nb_glm_wald_shrunk`) adds DESeq2-style empirical-Bayes
+dispersion shrinkage (gene-wise moments → parametric trend → Cox-Reid
+MAP). Remaining divergences (fixed prior variance, no iterative trend
+refit, no Cook's distance outlier handling) are documented on v2; both
+use unshrunken MLE log2 fold changes and DESeq2's Wald construction
+(coefficient / standard error from the observed information).
 
 Design for 100 TB: the input is the long expression fact table
 partitioned by gene; ``groupBy(gene).applyInPandas`` shuffles once on
