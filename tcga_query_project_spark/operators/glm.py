@@ -174,6 +174,31 @@ def _fit_one_gene(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame([out])
 
 
+def _prepare_contrast(
+    fact: DataFrame,
+    gene: str,
+    cond: str,
+    value: str,
+    size_factors: DataFrame,
+    sample: str,
+    level_a: str,
+    level_b: str,
+) -> DataFrame:
+    """Shared two-level contrast preparation (v1 and v2): filter to the
+    two levels, broadcast-join size factors, normalize column names and
+    relabel the condition to A (reference) / B."""
+    return (
+        fact.filter(F.col(cond).isin(level_a, level_b))
+        .join(F.broadcast(size_factors), sample)
+        .select(
+            F.col(gene).cast("string").alias("gene"),
+            F.when(F.col(cond) == level_b, F.lit("B")).otherwise("A").alias("cond"),
+            F.col(value).cast("double").alias("count"),
+            F.col("size_factor").cast("double"),
+        )
+    )
+
+
 def nb_glm_wald(
     fact: DataFrame,
     gene: str,
@@ -191,15 +216,8 @@ def nb_glm_wald(
     broadcast onto the fact, then one shuffle keyed by gene into
     grouped-map Arrow batches.
     """
-    prepared = (
-        fact.filter(F.col(cond).isin(level_a, level_b))
-        .join(F.broadcast(size_factors), sample)
-        .select(
-            F.col(gene).cast("string").alias("gene"),
-            F.when(F.col(cond) == level_b, F.lit("B")).otherwise("A").alias("cond"),
-            F.col(value).cast("double").alias("count"),
-            F.col("size_factor").cast("double"),
-        )
+    prepared = _prepare_contrast(
+        fact, gene, cond, value, size_factors, sample, level_a, level_b
     )
     return prepared.groupBy("gene").applyInPandas(_fit_one_gene, RESULT_SCHEMA)
 
@@ -357,11 +375,27 @@ def _fit_core_shrunk(
     a1: float,
     prior_sigma2: float,
 ) -> dict:
-    """Two-level NB contrast with MAP-shrunk dispersion."""
-    out = _fit_core(y, grp, sf)  # fills stats at MoM dispersion
-    out["dispersion_mom"] = np.nan
-    out["dispersion_map"] = np.nan
-    n_a, n_b = out["n_a"], out["n_b"]
+    """Two-level NB contrast with MAP-shrunk dispersion.
+
+    Single fit chain (no redundant IRLS passes): Poisson fit for mu-hat
+    → MoM dispersion (reported) → MAP dispersion → final IRLS at
+    alpha_MAP. Contract: ``dispersion_map`` is non-NaN ONLY when the
+    reported statistics were computed at that dispersion; if the MAP
+    refit degenerates the row falls back to the MoM fit and
+    ``dispersion_map`` stays NaN so consumers can tell."""
+    n_a = int(np.sum(grp == 0))
+    n_b = int(np.sum(grp == 1))
+    out = {
+        "base_mean": float(np.mean(y / sf)),
+        "log2_fold_change": np.nan,
+        "lfc_se": np.nan,
+        "wald_stat": np.nan,
+        "pvalue": np.nan,
+        "n_a": n_a,
+        "n_b": n_b,
+        "dispersion_mom": np.nan,
+        "dispersion_map": np.nan,
+    }
     if n_a == 0 or n_b == 0 or np.all(y == 0):
         return out
     x = np.column_stack([np.ones_like(grp), grp])
@@ -371,16 +405,18 @@ def _fit_core_shrunk(
         return out
     mu0 = np.exp(np.clip(x @ fit0[0] + offset, -30.0, 30.0))
     alpha_mom = _moment_dispersion(y, mu0)
+    out["dispersion_mom"] = float(alpha_mom)
     base_q = float(np.mean(y / sf))
     alpha_trend = max(a0 + (a1 / base_q if base_q > 0 else 0.0), 1e-8)
     alpha_map = _map_dispersion(y, x, offset, alpha_trend, prior_sigma2)
-    fit = _fit_nb_irls(y, x, offset, alpha=alpha_map)
-    if fit is None:
-        return out
-    beta, se = fit
-    out["dispersion_mom"] = float(alpha_mom)
-    out["dispersion_map"] = float(alpha_map)
-    if se[1] > 0 and np.isfinite(se[1]):
+
+    def _finish(alpha: float) -> bool:
+        fit = _fit_nb_irls(y, x, offset, alpha=alpha)
+        if fit is None:
+            return False
+        beta, se = fit
+        if se[1] <= 0 or not np.isfinite(se[1]):
+            return False
         wald = beta[1] / se[1]
         out.update(
             log2_fold_change=float(beta[1] / _LN2),
@@ -388,6 +424,12 @@ def _fit_core_shrunk(
             wald_stat=float(wald),
             pvalue=float(_normal_sf_two_sided(np.array([wald]))[0]),
         )
+        return True
+
+    if _finish(alpha_map):
+        out["dispersion_map"] = float(alpha_map)
+    else:
+        _finish(alpha_mom)  # fallback: stats at MoM, dispersion_map NaN
     return out
 
 
@@ -408,8 +450,10 @@ def nb_glm_wald_shrunk(
     documented v1 divergence (no shrinkage) closed to a simplified but
     principled form:
 
-    1. gene-wise dispersions: SQL aggregates (per-gene moments of
-       size-factor-normalized counts — no Python, one shuffle);
+    1. gene-wise dispersions: SQL aggregates of per-(gene, condition)
+       moments of size-factor-normalized counts, combined within-group
+       (design-aware — between-condition fold changes do NOT count as
+       dispersion; no Python, one shuffle);
     2. parametric trend ``alpha(mu) = a0 + a1/mu`` by least squares
        over genes with positive gene-wise alpha (the same closed form
        stats.vst_fitted fits; two doubles collected to the driver);
@@ -428,30 +472,38 @@ def nb_glm_wald_shrunk(
     stats.vst_fitted) so the trend coefficients embed as literals in
     the returned plan.
     """
-    prepared = (
-        fact.filter(F.col(cond).isin(level_a, level_b))
-        .join(F.broadcast(size_factors), sample)
-        .select(
-            F.col(gene).cast("string").alias("gene"),
-            F.when(F.col(cond) == level_b, F.lit("B")).otherwise("A").alias("cond"),
-            F.col(value).cast("double").alias("count"),
-            F.col("size_factor").cast("double"),
-        )
+    prepared = _prepare_contrast(
+        fact, gene, cond, value, size_factors, sample, level_a, level_b
     )
+    # Design-aware gene-wise dispersions for the trend: moments are
+    # computed WITHIN each condition and combined, so a true fold change
+    # between A and B does not masquerade as overdispersion (pooled
+    # var_samp would absorb the between-group term — with many DE genes
+    # that inflates the trend and over-disperses every gene's prior).
     q = F.col("count") / F.col("size_factor")
-    per_gene = prepared.groupBy("gene").agg(
-        F.avg(q).alias("_mu"),
-        F.var_samp(q).alias("_s2"),
-        F.avg(1.0 / F.col("size_factor")).alias("_xi"),
+    per_gc = prepared.groupBy("gene", "cond").agg(
+        F.count(F.lit(1)).cast("double").alias("_n_g"),
+        F.avg(q).alias("_mu_g"),
+        F.var_samp(q).alias("_s2_g"),
+        F.avg(1.0 / F.col("size_factor")).alias("_xi_g"),
+    )
+    wgt = F.when(F.col("_n_g") > 1, F.col("_n_g") - 1.0).otherwise(0.0)
+    per_gene = per_gc.groupBy("gene").agg(
+        F.sum(
+            wgt * (F.coalesce(F.col("_s2_g"), F.lit(0.0))
+                   - F.col("_mu_g") * F.col("_xi_g"))
+        ).alias("_num"),
+        F.sum(wgt * F.col("_mu_g") * F.col("_mu_g")).alias("_den"),
+        (
+            F.sum(F.col("_n_g") * F.col("_mu_g")) / F.sum("_n_g")
+        ).alias("_mu"),
     )
     disp = per_gene.select(
-        F.greatest(
-            (F.col("_s2") - F.col("_mu") * F.col("_xi"))
-            / (F.col("_mu") * F.col("_mu")),
-            F.lit(0.0),
-        ).alias("_alpha"),
+        F.greatest(F.col("_num") / F.col("_den"), F.lit(0.0)).alias("_alpha"),
         F.col("_mu"),
-    ).filter((F.col("_mu") > 0) & (F.col("_alpha") > 0))
+    ).filter(
+        (F.col("_den") > 0) & (F.col("_mu") > 0) & (F.col("_alpha") > 0)
+    )
     sums = disp.select(
         (1.0 / F.col("_mu")).alias("_x"), F.col("_alpha").alias("_y")
     ).agg(

@@ -328,10 +328,18 @@ def logrank_test_k(
     Execution shape: everything per-time is groupBy/window SQL; the
     k-vector and k×k matrix of SUMS (k² + k numbers — bytes, for any
     real k) are collected and the tiny quadratic form is solved with a
-    pseudo-inverse driver-side. P-value via the Wilson-Hilferty χ²
-    normal approximation. **Eager contract**: calling this runs the
-    aggregation jobs immediately (like stats.vst_fitted) and returns a
-    one-row DataFrame (chi2, df, p_value).
+    pseudo-inverse driver-side. P-value: exact χ²(1) tail at df=1
+    (matching :func:`logrank_test` bit-for-bit), Wilson-Hilferty normal
+    approximation for df>1. Degenerate inputs (fewer than two groups,
+    no events, zero total variance) return NULL chi2/p — never a
+    fabricated "not significant". **Eager contract**: calling this runs
+    the aggregation jobs immediately (like stats.vst_fitted; the
+    per-time table is persisted across the two collects so both read
+    one snapshot) and returns a one-row DataFrame (chi2, df, p_value).
+    Known limitation vs :func:`logrank_test`: no ``extra_partition``
+    fan-out — the driver-side solve is per cohort, so a per-gene
+    multi-arm sweep should loop cohorts (or use the two-group form,
+    which vectorizes across genes).
     """
     import math
 
@@ -358,12 +366,14 @@ def logrank_test_k(
         F.sum("_r_g").over(w_tot)
         - F.coalesce(F.sum("_r_g").over(w_prev), F.lit(0.0)),
     )
+    from pyspark import StorageLevel
+
     w_t = Window.partitionBy(time)
     per = (
         at_risk.withColumn("_n", F.sum("_n_g").over(w_t))
         .withColumn("_d", F.sum("_d_g").over(w_t))
         .filter(F.col("_d") > 0)
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # u_g = Σ_t (d_g − d·n_g/n), per group (k rows)
     u_rows = (
         per.groupBy(group)
@@ -407,21 +417,32 @@ def logrank_test_k(
         .agg(F.sum("_v").alias("_v"))
         .collect()
     )
+    per.unpersist(blocking=False)
     labels = [r[group] for r in u_rows]
     idx = {g: i for i, g in enumerate(labels)}
     k = len(labels)
+    spark = df.sparkSession
+    schema = "chi2 double, df long, p_value double"
+    if k < 2:
+        return spark.createDataFrame([(None, max(k - 1, 0), None)], schema)
     u = np.array([r["_u"] for r in u_rows])
     V = np.zeros((k, k))
     for r in v_rows:
         V[idx[r["_g"]], idx[r["_h"]]] = r["_v"]
-    dof = max(k - 1, 1)
+    dof = k - 1
     uu, VV = u[:-1], V[:-1, :-1]
-    chi2 = float(uu @ np.linalg.pinv(VV) @ uu) if k > 1 else 0.0
-    # Wilson-Hilferty: (chi2/df)^(1/3) ~ Normal(1 - 2/(9df), 2/(9df))
-    h = 2.0 / (9.0 * dof)
-    z = ((max(chi2, 0.0) / dof) ** (1.0 / 3.0) - (1.0 - h)) / math.sqrt(h)
-    p = 0.5 * math.erfc(z / math.sqrt(2.0))
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        [(chi2, dof, p)], "chi2 double, df long, p_value double"
-    )
+    # zero total variance (no events / all-tied removals): undefined,
+    # mirror logrank_test's NULL rather than fabricating chi2=0
+    if float(np.abs(VV).sum()) <= 0.0:
+        return spark.createDataFrame([(None, dof, None)], schema)
+    chi2 = float(uu @ np.linalg.pinv(VV) @ uu)
+    if dof == 1:
+        # exact chi2(1) tail = two-sided normal tail of sqrt(chi2) —
+        # identical to logrank_test for two groups
+        p = math.erfc(math.sqrt(max(chi2, 0.0)) / math.sqrt(2.0))
+    else:
+        # Wilson-Hilferty: (chi2/df)^(1/3) ~ N(1 - 2/(9df), 2/(9df))
+        h = 2.0 / (9.0 * dof)
+        z = ((max(chi2, 0.0) / dof) ** (1.0 / 3.0) - (1.0 - h)) / math.sqrt(h)
+        p = 0.5 * math.erfc(z / math.sqrt(2.0))
+    return spark.createDataFrame([(chi2, dof, min(p, 1.0))], schema)

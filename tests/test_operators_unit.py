@@ -592,6 +592,16 @@ def test_logrank_k_group_matches_two_group_and_null(spark):
     kform = survival.logrank_test_k(df2, "time", "status", "grp").collect()[0]
     assert kform["df"] == 1
     assert abs(kform["chi2"] - two["chi2"]) < 1e-9
+    # df=1 uses the exact chi2(1) tail; the 2-group form uses the A&S
+    # polynomial normal tail (abs err ~7.5e-8) — agree to that accuracy
+    assert abs(kform["p_value"] - two["p_value"]) < 1e-6
+
+    # degenerate: a single group is undefined, not "not significant"
+    one = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 2.0, 1)], "grp string, time double, status int"
+    )
+    deg = survival.logrank_test_k(one, "time", "status", "grp").collect()[0]
+    assert deg["chi2"] is None and deg["p_value"] is None
 
     rows3 = []
     for g in ["a", "b", "c"]:
