@@ -40,6 +40,11 @@ def test_km_curve_monotone_in_unit_interval(spark, data):
         assert -1e-12 <= r["survival"] <= 1.0 + 1e-12
         assert r["survival"] <= prev + 1e-12  # non-increasing
         prev = r["survival"]
+        # log-CI band brackets the estimate wherever it is defined
+        if r["ci_lower"] is not None:
+            assert r["ci_lower"] <= r["survival"] + 1e-12
+            assert r["survival"] <= r["ci_upper"] + 1e-12
+            assert r["ci_upper"] <= 1.0 + 1e-12
     # at-risk counts decrease and start at n
     assert rows[0]["n_at_risk"] == len(data)
 
