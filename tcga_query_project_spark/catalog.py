@@ -1534,9 +1534,11 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= 0.35, rounded to
-    4 decimals so the threshold decision is FP-portable). Brute-force
-    all-pairs here; operators/similarity.cosine_topk_lsh is the bucketed
-    scale path with this as its verify stage."""
+    4 decimals so the threshold decision is FP-portable). Exact
+    all-pairs semantics, executed as a distributed blocked matmul
+    (disjoint id-blocks x applyInPandas numpy kernel — nothing on the
+    driver); dedup.embedding_near_dup_bucketed is the sub-quadratic
+    sign-LSH variant for corpora where exactness can be traded."""
     emb = _t(spark, sf_dir, "embeddings")
     return dedup.embedding_near_dup(emb, "vec_id", "embedding", 0.35)
 

@@ -620,3 +620,77 @@ def test_logrank_k_group_matches_two_group_and_null(spark):
     dfs = spark.createDataFrame(sep, "grp string, time double, status int")
     out = survival.logrank_test_k(dfs, "time", "status", "grp").collect()[0]
     assert out["p_value"] < 1e-4
+
+
+def _brute_force_pairs(rows, threshold):
+    """Reference all-pairs cosine in plain numpy (test-local oracle)."""
+    import numpy as np
+
+    ids = [r[0] for r in rows]
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(mat, axis=1)
+    nrm[nrm == 0] = 1.0
+    unit = mat / nrm[:, None]
+    cos = np.round(unit @ unit.T, 4)
+    out = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and cos[i, j] >= threshold:
+                out.add((ids[i], ids[j], cos[i, j]))
+    return out
+
+
+def _neardup_fixture():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(60):
+        rows.append((i, rng.normal(size=16).tolist()))
+    # planted near-identical pairs (tiny perturbation)
+    for i in range(60, 70):
+        base = np.asarray(rows[i - 60][1])
+        rows.append((i, (base + rng.normal(scale=0.01, size=16)).tolist()))
+    rows.append((70, [0.0] * 16))  # zero vector: cosine 0 vs all
+    rows.append((71, [0.0] * 16))  # two zero vectors: cosine 0 pair
+    return rows
+
+
+def test_embedding_near_dup_blocked_equals_brute_force(spark):
+    from tcga_query_project_spark.operators import dedup
+
+    rows = _neardup_fixture()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    expect = _brute_force_pairs(rows, 0.8)
+    assert len(expect) >= 10  # the planted pairs are in play
+    for n_blocks in (1, 3, 8):
+        got = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in dedup.embedding_near_dup(
+                df, "vec_id", "embedding", 0.8, n_blocks=n_blocks
+            ).collect()
+        }
+        assert got == expect, f"n_blocks={n_blocks}"
+
+
+def test_embedding_near_dup_bucketed_subset_with_high_recall(spark):
+    from tcga_query_project_spark.operators import dedup
+
+    rows = _neardup_fixture()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # high threshold: only the planted near-identical pairs qualify
+    expect = _brute_force_pairs(rows, 0.95)
+    assert len(expect) == 10
+    got = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in dedup.embedding_near_dup_bucketed(
+            df, "vec_id", "embedding", 0.95, bits=4, n_tables=4
+        ).collect()
+    }
+    # approximate: never a false positive, and the sign-stable planted
+    # pairs give high recall at 4 tables x 4 bits
+    assert got <= expect
+    assert len(got) >= 8
+    # pairs found in several tables appear once
+    ids = [(a, b) for a, b, _ in got]
+    assert len(ids) == len(set(ids))
