@@ -115,41 +115,27 @@ def shingle_array(
 def minhash_signature_arrays(
     sh_arr: DataFrame, id_col: str, num_hashes: int = 8
 ) -> DataFrame:
-    """Wide MinHash signature computed entirely as array expressions —
-    a NARROW MAP, no explode and no shuffle: each row hashes its
-    shingle array once (md5 → 32-bit int per shingle, materialized in
-    its own projection so the per-seed transforms reference it instead
-    of re-hashing), then takes ``array_min`` under each of the
-    ``num_hashes`` linear permutations.
+    """Wide MinHash signature from per-document shingle ARRAYS; output
+    values identical to :func:`minhash_signature` (same hash family).
 
-    This is the 100 TB-preferred form of :func:`minhash_signature`: the
-    exploded formulation shuffles one row per (doc, shingle) into a
-    grouped min; here signature computation rides the scan and the
-    first shuffle in the whole near-dup pipeline is the LSH band join.
-    Empty shingle arrays are excluded (see :func:`shingle_array`).
-    Output values are identical to :func:`minhash_signature`.
+    Physical strategy: explode the array and run the N per-seed mins as
+    ONE codegen'd hash aggregation. A previous revision computed the
+    mins as array ``transform``/``array_min`` expressions to avoid the
+    shuffle entirely, but Spark evaluates higher-order-function lambdas
+    interpreted (outside whole-stage codegen) — measured ~4x slower at
+    sf0.1 than the exploded aggregate, whose md5 + permutation
+    arithmetic all stay inside generated JVM code and whose shuffle
+    carries only map-side partial mins (N longs per doc per input
+    partition). That trade holds at cluster scale: the agg shuffle is
+    tiny and CPU is the binding cost either way.
+
+    Documents with empty shingle arrays yield no rows (explode of an
+    empty array), matching the previous explicit filter.
     """
-    hashed = sh_arr.filter(F.size("shingles") > 0).select(
-        F.col(id_col),
-        F.col("shingles"),
-        F.transform(
-            F.col("shingles"),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
-        ).alias("_hv"),
+    exploded = sh_arr.select(
+        F.col(id_col), F.explode(F.col("shingles")).alias("shingle")
     )
-    return hashed.select(
-        F.col(id_col),
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("_hv"),
-                    lambda v: ((2 * i + 1) * v + F.lit(i * 1000003).cast("long"))
-                    % F.lit(MINHASH_PRIME),
-                )
-            ).alias(f"_mh{i}")
-            for i in range(1, num_hashes + 1)
-        ],
-    )
+    return minhash_signature(exploded, id_col, num_hashes)
 
 
 def jaccard_pairs_arrays(
