@@ -57,8 +57,15 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        # parquet micros with isAdjustedToUTC=false infer as NTZ; the
+        # engine's timestamp convention is TIMESTAMP_LTZ with a UTC
+        # session zone, so the cast is wall-clock-preserving and keeps
+        # unix_micros()/window() applicable.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
