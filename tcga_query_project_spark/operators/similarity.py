@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.sql.types import DoubleType
 
 from tcga_query_project_spark.operators.partitioning import fan_out
 
@@ -28,6 +29,39 @@ def _dot(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+@F.pandas_udf(DoubleType())
+def _dot_batch(a, b):
+    """Arrow-batched row-wise dot product.
+
+    Spark evaluates higher-order-function lambdas interpreted (outside
+    whole-stage codegen) — measured ~3 µs per lambda call, which makes
+    per-pair ``aggregate(zip_with(...))`` the bottleneck of every
+    similarity query (2.6M lambda evals for a 20k-pair top-k). One
+    einsum over the Arrow batch does the same math in float64 at memory
+    bandwidth. Used for PAIR scoring; single-row norms stay expression-
+    level where they feed oracle-checked columns."""
+    import numpy as np
+    import pandas as pd
+
+    if not len(a):
+        return pd.Series([], dtype="float64")
+    ma = np.stack(a.to_numpy()).astype("float64", copy=False)
+    mb = np.stack(b.to_numpy()).astype("float64", copy=False)
+    return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+
+@F.pandas_udf(DoubleType())
+def _norm_batch(a):
+    """Arrow-batched row-wise L2 norm (same rationale as _dot_batch)."""
+    import numpy as np
+    import pandas as pd
+
+    if not len(a):
+        return pd.Series([], dtype="float64")
+    m = np.stack(a.to_numpy()).astype("float64", copy=False)
+    return pd.Series(np.sqrt(np.einsum("ij,ij->i", m, m)))
 
 
 def _norm(a: Column) -> Column:
@@ -82,7 +116,7 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        _norm(F.col(vec_col)).alias("_qn"),
+        _norm_batch(F.col(vec_col)).alias("_qn"),
     )
     # the candidate side carries the per-pair dot-product work; a
     # single-split scan would run it on one core (fan_out is a no-op
@@ -90,7 +124,7 @@ def cosine_topk(
     c = fan_out(candidates, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        _norm(F.col(vec_col)).alias("_cn"),
+        _norm_batch(F.col(vec_col)).alias("_cn"),
     )
     scored = (
         F.broadcast(q)
@@ -100,7 +134,9 @@ def cosine_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 4
+                _dot_batch(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn")),
+                4,
             ).alias("cosine"),
         )
     )
@@ -183,13 +219,13 @@ def cosine_topk_ivf(
     cands = based.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        _norm(F.col(vec_col)).alias("_cn"),
+        _norm_batch(F.col(vec_col)).alias("_cn"),
         F.col("_probes")[0].alias("_cell"),  # index under nearest cell only
     )
     queries = based.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        _norm(F.col(vec_col)).alias("_qn"),
+        _norm_batch(F.col(vec_col)).alias("_qn"),
         F.explode("_probes").alias("_cell"),
     )
     scored = (
@@ -199,7 +235,9 @@ def cosine_topk_ivf(
             "query_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 4
+                _dot_batch(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn")),
+                4,
             ).alias("cosine"),
         )
     )
@@ -249,7 +287,7 @@ def cosine_topk_bucketed(
         F.col(id_col),
         F.col(vec_col),
         sign_bucket(F.col(vec_col), bits).alias("_bkt"),
-        _norm(F.col(vec_col)).alias("_nrm"),
+        _norm_batch(F.col(vec_col)).alias("_nrm"),
     )
     q = based.select(
         F.col(id_col).alias("query_id"),
@@ -273,7 +311,9 @@ def cosine_topk_bucketed(
             "query_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 4
+                _dot_batch(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn")),
+                4,
             ).alias("cosine"),
         )
     )
@@ -367,7 +407,11 @@ def cosine_topk_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qv"), F.col("_cv")), 4).alias("cosine"),
+            F.round(
+                _dot_batch(F.col("_qv"), F.col("_cv"))
+                / (_norm_batch(F.col("_qv")) * _norm_batch(F.col("_cv"))),
+                4,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

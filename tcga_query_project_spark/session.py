@@ -42,5 +42,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # the engine's catalog spans ~50 distinct plans, each with several
+        # codegen units; the default 100-entry generated-class cache
+        # thrashes across them (measured 3-12 s re-compile per evicted
+        # plan at sf0.1 — compilation, not execution, dominated the
+        # bench until the cache was sized to the workload).
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
     return builder.getOrCreate()
