@@ -21,6 +21,27 @@ def tokens(text: Column) -> Column:
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
 
+
+def stopword_count(text: Column) -> Column:
+    """Occurrences of whole-token stopwords (duplicates counted), as ONE
+    codegen'd regex pass instead of a per-token lambda.
+
+    Spark's higher-order functions (``filter``/``transform``) evaluate
+    their lambdas interpreted — ~3 µs per token — so counting stopwords
+    via ``size(filter(tokens, isin))`` costs per *token*, not per
+    document. Equivalent formulation: pad the whitespace-normalized text
+    with spaces and count `` (stopword)(?= )`` matches — a token equals
+    a stopword iff the space-delimited run equals it, so the count is
+    identical to the lambda filter's (alternation backtracks past
+    prefix matches like 'a' in 'and'; lookahead keeps adjacent matches
+    from consuming each other's delimiter).
+    """
+    padded = F.concat(
+        F.lit(" "), F.regexp_replace(F.trim(text), r"\s+", " "), F.lit(" ")
+    )
+    pattern = " (" + "|".join(STOPWORDS) + ")(?= )"
+    return F.regexp_count(padded, F.lit(pattern))
+
 #: BPE-ish pre-tokenizer: alphanumeric runs OR single punctuation marks —
 #: the split a subword tokenizer sees before merges. ASCII classes only,
 #: so Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte.
@@ -66,9 +87,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     toks = tokens(F.col(text_col))
     n = F.size(toks).cast("double")
-    stop = F.size(
-        F.filter(toks, lambda t: t.isin(*STOPWORDS))
-    ).cast("double")
+    stop = stopword_count(F.col(text_col)).cast("double")
     ttr = F.size(F.array_distinct(toks)).cast("double") / n
     stop_ratio = stop / n
     length_ok = F.when((n >= 10) & (n <= 1000), 1.0).otherwise(0.0)
@@ -101,7 +120,10 @@ def langid_heuristic(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = F.array_distinct(tokens(F.col(text_col)))
     pred = F.lit("und")
     for lang, markers in reversed(LANG_MARKERS):
-        hit = F.size(F.filter(toks, lambda t: t.isin(*markers))) > 0
+        # arrays_overlap is a native codegen'd collection function —
+        # same boolean as size(filter(toks, isin(markers))) > 0 without
+        # the interpreted per-token lambda.
+        hit = F.arrays_overlap(toks, F.array(*[F.lit(m) for m in markers]))
         pred = F.when(hit, F.lit(lang)).otherwise(pred)
     return df.select(F.col(id_col), pred.alias("pred_lang"))
 
@@ -122,7 +144,7 @@ def doc_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n = F.size(toks).cast("double")
     n_types = F.size(dtoks).cast("double")
     total_chars = F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", ""))
-    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+    stop = stopword_count(F.col(text_col)).cast("double")
     ttr = n_types / n
     stop_ratio = stop / n
     length_ok = F.when((n >= 10) & (n <= 1000), 1.0).otherwise(0.0)
@@ -131,7 +153,7 @@ def doc_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     pred = F.lit("und")
     for lang, markers in reversed(LANG_MARKERS):
-        hit = F.size(F.filter(dtoks, lambda t: t.isin(*markers))) > 0
+        hit = F.arrays_overlap(dtoks, F.array(*[F.lit(m) for m in markers]))
         pred = F.when(hit, F.lit(lang)).otherwise(pred)
     return toks_df.select(
         F.col(id_col),
