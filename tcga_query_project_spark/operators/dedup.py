@@ -31,9 +31,15 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     distinct content with the keeper id (min id) and duplicate count.
     Equivalent semantics to ``dropDuplicates`` but keeps the lineage
     (which ids collapsed), which a training-data pipeline needs.
+
+    Groups on the md5 of the normalized content so the shuffle carries
+    and compares a fixed 32-char key, not full documents (collision
+    probability ~2^-64 — the standard exact-dedup key at corpus scale).
     """
     return (
-        df.select(F.col(id_col), normalized_text(F.col(text_col)).alias("_key"))
+        df.select(
+            F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("_key")
+        )
         .groupBy("_key")
         .agg(
             F.min(id_col).alias("keep_id"),

@@ -41,10 +41,20 @@ def corpus_clean(
     tokenizer re-runs per element); (3) declarative quality/language
     filters, which Catalyst pushes against the feature projection.
     """
+    # The dedup key is the md5 of the normalized content, not the
+    # content itself: the shuffle then partitions/sorts on a fixed
+    # 32-char key instead of arbitrary-length documents (at corpus
+    # scale, comparing full texts in the sort dominates; a 128-bit
+    # digest collides with probability ~2^-64 — the standard exact-dedup
+    # key). Grouping is identical to grouping by the text.
     w = Window.partitionBy("_key").orderBy(F.col(id_col).asc())
     kept = (
         fan_out(docs, id_col)
-        .select(F.col(id_col), F.col(text_col), normalized_text(F.col(text_col)).alias("_key"))
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.md5(normalized_text(F.col(text_col))).alias("_key"),
+        )
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(id_col, text_col)

@@ -44,7 +44,10 @@ def corpus_clean_stream(
     batch DataFrame too (dedup degrades to whole-input dropDuplicates),
     preserving the engine's batch/stream symmetry contract.
     """
-    keyed = docs.withColumn("_key", normalized_text(F.col(text_col)))
+    # md5 of the normalized content as the dedup key: the dedup state
+    # store then holds a 32-char digest per document instead of the full
+    # text (same keying as the batch pipeline; collisions ~2^-64).
+    keyed = docs.withColumn("_key", F.md5(normalized_text(F.col(text_col))))
     deduped = exact_dedup_stream(keyed, ["_key"], ts_col, delay)
     feats = doc_metrics(deduped, id_col, text_col).withColumn(
         # same deterministic train/val/test membership as the batch
