@@ -114,6 +114,14 @@ def main() -> None:
             continue
         best = None
         for _ in range(2):
+            # several operators persist shared subtrees as part of their
+            # design; Spark's CacheManager matches those by logical plan
+            # across queries, so without clearing, later queries time
+            # against earlier queries' caches (and accumulated blocks
+            # skew GC). Clearing per rep makes every measurement a full
+            # self-contained execution, including populating its own
+            # cache.
+            spark.catalog.clearCache()
             df = spec.build(spark, SF_DIR)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()

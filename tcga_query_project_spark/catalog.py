@@ -1173,8 +1173,18 @@ def w3_w4_survival_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     carrying its median and the (global) test statistic, exactly the
     annotation set a KM plot needs. Median thresholding happens on the
     6-decimal-rounded survival so the boundary decision is FP-portable;
-    the scalar test result joins on via a literal-sized cross join."""
-    subj = _survival_subjects(spark, sf_dir)
+    the scalar test result joins on via a literal-sized cross join.
+
+    The subject table feeds two branches (KM/median and log-rank);
+    persisting it computes the events aggregation + stratification once
+    instead of per branch — the same role a parquet checkpoint plays at
+    cluster scale (a DAG edge reused by two actions re-executes
+    otherwise)."""
+    from pyspark import StorageLevel
+
+    subj = _survival_subjects(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     km = survival.km_curve(subj, "time_s", "status", ["stratum"]).withColumn(
         "survival", F.round("survival", 6)
     )

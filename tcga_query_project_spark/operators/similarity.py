@@ -213,9 +213,13 @@ def cosine_topk_ivf(
     probes = F.transform(
         F.slice(F.array_sort(cell_scores), 1, n_probe), lambda s: s["i"]
     )
+    from pyspark import StorageLevel
+
+    # the probe-assignment subtree feeds both the candidate and query
+    # branches; persist so the centroid scoring runs once per row.
     based = fan_out(df.select(F.col(id_col), F.col(vec_col)), id_col).withColumn(
         "_probes", probes
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cands = based.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
@@ -283,12 +287,18 @@ def cosine_topk_bucketed(
     bucket id), broadcast the query side per bucket; the per-bucket
     top-k never sees other buckets' rows.
     """
+    from pyspark import StorageLevel
+
+    # both the query and candidate branches read this subtree; persist
+    # so the bucket assignment + norm stage runs once, not per branch
+    # (the in-memory cache plays the role the bucketed table layout
+    # plays at cluster scale).
     based = fan_out(df.select(F.col(id_col), F.col(vec_col)), id_col).select(
         F.col(id_col),
         F.col(vec_col),
         sign_bucket(F.col(vec_col), bits).alias("_bkt"),
         _norm_batch(F.col(vec_col)).alias("_nrm"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     q = based.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
