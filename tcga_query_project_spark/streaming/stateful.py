@@ -74,3 +74,123 @@ def running_totals(stream: DataFrame, key: str, value: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TOTALS_TWS_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("closed", LongType()),
+    ]
+)
+
+
+def running_totals_tws(
+    stream: DataFrame,
+    key: str,
+    value: str,
+    ts: str,
+    inactivity_gap: str = "1 hour",
+) -> DataFrame:
+    """Per-key running totals with timer-based finalization on the
+    ``transformWithState`` API (the successor to
+    ``applyInPandasWithState``: typed named state, event-time timers,
+    optional TTL — one state-store shard per shuffle partition, same
+    scale shape).
+
+    Emits ``closed = 0`` rows with the running (n, total) as batches
+    arrive, and a final ``closed = 1`` row when the event-time watermark
+    passes ``last event + inactivity_gap`` — the "session is over,
+    publish and clear" pattern that windowed aggregation cannot express
+    (the built-in session window fixes WHAT is aggregated; a timer can
+    publish arbitrary state exactly once at expiry and release it, so
+    state stays bounded by ACTIVE keys, not all keys ever seen).
+
+    Requires a streaming DataFrame; the watermark on ``ts`` drives the
+    timers, so ``inactivity_gap`` semantics are event-time, replayable,
+    and independent of wall-clock processing speed.
+
+    Runtime dependency: transformWithState's Python state server speaks
+    protobuf (``google.protobuf``) — environments without it can build
+    the plan but the query fails at start; the timer test skips there.
+    """
+    import re as _re
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    m = _re.fullmatch(
+        r"\s*(\d+)\s*(second|minute|hour|day)s?\s*", inactivity_gap
+    )
+    if not m:
+        raise ValueError(f"unparseable inactivity_gap: {inactivity_gap!r}")
+    gap_ms = int(m.group(1)) * {
+        "second": 1_000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+    }[m.group(2)]
+
+    class _TotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n long, total double, last_ms long"
+            )
+            self._handle = handle
+
+        def handleInputRows(self, key_t, rows, timerValues):
+            n, total, last_ms = (
+                self._agg.get() if self._agg.exists() else (0, 0.0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                last_ms = max(
+                    last_ms, int(pdf["_ts_ms"].max())
+                )
+            self._agg.update((n, total, last_ms))
+            # one live timer per key: slide it to last-event + gap
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(last_ms + gap_ms)
+            yield pd.DataFrame(
+                {
+                    "key": [key_t[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "closed": [0],
+                }
+            )
+
+        def handleExpiredTimer(self, key_t, timerValues, expiredTimerInfo):
+            if self._agg.exists():
+                n, total, _ = self._agg.get()
+                self._agg.clear()
+                yield pd.DataFrame(
+                    {
+                        "key": [key_t[0]],
+                        "n_events": [n],
+                        "total_value": [total],
+                        "closed": [1],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    renamed = stream.select(
+        stream[key].alias("key").cast("long"),
+        stream[value].alias("value"),
+        stream[ts].alias("_ts"),
+        (F.unix_micros(stream[ts]) / F.lit(1000)).cast("long").alias("_ts_ms"),
+    ).withWatermark("_ts", inactivity_gap)
+    return renamed.groupBy("key").transformWithStateInPandas(
+        _TotalsProcessor(),
+        outputStructType=TOTALS_TWS_SCHEMA,
+        outputMode="Update",
+        timeMode="EventTime",
+    )

@@ -119,6 +119,89 @@ def test_stateful_running_totals_across_microbatches(spark, tmp_path):
     assert sum(1 for r in rows if r["key"] == 1) == 2
 
 
+def test_transform_with_state_totals_and_timer_close(spark, tmp_path):
+    """transformWithState: running totals accumulate across
+    micro-batches, and the event-time timer publishes a final closed=1
+    row (and clears state) once the watermark passes last-event + gap.
+
+    Key 1 goes quiet early -> its timer (last event 00:10 + 1 minute)
+    expires when the second file advances the watermark to 01:59 and a
+    closed row with the full totals appears. Key 2 is active to the end
+    -> never closed."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's state-server protocol needs "
+        "protobuf, which this environment does not ship; the operator "
+        "is exercised wherever protobuf exists",
+    )
+    import datetime as dt
+
+    from tcga_query_project_spark.streaming.stateful import (
+        running_totals_tws,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    def t(minute, second=0):
+        return dt.datetime(2024, 1, 1, 0, minute, second)
+
+    schema = "user_id long, value double, ts timestamp"
+    half1 = [(1, 10.0, t(0)), (1, 5.0, t(0, 10)), (2, 1.0, t(0, 20))]
+    # second file: only key 2, two hours later — watermark jumps far
+    # past key 1's (00:00:10 + 1 min) timer
+    half2 = [(2, 4.0, t(59)), (2, 2.0, t(59, 30))]
+    spark.createDataFrame(half1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(half2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = running_totals_tws(
+        stream, "user_id", "value", "ts", inactivity_gap="1 minute"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_tws")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_tws").collect()
+    closed = {r["key"]: (r["n_events"], r["total_value"]) for r in rows if r["closed"] == 1}
+    updates = {}
+    for r in rows:
+        if r["closed"] == 0:
+            updates[r["key"]] = (r["n_events"], r["total_value"])
+    # key 1 finalized with its full totals; key 2 still open
+    assert closed == {1: (2, 15.0)}
+    assert updates[2] == (3, 7.0)
+
+
+def test_transform_with_state_plan_builds(spark, tmp_path):
+    """Plan-level smoke for running_totals_tws that runs WITHOUT
+    protobuf: the unstarted streaming plan must analyze with the
+    documented output schema (execution is covered by the timer test
+    where the environment allows it)."""
+    from tcga_query_project_spark.streaming.stateful import (
+        TOTALS_TWS_SCHEMA,
+        running_totals_tws,
+    )
+
+    schema = "user_id long, value double, ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(str(tmp_path))
+    out = running_totals_tws(stream, "user_id", "value", "ts", "5 minutes")
+    assert out.isStreaming
+    assert out.schema == TOTALS_TWS_SCHEMA
+
+
 def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
     """Late-data handling: an event older than the committed watermark
     must be excluded from its (already-finalized) window; append mode
