@@ -420,28 +420,45 @@ def embedding_near_dup(
     drops the quadratic term entirely (sign-LSH candidates, same
     kernel as per-bucket verify).
     """
-    rows = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("_blk"),
+    # Each row emits its grid cells in ONE narrow pass — for block b:
+    # 'a' role in cells (b, j) for j >= b, 'b' role in cells (i, b) for
+    # i < b — so the plan is scan -> explode -> one shuffle into the
+    # kernel groups. (A previous revision built the same rows as two
+    # broadcast-grid joins unioned together: two scans of the corpus and
+    # three extra stages for identical output.) The guard on b = 0
+    # matters: Spark's sequence(0, -1) yields a DESCENDING [0, -1], not
+    # an empty array.
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    a_cells = F.transform(
+        F.sequence(F.col("_blk"), F.lit(n_blocks - 1)),
+        lambda j: F.struct(
+            F.col("_blk").alias("bi"), j.alias("bj"), F.lit("a").alias("_role")
+        ),
     )
-    spark = df.sparkSession
-    grid = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
-        "bi int, bj int",
+    b_cells = F.when(
+        F.col("_blk") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.col("_blk") - 1),
+            lambda i: F.struct(
+                i.alias("bi"), F.col("_blk").alias("bj"), F.lit("b").alias("_role")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<bi:int,bj:int,_role:string>>"))
+    both = (
+        df.select(F.col(id_col), F.col(vec_col), blk.alias("_blk"))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(F.concat(a_cells, b_cells)).alias("_cell"),
+        )
+        .select(
+            F.col("_cell.bi").alias("bi"),
+            F.col("_cell.bj").alias("bj"),
+            F.col("_cell._role").alias("_role"),
+            id_col,
+            vec_col,
+        )
     )
-    # role 'a' = the row's block is the grid cell's first coordinate;
-    # diagonal cells (bi == bj) carry only 'a' rows and self-score.
-    side_a = rows.join(F.broadcast(grid), rows["_blk"] == grid["bi"]).select(
-        "bi", "bj", F.lit("a").alias("_role"), id_col, vec_col
-    )
-    side_b = (
-        rows.join(
-            F.broadcast(grid.filter(F.col("bi") != F.col("bj"))),
-            rows["_blk"] == grid["bj"],
-        ).select("bi", "bj", F.lit("b").alias("_role"), id_col, vec_col)
-    )
-    both = side_a.unionByName(side_b)
 
     def kernel(pdf):
         return _pair_kernel_pdf(pdf, id_col, vec_col, threshold)
