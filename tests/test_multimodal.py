@@ -99,3 +99,86 @@ def test_decode_frames_covers_plan_exactly(spark, media):
         assert len(r["feature"]) == 16
     again = multimodal.decode_frames(plan, media, dim=16).collect()
     assert sorted(map(str, out)) == sorted(map(str, again))
+
+
+def test_sniff_mime_magic_bytes(spark):
+    """Real (non-stub) magic-byte sniffing: known signatures resolve,
+    RIFF disambiguates WAVE vs WEBP, unknown bytes fall back."""
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8
+    jpg = b"\xff\xd8\xff\xe0" + b"\x00" * 8
+    gif = b"GIF89a" + b"\x00" * 8
+    wav = b"RIFF\x24\x08\x00\x00WAVE" + b"\x00" * 4
+    webp = b"RIFF\x24\x08\x00\x00WEBP" + b"\x00" * 4
+    mp4 = b"\x00\x00\x00\x18ftypisom" + b"\x00" * 4
+    webm = b"\x1a\x45\xdf\xa3" + b"\x00" * 8
+    mp3 = b"ID3\x04" + b"\x00" * 8
+    junk = b"hello world, not media"
+    rows = [
+        (1, png), (2, jpg), (3, gif), (4, wav), (5, webp), (6, mp4),
+        (7, webm), (8, mp3), (9, junk),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {
+        r["media_id"]: r["m"]
+        for r in df.select(
+            "media_id", multimodal.sniff_mime(F.col("payload")).alias("m")
+        ).collect()
+    }
+    assert out == {
+        1: "image/png",
+        2: "image/jpeg",
+        3: "image/gif",
+        4: "audio/wav",
+        5: "image/webp",
+        6: "video/mp4",
+        7: "video/webm",
+        8: "audio/mpeg",
+        9: "application/octet-stream",
+    }
+
+
+def test_validate_media_flags_mislabeled(spark, media):
+    """Ingest gate: declared mime must match the sniffed payload type.
+    The fixture's payloads are synthetic (no real signatures), so every
+    declared mime mismatches the octet-stream sniff — plus a crafted
+    true-PNG row that validates."""
+    png_row = [(9, "image", b"\x89PNG\r\n\x1a\n" + b"\x00" * 32,
+                "image/png", 4, 4, None, None)]
+    df = media.unionByName(
+        spark.createDataFrame(png_row, multimodal.MEDIA_SCHEMA)
+    )
+    out = {r["media_id"]: r for r in multimodal.validate_media(df).collect()}
+    assert out[9]["mime_ok"] is True
+    assert out[9]["sniffed_mime"] == "image/png"
+    assert all(not out[i]["mime_ok"] for i in (1, 2, 3, 4))
+
+
+def test_chunk_reassemble_roundtrip(spark):
+    """chunk_payloads bounds every row at chunk_bytes and
+    reassemble_payloads restores the exact bytes; incomplete chunk
+    groups are dropped, empty payloads round-trip."""
+    rows = [
+        (1, bytes(range(256)) * 10),  # 2560 B -> 3 chunks of 1024
+        (2, b""),                     # empty -> 1 empty chunk
+        (3, b"x" * 1024),             # exactly one chunk
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    chunks = multimodal.chunk_payloads(df, chunk_bytes=1024)
+    sizes = {
+        (r["media_id"], r["chunk_idx"]): len(r["chunk"])
+        for r in chunks.collect()
+    }
+    assert sizes[(1, 0)] == 1024 and sizes[(1, 1)] == 1024 and sizes[(1, 2)] == 512
+    assert sizes[(2, 0)] == 0
+    assert sizes[(3, 0)] == 1024
+    back = {
+        r["media_id"]: bytes(r["payload"])
+        for r in multimodal.reassemble_payloads(chunks).collect()
+    }
+    assert back == {1: bytes(range(256)) * 10, 2: b"", 3: b"x" * 1024}
+    # a missing chunk drops the whole group rather than corrupting it
+    broken = chunks.filter(
+        ~((F.col("media_id") == 1) & (F.col("chunk_idx") == 1))
+    )
+    back2 = multimodal.reassemble_payloads(broken)
+    assert sorted(r["media_id"] for r in back2.collect()) == [2, 3]
