@@ -694,3 +694,34 @@ def test_embedding_near_dup_bucketed_subset_with_high_recall(spark):
     # pairs found in several tables appear once
     ids = [(a, b) for a, b, _ in got]
     assert len(ids) == len(set(ids))
+
+
+def test_batch_kernels_match_expression_math(spark):
+    """The Arrow-batched scoring kernels (_dot_batch/_norm_batch) must
+    agree with the higher-order-function expressions they replaced —
+    same float64 math, different evaluation engine. Guards the
+    vectorized path against silent drift (e.g. a dtype downcast)."""
+    import random
+
+    from tcga_query_project_spark.operators import similarity
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-2, 2) for _ in range(17)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+    pairs = df.alias("a").join(
+        df.select(F.col("id").alias("id2"), F.col("v").alias("w")).alias("b"),
+        F.col("id") < F.col("id2"),
+    )
+    out = pairs.select(
+        similarity._dot(F.col("v"), F.col("w")).alias("dot_hof"),
+        similarity._dot_batch(F.col("v"), F.col("w")).alias("dot_arrow"),
+        similarity._norm(F.col("v")).alias("norm_hof"),
+        similarity._norm_batch(F.col("v")).alias("norm_arrow"),
+    ).collect()
+    assert len(out) == 50 * 49 / 2
+    for r in out:
+        assert math.isclose(r["dot_hof"], r["dot_arrow"], rel_tol=1e-12, abs_tol=1e-12)
+        assert math.isclose(r["norm_hof"], r["norm_arrow"], rel_tol=1e-12, abs_tol=1e-12)
