@@ -1,10 +1,16 @@
 """Similarity search over embedding columns (north-star; SURVEY.md §2.10).
 
 ``embeddings(vec_id, embedding ARRAY<FLOAT>, label)`` — approximate
-nearest neighbor with a brute-force cosine baseline and an LSH-bucketed
-scale path. All vector math is built-in higher-order array functions
-(``zip_with``/``aggregate``) evaluated JVM-side in double precision; no
-Python in the scoring loop.
+nearest neighbor with a brute-force cosine baseline, an LSH-bucketed
+scale path, an IVF (trained-quantizer) path, and int8 scalar
+quantization for storage/compute compression.
+
+Pair scoring runs in Arrow-batched pandas UDFs (einsum over the batch)
+— Spark's higher-order-function lambdas evaluate interpreted, so
+expression-level per-pair dot products cost ~3 µs per element and lose
+to the Arrow transfer + vectorized kernel by an order of magnitude at
+any scale (the HOF forms are kept for single-row derived columns and as
+the oracle-mirrorable reference semantics).
 
 Scale notes: brute force is O(|Q|·|C|) — right answer for small query
 sets against a broadcast candidate side, or as the verify stage after
@@ -430,3 +436,147 @@ def cosine_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+# --- int8 scalar quantization ---------------------------------------------
+
+
+def quantization_bounds(df: DataFrame, vec_col: str) -> tuple[float, float]:
+    """Global (min, max) over all vector components — the per-tensor
+    scalar-quantization range. One exploded aggregation (map-side
+    combined); at petabyte scale run it on a sample — the range only
+    needs to bracket the data.
+    """
+    row = df.select(
+        F.array_min(vec_col).alias("_mn"), F.array_max(vec_col).alias("_mx")
+    ).agg(F.min("_mn").alias("mn"), F.max("_mx").alias("mx")).first()
+    return float(row["mn"]), float(row["mx"])
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bounds: tuple[float, float],
+    out: str = "codes",
+) -> DataFrame:
+    """int8 scalar quantization: each float32 component maps to a uint8
+    code ``round((v - mn) / (mx - mn) * 255)``, the whole vector packed
+    into ONE BinaryType cell — 4x smaller than array<float> in memory
+    and shuffle, with none of parquet's per-element list overhead.
+
+    This is the storage leg of a production embedding index: the scan,
+    shuffle, and candidate-generation stages touch codes only; full
+    floats are read back just for the final exact rerank
+    (:func:`cosine_topk_quantized`). Kernel is one Arrow-batched numpy
+    pass (quantization happens once, at index build).
+    """
+    import numpy as np
+    import pandas as pd
+
+    mn, mx = bounds
+    scale = (mx - mn) / 255.0 if mx > mn else 1.0
+
+    @F.pandas_udf("binary")
+    def _q(vs):
+        if not len(vs):
+            return pd.Series([], dtype="object")
+        out_bytes = []
+        for v in vs.to_numpy():
+            arr = np.asarray(v, dtype=np.float64)
+            codes = np.clip(np.rint((arr - mn) / scale), 0, 255).astype(np.uint8)
+            out_bytes.append(codes.tobytes())
+        return pd.Series(out_bytes)
+
+    return df.select(F.col(id_col), _q(F.col(vec_col)).alias(out))
+
+
+def cosine_topk_quantized(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bounds: tuple[float, float],
+    k: int = 5,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Asymmetric quantized top-k with exact rerank — the compressed
+    brute-force path: candidates are scanned as int8 codes (4x less
+    I/O and memory than floats), scored approximately against
+    full-precision query vectors, and only the top ``k*rerank_factor``
+    survivors per query are re-scored exactly from the float column.
+
+    Recall comes from the rerank margin: the approximate pass only has
+    to keep the true top-k inside its top ``k*rerank_factor``, which
+    int8 error (≤ half a code step per component) achieves with small
+    factors in practice. Output schema matches :func:`cosine_topk`;
+    scores are EXACT cosines (the quantized pass only selects).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm_batch(F.col(vec_col)).alias("_qn"),
+    )
+    codes = quantize_embeddings(
+        fan_out(candidates, id_col), id_col, vec_col, bounds
+    )
+    mn, mx = bounds
+    scale = (mx - mn) / 255.0 if mx > mn else 1.0
+
+    import numpy as np
+    import pandas as pd
+
+    @F.pandas_udf(DoubleType())
+    def _qdot(qv, code_bytes):
+        if not len(qv):
+            return pd.Series([], dtype="float64")
+        ma = np.stack(qv.to_numpy()).astype("float64", copy=False)
+        mb = np.stack(
+            [
+                np.frombuffer(b, dtype=np.uint8).astype(np.float64) * scale + mn
+                for b in code_bytes.to_numpy()
+            ]
+        )
+        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+    approx = (
+        F.broadcast(q)
+        .crossJoin(codes.select(F.col(id_col).alias("neighbor_id"), "codes"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "_qv",
+            "_qn",
+            _qdot(F.col("_qv"), F.col("codes")).alias("_approx"),
+        )
+    )
+    w_approx = Window.partitionBy("query_id").orderBy(
+        F.col("_approx").desc(), F.col("neighbor_id").asc()
+    )
+    survivors = approx.withColumn(
+        "_arank", F.row_number().over(w_approx)
+    ).filter(F.col("_arank") <= k * rerank_factor)
+    # exact rerank: only k*rerank_factor rows per query fetch floats
+    exact = survivors.join(
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            _norm_batch(F.col(vec_col)).alias("_cn"),
+        ),
+        "neighbor_id",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot_batch(F.col("_qv"), F.col("_cv"))
+            / (F.col("_qn") * F.col("_cn")),
+            4,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return exact.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)

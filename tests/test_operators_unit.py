@@ -725,3 +725,42 @@ def test_batch_kernels_match_expression_math(spark):
     for r in out:
         assert math.isclose(r["dot_hof"], r["dot_arrow"], rel_tol=1e-12, abs_tol=1e-12)
         assert math.isclose(r["norm_hof"], r["norm_arrow"], rel_tol=1e-12, abs_tol=1e-12)
+
+
+def test_cosine_topk_quantized_recall_and_exact_scores(spark):
+    """int8-quantized top-k: (a) returned cosines are EXACT (selection
+    is approximate, scoring is not) — every returned (query, neighbor,
+    cosine) must appear in the brute-force result; (b) recall@1 stays
+    high on the driver embeddings; (c) codes are 1 byte per dim."""
+    from tcga_query_project_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bounds = similarity.quantization_bounds(emb, "embedding")
+    assert bounds[0] < bounds[1]
+
+    dim = len(emb.first()["embedding"])
+    codes = similarity.quantize_embeddings(emb, "vec_id", "embedding", bounds)
+    assert all(len(r["codes"]) == dim for r in codes.limit(10).collect())
+
+    exact_top1 = {
+        r["query_id"]: (r["neighbor_id"], r["cosine"])
+        for r in similarity.cosine_topk(
+            emb, emb, "vec_id", "embedding", k=1
+        ).collect()
+    }
+    got = similarity.cosine_topk_quantized(
+        emb, emb, "vec_id", "embedding", bounds, k=1, rerank_factor=4
+    ).collect()
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.cosine_topk(
+            emb, emb, "vec_id", "embedding", k=len(exact_top1)
+        ).collect()
+    }
+    hits = 0
+    for r in got:
+        if exact_top1[r["query_id"]][0] == r["neighbor_id"]:
+            hits += 1
+            assert r["cosine"] == exact_top1[r["query_id"]][1]
+    recall = hits / len(exact_top1)
+    assert recall >= 0.9, f"quantized recall@1 too low: {recall}"
