@@ -249,3 +249,87 @@ def winnow_fingerprints(
         fps.alias("fingerprints"),
         F.size(fps).cast("long").alias("n_fingerprints"),
     )
+
+
+def char_ngram_model(
+    df: DataFrame, text_col: str, n: int = 3
+) -> DataFrame:
+    """Train a character n-gram count model over a corpus: one row per
+    n-gram with its count — the model of a perplexity-style quality
+    gate (the heavier cousin of :func:`quality_score`'s heuristics;
+    real pipelines score against an LM trained on trusted text and drop
+    the tail).
+
+    Shape: normalized text → exploded char n-grams → one map-side
+    combined count aggregation keyed by n-gram. Char-trigram
+    vocabularies are tiny (≤ ~50k over common charsets), so the model
+    BROADCASTS at scoring time no matter how big the training corpus
+    was — train on petabytes, score with a map-side join.
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    grams = df.select(
+        F.explode(
+            F.when(
+                F.length(norm) >= n,
+                F.expr(
+                    f"transform(sequence(1, length({_norm_sql(text_col)}) - {n - 1}),"
+                    f" i -> substring({_norm_sql(text_col)}, i, {n}))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("ngram")
+    )
+    return grams.groupBy("ngram").agg(
+        F.count(F.lit(1)).cast("long").alias("count")
+    )
+
+
+def _norm_sql(text_col: str) -> str:
+    """SQL-expression form of the normalization in char_ngram_model
+    (expr-embedded because the transform lambda references it)."""
+    return f"lower(regexp_replace(trim({text_col}), '\\\\s+', ' '))"
+
+
+def lm_quality_score(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document mean log-probability under a character n-gram model
+    (add-one smoothed) — higher is more natural relative to the
+    training corpus. Output: (id, n_ngrams, mean_logprob).
+
+    Scale shape: the model aggregates to (V rows) once, broadcasts, and
+    scoring is explode → broadcast join → per-doc aggregation: one
+    shuffle keyed by document id, no model-side shuffle at any corpus
+    size. Documents shorter than ``n`` chars get NULL (no evidence).
+    """
+    totals = model.agg(
+        F.sum("count").alias("_total"), F.count(F.lit(1)).alias("_vocab")
+    ).first()
+    total, vocab = float(totals["_total"]), float(totals["_vocab"])
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.length(norm) >= n,
+                F.expr(
+                    f"transform(sequence(1, length({_norm_sql(text_col)}) - {n - 1}),"
+                    f" i -> substring({_norm_sql(text_col)}, i, {n}))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("ngram"),
+    )
+    scored = grams.join(F.broadcast(model), "ngram", "left").select(
+        F.col(id_col),
+        F.log(
+            (F.coalesce(F.col("count"), F.lit(0)) + 1.0)
+            / F.lit(total + vocab)
+        ).alias("_lp"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+        F.round(F.avg("_lp"), 6).alias("mean_logprob"),
+    )

@@ -764,3 +764,43 @@ def test_cosine_topk_quantized_recall_and_exact_scores(spark):
             assert r["cosine"] == exact_top1[r["query_id"]][1]
     recall = hits / len(exact_top1)
     assert recall >= 0.9, f"quantized recall@1 too low: {recall}"
+
+
+def test_char_ngram_lm_scores_in_domain_text_higher(spark):
+    """LM quality gate: a model trained on English-looking text assigns
+    a higher mean log-prob to English than to keyboard mash; short docs
+    (< n chars) get no rows; smoothing keeps unseen n-grams finite."""
+    from tcga_query_project_spark.operators import text as T
+
+    train = spark.createDataFrame(
+        [
+            (i, s)
+            for i, s in enumerate(
+                [
+                    "the cat sat on the mat and the dog ran to the park",
+                    "it is a truth universally acknowledged that a reader wants text",
+                    "the quick brown fox jumps over the lazy dog in the sun",
+                ]
+            )
+        ],
+        "doc_id long, text string",
+    )
+    model = T.char_ngram_model(train, "text", n=3)
+    assert model.filter(F.col("ngram") == "the").count() == 1
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat ran to the mat"),          # in-domain
+            (2, "zqxvj wkpfb qzzxw jvvkq pzewq"),   # mash
+            (3, "ab"),                               # shorter than n
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in T.lm_quality_score(docs, model, "doc_id", "text", n=3).collect()
+    }
+    assert 3 not in out  # no n-grams -> no row
+    assert out[1]["mean_logprob"] > out[2]["mean_logprob"]
+    assert out[2]["mean_logprob"] > float("-inf")
+    assert out[1]["n_ngrams"] == len("the cat ran to the mat") - 2
