@@ -102,3 +102,46 @@ def asof_join(
         F.col("_asof._ts").alias("asof_ts"),
         *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in payload_cols],
     )
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    key: str,
+    ts: str,
+    attr_cols: list[str],
+    tiebreak: Column | None = None,
+) -> DataFrame:
+    """Build SCD-type-2 validity intervals from a change log: one row
+    per (key, version) with ``valid_from`` / ``valid_to`` (null = still
+    current) and ``is_current`` — the dimension-table companion of the
+    catalog's ``cdc_latest_snapshot`` (which keeps only the last
+    version; this keeps them all, queryable as-of any time via
+    ``valid_from <= t AND (valid_to IS NULL OR t < valid_to)``).
+
+    Consecutive changes that do not alter any of ``attr_cols`` collapse
+    into one interval (the standard no-op-change suppression), so the
+    output is minimal. Shape: one shuffle keyed by ``key``; two ordered
+    windows (lag for change detection, lead for interval close) over
+    the same partitioning — Spark reuses the sort.
+    """
+    order = [F.col(ts).asc()] + ([tiebreak] if tiebreak is not None else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    changed = F.lit(False)
+    for c in attr_cols:
+        # null-safe inequality: a null -> value transition is a change
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    versioned = changes.withColumn(
+        "_new_version",
+        F.when(F.lag(ts).over(w).isNull() | changed, 1).otherwise(0),
+    ).filter(F.col("_new_version") == 1)
+    w2 = Window.partitionBy(key).orderBy(*order)
+    return (
+        versioned.withColumn("_next", F.lead(ts).over(w2))
+        .select(
+            F.col(key),
+            *[F.col(c) for c in attr_cols],
+            F.col(ts).alias("valid_from"),
+            F.col("_next").alias("valid_to"),
+            F.col("_next").isNull().alias("is_current"),
+        )
+    )

@@ -804,3 +804,38 @@ def test_char_ngram_lm_scores_in_domain_text_higher(spark):
     assert out[1]["mean_logprob"] > out[2]["mean_logprob"]
     assert out[2]["mean_logprob"] > float("-inf")
     assert out[1]["n_ngrams"] == len("the cat ran to the mat") - 2
+
+
+def test_scd2_intervals_collapse_and_close(spark):
+    """SCD2 from a change log: no-op changes collapse, intervals chain
+    with valid_to = next valid_from, last version is open/current, and
+    null<->value attribute transitions count as changes."""
+    from tcga_query_project_spark.operators.temporal import scd2_intervals
+
+    rows = [
+        (1, 10, "gold", "eu"),
+        (1, 20, "gold", "eu"),    # no-op -> collapses into v1
+        (1, 30, "plat", "eu"),    # change
+        (1, 40, "plat", None),    # region -> null IS a change
+        (2, 15, "silver", "us"),  # single-version key stays open
+    ]
+    df = spark.createDataFrame(rows, "cust long, ts long, tier string, region string")
+    out = scd2_intervals(df, "cust", "ts", ["tier", "region"])
+    got = sorted(
+        (r["cust"], r["valid_from"], r["valid_to"], r["is_current"], r["tier"], r["region"])
+        for r in out.collect()
+    )
+    assert got == [
+        (1, 10, 30, False, "gold", "eu"),
+        (1, 30, 40, False, "plat", "eu"),
+        (1, 40, None, True, "plat", None),
+        (2, 15, None, True, "silver", "us"),
+    ]
+    # as-of lookup at t=35: key 1 resolves to the plat/eu version
+    t = 35
+    asof = out.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.lit(t) < F.col("valid_to")))
+    )
+    r = {x["cust"]: x["tier"] for x in asof.collect()}
+    assert r[1] == "plat"
