@@ -172,3 +172,22 @@ def test_registry_within_driver_cap():
         f"{len(REGISTRY)} queries registered; driver caps correctness at 48 — "
         "merge into a suite query instead of adding a new entry"
     )
+
+
+def test_headline_shuffle_budgets(spark):
+    """Structural shuffle budgets for plans whose shape IS the design:
+    a regression here means an optimization got undone (e.g. the
+    embedding near-dup falling back to a multi-branch union, or the
+    six-table Q5 shuffling more than the one fact exchange)."""
+    budgets = {
+        "q1_pricing_summary": 1,    # one agg exchange
+        "q5_local_supplier_volume": 1,  # ONE fact shuffle, dims broadcast
+        "a7_normalize_vst": 0,      # coefficients inlined -> pure map pass
+        "tx_doc_metrics": 0,        # fused narrow projection, no shuffle
+        "mm_binary_meta": 0,        # metadata agg partials, AQE-coalesced
+        "dd_embedding_neardup": 1,  # single explode -> kernel groupBy
+        "pp_corpus_clean": 2,       # dedup window + feature pass
+    }
+    for name, budget in budgets.items():
+        df = _run(spark, name)
+        assert plans.count_exchanges(df) <= budget, name
