@@ -123,3 +123,51 @@ def write_partitioned(
     ``sources.io.write_bucketed`` buckets instead.
     """
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:
+    """Key-skew diagnostic: the ``top`` heaviest key values with their
+    row counts and share of the table — the measurement you take BEFORE
+    reaching for :func:`salted_join`/:func:`salted_agg` (a 'hot' key
+    under 1% of rows is not the problem; one at 30% is).
+
+    One aggregation + a tiny top-k; the total comes from a window over
+    the already-aggregated per-key counts, so nothing scans twice.
+    """
+    per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+    from pyspark.sql.window import Window
+
+    total = F.sum("n_rows").over(Window.partitionBy(F.lit(1)))
+    return (
+        per_key.withColumn(
+            "share", F.round(F.col("n_rows") / total, 6)
+        )
+        .orderBy(F.col("n_rows").desc(), F.col(key).asc())
+        .limit(top)
+        .select(key, F.col("n_rows").cast("long").alias("n_rows"), "share")
+    )
+
+
+def stratified_cap(
+    df: DataFrame, strata_cols: list[str], cap: int, tiebreak: str
+) -> DataFrame:
+    """Deterministic per-stratum row cap — the training-mix balancer:
+    keep at most ``cap`` rows per stratum (domain, language, source),
+    chosen by a content-stable hash order rather than partition order,
+    so the same input always keeps the same rows on any cluster layout.
+
+    ``tiebreak`` must be a unique column (an id): the keep-set is the
+    ``cap`` smallest ``xxhash64(tiebreak)`` values per stratum — a
+    uniform random-but-reproducible sample without a global sort; one
+    shuffle keyed by the strata.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.xxhash64(F.col(tiebreak)).asc(), F.col(tiebreak).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )

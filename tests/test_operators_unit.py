@@ -839,3 +839,33 @@ def test_scd2_intervals_collapse_and_close(spark):
     )
     r = {x["cust"]: x["tier"] for x in asof.collect()}
     assert r[1] == "plat"
+
+
+def test_skew_profile_and_stratified_cap(spark):
+    """skew_profile surfaces the hot key with its share; stratified_cap
+    keeps exactly cap rows per stratum, deterministically (same keep-set
+    under any input partitioning)."""
+    from tcga_query_project_spark.operators.partitioning import (
+        skew_profile,
+        stratified_cap,
+    )
+
+    rows = [(i, "hot" if i % 10 < 8 else f"cold{i % 10}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    prof = skew_profile(df, "k", top=2).collect()
+    assert prof[0]["k"] == "hot"
+    assert prof[0]["n_rows"] == 800
+    assert abs(prof[0]["share"] - 0.8) < 1e-9
+
+    capped = stratified_cap(df, ["k"], cap=50, tiebreak="id")
+    counts = {r["k"]: r["n"] for r in capped.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["hot"] == 50
+    assert counts["cold8"] == 50  # cold strata (100 rows) cap too
+    under = stratified_cap(df, ["k"], cap=500, tiebreak="id")
+    n_under = {r["k"]: r["n"] for r in under.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert n_under["cold9"] == 100  # below cap -> untouched
+    kept_a = sorted(r["id"] for r in capped.filter(F.col("k") == "hot").collect())
+    # determinism under different partitioning: same keep-set
+    capped2 = stratified_cap(df.repartition(7), ["k"], cap=50, tiebreak="id")
+    kept_b = sorted(r["id"] for r in capped2.filter(F.col("k") == "hot").collect())
+    assert kept_a == kept_b
