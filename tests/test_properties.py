@@ -186,3 +186,49 @@ def test_hash_split_deterministic_and_total(spark, ids):
     two = {r["id"]: r["s"] for r in df.select("id", split_label(F.col("id")).alias("s")).collect()}
     assert one == two
     assert set(one.values()) <= {"train", "val", "test"}
+
+
+changelog = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),    # key
+        st.integers(min_value=0, max_value=50),   # ts
+        st.sampled_from(["a", "b", None]),        # attr
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda r: (r[0], r[1]),  # one change per (key, ts)
+)
+
+
+@given(data=changelog)
+@settings(**SETTINGS)
+def test_scd2_intervals_tile_the_timeline(spark, data):
+    """SCD2 invariants for any change log: per key, intervals chain
+    exactly (valid_to == next valid_from — no gaps, no overlaps), the
+    first interval starts at the key's first change, exactly ONE
+    interval is current (open), and consecutive intervals always differ
+    in the tracked attribute (no-op suppression is complete)."""
+    from collections import defaultdict
+
+    from tcga_query_project_spark.operators.temporal import scd2_intervals
+
+    df = spark.createDataFrame(
+        [(k, t, v) for k, t, v in data], "k long, ts long, attr string"
+    )
+    out = scd2_intervals(df, "k", "ts", ["attr"])
+    by_key = defaultdict(list)
+    for r in out.collect():
+        by_key[r["k"]].append(r)
+    first_ts = defaultdict(lambda: None)
+    for k, t, _ in data:
+        if first_ts[k] is None or t < first_ts[k]:
+            first_ts[k] = t
+    for k, rows in by_key.items():
+        rows.sort(key=lambda r: r["valid_from"])
+        assert rows[0]["valid_from"] == first_ts[k]
+        assert sum(1 for r in rows if r["is_current"]) == 1
+        assert rows[-1]["valid_to"] is None and rows[-1]["is_current"]
+        for prev, nxt in zip(rows, rows[1:]):
+            assert prev["valid_to"] == nxt["valid_from"]  # chained
+            assert not prev["is_current"]
+            assert prev["attr"] != nxt["attr"]  # real change between versions
