@@ -102,18 +102,24 @@ def main() -> None:
             continue
         spec.build(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
-    # Timed: best of 2 executions per query. Single-shot timings at this
-    # scale carry 1-3 s of session noise (GC pauses from accumulated
-    # broadcasts, AQE re-planning jitter) that isolated runs don't show;
-    # min-of-N is the standard steady-state estimator and stays honest —
-    # every execution is a full distributed run through the noop sink.
+    # Timed: 3 executions per query; report BOTH best (min — the
+    # steady-state estimator, comparable with earlier rounds'
+    # best-of-2) and median-of-3 (robust to one load spike, so transient
+    # system noise is visible instead of silently absorbed). Single-shot
+    # timings at this scale carry 1-3 s of session noise (GC pauses from
+    # accumulated broadcasts, AQE re-planning jitter) that isolated runs
+    # don't show; every execution is a full distributed run through the
+    # noop sink. The timer starts BEFORE spec.build so operators that
+    # eagerly materialize shared caches at build time (bucketed ANN,
+    # IVF) are charged for that population inside the measurement.
     times: dict[str, float] = {}
+    times_median: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY.get(name)
         if spec is None:
             continue
-        best = None
-        for _ in range(2):
+        reps: list[float] = []
+        for _ in range(3):
             # several operators persist shared subtrees as part of their
             # design; Spark's CacheManager matches those by logical plan
             # across queries, so without clearing, later queries time
@@ -122,12 +128,12 @@ def main() -> None:
             # self-contained execution, including populating its own
             # cache.
             spark.catalog.clearCache()
-            df = spec.build(spark, SF_DIR)
             t0 = time.perf_counter()
+            df = spec.build(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        times[name] = round(best, 3)
+            reps.append(time.perf_counter() - t0)
+        times[name] = round(min(reps), 3)
+        times_median[name] = round(sorted(reps)[1], 3)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
@@ -136,6 +142,8 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "value_median": round(sum(times_median.values()), 3),
+        "queries_median": times_median,
         "sf": sf,
         "cpus": CPUS,
     }

@@ -1179,12 +1179,13 @@ def w3_w4_survival_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisting it computes the events aggregation + stratification once
     instead of per branch — the same role a parquet checkpoint plays at
     cluster scale (a DAG edge reused by two actions re-executes
-    otherwise)."""
-    from pyspark import StorageLevel
+    otherwise). Lazily populated — the subject table is cheap enough
+    that the broadcast-vs-stream first-touch race costs less than a
+    dedicated populate job at any measured SF; caching contract
+    (lifetime + release valve) in operators/caching.py."""
+    from tcga_query_project_spark.operators.caching import materialize_shared
 
-    subj = _survival_subjects(spark, sf_dir).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    subj = materialize_shared(_survival_subjects(spark, sf_dir), eager=False)
     km = survival.km_curve(subj, "time_s", "status", ["stratum"]).withColumn(
         "survival", F.round("survival", 6)
     )

@@ -322,14 +322,14 @@ def near_duplicates(
     arrays feed three branches (signatures + both verify sides) and are
     persisted (memory, spill-to-disk) so tokenize/shingle runs once; at
     cluster scale the same role is played by a parquet checkpoint.
-    Results are value-identical to the exploded formulation (the DuckDB
-    oracle replays that one).
+    Caching contract (lifetime + release valve): operators/caching.py;
+    lazy population — all three consumers execute inside one job here,
+    so first-touch fill is cheapest. Results are value-identical to the
+    exploded formulation (the DuckDB oracle replays that one).
     """
-    from pyspark import StorageLevel
+    from tcga_query_project_spark.operators.caching import materialize_shared
 
-    sh = shingle_array(df, id_col, text_col, k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh = materialize_shared(shingle_array(df, id_col, text_col, k), eager=False)
     sig = minhash_signature_arrays(sh, id_col, num_hashes)
     cand = lsh_candidates(sig, id_col, band_size)
     return jaccard_pairs_arrays(cand, sh, id_col).filter(

@@ -26,6 +26,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 from pyspark.sql.types import DoubleType
 
+from tcga_query_project_spark.operators.caching import (
+    materialize_shared as _materialize_shared,
+    release_shared_caches,  # noqa: F401  (re-export: the release valve)
+)
 from tcga_query_project_spark.operators.partitioning import fan_out
 
 
@@ -219,13 +223,14 @@ def cosine_topk_ivf(
     probes = F.transform(
         F.slice(F.array_sort(cell_scores), 1, n_probe), lambda s: s["i"]
     )
-    from pyspark import StorageLevel
-
     # the probe-assignment subtree feeds both the candidate and query
-    # branches; persist so the centroid scoring runs once per row.
-    based = fan_out(df.select(F.col(id_col), F.col(vec_col)), id_col).withColumn(
-        "_probes", probes
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # branches; persist + eagerly populate so the centroid scoring runs
+    # once per row (caching contract: see _materialize_shared).
+    based = _materialize_shared(
+        fan_out(df.select(F.col(id_col), F.col(vec_col)), id_col).withColumn(
+            "_probes", probes
+        )
+    )
     cands = based.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
@@ -293,18 +298,19 @@ def cosine_topk_bucketed(
     bucket id), broadcast the query side per bucket; the per-bucket
     top-k never sees other buckets' rows.
     """
-    from pyspark import StorageLevel
-
-    # both the query and candidate branches read this subtree; persist
-    # so the bucket assignment + norm stage runs once, not per branch
+    # both the query and candidate branches read this subtree; persist +
+    # eagerly populate so the bucket assignment + norm stage runs once,
+    # not per branch, and the broadcast build never races a cold cache
     # (the in-memory cache plays the role the bucketed table layout
-    # plays at cluster scale).
-    based = fan_out(df.select(F.col(id_col), F.col(vec_col)), id_col).select(
-        F.col(id_col),
-        F.col(vec_col),
-        sign_bucket(F.col(vec_col), bits).alias("_bkt"),
-        _norm_batch(F.col(vec_col)).alias("_nrm"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # plays at cluster scale; caching contract: see _materialize_shared).
+    based = _materialize_shared(
+        fan_out(df.select(F.col(id_col), F.col(vec_col)), id_col).select(
+            F.col(id_col),
+            F.col(vec_col),
+            sign_bucket(F.col(vec_col), bits).alias("_bkt"),
+            _norm_batch(F.col(vec_col)).alias("_nrm"),
+        )
+    )
     q = based.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
