@@ -147,6 +147,14 @@ def running_totals_tws(
                 self._agg.get() if self._agg.exists() else (0, 0.0, 0)
             )
             for pdf in rows:
+                # The Arrow batches the state server hands over carry
+                # positional fallback names for some columns (observed:
+                # ['key', 'value', '_2', '_3'] for the 4-column input) —
+                # the upstream select fixes the order (key, value, _ts,
+                # _ts_ms), so bind names by position, not label.
+                pdf.columns = ["key", "value", "_ts", "_ts_ms"][
+                    : len(pdf.columns)
+                ]
                 n += len(pdf)
                 total += float(pdf["value"].sum())
                 last_ms = max(
@@ -166,13 +174,15 @@ def running_totals_tws(
                 }
             )
 
-        def handleExpiredTimer(self, key_t, timerValues, expiredTimerInfo):
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # (pyspark invokes this with keyword arguments — the
+            # parameter names are part of the StatefulProcessor API.)
             if self._agg.exists():
                 n, total, _ = self._agg.get()
                 self._agg.clear()
                 yield pd.DataFrame(
                     {
-                        "key": [key_t[0]],
+                        "key": [key[0]],
                         "n_events": [n],
                         "total_value": [total],
                         "closed": [1],

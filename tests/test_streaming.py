@@ -127,7 +127,14 @@ def test_transform_with_state_totals_and_timer_close(spark, tmp_path):
     Key 1 goes quiet early -> its timer (last event 00:10 + 1 minute)
     expires when the second file advances the watermark to 01:59 and a
     closed row with the full totals appears. Key 2 is active to the end
-    -> never closed."""
+    -> never closed.
+
+    Environment prerequisites (tests/conftest.py provides both):
+    ``google.protobuf`` for the state-server protocol (vendored shim in
+    tests/_vendor when no site-package exists) and the RocksDB state
+    store provider — transformWithState keeps each state variable in
+    its own column family, which HDFSBackedStateStoreProvider does not
+    support."""
     pytest.importorskip(
         "google.protobuf",
         reason="transformWithState's state-server protocol needs "
@@ -165,15 +172,28 @@ def test_transform_with_state_totals_and_timer_close(spark, tmp_path):
     out = running_totals_tws(
         stream, "user_id", "value", "ts", inactivity_gap="1 minute"
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName("t_tws")
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
     )
-    q.awaitTermination(120)
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t_tws")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
     rows = spark.sql("SELECT * FROM t_tws").collect()
     closed = {r["key"]: (r["n_events"], r["total_value"]) for r in rows if r["closed"] == 1}
     updates = {}
