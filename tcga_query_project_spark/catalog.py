@@ -2158,8 +2158,9 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a size-band classification — the decode-free projection a media
     pipeline runs to prune/route payloads *before* any codec touches
     them. The decode / feature-extract stage itself is the Arrow-batched
-    ``mapInPandas`` kernel in operators/multimodal.py (deterministic
-    stub behind ``_HAVE_CODECS``, exact-value-tested in
+    ``mapInPandas`` kernel in operators/multimodal.py (real pure-python
+    BMP/PPM/WAV codecs in operators/codecs.py, deterministic byte-level
+    fallback for formats needing native libs; exact-value-tested in
     tests/test_multimodal.py) — not oracle-checkable in SQL, so this
     query pins the binary schema + metadata path and the tests pin the
     kernel."""

@@ -1,0 +1,201 @@
+"""Pure-python media codecs for the multimodal kernels.
+
+Real decode/encode for the three container formats that need no native
+library — BMP (24/32-bit uncompressed), PPM/PGM (binary P6/P5), and WAV
+(PCM 8/16-bit, via the stdlib ``wave`` module) — plus a nearest-neighbor
+resize kernel. These are the "real codec" leg of
+operators/multimodal.py: payloads in these formats decode to actual
+pixels/samples; anything else (PNG, JPEG, MP3, MP4 — formats that
+require zlib/DCT/entropy coders or full AV stacks) falls back to the
+documented deterministic byte-level stand-ins there.
+
+Everything here is driver-importable but designed to run inside Arrow
+``mapInPandas`` batches on executors: pure functions over ``bytes`` in,
+numpy arrays out, no state, no I/O.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# images: BMP + PPM/PGM
+# --------------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes) -> np.ndarray | None:
+    """Decode an uncompressed (BI_RGB) 24- or 32-bit BMP into an RGB
+    uint8 array of shape (height, width, 3); None if the payload is not
+    such a BMP. Handles 4-byte row padding, bottom-up (positive height)
+    and top-down (negative height) row orders."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    try:
+        data_offset = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size = struct.unpack_from("<I", payload, 14)[0]
+        if hdr_size < 40:  # BITMAPCOREHEADER etc. — not supported
+            return None
+        width, height = struct.unpack_from("<ii", payload, 18)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        compression = struct.unpack_from("<I", payload, 30)[0]
+    except struct.error:
+        return None
+    if planes != 1 or compression != 0 or bpp not in (24, 32) or width <= 0:
+        return None
+    top_down = height < 0
+    height = abs(height)
+    if height == 0:
+        return None
+    bytes_pp = bpp // 8
+    row_stride = (width * bytes_pp + 3) & ~3
+    need = data_offset + row_stride * height
+    if len(payload) < need:
+        return None
+    raw = np.frombuffer(payload, dtype=np.uint8, count=row_stride * height,
+                        offset=data_offset)
+    rows = raw.reshape(height, row_stride)[:, : width * bytes_pp]
+    px = rows.reshape(height, width, bytes_pp)
+    if not top_down:
+        px = px[::-1]
+    # BMP stores BGR(A); emit RGB
+    return np.ascontiguousarray(px[:, :, 2::-1])
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a 24-bit BI_RGB BMP
+    (bottom-up, rows padded to 4 bytes) — byte-exact inverse of
+    :func:`decode_bmp` for 24-bit inputs."""
+    h, w, _ = rgb.shape
+    row_stride = (w * 3 + 3) & ~3
+    img_size = row_stride * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, row_stride), dtype=np.uint8)
+    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)
+    return header + rows.tobytes()
+
+
+def _ppm_tokens(payload: bytes, n: int, start: int) -> tuple[list[int], int]:
+    """Read ``n`` whitespace-separated ASCII integers from a PNM header
+    starting at ``start`` (comments ``#..\\n`` skipped); returns the
+    values and the offset just past the single whitespace that
+    terminates the last one."""
+    vals: list[int] = []
+    i = start
+    while len(vals) < n and i < len(payload):
+        c = payload[i : i + 1]
+        if c == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < len(payload) and payload[j : j + 1].isdigit():
+                j += 1
+            vals.append(int(payload[i:j]))
+            i = j
+        else:
+            break
+    if len(vals) < n or i >= len(payload) or not payload[i : i + 1].isspace():
+        return vals, -1
+    return vals, i + 1  # consume exactly one whitespace after maxval
+
+
+def decode_ppm(payload: bytes) -> np.ndarray | None:
+    """Decode a binary PPM (P6, RGB) or PGM (P5, grayscale — replicated
+    to 3 channels) with maxval ≤ 255 into (H, W, 3) uint8; None
+    otherwise."""
+    if len(payload) < 2 or payload[:1] != b"P" or payload[1:2] not in b"56":
+        return None
+    channels = 3 if payload[1:2] == b"6" else 1
+    (dims, off) = _ppm_tokens(payload, 3, 2)
+    if off < 0:
+        return None
+    w, h, maxval = dims
+    if w <= 0 or h <= 0 or not (0 < maxval <= 255):
+        return None
+    need = w * h * channels
+    if len(payload) < off + need:
+        return None
+    px = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off).reshape(
+        h, w, channels
+    )
+    if channels == 1:
+        px = np.repeat(px, 3, axis=2)
+    return np.ascontiguousarray(px)
+
+
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    """Encode (H, W, 3) uint8 RGB as binary PPM (P6, maxval 255)."""
+    h, w, _ = rgb.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb.astype(np.uint8).tobytes()
+
+
+def decode_image(payload: bytes) -> np.ndarray | None:
+    """Dispatch on magic bytes: BMP or PPM/PGM → (H, W, 3) uint8 RGB;
+    None for every other (or malformed) payload."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:1] == b"P" and payload[1:2] in b"56":
+        return decode_ppm(payload)
+    return None
+
+
+def resize_nearest(rgb: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize of (H, W, C) to (height, width, C) — one
+    numpy gather, the deterministic baseline kernel (PIL/OpenCV swap in
+    for higher-quality filters without changing the dataflow)."""
+    h, w = rgb.shape[:2]
+    rows = np.minimum((np.arange(height) * h) // height, h - 1)
+    cols = np.minimum((np.arange(width) * w) // width, w - 1)
+    return np.ascontiguousarray(rgb[rows][:, cols])
+
+
+# --------------------------------------------------------------------------
+# audio: WAV (PCM)
+# --------------------------------------------------------------------------
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray] | None:
+    """Decode a PCM WAV payload to (sample_rate, mono float64 samples in
+    [-1, 1]); multi-channel input is mean-downmixed. Supports 8-bit
+    unsigned and 16-bit signed PCM (the stdlib ``wave`` reader); None
+    for anything else."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as f:
+            rate = f.getframerate()
+            n_ch = f.getnchannels()
+            width = f.getsampwidth()
+            frames = f.readframes(f.getnframes())
+    except (wave.Error, EOFError):
+        return None
+    if width == 1:
+        x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        return None
+    if n_ch > 1:
+        x = x[: (len(x) // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
+    return rate, x
+
+
+def encode_wav(rate: int, samples: np.ndarray) -> bytes:
+    """Encode mono float samples in [-1, 1] as 16-bit PCM WAV."""
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm16 = np.round(pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(pcm16.tobytes())
+    return buf.getvalue()

@@ -8,12 +8,18 @@ stage explicitly needs pixels/samples.
 
 Decode / feature-extract run as Arrow-batched ``mapInPandas`` — one
 Python worker per partition, batch-at-a-time iterator, bounded memory
-regardless of corpus size. The actual codecs (PIL/librosa/av) are NOT
-in this container, so the decode kernels are deterministic stand-ins
-gated behind ``_HAVE_CODECS``; the Spark-side plumbing — schemas,
-partitioning, UDF signatures, Arrow batch shapes — is real and tested.
-Swapping the stub for a real codec changes only the marked inner
-function.
+regardless of corpus size.
+
+Codec strategy (round 5): payloads whose magic bytes identify a format
+decodable without native libraries — BMP / PPM / PGM images, PCM WAV
+audio (operators/codecs.py, pure python + numpy) — are REALLY decoded:
+features come from pixels/samples, resize is an actual nearest-neighbor
+resample re-encoded in the same container. Every other payload (PNG,
+JPEG, MP3, MP4 — formats needing zlib/DCT/AV stacks absent from this
+container) falls back to the original deterministic byte-level
+stand-ins, so the kernels stay total and exact-value-testable. Plugging
+PIL/librosa/av in extends ``codecs.decode_image`` / ``codecs.decode_wav``
+— the Spark-side dataflow does not change.
 """
 
 from __future__ import annotations
@@ -36,12 +42,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-try:  # pragma: no cover - codecs absent in this container by design
-    import PIL.Image  # noqa: F401
-
-    _HAVE_CODECS = True
-except ImportError:
-    _HAVE_CODECS = False
+from tcga_query_project_spark.operators import codecs
 
 #: media table schema: payload + typed metadata (width/height for
 #: images, sample_rate/duration for audio; unused fields null).
@@ -68,26 +69,46 @@ FEATURES_SCHEMA = StructType(
 )
 
 
-def _decode_features(payload: bytes, kind: str, dim: int) -> np.ndarray:
-    """Decode + featurize one payload.
-
-    STUB: real pipelines decode with PIL/librosa and run a model or
-    pooling here. Without codecs we emit a deterministic byte-histogram
-    feature (16 buckets tiled to ``dim``), so tests can assert exact
-    values and the dataflow (bytes → fixed-dim float vector) is
-    faithful. Raises if someone expects real decoding.
-    """
-    if _HAVE_CODECS:  # pragma: no cover
-        raise NotImplementedError(
-            "real codec path not implemented; plug PIL/librosa here"
-        )
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    hist = np.bincount(arr >> 4, minlength=16).astype(np.float64)
+def _hist16(values: np.ndarray, dim: int) -> np.ndarray:
+    """Normalized 16-bucket histogram tiled to ``dim`` floats — the
+    shared featurizer head: exact, deterministic, and dimension-stable
+    for any input domain pre-mapped to 0..15."""
+    hist = np.bincount(values, minlength=16).astype(np.float64)
     total = hist.sum()
     if total > 0:
         hist /= total
     reps = int(np.ceil(dim / 16))
     return np.tile(hist, reps)[:dim].astype(np.float32)
+
+
+def _decode_features(payload: bytes, kind: str, dim: int) -> np.ndarray:
+    """Decode + featurize one payload.
+
+    Decodable payloads get REAL content features:
+    - BMP / PPM / PGM → 16-bin luminance histogram of the decoded
+      pixels (ITU-R 601 integer luma), so the feature reflects the
+      image, not its container bytes;
+    - PCM WAV → 16-bin amplitude histogram of the decoded mono samples.
+
+    Undecodable payloads (PNG/JPEG/MP3/MP4/arbitrary bytes) fall back
+    to the 16-bucket byte histogram — deterministic and exact, keeping
+    the kernel total. Real model featurization (an embedding) slots in
+    here without changing the dataflow: bytes → fixed-dim float vector.
+    """
+    img = codecs.decode_image(payload)
+    if img is not None:
+        r, g, b = (img[:, :, i].astype(np.uint32) for i in range(3))
+        luma = (77 * r + 150 * g + 29 * b) >> 8  # ITU-R 601, integer
+        return _hist16((luma >> 4).ravel().astype(np.int64), dim)
+    wav = codecs.decode_wav(payload)
+    if wav is not None:
+        _, samples = wav
+        bins = np.clip(
+            ((samples + 1.0) * 8.0).astype(np.int64), 0, 15
+        )
+        return _hist16(bins, dim)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    return _hist16((arr >> 4).astype(np.int64), dim)
 
 
 def extract_features(media: DataFrame, dim: int = 32) -> DataFrame:
@@ -129,12 +150,13 @@ def resize_images(
     payload (bytes in, bytes out), with the metadata struct updated to
     the target dimensions.
 
-    STUB kernel: without PIL the "resized" payload is a deterministic
-    function of (payload, w, h) — the byte stream truncated/tiled to
-    ``w*h`` bytes — so tests pin exact output sizes and bytes while the
-    plumbing (binary in/out columns through Arrow, metadata rewrite,
-    non-image rows passed through untouched) is the real pipeline
-    shape. Swapping in PIL changes only ``_resize_one``.
+    Kernel: decodable images (BMP / PPM / PGM) are REALLY resized —
+    decode → nearest-neighbor resample (operators/codecs.resize_nearest)
+    → re-encode in the same container family (BMP→BMP, PPM/PGM→PPM) —
+    so the output payload is a valid image of the target dimensions.
+    Undecodable payloads keep the deterministic byte-level stand-in
+    (truncate/tile to ``w*h`` bytes), keeping the kernel total; PIL
+    extends the decodable set without changing the dataflow.
 
     Contract: the input must carry the full :data:`MEDIA_SCHEMA` column
     set (payload AND all metadata columns) — the full schema passes
@@ -142,10 +164,12 @@ def resize_images(
     """
 
     def _resize_one(payload: bytes, w: int, h: int) -> bytes:
-        if _HAVE_CODECS:  # pragma: no cover
-            raise NotImplementedError(
-                "real codec path not implemented; plug PIL.Image.resize here"
-            )
+        img = codecs.decode_image(payload)
+        if img is not None:
+            resized = codecs.resize_nearest(img, w, h)
+            if payload[:2] == b"BM":
+                return codecs.encode_bmp(resized)
+            return codecs.encode_ppm(resized)
         target = w * h
         if len(payload) == 0:
             return b"\x00" * target
@@ -219,22 +243,19 @@ def decode_frames(
     The plan (tiny: ids + timestamps) joins back to the payload table
     so each Python task sees one Arrow batch of (payload, frame_ts)
     pairs — payload bytes cross into Python once per planned frame
-    group, never for unplanned frames. STUB decode: a real pipeline
-    seeks the container to ``frame_ts`` and decodes; here the frame
-    "pixels" are a deterministic function of (payload, frame_ts) — the
-    byte histogram of a ts-dependent rotation of the payload — so tests
-    pin exact values while the join→mapInPandas dataflow is the real
-    shape.
+    group, never for unplanned frames. Frame decode remains the one
+    deliberate stand-in kernel: no video codec is implementable without
+    a native AV stack, so the frame "pixels" are a deterministic
+    function of (payload, frame_ts) — the byte histogram of a
+    ts-dependent rotation of the payload — keeping exact-value tests
+    while the join→mapInPandas dataflow is the real shape (a real
+    pipeline seeks the container to ``frame_ts`` here).
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for payload, ts in zip(pdf["payload"], pdf["frame_ts"]):
-                if _HAVE_CODECS:  # pragma: no cover
-                    raise NotImplementedError(
-                        "real codec path not implemented; seek+decode here"
-                    )
                 off = int(ts) % max(len(payload), 1)
                 rotated = payload[off:] + payload[:off]
                 feats.append(_decode_features(rotated, "video", dim))
@@ -361,34 +382,52 @@ def reassemble_payloads(chunks: DataFrame) -> DataFrame:
     byte concatenation is one Arrow-batched Python pass — joining a
     list of byte strings is what Python does at memory bandwidth, and
     the per-row payload exists only at the very end, in the consumer's
-    hands. Incomplete groups (missing chunks) are dropped with a
-    warning column rather than yielding corrupt payloads.
+    hands.
+
+    Completeness gate: a group reassembles only when its DISTINCT chunk
+    indexes are exactly ``{0..n_chunks-1}`` (distinct count == n_chunks
+    with min 0 and max n_chunks-1 — which over integers pins the full
+    range). A plain row count would be fooled by at-least-once upstream
+    delivery, where a duplicated chunk row masks a missing one. Exact
+    duplicate indexes are tolerated (redelivery semantics: same index →
+    same bytes, the first kept); incomplete groups are dropped —
+    :func:`incomplete_chunk_groups` reports them for quarantine, never
+    a corrupt payload here.
     """
     gathered = (
         chunks.groupBy("media_id")
         .agg(
             F.max("n_chunks").alias("_expect"),
-            F.count(F.lit(1)).cast("int").alias("_got"),
+            F.countDistinct("chunk_idx").cast("int").alias("_n_distinct"),
+            F.min("chunk_idx").alias("_min_idx"),
+            F.max("chunk_idx").alias("_max_idx"),
             F.array_sort(
                 F.collect_list(F.struct("chunk_idx", "chunk"))
             ).alias("_parts"),
         )
-        .filter(F.col("_expect") == F.col("_got"))
+        .filter(
+            (F.col("_n_distinct") == F.col("_expect"))
+            & (F.col("_min_idx") == F.lit(0))
+            & (F.col("_max_idx") == F.col("_expect") - 1)
+        )
     )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            payloads = []
+            for parts in pdf["_parts"]:
+                pieces = []
+                prev_idx = -1
+                for part in parts:  # sorted by idx; skip redelivered dups
+                    if part["chunk_idx"] != prev_idx:
+                        pieces.append(part["chunk"])
+                        prev_idx = part["chunk_idx"]
+                payloads.append(b"".join(pieces))
             yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": [
-                        b"".join(part["chunk"] for part in parts)
-                        for parts in pdf["_parts"]
-                    ],
-                }
+                {"media_id": pdf["media_id"], "payload": payloads}
             )
 
-    return gathered.mapInPandas(
+    return gathered.select("media_id", "_parts").mapInPandas(
         fn,
         StructType(
             [
@@ -396,6 +435,31 @@ def reassemble_payloads(chunks: DataFrame) -> DataFrame:
                 StructField("payload", BinaryType()),
             ]
         ),
+    )
+
+
+def incomplete_chunk_groups(chunks: DataFrame) -> DataFrame:
+    """Diagnostic companion to :func:`reassemble_payloads`: one row per
+    chunk group that would NOT reassemble — ``(media_id, n_expected,
+    n_distinct, n_rows)`` — the quarantine feed for an ingest pipeline
+    (at-least-once sources: alert when n_rows > n_distinct; data loss:
+    n_distinct < n_expected). Same single-shuffle shape as reassembly,
+    but carries only counters, never chunk bytes."""
+    return (
+        chunks.groupBy("media_id")
+        .agg(
+            F.max("n_chunks").cast("int").alias("n_expected"),
+            F.countDistinct("chunk_idx").cast("int").alias("n_distinct"),
+            F.count(F.lit(1)).cast("int").alias("n_rows"),
+            F.min("chunk_idx").alias("_min_idx"),
+            F.max("chunk_idx").alias("_max_idx"),
+        )
+        .filter(
+            (F.col("n_distinct") != F.col("n_expected"))
+            | (F.col("_min_idx") != F.lit(0))
+            | (F.col("_max_idx") != F.col("n_expected") - 1)
+        )
+        .select("media_id", "n_expected", "n_distinct", "n_rows")
     )
 
 

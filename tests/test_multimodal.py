@@ -182,3 +182,141 @@ def test_chunk_reassemble_roundtrip(spark):
     )
     back2 = multimodal.reassemble_payloads(broken)
     assert sorted(r["media_id"] for r in back2.collect()) == [2, 3]
+
+
+def test_reassemble_duplicate_chunk_does_not_mask_missing(spark):
+    """At-least-once delivery hardening: a REDELIVERED chunk row must
+    not mask a missing one (a row count of n with a duplicate present
+    means an index is absent), and exact redelivery of a complete group
+    must still reassemble to the original bytes, once."""
+    rows = [(1, bytes(range(256)) * 10)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    chunks = multimodal.chunk_payloads(df, chunk_bytes=1024)  # 3 chunks
+    # missing idx 1, idx 0 delivered twice -> 3 rows, but incomplete
+    masked = chunks.filter(F.col("chunk_idx") != 1).unionAll(
+        chunks.filter(F.col("chunk_idx") == 0)
+    )
+    assert multimodal.reassemble_payloads(masked).count() == 0
+    diag = multimodal.incomplete_chunk_groups(masked).collect()
+    assert [(r["media_id"], r["n_expected"], r["n_distinct"], r["n_rows"])
+            for r in diag] == [(1, 3, 2, 3)]
+    # complete group + one redelivered row -> exact payload, no dup bytes
+    redelivered = chunks.unionAll(chunks.filter(F.col("chunk_idx") == 2))
+    back = multimodal.reassemble_payloads(redelivered).collect()
+    assert len(back) == 1 and bytes(back[0]["payload"]) == bytes(range(256)) * 10
+    assert multimodal.incomplete_chunk_groups(chunks).count() == 0
+
+
+def _bmp_2x2() -> bytes:
+    """2x2 24-bit BMP: red, green / blue, white (top-left origin)."""
+    from tcga_query_project_spark.operators import codecs
+
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+        dtype=np.uint8,
+    )
+    return codecs.encode_bmp(px)
+
+
+def test_codecs_bmp_roundtrip_and_parse():
+    """encode_bmp/decode_bmp round-trip pixels exactly; the container
+    really is a BMP (signature, 54-byte header, padded rows)."""
+    from tcga_query_project_spark.operators import codecs
+
+    payload = _bmp_2x2()
+    assert payload[:2] == b"BM"
+    # 2px * 3B = 6B rows padded to 8B; 54 + 2*8 = 70
+    assert len(payload) == 70
+    px = codecs.decode_bmp(payload)
+    assert px.shape == (2, 2, 3)
+    assert px[0, 0].tolist() == [255, 0, 0]
+    assert px[1, 1].tolist() == [255, 255, 255]
+    # PPM round-trip too, incl. comment/whitespace header handling
+    ppm = b"P6\n# comment\n2 2\n255\n" + px.tobytes()
+    assert np.array_equal(codecs.decode_ppm(ppm), px)
+    # P5 grayscale replicates to 3 channels
+    pgm = b"P5\n2 1\n255\n\x00\xff"
+    gray = codecs.decode_ppm(pgm)
+    assert gray.shape == (1, 2, 3)
+    assert gray[0, 1].tolist() == [255, 255, 255]
+
+
+def test_extract_features_real_decode_e2e(spark):
+    """Real-codec path through the full Spark kernel: a BMP payload's
+    feature is the luminance histogram of its decoded PIXELS (not its
+    container bytes), a WAV payload's feature is the amplitude
+    histogram of its decoded SAMPLES."""
+    from tcga_query_project_spark.operators import codecs
+
+    bmp = _bmp_2x2()
+    # silent 8-sample WAV at 8kHz -> all samples 0.0 -> amplitude bin 8
+    wav = codecs.encode_wav(8000, np.zeros(8))
+    rows = [
+        (1, "image", bmp, "image/bmp", 2, 2, None, None),
+        (2, "audio", wav, "audio/wav", None, None, 8000, 0.001),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {
+        r["media_id"]: np.array(r["feature"])
+        for r in multimodal.extract_features(media, dim=16).collect()
+    }
+    # luma of red/green/blue/white -> bins (77*255)>>8>>4=4,
+    # (150*255)>>8>>4=9, (29*255)>>8>>4=1, 255>>4=15 -> 1/4 each
+    img_feat = out[1]
+    assert img_feat[4] == 0.25 and img_feat[9] == 0.25
+    assert img_feat[1] == 0.25 and img_feat[15] == 0.25
+    assert img_feat.sum() == 1.0
+    # silence -> whole mass in bin 8
+    assert out[2][8] == 1.0 and out[2].sum() == 1.0
+
+
+def test_resize_images_real_bmp(spark):
+    """resize_images on a real BMP: output is a VALID BMP of the target
+    dimensions whose pixels are the nearest-neighbor resample."""
+    from tcga_query_project_spark.operators import codecs
+
+    bmp = _bmp_2x2()
+    rows = [(1, "image", bmp, "image/bmp", 2, 2, None, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.resize_images(media, 4, 4).collect()[0]
+    resized = codecs.decode_bmp(bytes(out["payload"]))
+    assert resized is not None and resized.shape == (4, 4, 3)
+    # nearest-neighbor doubling: each source pixel becomes a 2x2 block
+    assert resized[0, 0].tolist() == [255, 0, 0]
+    assert resized[0, 3].tolist() == [0, 255, 0]
+    assert resized[3, 0].tolist() == [0, 0, 255]
+    assert resized[3, 3].tolist() == [255, 255, 255]
+    assert (out["width"], out["height"]) == (4, 4)
+    # sniffed mime of the output still says BMP
+    sniffed = multimodal.validate_media(
+        spark.createDataFrame(
+            [(1, "image", bytes(out["payload"]), "image/bmp", 4, 4, None, None)],
+            multimodal.MEDIA_SCHEMA,
+        )
+    ).collect()[0]
+    assert sniffed["sniffed_mime"] == "image/bmp" and sniffed["mime_ok"]
+
+
+def test_codecs_wav_roundtrip():
+    """encode_wav/decode_wav round-trip rate and samples (16-bit PCM
+    quantization tolerance); stereo decodes mean-downmixed."""
+    import io
+    import wave as wave_mod
+
+    from tcga_query_project_spark.operators import codecs
+
+    x = np.sin(np.linspace(0, 2 * np.pi, 64))
+    payload = codecs.encode_wav(16000, x)
+    rate, back = codecs.decode_wav(payload)
+    assert rate == 16000
+    assert np.abs(back - x).max() < 1e-4
+    # stereo: L=+0.5, R=-0.5 -> mono 0.0
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as f:
+        f.setnchannels(2)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        frames = np.array([16384, -16384] * 4, dtype="<i2")
+        f.writeframes(frames.tobytes())
+    rate2, mono = codecs.decode_wav(buf.getvalue())
+    assert rate2 == 8000 and np.abs(mono).max() == 0.0
