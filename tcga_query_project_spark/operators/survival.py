@@ -15,6 +15,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from tcga_query_project_spark.functions.scalar import normal_sf_two_sided
 
@@ -336,10 +342,9 @@ def logrank_test_k(
     the aggregation jobs immediately (like stats.vst_fitted; the
     per-time table is persisted across the two collects so both read
     one snapshot) and returns a one-row DataFrame (chi2, df, p_value).
-    Known limitation vs :func:`logrank_test`: no ``extra_partition``
-    fan-out — the driver-side solve is per cohort, so a per-gene
-    multi-arm sweep should loop cohorts (or use the two-group form,
-    which vectorizes across genes).
+    For a per-gene (or any per-cohort) multi-arm sweep use
+    :func:`logrank_test_k_by` — the distributed fan-out that runs the
+    identical math once per cohort in a single grouped job.
     """
     import math
 
@@ -436,13 +441,118 @@ def logrank_test_k(
     if float(np.abs(VV).sum()) <= 0.0:
         return spark.createDataFrame([(None, dof, None)], schema)
     chi2 = float(uu @ np.linalg.pinv(VV) @ uu)
+    return spark.createDataFrame(
+        [(chi2, dof, _chi2_pvalue(chi2, dof))], schema
+    )
+
+
+def _chi2_pvalue(chi2: float, dof: int) -> float:
+    """Upper-tail χ²(dof) p-value: exact at df=1 (two-sided normal tail
+    of √chi2, matching :func:`logrank_test` bit-for-bit),
+    Wilson-Hilferty normal approximation for df>1."""
+    import math
+
     if dof == 1:
-        # exact chi2(1) tail = two-sided normal tail of sqrt(chi2) —
-        # identical to logrank_test for two groups
         p = math.erfc(math.sqrt(max(chi2, 0.0)) / math.sqrt(2.0))
     else:
         # Wilson-Hilferty: (chi2/df)^(1/3) ~ N(1 - 2/(9df), 2/(9df))
         h = 2.0 / (9.0 * dof)
         z = ((max(chi2, 0.0) / dof) ** (1.0 / 3.0) - (1.0 - h)) / math.sqrt(h)
         p = 0.5 * math.erfc(z / math.sqrt(2.0))
-    return spark.createDataFrame([(chi2, dof, min(p, 1.0))], schema)
+    return min(p, 1.0)
+
+
+def _logrank_k_arrays(times, status, groups):
+    """Covariance-form k-group log-rank on numpy arrays — the per-cohort
+    kernel behind :func:`logrank_test_k_by`, algebraically identical to
+    the SQL form in :func:`logrank_test_k` (same u/V sums, same
+    pseudo-inverse solve, same degenerate-input NULLs).
+
+    Returns (chi2 | None, dof, p | None)."""
+    import numpy as np
+
+    labels = np.unique(groups)
+    k = len(labels)
+    if k < 2:
+        return None, max(k - 1, 0), None
+    dof = k - 1
+    # event times only (d > 0); n_g(t) = subjects in g with time >= t
+    ev_times = np.unique(times[status > 0])
+    if len(ev_times) == 0:
+        return None, dof, None
+    T = len(ev_times)
+    d_g = np.zeros((T, k))
+    n_g = np.zeros((T, k))
+    for j, g in enumerate(labels):
+        in_g = groups == g
+        tg = np.sort(times[in_g])
+        # at-risk: count of times >= t  (searchsorted on the sorted arr)
+        n_g[:, j] = len(tg) - np.searchsorted(tg, ev_times, side="left")
+        te = np.sort(times[in_g & (status > 0)])
+        d_g[:, j] = np.searchsorted(te, ev_times, side="right") - np.searchsorted(
+            te, ev_times, side="left"
+        )
+    n = n_g.sum(axis=1)
+    d = d_g.sum(axis=1)
+    keep = d > 0
+    n_g, d_g, n, d = n_g[keep], d_g[keep], n[keep], d[keep]
+    if len(n) == 0:
+        return None, dof, None
+    p_g = n_g / n[:, None]
+    u = (d_g - d[:, None] * p_g).sum(axis=0)
+    scale = np.where(n > 1, d * (n - d) / np.maximum(n - 1, 1.0), 0.0)
+    # V = Σ_t scale_t · (diag(p_t) − p_t p_tᵀ)
+    V = np.einsum("t,tg,gh->gh", scale, p_g, np.eye(k)) - np.einsum(
+        "t,tg,th->gh", scale, p_g, p_g
+    )
+    uu, VV = u[:-1], V[:-1, :-1]
+    if float(np.abs(VV).sum()) <= 0.0:
+        return None, dof, None
+    chi2 = float(uu @ np.linalg.pinv(VV) @ uu)
+    return chi2, dof, _chi2_pvalue(chi2, dof)
+
+
+def logrank_test_k_by(
+    df: DataFrame, time: str, status: str, group: str, by: list[str]
+) -> DataFrame:
+    """Distributed per-cohort k-group log-rank: one χ²(k−1) test per
+    ``by``-key (e.g. per gene), all cohorts in ONE grouped job — the
+    fan-out :func:`logrank_test_k`'s eager driver-side solve cannot do.
+
+    Execution shape: ``applyInPandas`` over the ``by`` columns — the
+    shuffle carries tidy (time, status, group) rows keyed by cohort,
+    each Python task receives whole cohorts (one patient table each,
+    small by construction: cohort size = study subjects, not corpus
+    size) and runs the numpy covariance-form kernel per cohort. A 60k-
+    gene sweep is 60k independent k×k solves spread across the cluster;
+    no driver loop, no collect. Lazy (plans like any DataFrame op),
+    unlike the eager one-cohort form.
+
+    Output: one row per cohort — ``by`` columns + (chi2, df, p_value),
+    NULLs for degenerate cohorts (singleton group set, no events, zero
+    variance) exactly like the one-cohort form.
+    """
+    import numpy as np
+    import pandas as pd
+
+    by_fields = [df.schema[c] for c in by]
+    out_schema = StructType(
+        list(by_fields)
+        + [
+            StructField("chi2", DoubleType()),
+            StructField("df", LongType()),
+            StructField("p_value", DoubleType()),
+        ]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        chi2, dof, p = _logrank_k_arrays(
+            pdf[time].to_numpy(dtype=np.float64),
+            pdf[status].to_numpy(dtype=np.float64),
+            pdf[group].to_numpy(),
+        )
+        row = {c: [pdf[c].iloc[0]] for c in by}
+        row.update({"chi2": [chi2], "df": [dof], "p_value": [p]})
+        return pd.DataFrame(row)
+
+    return df.groupBy(*by).applyInPandas(fn, out_schema)
