@@ -131,17 +131,18 @@ def skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:
     reaching for :func:`salted_join`/:func:`salted_agg` (a 'hot' key
     under 1% of rows is not the problem; one at 30% is).
 
-    One aggregation + a tiny top-k; the total comes from a window over
-    the already-aggregated per-key counts, so nothing scans twice.
+    One aggregation + a tiny top-k. The table total attaches as a
+    broadcast cross join of a scalar aggregate (the same shape the
+    survival suite uses for its test scalar) — NOT a global window,
+    which would funnel every distinct key through one task; a skew
+    diagnostic is needed most exactly when the key is high-cardinality,
+    so the diagnostic itself must stay fully parallel.
     """
     per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
-    from pyspark.sql.window import Window
-
-    total = F.sum("n_rows").over(Window.partitionBy(F.lit(1)))
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
     return (
-        per_key.withColumn(
-            "share", F.round(F.col("n_rows") / total, 6)
-        )
+        per_key.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("n_rows") / F.col("_total"), 6))
         .orderBy(F.col("n_rows").desc(), F.col(key).asc())
         .limit(top)
         .select(key, F.col("n_rows").cast("long").alias("n_rows"), "share")
