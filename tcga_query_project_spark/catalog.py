@@ -1797,20 +1797,37 @@ def tcga_de_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tcga_drug_km_pipeline",
     None,
-    tags=("pipeline-C", "P6", "P7", "F4", "W1", "W2"),
+    tags=("pipeline-B", "pipeline-C", "P6", "P7", "F4", "J2", "W1", "W2"),
 )
 def tcga_drug_km_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entry point C (§3.3): drug-cohort KM curves
-    (drug_km_median_exp.R recast) — nested-treatments cohort selection,
-    cohort-relative size factors, median-split strata, KM curves —
-    returning the per-(drug, gene, stratum) curve table."""
+    """Entry points B AND C (§3.2-3.3) in one labeled curve table —
+    every KM curve row both survival pipelines produce:
+
+    - ``drug_class='FULL_COHORT'`` rows: entry point B
+      (surv_analysis_median_exp.R recast, km_by_median_expression) —
+      whole-cohort size factors, median-split strata on normalized
+      GOI expression, KM + Greenwood curves. This is pipeline B's
+      driver-checked row (previously covered only by unit tests).
+    - other ``drug_class`` rows: entry point C (drug_km_median_exp.R
+      recast, drug_km) — nested-treatments cohort selection,
+      cohort-relative size factors, same B tail per drug class.
+
+    Sharing one registry slot keeps the catalog at the 48-query driver
+    cap while both composed pipelines get rows-only correctness checks
+    (their iterative/ntile composition is not single-statement SQL)."""
     from tcga_query_project_spark import fixtures
     from tcga_query_project_spark.pipelines import survival_analysis as sp
 
     t = fixtures.load_fixtures(spark)
-    return sp.drug_km(
+    b = sp.km_by_median_expression(
+        t["expression"], t["genes"], t["samples"], ["ATAT1"]
+    )["curves"].select(
+        F.lit("FULL_COHORT").alias("drug_class"), "*"
+    )
+    c = sp.drug_km(
         t["expression"], t["genes"], t["samples"], fixtures.DRUG_CLASSES, ["ATAT1"]
     )["curves"]
+    return b.unionByName(c)
 
 
 # =========================================================================
