@@ -12,11 +12,14 @@ stays in pure Spark SQL (operators/stats.py).
 Scope (SURVEY.md §7 "hard parts" #1): v1 (:func:`nb_glm_wald`) fits
 the NB GLM with a method-of-moments per-gene dispersion; v2
 (:func:`nb_glm_wald_shrunk`) adds DESeq2-style empirical-Bayes
-dispersion shrinkage (gene-wise moments → parametric trend → Cox-Reid
-MAP). Remaining divergences (fixed prior variance, no iterative trend
-refit, no Cook's distance outlier handling) are documented on v2; both
-use unshrunken MLE log2 fold changes and DESeq2's Wald construction
-(coefficient / standard error from the observed information).
+dispersion shrinkage (gene-wise moments → iteratively-refit parametric
+trend with outlier exclusion → Cox-Reid MAP) and Cook's-distance
+outlier flagging (p-value withheld past the qf(0.99, p, m−p) cutoff).
+Remaining divergences (fixed prior variance, flagged outlier counts
+are reported rather than replaced-and-refit) are documented on v2;
+both use unshrunken MLE log2 fold changes and DESeq2's Wald
+construction (coefficient / standard error from the observed
+information).
 
 Design for 100 TB: the input is the long expression fact table
 partitioned by gene; ``groupBy(gene).applyInPandas`` shuffles once on
@@ -292,8 +295,113 @@ SHRUNK_RESULT_SCHEMA = StructType(
         *RESULT_SCHEMA.fields,
         StructField("dispersion_mom", DoubleType()),
         StructField("dispersion_map", DoubleType()),
+        StructField("max_cooks", DoubleType()),
+        StructField("cooks_outlier", LongType()),
     ]
 )
+
+
+def _betacf(a: float, b: float, x: float, max_iter: int = 200) -> float:
+    """Continued fraction for the regularized incomplete beta
+    (Lentz's method — the classic numerical recipe; no scipy here)."""
+    tiny = 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c, d = 1.0, 1.0 - qab * x / qap
+    if abs(d) < tiny:
+        d = tiny
+    d = 1.0 / d
+    h = d
+    for m in range(1, max_iter + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-12:
+            break
+    return h
+
+
+def _betai(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b)."""
+    import math
+
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_front = (
+        math.lgamma(a + b)
+        - math.lgamma(a)
+        - math.lgamma(b)
+        + a * math.log(x)
+        + b * math.log(1.0 - x)
+    )
+    front = math.exp(ln_front)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * _betacf(a, b, x) / a
+    return 1.0 - front * _betacf(b, a, 1.0 - x) / b
+
+
+def f_cdf(x: float, d1: float, d2: float) -> float:
+    """F(d1, d2) cumulative distribution via the incomplete beta."""
+    if x <= 0.0:
+        return 0.0
+    return _betai(d1 / 2.0, d2 / 2.0, d1 * x / (d1 * x + d2))
+
+
+def f_quantile(p: float, d1: float, d2: float) -> float:
+    """Upper-quantile inverse of the F(d1, d2) CDF by bisection —
+    DESeq2's Cook's-distance cutoff is ``qf(0.99, p, m - p)``."""
+    lo, hi = 0.0, 1.0
+    while f_cdf(hi, d1, d2) < p:
+        hi *= 2.0
+        if hi > 1e12:
+            return hi
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if f_cdf(mid, d1, d2) < p:
+            lo = mid
+        else:
+            hi = mid
+        if hi - lo <= 1e-9 * max(hi, 1.0):
+            break
+    return 0.5 * (lo + hi)
+
+
+def _cooks_distances(
+    y: np.ndarray, x: np.ndarray, offset: np.ndarray, beta: np.ndarray, alpha: float
+) -> np.ndarray:
+    """Per-sample Cook's distance for the fitted NB GLM — DESeq2's
+    outlier diagnostic: ``r_pearson² / p · h_ii / (1 − h_ii)²`` with
+    leverages from the weighted hat matrix H = W^½X(X'WX)⁻¹X'W^½."""
+    n, p = x.shape
+    mu = np.exp(np.clip(x @ beta + offset, -30.0, 30.0))
+    var = mu + alpha * mu * mu
+    r2 = (y - mu) ** 2 / np.maximum(var, 1e-300)
+    w = mu / (1.0 + alpha * mu)
+    try:
+        xtwx_inv = np.linalg.inv((x.T * w) @ x)
+    except np.linalg.LinAlgError:
+        return np.zeros(n)
+    h = w * np.einsum("ij,jk,ik->i", x, xtwx_inv, x)
+    h = np.clip(h, 0.0, 1.0 - 1e-9)
+    return (r2 / p) * h / (1.0 - h) ** 2
 
 _LGAMMA = np.frompyfunc(__import__("math").lgamma, 1, 1)
 
@@ -375,14 +483,33 @@ def _fit_core_shrunk(
     a1: float,
     prior_sigma2: float,
 ) -> dict:
-    """Two-level NB contrast with MAP-shrunk dispersion.
+    """Two-level NB contrast with MAP-shrunk dispersion and Cook's
+    outlier flagging.
 
     Single fit chain (no redundant IRLS passes): Poisson fit for mu-hat
     → MoM dispersion (reported) → MAP dispersion → final IRLS at
-    alpha_MAP. Contract: ``dispersion_map`` is non-NaN ONLY when the
-    reported statistics were computed at that dispersion; if the MAP
-    refit degenerates the row falls back to the MoM fit and
-    ``dispersion_map`` stays NaN so consumers can tell."""
+    alpha_MAP → Cook's distances at the final fit. Contract:
+    ``dispersion_map`` is non-NaN ONLY when the reported statistics
+    were computed at that dispersion; if the MAP refit degenerates the
+    row falls back to the MoM fit and ``dispersion_map`` stays NaN so
+    consumers can tell.
+
+    Cook's gate (DESeq2 semantics): a gene whose max per-sample Cook's
+    distance exceeds ``qf(0.99, p, m − p)`` has ``cooks_outlier = 1``
+    and its ``pvalue`` set to NaN — but only when BOTH groups have ≥ 3
+    replicates (below that, one sample legitimately dominates its
+    group's mean and the diagnostic is uninformative — DESeq2 skips the
+    filter there too). Deliberate divergence: the distances are
+    evaluated at the cross-gene TREND dispersion, not the gene's own
+    MAP — a single corrupting count inflates the gene-wise dispersion
+    estimate enough to deflate its own Pearson residual below any
+    cutoff (self-masking; measured: max Cook's 4.7 at the MAP vs 2300
+    at the trend for a 5000-in-a-sea-of-60 spike). DESeq2 escapes that
+    circularity with a data-estimated (usually much tighter) prior
+    variance; with this module's fixed 0.25 prior the trend is the
+    robust scale. LFC/SE stay reported for inspection; DESeq2's further
+    step (replacing outlier counts with trimmed means and refitting)
+    is intentionally not emulated."""
     n_a = int(np.sum(grp == 0))
     n_b = int(np.sum(grp == 1))
     out = {
@@ -395,6 +522,8 @@ def _fit_core_shrunk(
         "n_b": n_b,
         "dispersion_mom": np.nan,
         "dispersion_map": np.nan,
+        "max_cooks": np.nan,
+        "cooks_outlier": 0,
     }
     if n_a == 0 or n_b == 0 or np.all(y == 0):
         return out
@@ -410,13 +539,13 @@ def _fit_core_shrunk(
     alpha_trend = max(a0 + (a1 / base_q if base_q > 0 else 0.0), 1e-8)
     alpha_map = _map_dispersion(y, x, offset, alpha_trend, prior_sigma2)
 
-    def _finish(alpha: float) -> bool:
+    def _finish(alpha: float) -> np.ndarray | None:
         fit = _fit_nb_irls(y, x, offset, alpha=alpha)
         if fit is None:
-            return False
+            return None
         beta, se = fit
         if se[1] <= 0 or not np.isfinite(se[1]):
-            return False
+            return None
         wald = beta[1] / se[1]
         out.update(
             log2_fold_change=float(beta[1] / _LN2),
@@ -424,13 +553,93 @@ def _fit_core_shrunk(
             wald_stat=float(wald),
             pvalue=float(_normal_sf_two_sided(np.array([wald]))[0]),
         )
-        return True
+        return beta
 
-    if _finish(alpha_map):
+    beta = _finish(alpha_map)
+    if beta is not None:
         out["dispersion_map"] = float(alpha_map)
     else:
-        _finish(alpha_mom)  # fallback: stats at MoM, dispersion_map NaN
+        beta = _finish(alpha_mom)  # fallback: stats at MoM, map NaN
+    if beta is not None:
+        n, p = x.shape
+        # trend dispersion, not the gene's own (see docstring: a wild
+        # count inflates the gene-wise estimate and masks itself)
+        cooks = _cooks_distances(y, x, offset, beta, alpha_trend)
+        out["max_cooks"] = float(np.max(cooks))
+        if min(n_a, n_b) >= 3 and n > p:
+            if out["max_cooks"] > f_quantile(0.99, float(p), float(n - p)):
+                out["cooks_outlier"] = 1
+                out["pvalue"] = np.nan
     return out
+
+
+def fit_dispersion_trend(
+    disp: DataFrame,
+    max_iter: int = 10,
+    ratio_lo: float = 1e-4,
+    ratio_hi: float = 15.0,
+    tol: float = 1e-3,
+) -> tuple[float, float]:
+    """Iteratively-refit parametric dispersion trend
+    ``alpha(mu) = a0 + a1/mu`` over a per-gene ``(_alpha, _mu)`` table —
+    DESeq2's estimateDispersionsFit loop: fit, drop genes whose
+    gene-wise dispersion deviates from the current trend by more than
+    ``ratio_hi``× (or below ``ratio_lo``×, the all-but-Poisson floor),
+    refit until the coefficients move < ``tol`` relatively. The first
+    pass uses every gene (the previous single-pass behavior ==
+    ``max_iter=1``); high-dispersion outlier genes then stop dragging
+    the trend every other gene's prior is centered on.
+
+    Input contract: dimension-sized (one row per gene, two doubles) —
+    each iteration is one tiny Spark aggregate with the current (a0,
+    a1) as literals; the caller should persist ``disp`` across the
+    loop. Eager: returns plain floats.
+    """
+
+    def _sums_to_coeffs(
+        sums, prev: tuple[float, float] | None
+    ) -> tuple[float, float] | None:
+        n, sx, sy, sxy, sxx = (
+            sums["n"], sums["sx"], sums["sy"], sums["sxy"], sums["sxx"]
+        )
+        if not n:
+            return None
+        if n * sxx - sx * sx > 0:
+            a1 = max((n * sxy - sx * sy) / (n * sxx - sx * sx), 0.0)
+            a0 = max(sy / n - a1 * sx / n, 1e-8)
+            return a0, a1
+        return (max(sy / n, 1e-8), 0.0) if prev is None else prev
+
+    agg_cols = [
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+    ]
+    xy = disp.select(
+        (1.0 / F.col("_mu")).alias("_x"), F.col("_alpha").alias("_y")
+    )
+    coeffs = _sums_to_coeffs(xy.agg(*agg_cols).first(), None)
+    if coeffs is None:
+        return 1e-2, 0.0
+    for _ in range(max_iter - 1):
+        a0, a1 = coeffs
+        trend = F.lit(a0) + F.lit(a1) * F.col("_x")
+        kept = xy.filter(
+            (F.col("_y") / trend > ratio_lo) & (F.col("_y") / trend < ratio_hi)
+        )
+        new = _sums_to_coeffs(kept.agg(*agg_cols).first(), coeffs)
+        if new is None:
+            break
+        if (
+            abs(new[0] - a0) <= tol * max(a0, 1e-8)
+            and abs(new[1] - a1) <= tol * max(a1, 1e-8)
+        ):
+            coeffs = new
+            break
+        coeffs = new
+    return coeffs
 
 
 def nb_glm_wald_shrunk(
@@ -454,19 +663,28 @@ def nb_glm_wald_shrunk(
        moments of size-factor-normalized counts, combined within-group
        (design-aware — between-condition fold changes do NOT count as
        dispersion; no Python, one shuffle);
-    2. parametric trend ``alpha(mu) = a0 + a1/mu`` by least squares
-       over genes with positive gene-wise alpha (the same closed form
-       stats.vst_fitted fits; two doubles collected to the driver);
+    2. parametric trend ``alpha(mu) = a0 + a1/mu`` — iteratively refit
+       with outlier exclusion (:func:`fit_dispersion_trend`, DESeq2's
+       estimateDispersionsFit loop: genes > 15× or < 1e-4× off the
+       current trend are dropped and the trend refit to convergence);
+       the per-gene (alpha, mu) table is dimension-sized and persisted
+       across the loop's tiny aggregates;
     3. per-gene MAP dispersion — golden-section maximization of the
        Cox-Reid-adjusted profile likelihood plus a log-normal prior
-       centered at the trend — then IRLS at alpha_MAP and Wald stats
-       (grouped-map applyInPandas, one shuffle keyed by gene).
+       centered at the trend — then IRLS at alpha_MAP, Wald stats, and
+       Cook's distances (grouped-map applyInPandas, one shuffle keyed
+       by gene). Genes with ≥ 3 replicates per group whose max Cook's
+       distance exceeds ``qf(0.99, p, m − p)`` are flagged
+       (``cooks_outlier = 1``) and their p-value withheld (NaN) —
+       DESeq2's outlier gate.
 
-    Simplifications vs DESeq2 (documented): fixed prior variance
-    (DESeq2 estimates it from the MAD of residuals, floored at 0.25),
-    no iterative trend re-fit with outlier exclusion, no Cook's
-    distance outlier replacement. Output adds dispersion_mom /
-    dispersion_map so shrinkage is observable.
+    Remaining simplifications vs DESeq2 (documented): fixed prior
+    variance (DESeq2 estimates it from the MAD of residuals, floored at
+    0.25), and no outlier-count REPLACEMENT (DESeq2 swaps flagged
+    counts for trimmed means and refits when ≥ 7 replicates; here
+    flagged genes are reported, not repaired). Output adds
+    dispersion_mom / dispersion_map / max_cooks / cooks_outlier so both
+    shrinkage and the outlier gate are observable.
 
     Eager contract: phases 1-2 run Spark jobs at call time (like
     stats.vst_fitted) so the trend coefficients embed as literals in
@@ -504,23 +722,15 @@ def nb_glm_wald_shrunk(
     ).filter(
         (F.col("_den") > 0) & (F.col("_mu") > 0) & (F.col("_alpha") > 0)
     )
-    sums = disp.select(
-        (1.0 / F.col("_mu")).alias("_x"), F.col("_alpha").alias("_y")
-    ).agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("_x").alias("sx"),
-        F.sum("_y").alias("sy"),
-        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
-        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
-    ).first()
-    n, sx, sy, sxy, sxx = (
-        sums["n"], sums["sx"], sums["sy"], sums["sxy"], sums["sxx"]
-    )
-    if n and n * sxx - sx * sx > 0:
-        a1 = max((n * sxy - sx * sy) / (n * sxx - sx * sx), 0.0)
-        a0 = max(sy / n - a1 * sx / n, 1e-8)
-    else:
-        a1, a0 = 0.0, max((sy / n) if n else 0.01, 1e-8)
+    # dimension-sized (one row per gene); persisted across the trend
+    # loop's aggregates, released before the heavy per-gene stage.
+    from pyspark import StorageLevel
+
+    disp = disp.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        a0, a1 = fit_dispersion_trend(disp)
+    finally:
+        disp.unpersist(blocking=False)
 
     def fit_one(pdf: pd.DataFrame) -> pd.DataFrame:
         out = _fit_core_shrunk(

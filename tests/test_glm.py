@@ -192,3 +192,82 @@ def test_dispersion_shrinkage_pulls_outliers_toward_trend(spark):
     # planted DE signal survives shrinkage
     assert out["g_de"]["pvalue"] < 1e-6
     assert abs(out["g_de"]["log2_fold_change"] - 2.0) < 0.5
+
+
+def test_f_quantile_matches_published_tables():
+    """qf anchors from published F tables (3-4 significant figures):
+    the Cook's cutoff machinery must be numerically trustworthy."""
+    assert abs(glm.f_quantile(0.99, 2, 10) - 7.5594) < 2e-3
+    assert abs(glm.f_quantile(0.99, 2, 4) - 18.000) < 5e-3
+    assert abs(glm.f_quantile(0.95, 2, 10) - 4.1028) < 2e-3
+    assert abs(glm.f_quantile(0.99, 1, 1) - 4052.2) < 2.0
+    # CDF inverts the quantile
+    for p, d1, d2 in [(0.99, 2, 10), (0.9, 3, 7), (0.5, 2, 2)]:
+        assert abs(glm.f_cdf(glm.f_quantile(p, d1, d2), d1, d2) - p) < 1e-6
+
+
+def test_dispersion_trend_refit_excludes_outlier_genes(spark):
+    """Iterative trend refit (DESeq2 estimateDispersionsFit loop):
+    a few wildly overdispersed genes must stop dragging the trend —
+    the converged (a0, a1) land nearer the planted truth than the
+    single-pass fit that includes the outliers."""
+    a0_true, a1_true = 0.05, 2.0
+    rows = []
+    rng = np.random.default_rng(3)
+    for g in range(60):
+        mu = 10.0 + 15.0 * (g % 20)
+        alpha = a0_true + a1_true / mu
+        rows.append((f"g{g}", float(alpha), float(mu)))
+    for g in range(3):  # 100x-trend outliers
+        mu = 50.0 + g
+        rows.append((f"o{g}", float(100.0 * (a0_true + a1_true / mu)), float(mu)))
+    disp = spark.createDataFrame(rows, "gene string, _alpha double, _mu double")
+    a0_1, a1_1 = glm.fit_dispersion_trend(disp, max_iter=1)
+    a0_r, a1_r = glm.fit_dispersion_trend(disp, max_iter=10)
+    err_1 = abs(a0_1 - a0_true) / a0_true + abs(a1_1 - a1_true) / a1_true
+    err_r = abs(a0_r - a0_true) / a0_true + abs(a1_r - a1_true) / a1_true
+    assert err_r < err_1 / 5  # refit is much closer to the truth
+    assert abs(a0_r - a0_true) < 0.01 and abs(a1_r - a1_true) < 0.1
+
+
+def test_cooks_distance_flags_single_wild_outlier(spark):
+    """Cook's gate: one wild count in an otherwise clean gene flags the
+    gene (cooks_outlier=1, pvalue withheld); the clean gene passes with
+    finite pvalue and sub-threshold max_cooks."""
+    rng = np.random.default_rng(5)
+    rows = []
+    n_per = 12  # 6 per group (>= 3 replicates -> gate active)
+    # 20 background NB genes (alpha ~ 0.05) populate the dispersion
+    # trend — as in real data, the trend comes from the gene ensemble,
+    # and the refit loop excludes the spiked gene's corrupted estimate
+    for g in range(20):
+        for i in range(n_per):
+            cond = "A" if i < n_per // 2 else "B"
+            lam = rng.gamma(shape=20.0, scale=60.0 / 20.0)
+            rows.append((f"bg{g}", f"s{i}", cond, float(rng.poisson(lam))))
+    for g, planted in [("clean", None), ("spiked", (3, 5000.0))]:
+        for i in range(n_per):
+            cond = "A" if i < n_per // 2 else "B"
+            val = float(rng.poisson(60.0))
+            if planted and i == planted[0]:
+                val = planted[1]
+            rows.append((g, f"s{i}", cond, val))
+    fact = spark.createDataFrame(
+        rows, "gene string, sample string, cond string, cnt double"
+    )
+    sf = spark.createDataFrame(
+        [(f"s{i}", 1.0) for i in range(n_per)], "sample string, size_factor double"
+    )
+    out = {
+        r["gene"]: r
+        for r in glm.nb_glm_wald_shrunk(
+            fact, "gene", "cond", "cnt", sf, "sample", "A", "B"
+        ).collect()
+    }
+    spiked, clean = out["spiked"], out["clean"]
+    assert spiked["cooks_outlier"] == 1
+    assert spiked["pvalue"] is None or np.isnan(spiked["pvalue"])  # withheld
+    assert spiked["max_cooks"] > glm.f_quantile(0.99, 2.0, float(n_per - 2))
+    assert clean["cooks_outlier"] == 0
+    assert clean["pvalue"] is not None and not np.isnan(clean["pvalue"])
+    assert clean["max_cooks"] < spiked["max_cooks"]
