@@ -109,3 +109,60 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     files = glob.glob(f"{dest}/*.parquet")
     assert len(files) == 1
     assert spark.read.parquet(dest).count() == 10_000
+
+
+def test_gdc_ingest_star_layout_prunes_and_elides(spark, tmp_path):
+    """S4 ingest side, end-to-end: chunked executor-side fetch ->
+    star-schema normalize -> layout-aware write. The written layout
+    must (a) partition-prune a GDCquery-style cohort predicate on
+    samples, (b) elide the gene-key shuffle on the bucketed expression
+    fact, (c) be deterministic (same barcodes -> same records)."""
+    from tcga_query_project_spark.sources import ingest
+
+    barcodes = [f"TCGA-{proj}-{i:04d}-01A" for proj in ("BR", "LU")
+                for i in range(10)]
+    base = str(tmp_path / "star")
+    tables = ingest.ingest_gdc_star(
+        spark, barcodes, base, files_per_chunk=4,
+        expression_table="ingest_expr_test", n_buckets=8,
+    )
+    try:
+        # fact: one row per (case, gene); dims: one row per key
+        assert tables["expression"].count() == len(barcodes) * 50
+        assert tables["samples"].count() == len(barcodes)
+        assert tables["genes"].count() == 50
+        samp = tables["samples"].collect()
+        assert all(r["submitter_id"] == r["barcode"][:12] for r in samp)
+
+        # (a) the GDCquery predicates prune partitions: the filtered
+        # scan plans PartitionFilters, not a full-directory read
+        cohort = tables["samples"].filter(
+            (F.col("project") == "TCGA-BR")
+            & (F.col("short_letter_code") == "TP")
+        )
+        plan = cohort._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert "project" in plan.split("PartitionFilters")[1][:200]
+        expect_tp_br = [
+            r for r in samp
+            if r["project"] == "TCGA-BR" and r["short_letter_code"] == "TP"
+        ]
+        assert cohort.count() == len(expect_tp_br) > 0
+
+        # (b) per-gene aggregation over the bucketed fact: no Exchange
+        agg = tables["expression"].groupBy("gene_id").sum("count")
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in aplan, aplan
+
+        # (c) deterministic fetch: a second ingest of the same manifest
+        # produces identical (barcode, gene_id, count) triples
+        again = ingest.fetch_chunked(
+            spark.createDataFrame([(b,) for b in barcodes], "barcode string"),
+            ingest.simulated_gdc_fetcher(),
+            files_per_chunk=4,
+        ).select("barcode", "gene_id", "count")
+        first = tables["expression"].select("barcode", "gene_id", "count")
+        assert first.exceptAll(again).count() == 0
+        assert again.exceptAll(first).count() == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ingest_expr_test")
