@@ -191,3 +191,20 @@ def test_headline_shuffle_budgets(spark):
     for name, budget in budgets.items():
         df = _run(spark, name)
         assert plans.count_exchanges(df) <= budget, name
+
+
+def test_logrank_k_by_single_shuffle(spark):
+    """The distributed per-cohort log-rank fan-out must plan as ONE
+    exchange (the cohort-key shuffle into applyInPandas) — a 60k-gene
+    sweep is one grouped job, not a driver loop."""
+    from tcga_query_project_spark.operators import survival
+
+    df = spark.createDataFrame(
+        [(g, "a" if i % 3 else "b", float(i % 7 + 1), i % 2)
+         for g in range(5) for i in range(12)],
+        "gene long, grp string, time double, status int",
+    )
+    out = survival.logrank_test_k_by(df, "time", "status", "grp", by=["gene"])
+    from tcga_query_project_spark.plans import inspect as plans
+
+    assert plans.count_exchanges(out) <= 1
