@@ -166,3 +166,38 @@ def test_gdc_ingest_star_layout_prunes_and_elides(spark, tmp_path):
         assert again.exceptAll(first).count() == 0
     finally:
         spark.sql("DROP TABLE IF EXISTS ingest_expr_test")
+
+
+def test_gdc_ingest_feeds_de_pipeline_end_to_end(spark, tmp_path):
+    """Closing the reference's full loop: the ingest job's written star
+    schema is directly consumable by entry point A (differential
+    expression on vital_status) — the GDCdownload -> GDCprepare ->
+    DESeq chain with no adapter glue. The per-gene stage runs over the
+    gene-bucketed fact, so its groupBy plans without an extra
+    exchange beyond the bucketed layout's own scan."""
+    from tcga_query_project_spark.pipelines import differential_expression as dp
+    from tcga_query_project_spark.sources import ingest
+
+    barcodes = [f"TCGA-BR-{i:04d}-01A" for i in range(24)]
+    base = str(tmp_path / "star")
+    tables = ingest.ingest_gdc_star(
+        spark, barcodes, base, files_per_chunk=8,
+        expression_table="ingest_de_test", n_buckets=4,
+    )
+    try:
+        de = dp.differential_expression(
+            tables["expression"],
+            tables["genes"],
+            tables["samples"],
+            "vital_status",
+            "Alive",
+            "Dead",
+        ).collect()
+        # one row per surviving gene, BH-adjusted and binned
+        assert 0 < len(de) <= 50
+        for r in de:
+            assert r["padj"] is None or 0.0 <= r["padj"] <= 1.0
+            assert r["gene_id"].startswith("ENSG")
+        assert any(r["padj"] is not None for r in de)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ingest_de_test")
