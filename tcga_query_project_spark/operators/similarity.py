@@ -586,3 +586,82 @@ def cosine_topk_quantized(
     return exact.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).filter(F.col("rank") <= k)
+
+
+# --- persisted ANN index layout -------------------------------------------
+
+
+def build_ann_index(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    bits: int = 4,
+) -> None:
+    """Materialize the bucketed-ANN layout the in-session operators
+    emulate with a persist: corpus written hive-partitioned by sign-LSH
+    bucket id, norms precomputed — the index-build job of a production
+    embedding store, run ONCE per corpus version.
+
+    At query time (:func:`query_ann_index`) a single-bucket probe is a
+    partition-pruned directory read: ~|corpus|/2^bits rows scanned per
+    probed bucket, the rest never listed. The same layout serves every
+    later query; the cost model is one full corpus pass at build,
+    against per-query scans shrunk by 2^bits forever after.
+    """
+    fan_out(df.select(F.col(id_col), F.col(vec_col)), id_col).select(
+        F.col(id_col),
+        F.col(vec_col),
+        _norm_batch(F.col(vec_col)).alias("nrm"),
+        sign_bucket(F.col(vec_col), bits).alias("bkt"),
+    ).write.mode("overwrite").partitionBy("bkt").parquet(path)
+
+
+def query_ann_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    bits: int = 4,
+) -> DataFrame:
+    """Top-k cosine against a :func:`build_ann_index` layout: each query
+    row computes its bucket, the index scan filters to exactly the
+    probed buckets (partition pruning — the plan shows the bucket
+    predicate under PartitionFilters), and only those directories'
+    rows are exact-scored.
+
+    The query side is broadcast (query sets are small by contract);
+    the bucket filter uses an IN-list of the DISTINCT query buckets —
+    literal-sized, so Catalyst prunes partitions statically. Output
+    schema matches :func:`cosine_topk`.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm_batch(F.col(vec_col)).alias("_qn"),
+        sign_bucket(F.col(vec_col), bits).alias("bkt"),
+    )
+    probe_buckets = [r["bkt"] for r in q.select("bkt").distinct().collect()]
+    idx = spark.read.parquet(path).filter(F.col("bkt").isin(probe_buckets))
+    scored = (
+        F.broadcast(q)
+        .join(idx, "bkt")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                _dot_batch(F.col("_qv"), F.col(vec_col))
+                / (F.col("_qn") * F.col("nrm")),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )

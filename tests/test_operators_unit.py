@@ -971,3 +971,40 @@ def test_bm25_ranks_relevant_docs_first(spark):
     assert [r["doc_id"] for r in both][:2] == [1, 2] or [r["doc_id"] for r in both][:2] == [2, 1]
     top = {r["doc_id"]: r["bm25"] for r in both}
     assert top[1] > 0 and top[2] > 0
+
+
+def test_ann_index_layout_prunes_and_matches_in_session(spark, tmp_path):
+    """build_ann_index writes the sign-LSH layout; query_ann_index
+    probes it with partition pruning (bucket predicate in
+    PartitionFilters, only probed directories scanned) and returns
+    exactly the in-session cosine_topk_bucketed results for the same
+    query set."""
+    import random
+
+    from tcga_query_project_spark.operators import similarity
+
+    rng = random.Random(13)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ann_index")
+    similarity.build_ann_index(df, path, "vec_id", "embedding", bits=4)
+
+    queries = df.filter(F.col("vec_id") < 20)
+    out = similarity.query_ann_index(
+        spark, path, queries, "vec_id", "embedding", k=3, bits=4
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "bkt" in plan.split("PartitionFilters")[1][:300]
+
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in out.collect()}
+    ref = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.cosine_topk_bucketed(
+            df, "vec_id", "embedding", k=3, bits=4,
+            query_filter=F.col("query_id") < 20,
+        ).collect()
+    }
+    assert got == ref and len(got) > 0
