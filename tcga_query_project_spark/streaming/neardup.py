@@ -1,0 +1,173 @@
+"""Streaming near-duplicate filtering (north-star §2.10: the
+MinHash-LSH near-dedup operator's unbounded-stream form).
+
+Batch near-dedup (operators/dedup.near_duplicates) self-joins band
+signatures over the whole corpus; a stream cannot self-join its own
+past without unbounded state. This module keeps the SAME hash family
+and banding as the batch operator but flips the decision rule to a
+streaming-safe form:
+
+    a document passes iff EVERY one of its band signatures is
+    first-seen within the watermark horizon.
+
+Each band key holds one state entry until the watermark passes it
+(``dropDuplicatesWithinWatermark``), so state is bounded by active
+bands, not corpus size. Against the batch operator the rule is
+STRICTER: a genuinely novel document that collides with history on
+even one band (the LSH false-positive that batch resolves with an
+exact-Jaccard verify stage) is dropped here — without the stored
+corpus there is nothing to verify against. That bias (drop too much,
+never pass a near-dup the bands can see) is the right one for
+training-data ingest. Two further documented edges: two novel docs in
+one micro-batch sharing a band → the first-processed one wins and the
+other is dropped (arrival order, not id order); and a near-dup arriving later than the watermark delay after
+its original may pass (state for the original's bands has been
+reclaimed — the same horizon contract as exact_dedup_stream).
+
+Signature computation is per-row expression work (higher-order
+functions over the shingle array) rather than the batch module's
+exploded hash aggregation: HOF lambdas evaluate interpreted (~4x
+slower per shingle), but they are STATELESS — the only stateful
+operators in the query are the band dedup and the per-doc band count,
+both watermark-bounded. Values are bit-identical to the batch family
+(same md5 → 32-bit parse → linear permutation mod the same prime).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tcga_query_project_spark.operators.dedup import MINHASH_PRIME
+from tcga_query_project_spark.operators.text import tokens
+
+
+def _shingle_expr(text: Column, k: int) -> Column:
+    """Distinct word k-gram shingles as one array expression (the
+    narrow form of operators/dedup.shingle_array, streaming-safe: no
+    fan_out/rdd access)."""
+    toks = tokens(F.lower(F.trim(text)))
+    n = F.size(toks)
+    shingles = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(shingles)
+
+
+def _band_sigs_expr(shingles: Column, num_hashes: int, band_size: int) -> Column:
+    """ARRAY<STRUCT<band, band_sig>> of LSH band signatures, computed
+    per row: shingle → md5 → first-32-bits int, seed i's permutation
+    ``(2i+1)·v + 1000003·i mod P`` (identical to
+    operators/dedup.minhash_signature), min per seed via array_min,
+    bands joined in seed order with the batch module's '_' separator."""
+    v = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")  # noqa: E731
+    mins = [
+        F.array_min(
+            F.transform(
+                shingles,
+                lambda s, i=i: (
+                    (2 * i + 1) * v(s) + F.lit(i * 1000003).cast("long")
+                )
+                % F.lit(MINHASH_PRIME),
+            )
+        )
+        for i in range(1, num_hashes + 1)
+    ]
+    bands = [
+        mins[j : j + band_size] for j in range(0, len(mins), band_size)
+    ]
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("band"),
+                F.concat_ws("_", *[m.cast("string") for m in grp]).alias(
+                    "band_sig"
+                ),
+            )
+            for j, grp in enumerate(bands)
+        ]
+    )
+
+
+def near_dup_dedup_stream(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    window: str = "10 minutes",
+) -> DataFrame:
+    """Streaming near-dup filter: emit ``(window_start_ms, id, text)``
+    for documents ALL of whose LSH band signatures are first-seen.
+
+    Dataflow (append mode, two chained watermark-bounded stateful ops —
+    supported since Spark 3.5's multiple-stateful-operator relaxation):
+
+    1. explode each doc into its ``num_hashes/band_size`` band rows
+       (text carried through — the fan-out factor is the band count,
+       a small constant);
+    2. ``dropDuplicatesWithinWatermark`` on (band, band_sig): one
+       surviving row per band key per horizon;
+    3. windowed count per doc: docs whose surviving-band count equals
+       the band count pass (every band was first-seen).
+
+    Documents too short to shingle (< k tokens) have no bands and pass
+    unconditionally, mirroring the batch operator's contract that they
+    are never near-dup candidates; route them through
+    ``exact_dedup_stream`` if exact copies matter.
+
+    Output timestamps are epoch millis (engine-portable; no session-tz
+    values escape). Batch input: runs the same plan with plain
+    ``dropDuplicates`` semantics via the whole-input scope.
+    """
+    n_bands = -(-num_hashes // band_size)  # ceil
+    sh = _shingle_expr(F.col(text_col), k)
+    based = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.col(ts_col),
+        _band_sigs_expr(sh, num_hashes, band_size).alias("_bands"),
+    )
+    short_docs = based.filter(F.size("_bands") == 0).select(
+        F.unix_millis(F.window(ts_col, window).getField("start")).alias(
+            "window_start_ms"
+        ),
+        F.col(id_col),
+        F.col(text_col),
+    )
+    bands = based.filter(F.size("_bands") > 0).select(
+        F.col(id_col),
+        F.col(text_col),
+        F.col(ts_col),
+        F.explode("_bands").alias("_b"),
+    ).select(
+        id_col, text_col, ts_col,
+        F.col("_b.band").alias("_band"),
+        F.col("_b.band_sig").alias("_band_sig"),
+    )
+    if df.isStreaming:
+        bands = bands.withWatermark(ts_col, delay)
+        surviving = bands.dropDuplicatesWithinWatermark(["_band", "_band_sig"])
+    else:
+        surviving = bands.dropDuplicates(["_band", "_band_sig"])
+    counted = (
+        surviving.groupBy(F.window(ts_col, window), F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("_n_surviving"),
+            F.first(text_col).alias(text_col),
+        )
+        .filter(F.col("_n_surviving") == n_bands)
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+            F.col(id_col),
+            F.col(text_col),
+        )
+    )
+    return counted.unionByName(short_docs)

@@ -505,3 +505,64 @@ def test_continuous_aggregate_stream_rollup_equals_batch(spark, tmp_path_factory
     for g, w in zip(got, want):
         assert g[:3] == w[:3]
         assert abs(g[3] - w[3]) < 1e-6, (g, w)
+
+
+def test_near_dup_dedup_stream_bands(spark, tmp_path):
+    """Streaming LSH near-dedup: an exact re-arrival collides on every
+    band and is dropped; a novel document passes; a too-short document
+    passes unconditionally; and the batch run over the union equals the
+    drained stream (same hash family, same decision rule)."""
+    import datetime as dt
+
+    from tcga_query_project_spark.streaming.neardup import (
+        near_dup_dedup_stream,
+    )
+
+    def t(minute):
+        return dt.datetime(2024, 1, 1, 0, minute)
+
+    a = "the quick brown fox jumps over the lazy dog today"
+    b = "entirely different words describing some other topic completely"
+    schema = "doc_id long, text string, ts timestamp"
+    half1 = [(1, a, t(0)), (2, b, t(1))]
+    half2 = [(3, a, t(2)), (4, "hi", t(3))]  # 3 = exact re-arrival; 4 short
+    # append-mode aggregates emit only when the watermark passes the
+    # window end: a late flush doc advances it past [00:00, 00:10)
+    # (its own window stays open, so it is never emitted itself)
+    flush = [(99, "late watermark advancing flush document here now", t(59))]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(half1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(half2, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(flush, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = near_dup_dedup_stream(stream, "doc_id", "text", "ts", delay="3 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_neardup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_neardup").collect()
+    passed = sorted(r["doc_id"] for r in rows)
+    assert 1 in passed and 2 in passed      # novel docs pass
+    assert 3 not in passed                  # exact re-arrival: all bands seen
+    assert 4 in passed                      # short doc: no bands, passes
+    assert 99 not in passed                 # flush doc's window never closed
+
+    # batch form over the same (pre-flush) docs: same decision rule
+    batch = spark.createDataFrame(half1 + half2, schema)
+    bpassed = sorted(
+        r["doc_id"]
+        for r in near_dup_dedup_stream(
+            batch, "doc_id", "text", "ts", delay="3 minutes"
+        ).collect()
+    )
+    assert bpassed == passed
