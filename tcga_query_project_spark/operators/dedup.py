@@ -208,34 +208,22 @@ def minhash_signature(
     )
 
 
-def lsh_candidates(
-    signatures: DataFrame, id_col: str, band_size: int = 2
+def _band_signatures(
+    signatures: DataFrame, id_col: str, seeds: list[int], band_size: int
 ) -> DataFrame:
-    """LSH banding: group seeds into bands of ``band_size``; documents
-    sharing any band signature become candidate pairs (id_a < id_b).
+    """(id, band, band_sig) rows from a wide ``_mh<N>`` signature table.
 
-    The band signature is the concatenation of the band's minhashes in
-    seed order; the self-join is an equi-join on (band, signature), so
-    only colliding documents pair up.
-    """
-    seeds = sorted(
-        (int(c[3:]) for c in signatures.columns if c.startswith("_mh")),
-    )
-    if not seeds:
-        raise ValueError(
-            "lsh_candidates: no _mh<N> signature columns in input "
-            f"(got {signatures.columns}); pass the wide output of "
-            "minhash_signature()"
-        )
+    Band signature = md5 of the band's minhashes joined in seed order
+    (portable: string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) on
+    the oracle side). The wide signature row makes this a narrow
+    per-row expression — the per-(doc, band) inline explode is
+    num_bands structs per document, no shuffle. Shared by the
+    self-join candidate generator (:func:`lsh_candidates`) and the
+    cross-corpus contamination join (:func:`decontaminate`)."""
     bands = [
         seeds[j : j + band_size] for j in range(0, len(seeds), band_size)
     ]
-    # band signature = minhashes joined in seed order (portable:
-    # string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) on the oracle
-    # side). The wide signature row makes this a narrow per-row
-    # expression — the per-(doc, band) inline explode is num_bands
-    # structs per document, no shuffle.
-    band_sigs = signatures.select(
+    return signatures.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -257,6 +245,28 @@ def lsh_candidates(
             )
         ).alias("_b"),
     ).select(F.col(id_col), F.col("_b.band"), F.col("_b.band_sig"))
+
+
+def lsh_candidates(
+    signatures: DataFrame, id_col: str, band_size: int = 2
+) -> DataFrame:
+    """LSH banding: group seeds into bands of ``band_size``; documents
+    sharing any band signature become candidate pairs (id_a < id_b).
+
+    The band signature is the concatenation of the band's minhashes in
+    seed order; the self-join is an equi-join on (band, signature), so
+    only colliding documents pair up.
+    """
+    seeds = sorted(
+        (int(c[3:]) for c in signatures.columns if c.startswith("_mh")),
+    )
+    if not seeds:
+        raise ValueError(
+            "lsh_candidates: no _mh<N> signature columns in input "
+            f"(got {signatures.columns}); pass the wide output of "
+            "minhash_signature()"
+        )
+    band_sigs = _band_signatures(signatures, id_col, seeds, band_size)
     a = band_sigs.select(
         F.col(id_col).alias("id_a"), F.col("band"), F.col("band_sig")
     )
@@ -574,3 +584,68 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ).otherwise(F.lit(0).cast("long"))
         simhash = term if simhash is None else simhash + term
     return bit_sums.select(F.col(id_col), simhash.alias("simhash"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-corpus near-duplicate detection — the train/test
+    DECONTAMINATION job: find training documents that near-duplicate an
+    evaluation/reference document, so they can be dropped before
+    training. Returns ``(corpus_id, reference_id, jaccard)`` for every
+    cross pair at or above ``threshold``; anti-join the corpus against
+    the distinct ``corpus_id`` values to clean it.
+
+    Same machinery as :func:`near_duplicates` (identical shingle/
+    MinHash/band family), but the candidate join is corpus × reference
+    instead of a self-join — and the reference side (eval sets:
+    thousands of docs, not billions) broadcasts, so the corpus is
+    scanned ONCE with a map-side band lookup and the only shuffle is
+    the corpus signature aggregation. Exact-Jaccard verify runs on
+    candidates only, with the reference shingle arrays broadcast again
+    (array payloads, dimension-sized).
+
+    At 100 TB: cost is one corpus pass + one signature shuffle,
+    independent of how many reference sets are unioned into
+    ``reference`` (tag them upstream and keep their ids distinct).
+    """
+    sh_c = shingle_array(corpus, id_col, text_col, k)
+    sh_r = shingle_array(reference, id_col, text_col, k)
+    sig_c = minhash_signature_arrays(sh_c, id_col, num_hashes)
+    sig_r = minhash_signature_arrays(sh_r, id_col, num_hashes)
+    seeds = list(range(1, num_hashes + 1))
+    bands_c = _band_signatures(sig_c, id_col, seeds, band_size).select(
+        F.col(id_col).alias("corpus_id"), "band", "band_sig"
+    )
+    bands_r = _band_signatures(sig_r, id_col, seeds, band_size).select(
+        F.col(id_col).alias("reference_id"), "band", "band_sig"
+    )
+    cand = (
+        bands_c.join(F.broadcast(bands_r), ["band", "band_sig"])
+        .select("corpus_id", "reference_id")
+        .distinct()
+    )
+    a = sh_c.select(F.col(id_col).alias("corpus_id"), F.col("shingles").alias("_sa"))
+    b = sh_r.select(
+        F.col(id_col).alias("reference_id"), F.col("shingles").alias("_sb")
+    )
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb"))).cast("double")
+    sza = F.size("_sa").cast("double")
+    szb = F.size("_sb").cast("double")
+    return (
+        cand.join(a, "corpus_id")
+        .join(F.broadcast(b), "reference_id")
+        .select(
+            "corpus_id",
+            "reference_id",
+            F.round(inter / (sza + szb - inter), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

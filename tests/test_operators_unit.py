@@ -1008,3 +1008,41 @@ def test_ann_index_layout_prunes_and_matches_in_session(spark, tmp_path):
         ).collect()
     }
     assert got == ref and len(got) > 0
+
+
+def test_decontaminate_cross_corpus(spark):
+    """Train/test decontamination: a training doc that near-duplicates
+    an eval doc is caught with its exact Jaccard; clean docs produce no
+    pairs; the reference side never pairs with itself."""
+    from tcga_query_project_spark.operators import dedup
+
+    train = [
+        (1, "the quick brown fox jumps over the lazy dog in the park"),
+        (2, "a completely unrelated training document about spark engines"),
+        (3, "short doc"),  # < k tokens -> never a candidate
+    ]
+    evals = [
+        (100, "the quick brown fox jumps over the lazy dog in the park today"),
+        (101, "benchmark questions about astronomy and planetary orbits"),
+    ]
+    corpus = spark.createDataFrame(train, "doc_id long, text string")
+    reference = spark.createDataFrame(evals, "doc_id long, text string")
+    out = dedup.decontaminate(
+        corpus, reference, "doc_id", "text", threshold=0.5
+    ).collect()
+    pairs = {(r["corpus_id"], r["reference_id"]): r["jaccard"] for r in out}
+    assert (1, 100) in pairs          # near-dup across corpora caught
+    # hand-check the exact jaccard: shingle sets of the two texts
+    ta = "the quick brown fox jumps over the lazy dog in the park".split()
+    tb = "the quick brown fox jumps over the lazy dog in the park today".split()
+    sa = {" ".join(ta[i:i+3]) for i in range(len(ta) - 2)}
+    sb = {" ".join(tb[i:i+3]) for i in range(len(tb) - 2)}
+    expect = len(sa & sb) / len(sa | sb)
+    assert abs(pairs[(1, 100)] - round(expect, 6)) < 1e-9
+    assert all(cid == 1 for cid, _ in pairs)  # 2 and 3 are clean
+    # cleaning: anti-join drops exactly the contaminated rows
+    contaminated = spark.createDataFrame(
+        [(r["corpus_id"],) for r in out], "doc_id long"
+    )
+    clean = corpus.join(contaminated, "doc_id", "left_anti")
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2, 3]
