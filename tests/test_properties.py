@@ -232,3 +232,61 @@ def test_scd2_intervals_tile_the_timeline(spark, data):
             assert prev["valid_to"] == nxt["valid_from"]  # chained
             assert not prev["is_current"]
             assert prev["attr"] != nxt["attr"]  # real change between versions
+
+
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_roundtrip_any_shape(w, h, seed):
+    """encode_bmp/decode_bmp round-trip every (h, w, 3) uint8 image
+    exactly — odd widths exercise the 4-byte row padding, 1-pixel
+    edges the header arithmetic."""
+    import numpy as np
+
+    from tcga_query_project_spark.operators import codecs
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    back = codecs.decode_bmp(codecs.encode_bmp(px))
+    assert back is not None and np.array_equal(back, px)
+    # PPM round-trip on the same pixels
+    assert np.array_equal(codecs.decode_ppm(codecs.encode_ppm(px)), px)
+
+
+@given(
+    st.integers(min_value=1, max_value=64),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_wav_roundtrip_any_signal(n, seed):
+    """encode_wav/decode_wav round-trips arbitrary [-1, 1] signals to
+    16-bit quantization accuracy, preserving rate and length."""
+    import numpy as np
+
+    from tcga_query_project_spark.operators import codecs
+
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-1.0, 1.0, size=n)
+    rate, back = codecs.decode_wav(codecs.encode_wav(16000, x))
+    assert rate == 16000 and len(back) == n
+    # encode scales by 32767 (peak-preserving), decode by 32768 (the
+    # PCM convention): error bound = half a code step + the 1/32768
+    # scale mismatch
+    assert np.abs(back - x).max() <= 1.5 / 32768 + 1e-9
+
+
+@given(st.binary(min_size=0, max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_codecs_total_on_arbitrary_bytes(payload):
+    """Decoders never raise on arbitrary bytes — they return None (the
+    kernels' fallback contract depends on this totality)."""
+    from tcga_query_project_spark.operators import codecs
+
+    assert codecs.decode_bmp(payload) is None or payload[:2] == b"BM"
+    r = codecs.decode_ppm(payload)
+    assert r is None or payload[:1] == b"P"
+    w = codecs.decode_wav(payload)
+    assert w is None or payload[:4] == b"RIFF"
