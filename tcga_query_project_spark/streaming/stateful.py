@@ -204,3 +204,115 @@ def running_totals_tws(
         outputMode="Update",
         timeMode="EventTime",
     )
+
+
+CUSUM_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("n_seen", LongType()),
+        StructField("cusum_pos", DoubleType()),
+        StructField("cusum_neg", DoubleType()),
+        StructField("drifted", LongType()),
+    ]
+)
+
+
+def cusum_drift_tws(
+    stream: DataFrame,
+    key: str,
+    value: str,
+    target: float,
+    slack: float = 0.5,
+    threshold: float = 5.0,
+) -> DataFrame:
+    """Per-key CUSUM changepoint detector on ``transformWithState`` —
+    the canonical "arbitrary state transition" the windowed aggs cannot
+    express (the statistic is a running RECURRENCE, not an aggregate):
+
+        ``S⁺ ← max(0, S⁺ + (x − target − slack))``
+        ``S⁻ ← max(0, S⁻ + (target − x − slack))``
+
+    One ``drifted = 1`` row is emitted the first time either side
+    crosses ``threshold`` (a sustained shift of the key's value level
+    away from ``target``), after which both sides reset — the detector
+    re-arms, so a later second drift alarms again. Ordinary batches
+    emit ``drifted = 0`` rows carrying the running sums, so the sink
+    sees detector health, not just alarms.
+
+    Scale shape: identical to :func:`running_totals_tws` — state is
+    three doubles + a count per key, sharded by the grouping key across
+    the state store; within-batch rows apply in Arrow-batch order (the
+    recurrence is order-sensitive; upstream should provide per-key
+    batch order, e.g. a sorted file source or repartition+sortWithin).
+
+    Runtime dependency: same as running_totals_tws (protobuf state
+    server + RocksDB multi-column-family provider).
+    """
+    from pyspark.sql import functions as F  # noqa: F401  (parity w/ sibling)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _CusumProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "cusum", "n long, sp double, sn double"
+            )
+
+        def handleInputRows(self, key_t, rows, timerValues):
+            n, sp, sn = self._st.get() if self._st.exists() else (0, 0.0, 0.0)
+            drift_rows = []
+            for pdf in rows:
+                # positional binding: upstream select order is (key,
+                # value) — see running_totals_tws on Arrow batch names
+                pdf.columns = ["key", "value"][: len(pdf.columns)]
+                for x in pdf["value"].to_numpy(dtype="float64"):
+                    n += 1
+                    sp = max(0.0, sp + (x - target - slack))
+                    sn = max(0.0, sn + (target - x - slack))
+                    if sp > threshold or sn > threshold:
+                        drift_rows.append((n, sp, sn))
+                        sp, sn = 0.0, 0.0  # re-arm
+            self._st.update((n, sp, sn))
+            out = [
+                pd.DataFrame(
+                    {
+                        "key": [key_t[0]],
+                        "n_seen": [dn],
+                        "cusum_pos": [dsp],
+                        "cusum_neg": [dsn],
+                        "drifted": [1],
+                    }
+                )
+                for dn, dsp, dsn in drift_rows
+            ]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "key": [key_t[0]],
+                        "n_seen": [n],
+                        "cusum_pos": [sp],
+                        "cusum_neg": [sn],
+                        "drifted": [0],
+                    }
+                )
+            )
+            yield from out
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            yield from ()
+
+        def close(self) -> None:
+            pass
+
+    renamed = stream.select(
+        stream[key].alias("key").cast("long"),
+        stream[value].alias("value").cast("double"),
+    )
+    return renamed.groupBy("key").transformWithStateInPandas(
+        _CusumProcessor(),
+        outputStructType=CUSUM_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

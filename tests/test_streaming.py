@@ -566,3 +566,64 @@ def test_near_dup_dedup_stream_bands(spark, tmp_path):
         ).collect()
     )
     assert bpassed == passed
+
+
+def test_cusum_drift_detector_across_microbatches(spark, tmp_path):
+    """CUSUM on transformWithState: a level shift sustained across
+    micro-batches fires exactly one alarm (then re-arms), a stable key
+    never alarms, and the recurrence state carries across batches —
+    the alarm here NEEDS both files' evidence to cross the threshold."""
+    pytest.importorskip("google.protobuf")
+    from tcga_query_project_spark.streaming.stateful import cusum_drift_tws
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, value double"
+    # key 1: stable at the target (10). key 2: shifted to 13 — each
+    # sample adds 13-10-0.5=2.5; threshold 8 needs 4 samples, split
+    # 2+2 across files so the alarm requires cross-batch state.
+    half1 = [(1, 10.0), (1, 10.2), (2, 13.0), (2, 13.0)]
+    half2 = [(1, 9.8), (1, 10.1), (2, 13.0), (2, 13.0)]
+    spark.createDataFrame(half1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(half2, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = cusum_drift_tws(stream, "user_id", "value", target=10.0,
+                          slack=0.5, threshold=8.0)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t_cusum")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    rows = spark.sql("SELECT * FROM t_cusum").collect()
+    alarms = [r for r in rows if r["drifted"] == 1]
+    assert [(r["key"], r["n_seen"]) for r in alarms] == [(2, 4)]
+    # the alarm row carries the crossing statistic (4 * 2.5 = 10 > 8)
+    assert abs(alarms[0]["cusum_pos"] - 10.0) < 1e-9
+    # stable key: only health rows, re-armed state stays small
+    k1 = [r for r in rows if r["key"] == 1]
+    assert all(r["drifted"] == 0 for r in k1)
+    assert all(r["cusum_pos"] < 8.0 and r["cusum_neg"] < 8.0 for r in k1)
+    # detector re-armed after the alarm: key 2's final health row resets
+    k2_health = [r for r in rows if r["key"] == 2 and r["drifted"] == 0]
+    assert k2_health and k2_health[-1]["cusum_pos"] < 8.0
