@@ -65,16 +65,19 @@ def _band_sigs_expr(shingles: Column, num_hashes: int, band_size: int) -> Column
     operators/dedup.minhash_signature), min per seed via array_min,
     bands joined in seed order with the batch module's '_' separator."""
     v = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")  # noqa: E731
+
+    def _perm(i: int):
+        # single-parameter lambda built per seed: a TWO-parameter
+        # lambda (e.g. ``lambda s, i=i``) would be treated by
+        # F.transform as an (element, index) function and silently
+        # overwrite the seed with the array index, collapsing every
+        # seed to one permutation (caught by the bit-identity test).
+        return lambda s: (
+            (2 * i + 1) * v(s) + F.lit(i * 1000003).cast("long")
+        ) % F.lit(MINHASH_PRIME)
+
     mins = [
-        F.array_min(
-            F.transform(
-                shingles,
-                lambda s, i=i: (
-                    (2 * i + 1) * v(s) + F.lit(i * 1000003).cast("long")
-                )
-                % F.lit(MINHASH_PRIME),
-            )
-        )
+        F.array_min(F.transform(shingles, _perm(i)))
         for i in range(1, num_hashes + 1)
     ]
     bands = [

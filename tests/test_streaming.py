@@ -627,3 +627,39 @@ def test_cusum_drift_detector_across_microbatches(spark, tmp_path):
     # detector re-armed after the alarm: key 2's final health row resets
     k2_health = [r for r in rows if r["key"] == 2 and r["drifted"] == 0]
     assert k2_health and k2_health[-1]["cusum_pos"] < 8.0
+
+
+def test_streaming_minhash_values_match_batch_family(spark):
+    """The streaming near-dedup's per-row expression MinHash must be
+    bit-identical to the batch module's exploded-aggregation family —
+    same shingles, same md5 parse, same permutation, same mins."""
+    from tcga_query_project_spark.operators import dedup
+    from tcga_query_project_spark.streaming.neardup import (
+        _band_sigs_expr,
+        _shingle_expr,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "entirely different words describing some other topic completely"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # batch: wide _mh columns
+    batch = {
+        r["doc_id"]: [r[f"_mh{i}"] for i in range(1, 9)]
+        for r in dedup.minhash_signature_arrays(
+            dedup.shingle_array(df, "doc_id", "text", 3), "doc_id", 8
+        ).collect()
+    }
+    # streaming: band structs of raw min strings, band_size=1 so each
+    # band_sig IS one minhash value
+    stream_side = {
+        r["doc_id"]: [int(b["band_sig"]) for b in r["bands"]]
+        for r in df.select(
+            "doc_id",
+            _band_sigs_expr(_shingle_expr(F.col("text"), 3), 8, 1).alias(
+                "bands"
+            ),
+        ).collect()
+    }
+    assert batch == stream_side
