@@ -434,3 +434,48 @@ def bm25_scores(
         .agg(F.sum(contrib).alias("bm25"))
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
     )
+
+
+def substring_contamination(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Substring-level cross-corpus contamination via winnowing
+    fingerprints — the complement to ``dedup.decontaminate``'s
+    whole-document Jaccard: a training document that EMBEDS a benchmark
+    string (a quoted eval question inside an otherwise-novel page)
+    barely moves document Jaccard but is caught here, because any
+    shared substring of length ≥ ``w + k − 1`` chars shares a
+    fingerprint (the winnowing guarantee).
+
+    Returns ``(corpus_id, reference_id, n_shared)`` for pairs sharing
+    at least ``min_shared`` fingerprints (≥ 2 by default — one
+    collision of a 64-bit hash across corpora is noise, two localized
+    matches rarely are).
+
+    Shape: fingerprints are narrow array expressions per side (no
+    shuffle); the reference side (eval sets) explodes to (fingerprint →
+    reference_id) and broadcasts; the corpus explodes against that map
+    and aggregates matches per pair. One corpus-side shuffle
+    (the pair aggregation over MATCHED rows only — at 100 TB nearly
+    everything misses the broadcast hash map and drops at the scan).
+    """
+    fp_c = winnow_fingerprints(corpus, id_col, text_col, k, w).select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode("fingerprints").alias("_fp"),
+    )
+    fp_r = winnow_fingerprints(reference, id_col, text_col, k, w).select(
+        F.col(id_col).alias("reference_id"),
+        F.explode("fingerprints").alias("_fp"),
+    )
+    return (
+        fp_c.join(F.broadcast(fp_r), "_fp")
+        .groupBy("corpus_id", "reference_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

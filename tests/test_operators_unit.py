@@ -1046,3 +1046,32 @@ def test_decontaminate_cross_corpus(spark):
     )
     clean = corpus.join(contaminated, "doc_id", "left_anti")
     assert sorted(r["doc_id"] for r in clean.collect()) == [2, 3]
+
+
+def test_substring_contamination_catches_embedded_quote(spark):
+    """Winnowing cross-corpus check: a training doc EMBEDDING a
+    benchmark question (tiny Jaccard vs the whole doc) is caught via
+    shared fingerprints; unrelated docs are not."""
+    from tcga_query_project_spark.operators import dedup, text
+
+    quote = "what is the capital city of the republic of france"
+    filler_a = " ".join(f"unique{i} prose{i} token{i}" for i in range(40))
+    filler_b = " ".join(f"tail{i} filler{i} word{i}" for i in range(40))
+    train = [
+        (1, filler_a + " " + quote + " " + filler_b),
+        (2, "completely unrelated content about gardening and soil quality " * 5),
+    ]
+    evals = [(100, quote)]
+    corpus = spark.createDataFrame(train, "doc_id long, text string")
+    reference = spark.createDataFrame(evals, "doc_id long, text string")
+    out = text.substring_contamination(
+        corpus, reference, "doc_id", "text"
+    ).collect()
+    assert [(r["corpus_id"], r["reference_id"]) for r in out] == [(1, 100)]
+    assert out[0]["n_shared"] >= 2
+    # the same pair is INVISIBLE to whole-document Jaccard at any
+    # sane threshold — that's why both operators exist
+    jac = dedup.decontaminate(
+        corpus, reference, "doc_id", "text", threshold=0.3
+    ).collect()
+    assert jac == []
