@@ -43,29 +43,47 @@ def read_tables(spark: SparkSession, sf_dir: str, names: list[str]) -> dict[str,
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scan the events table, normalizing its timestamp column.
+    """Scan the events table, normalizing its timestamp column to
+    TIMESTAMP_LTZ (UTC session zone) whatever the writer encoded.
 
-    The driver's events.parquet stores ``ts`` as INT64
-    TIMESTAMP(NANOS), which Spark rejects outright
-    (PARQUET_TYPE_ILLEGAL). Read it via the nanosAsLong legacy conf and
-    rebuild a proper TimestampType at microsecond precision —
-    truncation (DIV 1000, integer division: no double roundtrip, which
-    would lose precision at 1.7e18) matches DuckDB's own nanos→micros
-    coercion, so oracle comparisons agree exactly.
+    The driver regenerates events.parquet every round and its ``ts``
+    encoding has already changed twice: INT64 TIMESTAMP(NANOS) (Spark
+    rejects outright — PARQUET_TYPE_ILLEGAL — hence the nanosAsLong
+    legacy conf), then micros with isAdjustedToUTC=false (inferred
+    TIMESTAMP_NTZ). This reader normalizes every plausible encoding:
+
+    - plain integers resolve their unit by MAGNITUDE per row (epoch
+      nanos ≥ 1e17, micros ≥ 1e14, millis ≥ 1e11, else seconds —
+      unambiguous for any timestamp between 1973 and 5000+); integer
+      division (DIV) matches DuckDB's truncating nanos→micros coercion
+      bit-for-bit, no double roundtrip;
+    - TIMESTAMP_NTZ casts wall-clock-preserving (UTC session zone);
+    - strings parse with to_timestamp.
     """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     ts_type = dict(df.dtypes).get("ts")
-    if ts_type == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_type in ("bigint", "int"):
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(
+                    "CASE WHEN abs(ts) >= 100000000000000000 THEN ts DIV 1000"
+                    "     WHEN abs(ts) >= 100000000000000 THEN ts"
+                    "     WHEN abs(ts) >= 100000000000 THEN ts * 1000"
+                    "     ELSE ts * 1000000 END"
+                )
+            ),
+        )
     elif ts_type == "timestamp_ntz":
-        # parquet micros with isAdjustedToUTC=false infer as NTZ; the
-        # engine's timestamp convention is TIMESTAMP_LTZ with a UTC
-        # session zone, so the cast is wall-clock-preserving and keeps
+        # engine convention is TIMESTAMP_LTZ with a UTC session zone,
+        # so the cast is wall-clock-preserving and keeps
         # unix_micros()/window() applicable.
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    elif ts_type == "string":
+        df = df.withColumn("ts", F.to_timestamp("ts"))
     return df
 
 

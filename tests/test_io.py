@@ -201,3 +201,43 @@ def test_gdc_ingest_feeds_de_pipeline_end_to_end(spark, tmp_path):
         assert any(r["padj"] is not None for r in de)
     finally:
         spark.sql("DROP TABLE IF EXISTS ingest_de_test")
+
+
+def test_read_events_normalizes_any_encoding(spark, tmp_path):
+    """read_events must yield the same TIMESTAMP for every encoding the
+    driver might regenerate: int64 nanos/micros/millis/seconds, NTZ
+    micros, and strings — the ts column is the one schema element that
+    has changed between rounds."""
+    import datetime as dt
+
+    base = dt.datetime(2025, 6, 1, 12, 34, 56, 789000)
+    epoch_us = int(base.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    cases = {
+        "nanos": epoch_us * 1000,
+        "micros": epoch_us,
+        "millis": epoch_us // 1000,
+        "seconds": epoch_us // 1_000_000,
+    }
+    for name, raw in cases.items():
+        d = str(tmp_path / name)
+        spark.createDataFrame(
+            [(1, raw, "click", 1.0)],
+            "event_id long, ts long, event_type string, value double",
+        ).write.parquet(f"{d}/events.parquet")
+        out = io.read_events(spark, d).collect()[0]
+        got_us = int(
+            out["ts"].replace(tzinfo=dt.timezone.utc).timestamp() * 1e6
+        )
+        # sub-unit precision truncates with the coarser encodings
+        unit_us = {"nanos": 1, "micros": 1, "millis": 1000,
+                   "seconds": 1_000_000}[name]
+        assert got_us == (epoch_us // unit_us) * unit_us, name
+        assert dict(io.read_events(spark, d).dtypes)["ts"] == "timestamp"
+    # string encoding
+    d = str(tmp_path / "strts")
+    spark.createDataFrame(
+        [(1, "2025-06-01 12:34:56.789", "click", 1.0)],
+        "event_id long, ts string, event_type string, value double",
+    ).write.parquet(f"{d}/events.parquet")
+    out = io.read_events(spark, d).collect()[0]
+    assert out["ts"].replace(tzinfo=None) == base
