@@ -290,3 +290,41 @@ def test_codecs_total_on_arbitrary_bytes(payload):
     assert r is None or payload[:1] == b"P"
     w = codecs.decode_wav(payload)
     assert w is None or payload[:4] == b"RIFF"
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_logrank_k_by_equals_eager_on_random_cohorts(spark, seed):
+    """logrank_test_k_by's numpy kernel vs the eager SQL-form solve on
+    randomized cohorts: heavy ties (integer times), censoring, group
+    imbalance, and 2-4 groups — chi2/p agree to 1e-9 or are both NULL."""
+    import random
+
+    rng = random.Random(seed)
+    k = rng.randint(2, 4)
+    rows = []
+    for gi in range(k):
+        n_g = rng.randint(2, 15)
+        for _ in range(n_g):
+            t = float(rng.randint(1, 8))  # integer times -> heavy ties
+            s = 1 if rng.random() < 0.7 else 0
+            rows.append((0, f"g{gi}", t, s))
+    df = spark.createDataFrame(
+        rows, "cohort long, grp string, time double, status int"
+    )
+    from tcga_query_project_spark.operators import survival
+
+    eager = survival.logrank_test_k(df, "time", "status", "grp").collect()[0]
+    swept = survival.logrank_test_k_by(
+        df, "time", "status", "grp", by=["cohort"]
+    ).collect()[0]
+    assert swept["df"] == eager["df"]
+    if eager["chi2"] is None:
+        assert swept["chi2"] is None and swept["p_value"] is None
+    else:
+        assert abs(swept["chi2"] - eager["chi2"]) < 1e-9
+        assert abs(swept["p_value"] - eager["p_value"]) < 1e-12
