@@ -1075,3 +1075,43 @@ def test_substring_contamination_catches_embedded_quote(spark):
         corpus, reference, "doc_id", "text", threshold=0.3
     ).collect()
     assert jac == []
+
+
+def test_cosine_topk_pq_recall_and_exactness(spark):
+    """PQ ANN: asymmetric-distance preselection + exact rerank must
+    reproduce most brute-force top-1 neighbors, and every returned
+    cosine must equal the brute-force cosine for that pair (the PQ pass
+    only selects; scores are exact)."""
+    from tcga_query_project_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    m = 8 if dim % 8 == 0 else 4
+    # near-random testdata vectors need finer quantization than
+    # clustered real embeddings would (measured: m=8/K=32 -> ~0.69
+    # top-1 recall at rerank 16; m=4/K=16 only ~0.27)
+    books = similarity.pq_train(emb, "embedding", m=m, n_codes=32, seed=42)
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.cosine_topk(
+            emb, emb, "vec_id", "embedding", k=1
+        ).collect()
+    }
+    pq = {
+        r["query_id"]: (r["neighbor_id"], r["cosine"])
+        for r in similarity.cosine_topk_pq(
+            emb, emb, "vec_id", "embedding", books, k=1, rerank_factor=16
+        ).collect()
+    }
+    hits = sum(
+        1 for (q, n) in brute if pq.get(q, (None,))[0] == n
+    )
+    assert hits / len(brute) > 0.5
+    # exactness: wherever PQ found the true neighbor, the cosine is
+    # bit-equal to brute force (both round to 4 decimals)
+    for (q, n), c in brute.items():
+        if pq.get(q, (None,))[0] == n:
+            assert pq[q][1] == c, (q, n)
+    # codes really are m bytes
+    codes = similarity.pq_encode(emb, "vec_id", "embedding", books).first()
+    assert len(codes["pq_codes"]) == m
