@@ -625,6 +625,7 @@ def query_ann_index(
     vec_col: str,
     k: int = 3,
     bits: int = 4,
+    n_flip: int = 0,
 ) -> DataFrame:
     """Top-k cosine against a :func:`build_ann_index` layout: each query
     row computes its bucket, the index scan filters to exactly the
@@ -632,16 +633,28 @@ def query_ann_index(
     predicate under PartitionFilters), and only those directories'
     rows are exact-scored.
 
+    ``n_flip`` is the multi-probe recall dial: 0 probes only the
+    query's own bucket (~1/2^bits of the corpus); 1 additionally
+    probes every Hamming-1 neighbor bucket (the ``bits`` single-bit
+    flips — the vectors most likely to land across a hyperplane from a
+    near-boundary query), scanning (bits+1)/2^bits of the corpus for
+    markedly better recall. The same dial the multi-table LSH variant
+    turns with whole extra tables, at directory-pruning granularity.
+
     The query side is broadcast (query sets are small by contract);
-    the bucket filter uses an IN-list of the DISTINCT query buckets —
+    the bucket filter uses an IN-list of the DISTINCT probed buckets —
     literal-sized, so Catalyst prunes partitions statically. Output
     schema matches :func:`cosine_topk`.
     """
+    own = sign_bucket(F.col(vec_col), bits)
+    probes = F.array(own, *[
+        own.bitwiseXOR(F.lit(1 << b)) for b in range(bits if n_flip else 0)
+    ])
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         _norm_batch(F.col(vec_col)).alias("_qn"),
-        sign_bucket(F.col(vec_col), bits).alias("bkt"),
+        F.explode(probes).alias("bkt"),
     )
     probe_buckets = [r["bkt"] for r in q.select("bkt").distinct().collect()]
     idx = spark.read.parquet(path).filter(F.col("bkt").isin(probe_buckets))

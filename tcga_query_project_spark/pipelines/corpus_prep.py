@@ -30,6 +30,8 @@ def corpus_clean(
     text_col: str = "text",
     min_quality: float = 0.4,
     langs: tuple[str, ...] = ("en",),
+    decontaminate_against: DataFrame | None = None,
+    decontaminate_threshold: float = 0.5,
 ) -> DataFrame:
     """Cleaned corpus with per-document features.
 
@@ -39,7 +41,14 @@ def corpus_clean(
     quality_score / pred_lang from a token array materialized ONCE
     (array-lambda inputs must be pre-materialized — an inlined
     tokenizer re-runs per element); (3) declarative quality/language
-    filters, which Catalyst pushes against the feature projection.
+    filters, which Catalyst pushes against the feature projection;
+    (4, optional) eval-set decontamination: pass the benchmark/eval
+    documents as ``decontaminate_against`` (same id/text columns) and
+    every kept document that near-duplicates one at Jaccard ≥
+    ``decontaminate_threshold`` is anti-joined out
+    (operators/dedup.decontaminate — broadcast reference, one extra
+    corpus signature shuffle). Off by default; the oracle-checked
+    pp_corpus_clean query runs stages 1-3.
     """
     # The dedup key is the md5 of the normalized content, not the
     # content itself: the shuffle then partitions/sorts on a fixed
@@ -70,6 +79,18 @@ def corpus_clean(
         "split",
         split_label(F.col(id_col)),
     )
-    return feats.filter(
+    cleaned = feats.filter(
         (F.col("quality_score") >= min_quality) & F.col("pred_lang").isin(*langs)
     )
+    if decontaminate_against is not None:
+        from tcga_query_project_spark.operators.dedup import decontaminate
+
+        contaminated = decontaminate(
+            kept,
+            decontaminate_against,
+            id_col,
+            text_col,
+            threshold=decontaminate_threshold,
+        ).select(F.col("corpus_id").alias(id_col)).distinct()
+        cleaned = cleaned.join(contaminated, id_col, "left_anti")
+    return cleaned

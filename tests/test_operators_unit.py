@@ -1009,6 +1009,30 @@ def test_ann_index_layout_prunes_and_matches_in_session(spark, tmp_path):
     }
     assert got == ref and len(got) > 0
 
+    # multi-probe (Hamming-1) recall of brute-force top-1 must be at
+    # least single-probe's — near-boundary queries gain their cross-
+    # hyperplane neighbors
+    brute = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.cosine_topk(
+            queries, df, "vec_id", "embedding", k=1
+        ).collect()
+    }
+    def top1(n_flip):
+        return {
+            r["query_id"]: r["neighbor_id"]
+            for r in similarity.query_ann_index(
+                spark, path, queries, "vec_id", "embedding",
+                k=1, bits=4, n_flip=n_flip,
+            ).collect()
+        }
+    r0 = top1(0)
+    r1 = top1(1)
+    hits0 = sum(1 for q, n in brute.items() if r0.get(q) == n)
+    hits1 = sum(1 for q, n in brute.items() if r1.get(q) == n)
+    assert hits1 >= hits0
+    assert hits1 > len(brute) // 2  # 5 of 16 buckets scanned -> good recall
+
 
 def test_decontaminate_cross_corpus(spark):
     """Train/test decontamination: a training doc that near-duplicates

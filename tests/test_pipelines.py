@@ -174,3 +174,35 @@ def test_corpus_clean_dedups_filters_and_classifies(spark):
     assert r["pred_lang"] == "en"
     assert r["n_tokens"] == 29
     assert r["quality_score"] >= 0.4
+
+
+def test_corpus_clean_decontamination_stage(spark):
+    """corpus_clean's optional stage 4: a kept, high-quality doc that
+    near-duplicates an eval doc is anti-joined out; everything else is
+    byte-identical to the undecontaminated run."""
+    from tcga_query_project_spark.pipelines.corpus_prep import corpus_clean
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the quiet green forest before the early morning light"
+    )
+    other = (
+        "completely different high quality english text about cooking "
+        "fresh vegetables with olive oil herbs and a little sea salt"
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    evals = spark.createDataFrame(
+        [(100, base + " today")], "doc_id long, text string"
+    )
+    plain = corpus_clean(docs)
+    decon = corpus_clean(docs, decontaminate_against=evals)
+    plain_ids = sorted(r["doc_id"] for r in plain.collect())
+    decon_rows = {r["doc_id"]: r for r in decon.collect()}
+    assert 1 in plain_ids and 2 in plain_ids
+    assert 1 not in decon_rows            # contaminated doc removed
+    assert 2 in decon_rows                # clean doc untouched
+    # surviving rows identical to the plain run's
+    plain_rows = {r["doc_id"]: r for r in plain.collect()}
+    assert decon_rows[2] == plain_rows[2]
