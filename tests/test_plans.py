@@ -208,3 +208,27 @@ def test_logrank_k_by_single_shuffle(spark):
     from tcga_query_project_spark.plans import inspect as plans
 
     assert plans.count_exchanges(out) <= 1
+
+
+def test_contamination_ops_broadcast_reference(spark):
+    """Scale shape of the cross-corpus contamination ops: the reference
+    (eval-set) side must broadcast — no cartesian product, no shuffle
+    of the corpus for candidate generation beyond its signature agg."""
+    from tcga_query_project_spark.operators import dedup, text
+
+    corpus = spark.createDataFrame(
+        [(i, f"some training document number {i} with words " * 3)
+         for i in range(50)],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(100, "an eval question about words and documents here")],
+        "doc_id long, text string",
+    )
+    for out in (
+        dedup.decontaminate(corpus, ref, "doc_id", "text"),
+        text.substring_contamination(corpus, ref, "doc_id", "text"),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
