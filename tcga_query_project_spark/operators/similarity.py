@@ -813,8 +813,11 @@ def cosine_topk_pq(
         return pd.Series(out)
 
     spark = queries.sparkSession
+    from pyspark.sql.types import StructField as _SF, StructType as _ST
+
     q = spark.createDataFrame(
-        [(r[id_col],) for r in qrows], f"query_id long"
+        [(r[id_col],) for r in qrows],
+        _ST([_SF("query_id", queries.schema[id_col].dataType)]),
     )
     codes = pq_encode(fan_out(candidates, id_col), id_col, vec_col, books)
     approx = (
