@@ -649,3 +649,73 @@ def decontaminate(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def dup_clusters(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate CLUSTER resolution: pairs → transitive groups →
+    one keeper per group. Returns one row per document:
+
+    ``(id_col BIGINT, component BIGINT, cluster_size BIGINT,
+    keep_id BIGINT)``
+
+    - ``component`` — minimum doc id in the document's near-dup
+      connected component (its own id for singletons), the canonical
+      engine-portable cluster label;
+    - ``cluster_size`` — number of documents in the component;
+    - ``keep_id`` — the chosen representative: LONGEST text in the
+      component, ties broken by smallest id. "Keep the richest
+      member" is the standard near-dedup keeper policy — the shortest
+      member of a boilerplate cluster is usually the most truncated.
+
+    Filter ``id == keep_id`` for the deduplicated corpus; the full
+    output is the dedup LINEAGE table (which doc absorbed which).
+
+    Pipeline: :func:`near_duplicates` (banded LSH candidate join +
+    exact-Jaccard verify) → :func:`operators.graph.connected_components`
+    (large-star/small-star, O(log^2 n) rounds) → one component-keyed
+    window for size/keeper. Pair edges are dimension-sized relative to
+    the corpus, so the graph step is cheap; the only corpus-sized
+    shuffle beyond near-dup itself is the final component window, and
+    singleton components (the overwhelming majority) hash-spread
+    evenly — no skew.
+    """
+    from pyspark.sql.window import Window
+
+    from tcga_query_project_spark.operators.graph import connected_components
+
+    pairs = near_duplicates(
+        docs, id_col, text_col,
+        k=k, num_hashes=num_hashes, band_size=band_size, threshold=threshold,
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    base = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.length(F.col(text_col)).alias("_len"),
+    )
+    labelled = base.join(
+        comp, base[id_col] == comp["id"], "left"
+    ).select(
+        id_col,
+        "_len",
+        F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+    )
+    w = Window.partitionBy("component")
+    wk = Window.partitionBy("component").orderBy(
+        F.col("_len").desc(), F.col(id_col).asc()
+    )
+    return (
+        labelled.select(
+            id_col,
+            "component",
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+            F.first(F.col(id_col)).over(wk).alias("keep_id"),
+        )
+    )

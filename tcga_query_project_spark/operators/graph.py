@@ -1,0 +1,162 @@
+"""Distributed connected components (alternating large-star / small-star).
+
+The transitive-closure step of dedup: MinHash-LSH / SimHash /
+embedding-cosine emit near-duplicate PAIRS, but pairs only relate
+documents pairwise — choosing one keeper per duplicate *group* needs
+the connected components of the pair graph (A~B and B~C put {A, B, C}
+in one cluster even though A and C were never directly compared).
+Without this step a pair-wise "drop id_b" policy both under-deletes
+(transitive dups survive) and over-deletes (the keeper itself can be
+someone else's id_b).
+
+Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+and Beyond", SoCC 2014). Each operation is one groupBy-min plus one
+equi-join — pure relational shuffles, no driver-side graph state — and
+the alternation converges in O(log^2 n) rounds on ANY graph shape. In
+practice dedup graphs converge in 2-4 rounds (clusters are small and
+star-like), but the bound is what matters at scale: plain min-label
+propagation needs rounds proportional to the graph DIAMETER, so one
+pathological 1M-node chain (e.g. boilerplate documents that drift one
+shingle per page) would need 1M rounds; large-star/small-star needs
+~20. This is the standard cluster-scale recipe when GraphX /
+GraphFrames is not reachable from PySpark.
+
+Scale notes (100 TB corpus):
+
+- The working set is the EDGE list — near-dup pairs, orders of
+  magnitude smaller than the corpus — and each round shuffles only
+  (long, long) pairs. Documents are never shuffled here.
+- Rounds are separated by ``localCheckpoint`` (eager) to truncate
+  lineage: without it, iteration k's plan embeds k copies of the
+  join-agg subtree and both the optimizer and the scheduler choke. On
+  a real cluster prefer reliable ``checkpoint()`` (HDFS/S3-backed) so
+  a lost executor does not force recomputing the whole iteration
+  chain; ``localCheckpoint`` is the single-JVM stand-in, same lineage
+  semantics.
+- Convergence is detected with an order-insensitive digest
+  (count + sum of xxhash64 over edges) — two scalar aggregates, no
+  driver-side edge collection.
+
+Reference analog: none (the reference pipeline, vital_status_DESeq.R,
+has no graph step); this operator serves the LLM-data-pipeline dedup
+surface the brief adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bidir(e: DataFrame) -> DataFrame:
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u with neighborhood G(u): connect every LARGER
+    neighbor v > u to m = min({u} + G(u)). Strictly decreases large
+    labels; cannot create self-loops except (m, m), filtered."""
+    bidir = _bidir(e)
+    mins = (
+        bidir.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least(F.col("u"), F.col("_mn")).alias("_m"))
+    )
+    return (
+        bidir.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient each edge (big, small); for each big node u connect every
+    SMALLER neighbor — and u itself — to m = min(G_small(u)). Flattens
+    chains of small labels into stars."""
+    ori = (
+        e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = ori.groupBy("u").agg(F.min("v").alias("_m"))
+    nbrs = ori.join(mins, "u").select(
+        F.col("v").alias("u"), F.col("_m").alias("v")
+    )
+    selfrows = mins.select("u", F.col("_m").alias("v"))
+    return (
+        nbrs.union(selfrows)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components of an undirected graph given as an edge
+    list. Returns ``(id BIGINT, component BIGINT)`` with one row per
+    node that appears in ``edges``; ``component`` is the MINIMUM node
+    id in the component (a deterministic, engine-portable canonical
+    label). Nodes absent from ``edges`` (singletons) are the caller's
+    to add — see :func:`tcga_query_project_spark.operators.dedup.dup_clusters`.
+
+    ``max_iter`` is a safety rail, not a tuning knob: the alternation
+    provably converges in O(log^2 n) rounds, so 50 covers any graph
+    that fits in any cluster. Raises ``RuntimeError`` if the digest has
+    not stabilized by then (indicates data corruption, e.g. NaN ids).
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"),
+            F.col(dst).cast("long").alias("v"),
+        )
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    out_schema = e.select(
+        F.col("u").alias("id"), F.col("v").alias("component")
+    )
+    if not e.head(1):
+        return out_schema.limit(0)
+
+    def digest(df: DataFrame) -> tuple:
+        # decimal(38,0) accumulator: a sum of 64-bit hashes overflows
+        # BIGINT under ANSI arithmetic
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = digest(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        cur = digest(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # Fixed point of both stars is a union of min-rooted stars:
+    # every edge is (member, root). Roots get a self-labelled row.
+    members = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = (
+        e.select(F.col("v").alias("id")).distinct()
+        .select("id", F.col("id").alias("component"))
+    )
+    return members.union(roots).distinct()

@@ -1,0 +1,174 @@
+"""Connected components (large-star/small-star) and dup-cluster
+resolution.
+
+The reference implementation for every graph test is a 20-line
+union-find — the ground truth the distributed algorithm must match on
+any input, including the shapes that break naive propagation (long
+chains) and the shapes that break naive star-fixpoints (overlapping
+cliques sharing nodes)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from tcga_query_project_spark.operators import dedup
+from tcga_query_project_spark.operators.graph import connected_components
+
+
+def union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # canonical label = min node id in component
+    comp: dict[int, list[int]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(ns + [r]) for r, ns in comp.items() for n in ns}
+
+
+def _run(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(edges, "a long, b long")
+    out = connected_components(df, "a", "b")
+    return {r["id"]: r["component"] for r in out.collect()}
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "a long, b long")
+    out = connected_components(df, "a", "b")
+    assert out.columns == ["id", "component"]
+    assert out.count() == 0
+
+
+def test_two_cliques_and_a_bridgeless_pair(spark):
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (20, 21)]
+    got = _run(spark, edges)
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_long_chain_converges_logarithmically(spark):
+    """A 300-node chain is the adversarial case for min-label
+    propagation (diameter rounds); large-star/small-star must resolve
+    it within the O(log^2 n) budget that connected_components allots
+    (max_iter=15 << 300 forces the fast convergence, not the rail)."""
+    n = 300
+    edges = [(i, i + 1) for i in range(n - 1)]
+    df = _shuffled_df(edges)
+    out = connected_components(df, "a", "b", max_iter=15)
+    rows = out.collect()
+    assert len(rows) == n
+    assert {r["component"] for r in rows} == {0}
+
+
+_shuffled_spark = None
+
+
+def _shuffled_df(edges):
+    rng = random.Random(7)
+    e = list(edges)
+    rng.shuffle(e)
+    # randomize orientation too — the algorithm must not depend on it
+    e = [(v, u) if rng.random() < 0.5 else (u, v) for u, v in e]
+    return _shuffled_spark.createDataFrame(e, "a long, b long")
+
+
+@pytest.fixture(autouse=True)
+def _bind_spark(spark):
+    global _shuffled_spark
+    _shuffled_spark = spark
+    yield
+
+
+@pytest.mark.parametrize("seed,n,m", [(1, 60, 40), (2, 120, 150), (3, 200, 90)])
+def test_random_graphs_match_union_find(spark, seed, n, m):
+    rng = random.Random(seed)
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    edges = [(u, v) for u, v in edges if u != v]
+    got = _run(spark, edges)
+    assert got == union_find_components(edges)
+
+
+def test_duplicate_and_reversed_edges_are_harmless(spark):
+    edges = [(1, 2), (2, 1), (1, 2), (2, 3), (3, 2)]
+    got = _run(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_dup_clusters_golden(spark):
+    """Three near-identical long docs (A~B, B~C transitively), one
+    near-pair of short docs, one singleton. Keeper = longest text,
+    tie -> min id."""
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    docs = spark.createDataFrame(
+        [
+            (1, base * 4 + "alpha"),
+            (2, base * 4 + "beta"),
+            (3, base * 4 + "beta gamma extra tail words"),  # longest
+            (10, "completely different text about spark shuffle behavior"
+                 " and partition pruning in very large clusters here"),
+            (11, "completely different text about spark shuffle behavior"
+                 " and partition pruning in very large clusters there"),
+            (50, "a singleton document unlike anything else in corpus"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.dup_clusters(
+        docs, "doc_id", "text", k=3, num_hashes=8, band_size=2, threshold=0.2
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows.keys() == {1, 2, 3, 10, 11, 50}
+    assert [rows[i]["component"] for i in (1, 2, 3)] == [1, 1, 1]
+    assert [rows[i]["cluster_size"] for i in (1, 2, 3)] == [3, 3, 3]
+    # doc 3 has the longest text -> keeper for the big cluster
+    assert [rows[i]["keep_id"] for i in (1, 2, 3)] == [3, 3, 3]
+    assert rows[10]["component"] == 10 and rows[11]["component"] == 10
+    assert rows[10]["cluster_size"] == 2
+    # "there" is one char longer than "here" -> 11 is the keeper
+    assert rows[10]["keep_id"] == 11 and rows[11]["keep_id"] == 11
+    assert (
+        rows[50]["component"] == 50
+        and rows[50]["cluster_size"] == 1
+        and rows[50]["keep_id"] == 50
+    )
+
+
+def test_dup_clusters_keeper_partition_is_consistent(spark, tmp_path):
+    """Deduplicated corpus = filter(id == keep_id): exactly one keeper
+    per component, and every dropped doc's keeper exists."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    out = dedup.dup_clusters(
+        docs, "doc_id", "text", k=3, num_hashes=8, band_size=2, threshold=0.2
+    ).cache()
+    try:
+        per_comp = out.groupBy("component").agg(
+            F.countDistinct("keep_id").alias("nk"),
+            F.sum((F.col("doc_id") == F.col("keep_id")).cast("int")).alias(
+                "keepers_present"
+            ),
+        )
+        bad = per_comp.filter(
+            (F.col("nk") != 1) | (F.col("keepers_present") != 1)
+        ).count()
+        assert bad == 0
+        assert out.count() == docs.count()
+    finally:
+        out.unpersist()
