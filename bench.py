@@ -18,8 +18,13 @@ import re
 import sys
 import time
 
-from tcga_query_project_spark.catalog import REGISTRY
+from tcga_query_project_spark.catalog import BENCH_ONLY, REGISTRY
 from tcga_query_project_spark.session import get_spark
+
+# sk_approx_profile moved to BENCH_ONLY in round 5 (driver slot freed
+# for dd_dup_clusters) but stays in the headline set for cross-round
+# comparability.
+LOOKUP = {**BENCH_ONLY, **REGISTRY}
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -48,6 +53,7 @@ HEADLINE = [
     "dd_doc_signatures",
     "dd_minhash_lsh",
     "dd_embedding_neardup",
+    "dd_dup_clusters",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "tx_doc_metrics",
@@ -97,7 +103,7 @@ def main() -> None:
     # vs 1.4 s with a hot codegen cache). Standard JMH practice: warm,
     # then measure.
     for name in HEADLINE:
-        spec = REGISTRY.get(name)
+        spec = LOOKUP.get(name)
         if spec is None:
             continue
         spec.build(spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -116,7 +122,7 @@ def main() -> None:
     times_median: dict[str, float] = {}
     times_exec: dict[str, float] = {}
     for name in HEADLINE:
-        spec = REGISTRY.get(name)
+        spec = LOOKUP.get(name)
         if spec is None:
             continue
         reps: list[float] = []

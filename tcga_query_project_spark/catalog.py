@@ -68,10 +68,26 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+#: Queries benchmarked and unit-tested but NOT submitted to the
+#: correctness driver (it verifies at most 48 entries). Round 5 moved
+#: sk_approx_profile here to free a slot for dd_dup_clusters, which
+#: carries a full oracle — the sketch row was rows-only by design
+#: (engine-specific sketch state) and keeps its tolerance tests in
+#: tests/test_operators_unit.py, so no verification is lost.
+BENCH_ONLY: dict[str, QuerySpec] = {}
+
 
 def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         REGISTRY[name] = QuerySpec(name, fn, oracle, tags)
+        return fn
+
+    return deco
+
+
+def register_bench_only(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        BENCH_ONLY[name] = QuerySpec(name, fn, oracle, tags)
         return fn
 
     return deco
@@ -1465,10 +1481,11 @@ _MINHASH_CTE = f"""
 """
 
 
-@register(
-    "dd_minhash_lsh",
-    "WITH "
-    + _MINHASH_CTE
+# Everything through verified-Jaccard `pairs` is shared between the
+# pair query (dd_minhash_lsh) and the cluster-resolution query
+# (dd_dup_clusters) — one hash pipeline, two consumers.
+_MINHASH_PAIRS_CTES = (
+    _MINHASH_CTE
     + """,
     seeds AS (SELECT unnest(generate_series(1, 8)) AS seed),
     sig AS (
@@ -1494,15 +1511,26 @@ _MINHASH_CTE = f"""
       FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
                   JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
       GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b,
+             ROUND(COALESCE(i.i, 0) / (za.sz + zb.sz - COALESCE(i.i, 0)), 6)
+               AS jaccard
+      FROM cand c
+      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      JOIN sizes za ON za.doc_id = c.id_a
+      JOIN sizes zb ON zb.doc_id = c.id_b
     )
-    SELECT c.id_a, c.id_b,
-           ROUND(COALESCE(i.i, 0) / (za.sz + zb.sz - COALESCE(i.i, 0)), 6)
-             AS jaccard
-    FROM cand c
-    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-    JOIN sizes za ON za.doc_id = c.id_a
-    JOIN sizes zb ON zb.doc_id = c.id_b
-    WHERE ROUND(COALESCE(i.i, 0) / (za.sz + zb.sz - COALESCE(i.i, 0)), 6) >= 0.2
+"""
+)
+
+
+@register(
+    "dd_minhash_lsh",
+    "WITH "
+    + _MINHASH_PAIRS_CTES
+    + """
+    SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.2
     """,
     tags=("dedup-minhash-lsh",),
 )
@@ -1513,6 +1541,60 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline (md5 ordering is engine-independent)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.near_duplicates(
+        docs, "doc_id", "text", k=3, num_hashes=8, band_size=2, threshold=0.2
+    )
+
+
+@register(
+    "dd_dup_clusters",
+    "WITH RECURSIVE "
+    + _MINHASH_PAIRS_CTES
+    + """,
+    good AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.2),
+    edges AS (SELECT id_a AS u, id_b AS v FROM good
+              UNION SELECT id_b, id_a FROM good),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS comp FROM documents
+      UNION
+      SELECT e.v AS id, r.comp AS comp
+      FROM reach r JOIN edges e ON e.u = r.id
+      WHERE r.comp < e.v
+    ),
+    comp AS (SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id),
+    sized AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM comp GROUP BY component),
+    ranked AS (
+      SELECT c.doc_id, c.component,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY length(d.text) DESC, c.doc_id) AS rn
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    keep AS (SELECT component, doc_id AS keep_id FROM ranked WHERE rn = 1)
+    SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+           CAST(c.component AS BIGINT) AS component,
+           s.cluster_size,
+           CAST(k.keep_id AS BIGINT) AS keep_id
+    FROM comp c
+    JOIN sized s ON s.component = c.component
+    JOIN keep k ON k.component = c.component
+    """,
+    tags=("dedup-clusters", "graph"),
+)
+def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTER resolution — the transitive-closure step
+    pair queries cannot express: minhash-LSH pairs (same family and
+    threshold as dd_minhash_lsh) → connected components via alternating
+    large-star/small-star (operators/graph.py, O(log^2 n) rounds, edge
+    list only — documents never shuffle through the graph step) → one
+    keeper per component (longest text, tie -> min id). One row per
+    document incl. singletons; filter doc_id == keep_id for the
+    deduplicated corpus. The oracle replays the identical hash pipeline
+    and resolves components with a recursive min-label CTE — a form
+    that works at oracle scale but would need diameter-many iterations
+    distributed, which is exactly why the engine uses the star
+    algorithm instead."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dup_clusters(
         docs, "doc_id", "text", k=3, num_hashes=8, band_size=2, threshold=0.2
     )
 
@@ -2089,7 +2171,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_bench_only(
     "sk_approx_profile",
     None,  # sketch implementations differ per engine — tolerance-tested
     # against exact answers in tests/test_operators_unit.py instead
