@@ -2172,6 +2172,91 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_bench_only(
+    "tx_repetition",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, text, {_SQL_TOKS_NORM} AS toks,
+             CAST(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                  AS DOUBLE) AS total_chars
+      FROM documents
+    ),
+    u AS (
+      SELECT doc_id, 'w2' AS kind,
+             unnest(CASE WHEN len(toks) >= 2
+                    THEN list_transform(generate_series(1, len(toks) - 1),
+                         i -> concat(toks[i], ' ', toks[i+1]))
+                    ELSE [] END) AS unit
+      FROM docs
+      UNION ALL
+      SELECT doc_id, 'w3',
+             unnest(CASE WHEN len(toks) >= 3
+                    THEN list_transform(generate_series(1, len(toks) - 2),
+                         i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+                    ELSE [] END)
+      FROM docs
+      UNION ALL
+      SELECT doc_id, 'line',
+             unnest(list_filter(
+               list_transform(string_split(text, chr(10)), x -> trim(x)),
+               x -> x <> ''))
+      FROM docs
+    ),
+    c AS (
+      SELECT doc_id, kind, unit, CAST(COUNT(*) AS DOUBLE) AS cnt,
+             CAST(length(replace(unit, ' ', '')) AS DOUBLE) AS ulen
+      FROM u GROUP BY doc_id, kind, unit
+    ),
+    m AS (
+      SELECT doc_id,
+        MAX(CASE WHEN kind = 'w2' THEN cnt * ulen END) AS top2,
+        SUM(CASE WHEN kind = 'w2' THEN cnt END) AS w2_tot,
+        SUM(CASE WHEN kind = 'w2' AND cnt > 1 THEN cnt END) AS w2_dup,
+        MAX(CASE WHEN kind = 'w3' THEN cnt * ulen END) AS top3,
+        SUM(CASE WHEN kind = 'w3' THEN cnt END) AS w3_tot,
+        SUM(CASE WHEN kind = 'w3' AND cnt > 1 THEN cnt END) AS w3_dup,
+        SUM(CASE WHEN kind = 'line' THEN cnt END) AS ln_tot,
+        SUM(CASE WHEN kind = 'line' AND cnt > 1 THEN cnt END) AS ln_dup,
+        SUM(CASE WHEN kind = 'line' THEN cnt * ulen END) AS ln_chars,
+        SUM(CASE WHEN kind = 'line' AND cnt > 1 THEN cnt * ulen END)
+          AS ln_dup_chars
+      FROM c GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+      COALESCE(ROUND((len(d.toks) - len(list_distinct(d.toks)))
+               / NULLIF(CAST(len(d.toks) AS DOUBLE), 0), 6), 0.0)
+        AS dup_word_frac,
+      COALESCE(ROUND(m.top2 / NULLIF(d.total_chars, 0), 6), 0.0)
+        AS top2gram_char_frac,
+      COALESCE(ROUND(m.w2_dup / NULLIF(m.w2_tot, 0), 6), 0.0)
+        AS dup2gram_frac,
+      COALESCE(ROUND(m.top3 / NULLIF(d.total_chars, 0), 6), 0.0)
+        AS top3gram_char_frac,
+      COALESCE(ROUND(m.w3_dup / NULLIF(m.w3_tot, 0), 6), 0.0)
+        AS dup3gram_frac,
+      COALESCE(ROUND(m.ln_dup / NULLIF(m.ln_tot, 0), 6), 0.0)
+        AS dup_line_frac,
+      COALESCE(ROUND(m.ln_dup_chars / NULLIF(m.ln_chars, 0), 6), 0.0)
+        AS dup_line_char_frac,
+      (COALESCE(ROUND(m.top2 / NULLIF(d.total_chars, 0), 6), 0.0) <= 0.20
+       AND COALESCE(ROUND(m.top3 / NULLIF(d.total_chars, 0), 6), 0.0) <= 0.18
+       AND COALESCE(ROUND(m.ln_dup / NULLIF(m.ln_tot, 0), 6), 0.0) <= 0.30
+       AND COALESCE(ROUND(m.ln_dup_chars / NULLIF(m.ln_chars, 0), 6), 0.0)
+             <= 0.20) AS passes_gopher
+    FROM docs d LEFT JOIN m ON m.doc_id = d.doc_id
+    """,
+    tags=("text-quality", "gopher"),
+)
+def tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules (operators/text.repetition_metrics) over
+    the documents table. BENCH_ONLY: the driver's 48 verification slots
+    are full, but the oracle above is exercised by
+    tests/test_oracle_parity.py, which iterates BENCH_ONLY specs with
+    the same comparison harness as driver-checked entries."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.repetition_metrics(docs, "doc_id", "text")
+
+
+@register_bench_only(
     "sk_approx_profile",
     None,  # sketch implementations differ per engine — tolerance-tested
     # against exact answers in tests/test_operators_unit.py instead

@@ -479,3 +479,124 @@ def substring_contamination(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", Appendix A1.1): the published
+    quality rules that catch machine-generated / boilerplate text by
+    its self-repetition. Per document:
+
+    - ``dup_word_frac``     — 1 − distinct/total tokens;
+    - ``top2gram_char_frac``/``top3gram_char_frac`` — non-space chars
+      covered by the most-covering word n-gram, as MAX over grams of
+      count·len (equivalent to the most-frequent gram except on
+      count-ties, where taking the max product is deterministic
+      without an arbitrary tie-break);
+    - ``dup2gram_frac``/``dup3gram_frac`` — fraction of n-gram
+      occurrences whose gram occurs more than once;
+    - ``dup_line_frac``/``dup_line_char_frac`` — fraction of
+      (non-blank, trimmed) lines, resp. their non-space chars, that
+      are duplicates of another line in the same document;
+    - ``passes_gopher`` — the published thresholds on this subset:
+      top2 ≤ 0.20, top3 ≤ 0.18, dup-line ≤ 0.30, dup-line-chars
+      ≤ 0.20.
+
+    Physical plan: every unit family (2-grams, 3-grams, lines) is
+    tagged and unioned into ONE exploded (id, kind, unit) stream, so
+    the whole metric set costs exactly two hash-aggregation exchanges
+    — (id, kind, unit) counts, then per-id conditional aggregation —
+    plus the totality left-join back to the corpus (docs too short to
+    emit any unit still get a row, with zeroed ratios). Adding a
+    fourth rule family adds a union branch, not a shuffle. All ratio
+    denominators go through nullif so ANSI mode never divides by zero.
+    """
+    from tcga_query_project_spark.operators.dedup import normalized_text
+
+    base = df.select(
+        F.col(id_col),
+        tokens(normalized_text(F.col(text_col))).alias("_toks"),
+        F.length(
+            F.regexp_replace(F.trim(F.col(text_col)), r"\s+", "")
+        ).cast("double").alias("_total_chars"),
+        F.col(text_col).alias("_text"),
+    )
+
+    def grams(n: int):
+        toks = F.col("_toks")
+        sz = F.size(toks)
+        arr = F.when(
+            sz >= n,
+            F.transform(
+                F.sequence(F.lit(1), sz - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return base.select(
+            F.col(id_col),
+            F.lit(f"w{n}").alias("kind"),
+            F.explode(arr).alias("unit"),
+        )
+
+    lines = (
+        base.select(
+            F.col(id_col),
+            F.lit("line").alias("kind"),
+            F.explode(F.split(F.col("_text"), "\n")).alias("_raw"),
+        )
+        .select(F.col(id_col), "kind", F.trim(F.col("_raw")).alias("unit"))
+        .filter(F.col("unit") != "")
+    )
+    units = grams(2).unionByName(grams(3)).unionByName(lines)
+
+    cnt = F.col("cnt")
+    ulen = F.length(F.regexp_replace(F.col("unit"), " ", "")).cast("double")
+    c = units.groupBy(id_col, "kind", "unit").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+
+    def _k(kind: str, cond=None):
+        p = F.col("kind") == kind
+        if cond is not None:
+            p = p & cond
+        return p
+
+    m = c.groupBy(id_col).agg(
+        F.max(F.when(_k("w2"), cnt * ulen)).alias("_top2"),
+        F.sum(F.when(_k("w2"), cnt)).alias("_w2_tot"),
+        F.sum(F.when(_k("w2", cnt > 1), cnt)).alias("_w2_dup"),
+        F.max(F.when(_k("w3"), cnt * ulen)).alias("_top3"),
+        F.sum(F.when(_k("w3"), cnt)).alias("_w3_tot"),
+        F.sum(F.when(_k("w3", cnt > 1), cnt)).alias("_w3_dup"),
+        F.sum(F.when(_k("line"), cnt)).alias("_ln_tot"),
+        F.sum(F.when(_k("line", cnt > 1), cnt)).alias("_ln_dup"),
+        F.sum(F.when(_k("line"), cnt * ulen)).alias("_ln_chars"),
+        F.sum(F.when(_k("line", cnt > 1), cnt * ulen)).alias("_ln_dup_chars"),
+    )
+
+    def ratio(num, den):
+        return F.coalesce(
+            F.round(num / F.nullif(den, F.lit(0.0)), 6), F.lit(0.0)
+        )
+
+    ntoks = F.size("_toks").cast("double")
+    ntypes = F.size(F.array_distinct("_toks")).cast("double")
+    out = base.join(m, id_col, "left")
+    top2 = ratio(F.col("_top2"), F.col("_total_chars"))
+    top3 = ratio(F.col("_top3"), F.col("_total_chars"))
+    dline = ratio(F.col("_ln_dup"), F.col("_ln_tot"))
+    dline_c = ratio(F.col("_ln_dup_chars"), F.col("_ln_chars"))
+    return out.select(
+        F.col(id_col),
+        ratio(ntoks - ntypes, ntoks).alias("dup_word_frac"),
+        top2.alias("top2gram_char_frac"),
+        ratio(F.col("_w2_dup"), F.col("_w2_tot")).alias("dup2gram_frac"),
+        top3.alias("top3gram_char_frac"),
+        ratio(F.col("_w3_dup"), F.col("_w3_tot")).alias("dup3gram_frac"),
+        dline.alias("dup_line_frac"),
+        dline_c.alias("dup_line_char_frac"),
+        (
+            (top2 <= 0.20) & (top3 <= 0.18)
+            & (dline <= 0.30) & (dline_c <= 0.20)
+        ).alias("passes_gopher"),
+    )

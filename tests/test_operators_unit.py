@@ -1139,3 +1139,45 @@ def test_cosine_topk_pq_recall_and_exactness(spark):
     # codes really are m bytes
     codes = similarity.pq_encode(emb, "vec_id", "embedding", books).first()
     assert len(codes["pq_codes"]) == m
+
+
+def test_repetition_metrics_golden(spark):
+    """Hand-worked Gopher rules, incl. the line-duplication family the
+    synthetic corpus (no newlines) never exercises."""
+    from tcga_query_project_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1: "a b a b a" -> tokens 5, types 2; 2-grams:
+            # [a b, b a, a b, b a] -> every occurrence duplicated
+            (1, "a b a b a"),
+            # doc 2: three lines, two identical
+            (2, "hello world\nhello world\nsomething else entirely"),
+            # doc 3: one token -> no 2-grams at all; ratios zero
+            (3, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in t.repetition_metrics(docs, "doc_id", "text").collect()
+    }
+    d1 = rows[1]
+    assert d1["dup_word_frac"] == round(1 - 2 / 5, 6)
+    assert d1["dup2gram_frac"] == 1.0  # all four 2-gram occurrences repeat
+    # top 2-gram "a b" (len 2 no-space) occurs 2x; total chars = 5
+    assert d1["top2gram_char_frac"] == round(2 * 2 / 5, 6)
+    assert d1["passes_gopher"] is False  # top2 frac 0.8 > 0.2
+
+    d2 = rows[2]
+    # lines: [hello world x2, something else entirely x1]
+    assert d2["dup_line_frac"] == round(2 / 3, 6)
+    # non-space chars: dup lines 2*10; total 2*10 + 21
+    assert d2["dup_line_char_frac"] == round(20 / 41, 6)
+    assert d2["passes_gopher"] is False  # dup_line_frac 0.67 > 0.3
+
+    d3 = rows[3]
+    assert d3["dup_word_frac"] == 0.0
+    assert d3["dup2gram_frac"] == 0.0 and d3["top2gram_char_frac"] == 0.0
+    assert d3["dup_line_frac"] == 0.0
+    assert d3["passes_gopher"] is True

@@ -10,7 +10,7 @@ import os
 
 import pytest
 
-from tcga_query_project_spark.catalog import REGISTRY
+from tcga_query_project_spark.catalog import BENCH_ONLY, REGISTRY
 from tests.oracle_harness import compare, run_oracle
 
 SF = os.environ.get(
@@ -18,12 +18,16 @@ SF = os.environ.get(
     os.path.join(os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.001"),
 )
 
-CASES = sorted(REGISTRY)
+# BENCH_ONLY entries don't get driver verification (48-slot cap) but go
+# through the identical oracle comparison here, so their correctness
+# story is the same — just locally enforced.
+ALL_SPECS = {**BENCH_ONLY, **REGISTRY}
+CASES = sorted(ALL_SPECS)
 
 
 @pytest.mark.parametrize("name", CASES)
 def test_query_matches_oracle(spark, name):
-    spec = REGISTRY[name]
+    spec = ALL_SPECS[name]
     sdf = spec.build(spark, SF)
     spark_pdf = sdf.toPandas()
     if spec.oracle is None:
