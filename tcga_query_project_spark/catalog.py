@@ -48,6 +48,7 @@ from tcga_query_project_spark.operators import (
     glm,
     nested,
     relational,
+    sampling,
     similarity,
     stats,
     survival,
@@ -2168,6 +2169,73 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue")
         )
+    )
+
+
+@register_bench_only(
+    "pp_mixture_shards",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             CASE lang WHEN 'en' THEN 1.5 WHEN 'fr' THEN 1.0
+                       WHEN 'de' THEN 0.5 WHEN 'es' THEN 0.25
+                       ELSE 0.0 END AS w,
+             (('0x' || substring(md5(concat('mix', CAST(doc_id AS VARCHAR))),
+                                 1, 8))::BIGINT % 1000000) / 1000000.0 AS frac
+      FROM documents
+    ),
+    cop AS (
+      SELECT doc_id, n_tokens,
+             CAST(FLOOR(w) AS BIGINT)
+               + CASE WHEN frac < w - FLOOR(w) THEN 1 ELSE 0 END AS nc
+      FROM d
+    ),
+    expanded AS (
+      SELECT doc_id, n_tokens,
+             unnest(generate_series(0, nc - 1)) AS copy_idx
+      FROM cop WHERE nc > 0
+    ),
+    c AS (
+      SELECT doc_id, copy_idx, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id, copy_idx
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM expanded
+    )
+    SELECT doc_id, copy_idx, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(FLOOR((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS shard
+    FROM c
+    """,
+    tags=("sampling", "mixture", "shards"),
+)
+def pp_mixture_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture re-weighting (en 1.5x oversample, fr 1.0, de 0.5,
+    es 0.25 subsample, zh dropped) followed by token-budget shard
+    packing at 2048 tokens/shard — operators/sampling. block_size=256
+    forces the distributed prefix-sum through multiple blocks even at
+    oracle scale, so the block-offset path is what gets verified; the
+    oracle's single global window is the semantics, not the plan.
+    BENCH_ONLY: verified by tests/test_oracle_parity.py (48-slot driver
+    cap)."""
+    docs = _t(spark, sf_dir, "documents")
+    mixed = sampling.sample_mixture(
+        docs,
+        "lang",
+        {"en": 1.5, "fr": 1.0, "de": 0.5, "es": 0.25},
+        "doc_id",
+    ).withColumn(
+        "_ntok",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long"),
+    )
+    return sampling.pack_shards(
+        mixed,
+        "doc_id",
+        "_ntok",
+        budget=2048,
+        block_size=256,
+        order_cols=("copy_idx",),
     )
 
 

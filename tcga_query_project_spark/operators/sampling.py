@@ -1,0 +1,171 @@
+"""Training-corpus sampling: domain mixture weighting and token-budget
+shard packing.
+
+The last mile of a training-data pipeline: after cleaning/dedup, the
+corpus is (a) re-weighted to a target domain MIXTURE (e.g. up-sample
+books 2.3x, down-sample web 0.6x) and (b) packed into fixed-token
+shards for the trainer. Both must be DETERMINISTIC — stable across
+runs, engines, partitionings, and row order — or every epoch and every
+re-run trains on a different corpus. ``rand()``-based sampling is none
+of those; everything here derives from portable content hashes and
+total key orders.
+
+Reference analog: none (vital_status_DESeq.R has no sampling surface);
+these serve the LLM-data-pipeline brief alongside operators/dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: modulus for the hash→fraction map; 1e6 keeps the fraction exactly
+#: representable and the SQL mirror integer-only until one division.
+_FRAC_MOD = 1_000_000
+
+
+def hash_fraction(key: Column, salt: str) -> Column:
+    """Deterministic uniform-ish fraction in [0, 1) from a row key —
+    md5-prefix construction, bit-identical in DuckDB:
+
+    ``(('0x' || substring(md5(concat(salt, CAST(k AS VARCHAR))), 1, 8))
+    ::BIGINT % 1000000) / 1000000.0``
+
+    Distinct salts give independent fractions from the same key, so
+    layered sampling decisions (mixture, split, subsample) never
+    correlate.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (h % _FRAC_MOD).cast("double") / _FRAC_MOD
+
+
+def sample_mixture(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Re-weight a corpus to a target domain mixture. ``weights`` maps
+    domain value → sampling weight:
+
+    - weight < 1  : keep the row iff hash_fraction < weight
+      (deterministic subsample);
+    - weight >= 1 : emit floor(w) full copies plus one more iff
+      hash_fraction < frac(w) (deterministic oversample);
+    - missing domains default to 0 (dropped) — an explicit mixture
+      spec, not a passthrough.
+
+    Output = input columns + ``copy_idx`` (0-based; epoch schedulers
+    use it to spread repeats). Pure narrow projection + filter +
+    bounded explode: no shuffle, no driver state; at 100 TB this is a
+    map-only pass whose output size is exactly the mixture's token
+    budget. The weight lookup is a literal map expression (broadcast
+    semantics without a join — the mixture spec is config-sized).
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in (kv[0], float(kv[1]))]
+    )
+    w = F.coalesce(wmap.getItem(F.col(domain_col)), F.lit(0.0))
+    frac = hash_fraction(F.col(key_col), salt)
+    n_copies = (
+        F.floor(w).cast("long")
+        + (frac < (w - F.floor(w))).cast("long")
+    )
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(
+            "copy_idx",
+            F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)),
+        )
+        .drop("_n_copies")
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    key_col: str,
+    token_col: str,
+    budget: int,
+    block_size: int = 1 << 20,
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Assign each row to a training SHARD so that consecutive rows (in
+    total ``(key_col, *order_cols)`` order) fill ~``budget`` tokens per
+    shard: ``shard = floor(running_tokens_before_row / budget)``.
+
+    Contiguous-range semantics: a shard may overrun the budget by at
+    most one document (the straddling one starts in the shard where its
+    predecessor's cumsum left off). The strict greedy "close the bin
+    when full" form needs row-sequential state; this relaxation is the
+    standard distributed shard-writer contract and is exactly
+    SQL-window-expressible, hence oracle-checkable.
+
+    Distributed prefix-sum, NOT a global window (a single
+    ``Window.orderBy`` funnels the corpus through one task — the
+    anti-pattern tests/test_plans.py bans):
+
+    1. rows get a deterministic coarse ``block = floor(key/block_size)``
+       — fixed key ranges, so block order == key order, independent of
+       data distribution (unlike range-partitioning's sampled bounds);
+    2. per-block token totals are aggregated and prefix-summed on the
+       driver — dimension-sized (keyspace/block_size values; eager
+       contract like stats.vst_fitted, documented there);
+    3. each row's global cumsum = its block offset + a within-block
+       window cumsum — the window partitions by block, so it
+       parallelizes across blocks.
+
+    Output: key (+order cols), ``n_tokens``, ``cum_tokens`` (inclusive
+    global running total, BIGINT) and ``shard`` (BIGINT, 0-based).
+    """
+    order = [key_col, *order_cols]
+    base = df.select(
+        *order,
+        F.col(token_col).cast("long").alias("n_tokens"),
+        (F.col(key_col).cast("long") / F.lit(int(block_size)))
+        .cast("long")
+        .alias("_block"),
+    )
+    totals = (
+        base.groupBy("_block")
+        .agg(F.sum("n_tokens").alias("_tot"))
+        .orderBy("_block")
+        .collect()
+    )
+    offsets: list[tuple[int, int]] = []
+    run = 0
+    for r in totals:
+        offsets.append((r["_block"], run))
+        run += r["_tot"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        offsets or [(0, 0)], "_block long, _offset long"
+    )
+    w = (
+        Window.partitionBy("_block")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        F.coalesce(F.col("_offset"), F.lit(0))
+        + F.sum("n_tokens").over(w)
+    ).cast("long")
+    return (
+        base.join(F.broadcast(off_df), "_block", "left")
+        .select(
+            *order,
+            "n_tokens",
+            cum.alias("cum_tokens"),
+            F.floor((cum - F.col("n_tokens")) / F.lit(int(budget)))
+            .cast("long")
+            .alias("shard"),
+        )
+    )

@@ -1,0 +1,133 @@
+"""Mixture sampling and shard packing (operators/sampling)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tcga_query_project_spark.operators import sampling
+
+
+def _docs(spark):
+    rows = [(i, ["web", "books", "code", "junk"][i % 4]) for i in range(400)]
+    return spark.createDataFrame(rows, "doc_id long, domain string")
+
+
+def test_sample_mixture_integer_weights_exact_copies(spark):
+    out = sampling.sample_mixture(
+        _docs(spark), "domain", {"web": 2.0, "books": 1.0}, "doc_id"
+    )
+    per = {
+        (r["doc_id"]): r["n"]
+        for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    rows = {r["doc_id"]: r["domain"] for r in _docs(spark).collect()}
+    for did, dom in rows.items():
+        if dom == "web":
+            assert per.get(did) == 2
+        elif dom == "books":
+            assert per.get(did) == 1
+        else:  # code/junk unlisted -> dropped
+            assert did not in per
+
+
+def test_sample_mixture_fractional_weight_rate_and_determinism(spark):
+    out1 = sampling.sample_mixture(
+        _docs(spark), "domain", {"web": 0.5}, "doc_id"
+    ).collect()
+    out2 = sampling.sample_mixture(
+        _docs(spark), "domain", {"web": 0.5}, "doc_id"
+    ).collect()
+    assert sorted(r["doc_id"] for r in out1) == sorted(
+        r["doc_id"] for r in out2
+    )
+    # 100 web docs at weight .5: binomial-ish but hash-deterministic;
+    # sanity band only
+    assert 30 <= len(out1) <= 70
+    assert all(r["copy_idx"] == 0 for r in out1)
+    # a different salt decorrelates
+    out3 = sampling.sample_mixture(
+        _docs(spark), "domain", {"web": 0.5}, "doc_id", salt="other"
+    ).collect()
+    assert sorted(r["doc_id"] for r in out3) != sorted(
+        r["doc_id"] for r in out1
+    )
+
+
+def test_sample_mixture_oversample_fractional(spark):
+    out = sampling.sample_mixture(
+        _docs(spark), "domain", {"books": 2.3}, "doc_id"
+    )
+    per = [
+        r["n"]
+        for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    ]
+    assert set(per) <= {2, 3}
+    assert len(per) == 100  # every books doc kept
+    # copy_idx runs 0..n-1
+    mx = out.groupBy("doc_id").agg(
+        F.max("copy_idx").alias("mx"), F.count("*").alias("n")
+    )
+    assert mx.filter(F.col("mx") != F.col("n") - 1).count() == 0
+
+
+def test_pack_shards_golden(spark):
+    df = spark.createDataFrame(
+        [(i, 5) for i in range(1, 7)], "k long, tok long"
+    )
+    out = {
+        r["k"]: r
+        for r in sampling.pack_shards(
+            df, "k", "tok", budget=10, block_size=2
+        ).collect()
+    }
+    assert [out[i]["cum_tokens"] for i in range(1, 7)] == [5, 10, 15, 20, 25, 30]
+    assert [out[i]["shard"] for i in range(1, 7)] == [0, 0, 1, 1, 2, 2]
+
+
+def test_pack_shards_block_size_invariance(spark):
+    """The distributed prefix-sum must be a pure implementation detail:
+    any block_size yields the identical packing."""
+    import random
+
+    rng = random.Random(11)
+    df = spark.createDataFrame(
+        [(i * 7 + 3, rng.randrange(1, 400)) for i in range(300)],
+        "k long, tok long",
+    )
+    ref = sorted(
+        (
+            (r["k"], r["cum_tokens"], r["shard"])
+            for r in sampling.pack_shards(
+                df, "k", "tok", budget=1000, block_size=1
+            ).collect()
+        )
+    )
+    for bs in (3, 64, 10**9):
+        got = sorted(
+            (
+                (r["k"], r["cum_tokens"], r["shard"])
+                for r in sampling.pack_shards(
+                    df, "k", "tok", budget=1000, block_size=bs
+                ).collect()
+            )
+        )
+        assert got == ref, bs
+
+
+def test_pack_shards_overrun_bound(spark):
+    """Each shard's token total may exceed the budget by at most one
+    document's tokens (the straddler), never more."""
+    import random
+
+    rng = random.Random(5)
+    df = spark.createDataFrame(
+        [(i, rng.randrange(1, 300)) for i in range(500)], "k long, tok long"
+    )
+    out = sampling.pack_shards(df, "k", "tok", budget=1000, block_size=128)
+    stats = (
+        out.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx"))
+        .collect()
+    )
+    for r in stats:
+        assert r["tot"] <= 1000 + r["mx"]
