@@ -67,6 +67,11 @@ HEADLINE = [
     "sk_approx_profile",
     "pp_corpus_clean",
     "mm_binary_meta",
+    # round-5 additions (new operators, not renames — the headline
+    # total grows accordingly; compare per-query across rounds)
+    "tx_repetition",
+    "tx_pii_scrub",
+    "pp_mixture_shards",
 ]
 
 

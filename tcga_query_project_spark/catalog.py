@@ -2173,6 +2173,44 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_bench_only(
+    "tx_pii_scrub",
+    r"""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        AS n_email,
+      CAST(len(regexp_extract_all(text,
+        '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+      CAST(len(regexp_extract_all(text,
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+      CAST(len(regexp_extract_all(text,
+        '\+?\d{1,3}[- ]\(?\d{3}\)?[- ]\d{3}[- ]?\d{4}\b')) AS BIGINT)
+        AS n_phone,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+              'g'),
+            '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        '\+?\d{1,3}[- ]\(?\d{3}\)?[- ]\d{3}[- ]?\d{4}\b', '<PHONE>', 'g')
+        AS scrubbed
+    FROM documents
+    """,
+    tags=("text-pii",),
+)
+def tx_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit over documents (operators/text.pii_scrub).
+    The synthetic corpus contains no PII, so the parity check pins the
+    no-hit path (identity text, zero counts); hit behavior is pinned by
+    the crafted-docs unit test. BENCH_ONLY (48-slot driver cap);
+    verified by tests/test_oracle_parity.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.pii_scrub(docs, "doc_id", "text")
+
+
+@register_bench_only(
     "pp_mixture_shards",
     """
     WITH d AS (

@@ -600,3 +600,43 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             & (dline <= 0.30) & (dline_c <= 0.20)
         ).alias("passes_gopher"),
     )
+
+
+#: PII patterns, RE2-compatible (no lookaround) so the identical string
+#: runs in Spark (Java regex) and DuckDB (RE2). Order matters for
+#: redaction: specific → general, so e.g. an SSN is tagged before the
+#: phone pattern can consume its digits.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{1,3}[- ]\(?\d{3}\)?[- ]\d{3}[- ]?\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII redaction pass — the pre-training scrub every public-web
+    corpus gets: emails, SSNs, IPv4s and phone-shaped numbers replaced
+    by typed placeholder tokens, with per-document match counts for
+    audit/filtering (docs above a PII density threshold are usually
+    dropped rather than scrubbed).
+
+    Output: ``(id, n_email, n_ssn, n_ipv4, n_phone BIGINT, scrubbed
+    STRING)``. Counts are measured on the ORIGINAL text per pattern
+    (independent, overlap-insensitive); ``scrubbed`` applies the
+    replacements sequentially in PII_PATTERNS order on the running
+    text. Pure codegen expression chain (regexp_count +
+    regexp_replace): no shuffle, no Python — at 100 TB this fuses into
+    the scan projection like tx_doc_metrics. Patterns are deliberately
+    RE2-safe so the DuckDB oracle runs the very same strings.
+    """
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(
+            f"n_{name}"
+        )
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return df.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))

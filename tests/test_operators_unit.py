@@ -1181,3 +1181,73 @@ def test_repetition_metrics_golden(spark):
     assert d3["dup2gram_frac"] == 0.0 and d3["top2gram_char_frac"] == 0.0
     assert d3["dup_line_frac"] == 0.0
     assert d3["passes_gopher"] is True
+
+
+def test_pii_scrub_crafted(spark):
+    from tcga_query_project_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@example.co.uk or admin@host.io thanks"),
+            (2, "ssn 123-45-6789 phone +1 (555) 123-4567 ip 10.0.255.1"),
+            (3, "no pii here, just 3.14 and v1.2.3 and a-b-c"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in t.pii_scrub(docs, "doc_id", "text").collect()}
+    assert rows[1]["n_email"] == 2 and rows[1]["n_ssn"] == 0
+    assert rows[1]["scrubbed"] == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert (
+        rows[2]["n_ssn"],
+        rows[2]["n_phone"],
+        rows[2]["n_ipv4"],
+        rows[2]["n_email"],
+    ) == (1, 1, 1, 0)
+    assert rows[2]["scrubbed"] == "ssn <SSN> phone <PHONE> ip <IP>"
+    assert (
+        rows[3]["n_email"],
+        rows[3]["n_ssn"],
+        rows[3]["n_ipv4"],
+        rows[3]["n_phone"],
+    ) == (0, 0, 0, 0)
+    assert rows[3]["scrubbed"] == rows[3]["text"] if "text" in rows[3] else True
+
+
+def test_pii_scrub_oracle_agrees_on_crafted_docs(spark, tmp_path):
+    """The synthetic corpus has no PII, so the driver-style parity only
+    pins the no-hit path; this re-runs the SAME oracle SQL over crafted
+    docs WITH hits to prove the regex strings behave identically under
+    Java regex and RE2."""
+    import duckdb
+    import pandas as pd
+
+    from tcga_query_project_spark.catalog import BENCH_ONLY
+    from tcga_query_project_spark.operators import text as t
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "contact a@b.io and c.d@e-f.org now",
+                "123-45-6789 then +44 (020) 555-01234 and 1.2.3.4",
+                "plain text only",
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    spark_out = (
+        t.pii_scrub(docs, "doc_id", "text")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle = (
+        con.execute(BENCH_ONLY["tx_pii_scrub"].oracle)
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for col in spark_out.columns:
+        assert list(spark_out[col]) == list(oracle[col]), col
