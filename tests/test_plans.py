@@ -97,8 +97,10 @@ def test_catalog_queries_pass_scale_lint(spark):
     unbroadcast cartesian product, or a (non-allowlisted)
     single-partition global window — enforced over the ENTIRE registry,
     so a new query with a scale-hostile plan fails CI on arrival."""
+    from tcga_query_project_spark.catalog import BENCH_ONLY
+
     flagged = {}
-    for name, spec in sorted(REGISTRY.items()):
+    for name, spec in sorted({**REGISTRY, **BENCH_ONLY}.items()):
         df = spec.build(spark, SF_SMALL)
         findings = plans.scale_lint(df)
         if name in GLOBAL_WINDOW_ALLOWED:
@@ -187,9 +189,19 @@ def test_headline_shuffle_budgets(spark):
         "mm_binary_meta": 0,        # metadata agg partials, AQE-coalesced
         "dd_embedding_neardup": 1,  # single explode -> kernel groupBy
         "pp_corpus_clean": 2,       # dedup window + feature pass
+        "tx_pii_scrub": 0,          # pure regex projection over the scan
+        # unioned unit stream: (id,kind,unit) agg + per-id agg + the
+        # totality join back to the corpus
+        "tx_repetition": 3,
+        # block-partitioned window + broadcast offset join (the global
+        # cumsum never plans a single-partition exchange)
+        "pp_mixture_shards": 2,
     }
+    from tcga_query_project_spark.catalog import BENCH_ONLY
+
+    lookup = {**REGISTRY, **BENCH_ONLY}
     for name, budget in budgets.items():
-        df = _run(spark, name)
+        df = lookup[name].build(spark, SF_SMALL)
         assert plans.count_exchanges(df) <= budget, name
 
 
