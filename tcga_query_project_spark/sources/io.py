@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -246,3 +247,32 @@ def compact_parquet(
         "overwrite"
     ).parquet(dest)
     return n_files
+
+
+def write_training_shards(
+    packed: DataFrame,
+    out_dir: str,
+    order_cols: list[str],
+    fmt: str = "parquet",
+) -> None:
+    """Materialize :func:`operators.sampling.pack_shards` output as the
+    trainer-facing layout: ``out_dir/shard=N/`` with EXACTLY ONE file
+    per shard, rows inside each file in ``order_cols`` order — so a
+    data-loader can map shard → file → deterministic sample sequence.
+
+    Recipe: hash-repartition on ``shard`` (co-locates each shard in one
+    task; shards are token-budget-balanced by construction, so this
+    does not skew), sort within partitions, then ``partitionBy(shard)``
+    on write — each task emits one file per shard it holds. At 100 TB
+    this is the single unavoidable output shuffle, and the files come
+    out at ~budget tokens each, which is precisely the compaction
+    target :func:`compact_parquet` would otherwise have to restore.
+    """
+    (
+        packed.repartition(F.col("shard"))
+        .sortWithinPartitions("shard", *order_cols)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .format(fmt)
+        .save(out_dir)
+    )

@@ -131,3 +131,42 @@ def test_pack_shards_overrun_bound(spark):
     )
     for r in stats:
         assert r["tot"] <= 1000 + r["mx"]
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    """One file per shard dir, deterministic in-file order, lossless
+    round-trip."""
+    import glob
+
+    from tcga_query_project_spark.sources.io import write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, 50) for i in range(40)], "k long, tok long"
+    )
+    packed = sampling.pack_shards(df, "k", "tok", budget=500, block_size=8)
+    out = str(tmp_path / "shards")
+    write_training_shards(packed, out, order_cols=["k"])
+
+    dirs = sorted(glob.glob(out + "/shard=*"))
+    n_shards = packed.select("shard").distinct().count()
+    assert len(dirs) == n_shards == 4  # 40*50 tokens / 500
+    for d in dirs:
+        files = [f for f in glob.glob(d + "/*") if f.endswith(".parquet")]
+        assert len(files) == 1, d
+
+    back = spark.read.parquet(out)
+    assert back.count() == 40
+    got = sorted(
+        (r["k"], r["shard"], r["cum_tokens"]) for r in back.collect()
+    )
+    want = sorted(
+        (r["k"], r["shard"], r["cum_tokens"]) for r in packed.collect()
+    )
+    assert got == want
+    # in-file order is k order (deterministic loader contract)
+    import pyarrow.parquet as pq
+
+    for d in dirs:
+        f = [x for x in glob.glob(d + "/*") if x.endswith(".parquet")][0]
+        ks = pq.read_table(f).column("k").to_pylist()
+        assert ks == sorted(ks)
