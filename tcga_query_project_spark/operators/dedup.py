@@ -651,6 +651,55 @@ def decontaminate(
     )
 
 
+def clusters_from_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    weight_col: Column | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Resolve ANY duplicate-pair relation (MinHash-LSH, SimHash,
+    embedding-cosine, exact-digest — anything emitting ``(id_a,
+    id_b)``) into transitive clusters with one keeper per cluster.
+    Output per input row: ``(id_col, component, cluster_size,
+    keep_id)``; ``component`` is the min id in the connected component
+    (singletons label themselves), ``keep_id`` the member maximizing
+    ``weight_col`` (ties → smallest id; ``weight_col=None`` keeps the
+    smallest id outright).
+
+    The component window hash-spreads on component id — singleton
+    components dominate real corpora, so no skew; the graph step only
+    ever shuffles the pair edge list (see operators/graph.py).
+    """
+    from pyspark.sql.window import Window
+
+    from tcga_query_project_spark.operators.graph import connected_components
+
+    comp = connected_components(pairs, id_a, id_b)
+    base = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        (weight_col if weight_col is not None else F.lit(0)).alias("_wt"),
+    )
+    labelled = base.join(
+        comp, base[id_col] == comp["id"], "left"
+    ).select(
+        id_col,
+        "_wt",
+        F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+    )
+    w = Window.partitionBy("component")
+    wk = Window.partitionBy("component").orderBy(
+        F.col("_wt").desc(), F.col(id_col).asc()
+    )
+    return labelled.select(
+        id_col,
+        "component",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        F.first(F.col(id_col)).over(wk).alias("keep_id"),
+    )
+
+
 def dup_clusters(
     docs: DataFrame,
     id_col: str,
@@ -679,43 +728,16 @@ def dup_clusters(
     output is the dedup LINEAGE table (which doc absorbed which).
 
     Pipeline: :func:`near_duplicates` (banded LSH candidate join +
-    exact-Jaccard verify) → :func:`operators.graph.connected_components`
-    (large-star/small-star, O(log^2 n) rounds) → one component-keyed
-    window for size/keeper. Pair edges are dimension-sized relative to
-    the corpus, so the graph step is cheap; the only corpus-sized
-    shuffle beyond near-dup itself is the final component window, and
-    singleton components (the overwhelming majority) hash-spread
-    evenly — no skew.
+    exact-Jaccard verify) → :func:`clusters_from_pairs`
+    (large-star/small-star components + one component-keyed window for
+    size/keeper). Pair edges are dimension-sized relative to the
+    corpus, so the graph step is cheap; the only corpus-sized shuffle
+    beyond near-dup itself is the final component window.
     """
-    from pyspark.sql.window import Window
-
-    from tcga_query_project_spark.operators.graph import connected_components
-
     pairs = near_duplicates(
         docs, id_col, text_col,
         k=k, num_hashes=num_hashes, band_size=band_size, threshold=threshold,
     )
-    comp = connected_components(pairs, "id_a", "id_b")
-    base = docs.select(
-        F.col(id_col).cast("long").alias(id_col),
-        F.length(F.col(text_col)).alias("_len"),
-    )
-    labelled = base.join(
-        comp, base[id_col] == comp["id"], "left"
-    ).select(
-        id_col,
-        "_len",
-        F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
-    )
-    w = Window.partitionBy("component")
-    wk = Window.partitionBy("component").orderBy(
-        F.col("_len").desc(), F.col(id_col).asc()
-    )
-    return (
-        labelled.select(
-            id_col,
-            "component",
-            F.count(F.lit(1)).over(w).alias("cluster_size"),
-            F.first(F.col(id_col)).over(wk).alias("keep_id"),
-        )
+    return clusters_from_pairs(
+        docs, pairs, id_col, weight_col=F.length(F.col(text_col))
     )

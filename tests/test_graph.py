@@ -172,3 +172,20 @@ def test_dup_clusters_keeper_partition_is_consistent(spark, tmp_path):
         assert out.count() == docs.count()
     finally:
         out.unpersist()
+
+
+def test_clusters_from_pairs_embedding_source(spark):
+    """The cluster resolver is pair-source-agnostic: feed it
+    embedding-cosine near-dup pairs and check keeper/size semantics
+    against a direct union-find on the same pairs."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = dedup.embedding_near_dup(emb, "vec_id", "embedding", 0.35)
+    pl = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    out = dedup.clusters_from_pairs(emb, pairs, "vec_id")
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == emb.count()
+    ref = union_find_components(pl)
+    for vid, r in rows.items():
+        assert r["component"] == ref.get(vid, vid)
+        # weight_col=None -> keeper is the component label (min id)
+        assert r["keep_id"] == r["component"]
