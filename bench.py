@@ -71,6 +71,8 @@ HEADLINE = [
     # total grows accordingly; compare per-query across rounds)
     "tx_repetition",
     "tx_pii_scrub",
+    "tx_doc_chunks",
+    "tx_vocab",
     "pp_mixture_shards",
 ]
 

@@ -2173,6 +2173,66 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_bench_only(
+    "tx_vocab",
+    """
+    WITH tf AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    cnt AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM tf GROUP BY token HAVING COUNT(*) >= 2
+    ),
+    ranked AS (
+      SELECT token, freq,
+             CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) - 1
+                  AS BIGINT) AS vocab_id
+      FROM cnt
+    )
+    SELECT token, freq, vocab_id FROM ranked WHERE vocab_id < 100
+    """,
+    tags=("text-vocab",),
+)
+def tx_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 frequency vocabulary (min_count=2) over documents —
+    operators/text.build_vocab. BENCH_ONLY (48-slot driver cap);
+    verified by tests/test_oracle_parity.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.build_vocab(docs, "text", min_count=2, max_size=100)
+
+
+@register_bench_only(
+    "tx_doc_chunks",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents WHERE len(string_split_regex(trim(text), '\\s+')) > 0
+    ),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0,
+               CAST(FLOOR((len(toks) - 1) / 24.0) AS BIGINT))) AS chunk_idx
+      FROM d
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(toks[(chunk_idx * 24 + 1):(chunk_idx * 24 + 32)])
+                AS BIGINT) AS n_chunk_tokens,
+           array_to_string(toks[(chunk_idx * 24 + 1):(chunk_idx * 24 + 32)],
+                           ' ') AS chunk
+    FROM idx
+    """,
+    tags=("text-chunking",),
+)
+def tx_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking into 32-token training sequences with
+    8-token overlap (stride 24) — operators/text.chunk_documents.
+    BENCH_ONLY (48-slot driver cap); verified by
+    tests/test_oracle_parity.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, "doc_id", "text", max_tokens=32, stride=24)
+
+
+@register_bench_only(
     "tx_pii_scrub",
     r"""
     SELECT doc_id,

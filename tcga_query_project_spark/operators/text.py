@@ -640,3 +640,134 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     for _, pat, token in PII_PATTERNS:
         scrubbed = F.regexp_replace(scrubbed, pat, token)
     return df.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split long documents into fixed-length training sequences: the
+    context-window chunking step between cleaning and shard packing.
+    Emits one row per chunk — ``(id, chunk_idx, n_chunk_tokens,
+    chunk)`` — where chunk *i* covers whitespace tokens
+    ``[i*stride+1 .. i*stride+max_tokens]`` (1-based), i.e. sliding
+    windows with ``max_tokens - stride`` tokens of overlap
+    (``stride=None`` → no overlap). Chunk starts run while they fall
+    inside the document, so the final window may be shorter; a doc
+    with ≤ max_tokens tokens yields exactly one chunk of itself.
+
+    Pure narrow pass (tokenize → index sequence → explode → slice):
+    no shuffle, no Python; the explode fan-out is bounded by
+    n_tokens/stride per document. Deterministic and engine-portable —
+    the DuckDB oracle replays it with list slicing.
+    """
+    if stride is None:
+        stride = max_tokens
+    if stride <= 0 or max_tokens <= 0:
+        raise ValueError("max_tokens and stride must be positive")
+    toks_df = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
+    n = F.size(toks)
+    idx = F.explode(
+        F.sequence(F.lit(0), F.floor((n - 1) / F.lit(stride)).cast("int"))
+    ).alias("chunk_idx")
+    sliced = F.slice(
+        toks, F.col("chunk_idx") * stride + 1, max_tokens
+    )
+    return (
+        toks_df.filter(n > 0)
+        .select(F.col(id_col), "_toks", idx)
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size(sliced).cast("long").alias("n_chunk_tokens"),
+            F.array_join(sliced, " ").alias("chunk"),
+        )
+    )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 1,
+    max_size: int | None = None,
+) -> DataFrame:
+    """Frequency vocabulary over the corpus: ``(token, freq,
+    vocab_id)`` with ids dense in (freq DESC, token ASC) order —
+    deterministic across engines and partitionings.
+
+    Scale shape: ONE corpus shuffle (the token-count hash aggregation,
+    map-side partials carry (token, partial_count)); the top-``max_size``
+    cut plans as TakeOrderedAndProject. The id-assigning window runs on
+    the POST-LIMIT frame — a vocabulary is dimension-sized by
+    definition (it must broadcast to every trainer worker anyway), so
+    the single-partition window is bounded by max_size, not the
+    corpus; this is the same eager-small-side contract as
+    stats.vst_fitted, enforced by requiring max_size when min_count
+    would not bound the vocabulary.
+    """
+    from pyspark.sql.window import Window
+
+    if max_size is None and min_count <= 1:
+        raise ValueError(
+            "unbounded vocab: set max_size and/or min_count > 1"
+        )
+    tf = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    cnt = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .filter(F.col("freq") >= min_count)
+    )
+    ordered = cnt.orderBy(F.col("freq").desc(), F.col("token").asc())
+    if max_size is not None:
+        ordered = ordered.limit(max_size)
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    return ordered.select(
+        "token",
+        "freq",
+        (F.row_number().over(w) - 1).cast("long").alias("vocab_id"),
+    )
+
+
+def encode_documents(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str,
+    text_col: str,
+    unk_id: int = -1,
+) -> DataFrame:
+    """Map each document to its token-id sequence using a
+    :func:`build_vocab` table: ``(id, token_ids ARRAY<BIGINT>,
+    n_unk BIGINT)``; out-of-vocabulary tokens become ``unk_id``.
+
+    Plan: posexplode (keep token order) → BROADCAST join against the
+    vocab (dimension-sized) → one groupBy re-assembling the ordered id
+    array via sort_values-free ``array_sort(collect_list(struct(pos,
+    id)))``. One corpus shuffle total; the vocab never shuffles.
+    """
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("_pos", "token"),
+    )
+    joined = ex.join(F.broadcast(vocab.select("token", "vocab_id")),
+                     "token", "left")
+    tid = F.coalesce(F.col("vocab_id"), F.lit(int(unk_id))).cast("long")
+    return (
+        joined.select(
+            F.col(id_col),
+            F.struct(F.col("_pos"), tid.alias("_tid")).alias("_pt"),
+            (F.col("vocab_id").isNull()).cast("long").alias("_unk"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("_pt")), lambda s: s["_tid"]
+            ).alias("token_ids"),
+            F.sum("_unk").alias("n_unk"),
+        )
+    )

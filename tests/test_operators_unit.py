@@ -1251,3 +1251,60 @@ def test_pii_scrub_oracle_agrees_on_crafted_docs(spark, tmp_path):
     )
     for col in spark_out.columns:
         assert list(spark_out[col]) == list(oracle[col]), col
+
+
+def test_chunk_documents_golden(spark):
+    from tcga_query_project_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+            (2, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = t.chunk_documents(docs, "doc_id", "text", max_tokens=8, stride=4)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["n_chunk_tokens"], r["chunk"])
+         for r in out.collect())
+    )
+    assert rows == [
+        (1, 0, 8, "t1 t2 t3 t4 t5 t6 t7 t8"),
+        (1, 1, 6, "t5 t6 t7 t8 t9 t10"),
+        (1, 2, 2, "t9 t10"),
+        (2, 0, 2, "short doc"),
+    ]
+    # no-overlap default: disjoint cover
+    out2 = t.chunk_documents(docs, "doc_id", "text", max_tokens=4)
+    chunks = [r["chunk"] for r in out2.filter(F.col("doc_id") == 1)
+              .orderBy("chunk_idx").collect()]
+    assert chunks == ["t1 t2 t3 t4", "t5 t6 t7 t8", "t9 t10"]
+
+
+def test_build_vocab_and_encode(spark):
+    from tcga_query_project_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry"),
+            (2, "banana apple banana durian"),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = t.build_vocab(docs, "text", min_count=2, max_size=10)
+    rows = [(r["token"], r["freq"], r["vocab_id"]) for r in
+            vocab.orderBy("vocab_id").collect()]
+    # apple 3, banana 3 (tie -> alpha), cherry/durian freq 1 dropped
+    assert rows == [("apple", 3, 0), ("banana", 3, 1)]
+
+    enc = {
+        r["doc_id"]: r
+        for r in t.encode_documents(docs, vocab, "doc_id", "text").collect()
+    }
+    assert enc[1]["token_ids"] == [0, 1, 0, -1] and enc[1]["n_unk"] == 1
+    assert enc[2]["token_ids"] == [1, 0, 1, -1] and enc[2]["n_unk"] == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.build_vocab(docs, "text")  # unbounded
