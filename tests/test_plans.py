@@ -194,9 +194,10 @@ def test_headline_shuffle_budgets(spark):
         "dd_embedding_neardup": 1,  # single explode -> kernel groupBy
         "pp_corpus_clean": 2,       # dedup window + feature pass
         "tx_pii_scrub": 0,          # pure regex projection over the scan
-        # unioned unit stream: (id,kind,unit) agg + per-id agg + the
-        # totality join back to the corpus
-        "tx_repetition": 3,
+        # gram window exchange; both gram aggs reuse its hash(id)
+        # partitioning, line metrics are per-row array expressions,
+        # and the totality join broadcasts or reuses
+        "tx_repetition": 2,
         # block-partitioned window + broadcast offset join (the global
         # cumsum never plans a single-partition exchange)
         "pp_mixture_shards": 2,
