@@ -69,6 +69,7 @@ HEADLINE = [
     "mm_binary_meta",
     # round-5 additions (new operators, not renames — the headline
     # total grows accordingly; compare per-query across rounds)
+    "a12_cube_margins",
     "tx_repetition",
     "tx_pii_scrub",
     "tx_doc_chunks",

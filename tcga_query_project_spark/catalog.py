@@ -2173,6 +2173,46 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_bench_only(
+    "a12_cube_margins",
+    """
+    SELECT COALESCE(lang, '(all)') AS lang,
+           COALESCE(source, '(all)') AS source,
+           CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    """,
+    tags=("agg-cube",),
+)
+def a12_cube_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(lang, source) margins over documents — all four grouping
+    levels (detail, per-lang, per-source, grand total) in ONE pass:
+    Spark expands grouping sets before the single hash aggregation, so
+    the cost is one shuffle regardless of how many margins are
+    requested (vs 4 self-unioned GROUP BYs re-scanning the corpus).
+    grouping_id disambiguates a real NULL group value from a margin
+    row. Complements a10_rollup_totals (ROLLUP). BENCH_ONLY (48-slot
+    driver cap); verified by tests/test_oracle_parity.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("(all)")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("(all)")).alias("source"),
+            "gid",
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+@register_bench_only(
     "tx_vocab",
     """
     WITH tf AS (
