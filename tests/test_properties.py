@@ -328,3 +328,79 @@ def test_logrank_k_by_equals_eager_on_random_cohorts(spark, seed):
     else:
         assert abs(swept["chi2"] - eager["chi2"]) < 1e-9
         assert abs(swept["p_value"] - eager["p_value"]) < 1e-12
+
+
+def test_repetition_metrics_matches_python_reference(spark):
+    """Randomized differential test for text.repetition_metrics: the
+    lead-window n-gram formation and the sorted-neighbor line-dup
+    expressions must agree with a direct python computation on docs
+    with heavy repetition, newlines, and degenerate shapes."""
+    import random
+    from collections import Counter
+
+    from tcga_query_project_spark.operators import text as t
+
+    rng = random.Random(99)
+    words = ["alpha", "beta", "gamma", "delta", "x1", "xx", "longword9"]
+
+    def make_doc():
+        n_lines = rng.randrange(1, 6)
+        lines = []
+        for _ in range(n_lines):
+            ln = " ".join(
+                rng.choice(words) for _ in range(rng.randrange(1, 12))
+            )
+            lines.append(ln)
+            if rng.random() < 0.4:  # force duplicate lines often
+                lines.append(ln)
+        return "\n".join(lines)
+
+    docs = [(i, make_doc()) for i in range(30)]
+    docs.append((100, "solo"))
+    docs.append((101, "a a a a a a"))
+
+    def ref(textv):
+        toks = textv.strip().lower().split()
+        total_chars = len("".join(textv.split()))
+        out = {}
+        out["dup_word_frac"] = (
+            round((len(toks) - len(set(toks))) / len(toks), 6) if toks else 0.0
+        )
+        for n, nm in ((2, "2"), (3, "3")):
+            grams = [
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            ]
+            c = Counter(grams)
+            top = max(
+                (cnt * len(g.replace(" ", "")) for g, cnt in c.items()),
+                default=None,
+            )
+            out[f"top{nm}gram_char_frac"] = (
+                round(top / total_chars, 6) if top and total_chars else 0.0
+            )
+            tot = sum(c.values())
+            dup = sum(cnt for cnt in c.values() if cnt > 1)
+            out[f"dup{nm}gram_frac"] = round(dup / tot, 6) if tot else 0.0
+        lines = [ln.strip() for ln in textv.split("\n") if ln.strip()]
+        lc = Counter(lines)
+        tot = len(lines)
+        dup = sum(cnt for cnt in lc.values() if cnt > 1)
+        out["dup_line_frac"] = round(dup / tot, 6) if tot else 0.0
+        chars = sum(len(ln.replace(" ", "")) for ln in lines)
+        dchars = sum(
+            cnt * len(ln.replace(" ", ""))
+            for ln, cnt in lc.items()
+            if cnt > 1
+        )
+        out["dup_line_char_frac"] = round(dchars / chars, 6) if chars else 0.0
+        return out
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in t.repetition_metrics(sdf, "doc_id", "text").collect()
+    }
+    for did, textv in docs:
+        want = ref(textv)
+        for k, v in want.items():
+            assert abs(got[did][k] - v) < 1e-9, (did, k, got[did][k], v)
