@@ -75,6 +75,7 @@ HEADLINE = [
     "tx_doc_chunks",
     "tx_vocab",
     "pp_mixture_shards",
+    "pp_training_full",
 ]
 
 

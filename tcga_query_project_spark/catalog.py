@@ -2173,6 +2173,34 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_bench_only(
+    "pp_training_full",
+    None,  # composed pipeline; each stage is individually
+    # oracle-verified (pp_corpus_clean, tx_repetition, tx_pii_scrub,
+    # pp_mixture_shards, tx_doc_chunks) and the composition is
+    # golden-tested end-to-end in test_pipelines
+    tags=("pipeline", "training-corpus"),
+)
+def pp_training_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL training path: clean → Gopher gate → PII scrub → en/fr/de
+    mixture → 64-token chunking → 4k-token shard packing
+    (pipelines/corpus_prep.prepare_training_corpus)."""
+    from tcga_query_project_spark.pipelines.corpus_prep import (
+        prepare_training_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return prepare_training_corpus(
+        docs,
+        min_quality=0.4,
+        langs=("en", "fr", "de"),
+        mixture={"en": 1.0, "fr": 1.5, "de": 0.5},
+        max_tokens=64,
+        shard_budget=4096,
+        block_size=1024,
+    )
+
+
+@register_bench_only(
     "a12_cube_margins",
     """
     SELECT COALESCE(lang, '(all)') AS lang,

@@ -97,6 +97,7 @@ def pack_shards(
     budget: int,
     block_size: int = 1 << 20,
     order_cols: tuple[str, ...] = (),
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign each row to a training SHARD so that consecutive rows (in
     total ``(key_col, *order_cols)`` order) fill ~``budget`` tokens per
@@ -124,11 +125,13 @@ def pack_shards(
        parallelizes across blocks.
 
     Output: key (+order cols), ``n_tokens``, ``cum_tokens`` (inclusive
-    global running total, BIGINT) and ``shard`` (BIGINT, 0-based).
+    global running total, BIGINT) and ``shard`` (BIGINT, 0-based);
+    ``carry_cols`` pass through untouched (payload text, labels).
     """
     order = [key_col, *order_cols]
     base = df.select(
         *order,
+        *carry_cols,
         F.col(token_col).cast("long").alias("n_tokens"),
         (F.col(key_col).cast("long") / F.lit(int(block_size)))
         .cast("long")
@@ -162,6 +165,7 @@ def pack_shards(
         base.join(F.broadcast(off_df), "_block", "left")
         .select(
             *order,
+            *carry_cols,
             "n_tokens",
             cum.alias("cum_tokens"),
             F.floor((cum - F.col("n_tokens")) / F.lit(int(budget)))

@@ -94,3 +94,108 @@ def corpus_clean(
         ).select(F.col("corpus_id").alias(id_col)).distinct()
         cleaned = cleaned.join(contaminated, id_col, "left_anti")
     return cleaned
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.4,
+    langs: tuple[str, ...] = ("en",),
+    gopher: bool = True,
+    scrub: bool = True,
+    mixture: dict[str, float] | None = None,
+    max_tokens: int = 1024,
+    stride: int | None = None,
+    shard_budget: int = 1 << 20,
+    block_size: int = 1 << 20,
+) -> DataFrame:
+    """The FULL training-data path, raw corpus → trainer-ready shard
+    plan, composing every round-5 stage in the order a production
+    pipeline runs them:
+
+    1. exact dedup + fused quality/language features + filters
+       (:func:`corpus_clean` stages 1-3, one content shuffle);
+    2. Gopher repetition gate (``passes_gopher`` — catches the
+       machine-generated/boilerplate docs the quality score misses;
+       one n-gram window exchange, see text.repetition_metrics);
+    3. PII redaction of the surviving text (text.pii_scrub — free:
+       fuses into the projection);
+    4. domain-mixture re-weighting on the detected language
+       (``mixture`` maps pred_lang → weight; None keeps every doc
+       once) — map-only;
+    5. context-window chunking to ``max_tokens`` (text.chunk_documents
+       — narrow explode);
+    6. token-budget shard packing (sampling.pack_shards, distributed
+       prefix-sum), carrying the chunk text so
+       sources/io.write_training_shards can materialize directly.
+
+    Output: ``(doc_id, copy_idx, chunk_idx, chunk, split, pred_lang,
+    n_tokens, cum_tokens, shard)``. Filters run BEFORE chunking so the
+    expensive fan-out only sees surviving documents; everything after
+    stage 1 adds exactly two exchanges (repetition window + packing
+    window) plus the dedup/feature shuffles already accounted for.
+    """
+    from tcga_query_project_spark.operators.sampling import (
+        pack_shards,
+        sample_mixture,
+    )
+    from tcga_query_project_spark.operators.text import (
+        chunk_documents,
+        pii_scrub,
+        repetition_metrics,
+    )
+
+    cleaned = corpus_clean(
+        docs, id_col, text_col, min_quality=min_quality, langs=langs
+    ).select(id_col, "split", "pred_lang")
+    base = cleaned.join(
+        docs.select(id_col, text_col), id_col
+    )
+    if gopher:
+        rep = repetition_metrics(
+            docs.select(id_col, text_col), id_col, text_col
+        ).select(id_col, "passes_gopher")
+        base = base.join(rep, id_col).filter(F.col("passes_gopher")).drop(
+            "passes_gopher"
+        )
+    if scrub:
+        scrubbed = pii_scrub(base, id_col, text_col).select(
+            id_col, F.col("scrubbed").alias(text_col)
+        )
+        base = base.drop(text_col).join(scrubbed, id_col)
+    if mixture is not None:
+        base = sample_mixture(base, "pred_lang", mixture, id_col)
+    else:
+        base = base.withColumn("copy_idx", F.lit(0).cast("long"))
+    chunks = chunk_documents(
+        base.select(
+            id_col, "copy_idx", "split", "pred_lang", text_col
+        ).withColumn(
+            "_ck", F.concat_ws("#", F.col(id_col), F.col("copy_idx"))
+        ),
+        "_ck",
+        text_col,
+        max_tokens=max_tokens,
+        stride=stride,
+    )
+    # chunk_documents keys on the composite; re-split it and re-attach
+    # the per-doc labels (dimension-light broadcast-able join on id)
+    parts = F.split(F.col("_ck"), "#")
+    chunks = chunks.select(
+        parts.getItem(0).cast("long").alias(id_col),
+        parts.getItem(1).cast("long").alias("copy_idx"),
+        "chunk_idx",
+        "n_chunk_tokens",
+        "chunk",
+    ).join(base.select(id_col, "copy_idx", "split", "pred_lang").distinct(),
+           [id_col, "copy_idx"])
+    return pack_shards(
+        chunks,
+        id_col,
+        "n_chunk_tokens",
+        budget=shard_budget,
+        block_size=block_size,
+        order_cols=("copy_idx", "chunk_idx"),
+        carry_cols=("chunk", "split", "pred_lang"),
+    )

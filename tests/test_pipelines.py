@@ -206,3 +206,71 @@ def test_corpus_clean_decontamination_stage(spark):
     # surviving rows identical to the plain run's
     plain_rows = {r["doc_id"]: r for r in plain.collect()}
     assert decon_rows[2] == plain_rows[2]
+
+
+def test_prepare_training_corpus_end_to_end(spark):
+    """Flagship composition: dedup -> quality/lang -> gopher gate ->
+    PII scrub -> mixture -> chunk -> pack, on crafted docs where every
+    stage has a designated victim/survivor."""
+    from tcga_query_project_spark.pipelines.corpus_prep import (
+        prepare_training_corpus,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then it "
+        "runs far away to the old stone bridge where it is resting now "
+        "while the tired hunter is walking home in quiet evening light"
+    )
+    rows = [
+        (1, good),
+        (2, good),  # exact dup of 1 -> dropped (keeper is min id)
+        (3, "le chat est sur le toit et le chien dort la et le vent "
+            "souffle fort sur la maison pres de la mer ce soir"),  # fr
+        (4, "the cat sat " * 20 + "and it is done"),  # en but gopher-fail
+        (5, "the contact address is admin@example.com and the office "
+            "is open now so the team can answer all the questions sent "
+            "there every single day without any long delay at all and "
+            "visitors may also walk in during normal working hours to "
+            "speak with a friendly person about almost any topic they "
+            "bring along from billing issues to simple product advice"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prepare_training_corpus(
+        docs,
+        min_quality=0.4,
+        langs=("en",),
+        mixture={"en": 2.0},
+        max_tokens=16,
+        stride=None,
+        shard_budget=40,
+        block_size=2,
+    ).cache()
+    try:
+        rows_out = out.collect()
+        ids = {r["doc_id"] for r in rows_out}
+        assert ids == {1, 5}
+        # mixture 2.0 -> both copies present for every kept doc
+        for d in (1, 5):
+            assert {r["copy_idx"] for r in rows_out if r["doc_id"] == d} == {0, 1}
+        # chunking: doc 1 has 36 tokens -> 3 chunks of <=16 per copy
+        c1 = sorted(
+            (r["copy_idx"], r["chunk_idx"], r["n_tokens"])
+            for r in rows_out if r["doc_id"] == 1
+        )
+        assert [x[2] for x in c1 if x[0] == 0] == [16, 16, 4]
+        # PII scrubbed inside chunk payloads
+        joined = " ".join(r["chunk"] for r in rows_out if r["doc_id"] == 5)
+        assert "<EMAIL>" in joined and "admin@example.com" not in joined
+        # packing: cum_tokens strictly increasing in (id, copy, chunk)
+        # order and shard = floor(cum_before/budget)
+        seq = sorted(
+            rows_out,
+            key=lambda r: (r["doc_id"], r["copy_idx"], r["chunk_idx"]),
+        )
+        run = 0
+        for r in seq:
+            assert r["shard"] == run // 40
+            run += r["n_tokens"]
+            assert r["cum_tokens"] == run
+    finally:
+        out.unpersist()
