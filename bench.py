@@ -173,6 +173,9 @@ def main() -> None:
         "queries_exec_only": times_exec,
         "sf": sf,
         "cpus": CPUS,
+        # headline set size — totals are only comparable across rounds
+        # at equal counts (round 5 added 7 new-operator queries)
+        "n_queries": len(times),
     }
     print(json.dumps(out))
     sys.stdout.flush()

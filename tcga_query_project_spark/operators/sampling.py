@@ -73,7 +73,7 @@ def sample_mixture(
     wmap = F.create_map(
         *[F.lit(x) for kv in weights.items() for x in (kv[0], float(kv[1]))]
     )
-    w = F.coalesce(wmap.getItem(F.col(domain_col)), F.lit(0.0))
+    w = F.coalesce(wmap[F.col(domain_col)], F.lit(0.0))
     frac = hash_fraction(F.col(key_col), salt)
     n_copies = (
         F.floor(w).cast("long")

@@ -190,6 +190,16 @@ def prepare_training_corpus(
         "chunk",
     ).join(base.select(id_col, "copy_idx", "split", "pred_lang").distinct(),
            [id_col, "copy_idx"])
+    # pack_shards' block-totals aggregate is an EAGER first consumer of
+    # the whole upstream chain; without a persist the final shard plan
+    # would re-execute dedup→gopher→scrub→mixture→chunk a second time
+    # (measured 2x wall at sf0.1). The cache is populated lazily by the
+    # totals job itself — one upstream execution total. Lifetime /
+    # release: operators/caching.py contract; at cluster scale this is
+    # the parquet checkpoint between prep and packing.
+    from tcga_query_project_spark.operators.caching import materialize_shared
+
+    chunks = materialize_shared(chunks, eager=False)
     return pack_shards(
         chunks,
         id_col,
