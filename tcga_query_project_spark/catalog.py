@@ -2279,7 +2279,9 @@ def tx_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx AS (
       SELECT doc_id, toks,
              unnest(generate_series(0,
-               CAST(FLOOR((len(toks) - 1) / 24.0) AS BIGINT))) AS chunk_idx
+               CASE WHEN len(toks) <= 32 THEN 0
+                    ELSE CAST(CEIL((len(toks) - 32) / 24.0) AS BIGINT)
+               END)) AS chunk_idx
       FROM d
     )
     SELECT doc_id, chunk_idx,

@@ -96,6 +96,15 @@ HASH_SPLIT_BUCKET_SQL = (
 )
 
 
+def md5_prefix_long(key: Column) -> Column:
+    """First 8 hex chars of md5 as a BIGINT — THE portable-hash
+    primitive every deterministic sampling/splitting/minhash surface in
+    this engine derives from (DuckDB mirror:
+    ``('0x' || substring(md5(x), 1, 8))::BIGINT``). Centralized so the
+    Spark expression and its SQL mirror evolve in one place."""
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+
+
 def hash_split_bucket(key: Column) -> Column:
     """Deterministic 0-99 bucket from a row key — the train/val/test
     split primitive of a training-data pipeline: stable across runs,
@@ -105,11 +114,7 @@ def hash_split_bucket(key: Column) -> Column:
     ``HASH_SPLIT_BUCKET_SQL``); assign splits as e.g.
     ``bucket < 90 → train, < 95 → val, else test``.
     """
-    return (
-        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 100
-    )
+    return md5_prefix_long(key.cast("string")) % 100
 
 
 def split_label(

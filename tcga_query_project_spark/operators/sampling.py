@@ -36,11 +36,9 @@ def hash_fraction(key: Column, salt: str) -> Column:
     layered sampling decisions (mixture, split, subsample) never
     correlate.
     """
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
+    from tcga_query_project_spark.functions.scalar import md5_prefix_long
+
+    h = md5_prefix_long(F.concat(F.lit(salt), key.cast("string")))
     return (h % _FRAC_MOD).cast("double") / _FRAC_MOD
 
 

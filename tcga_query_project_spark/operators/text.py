@@ -690,10 +690,21 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         for name, pat, _ in PII_PATTERNS
     ]
-    scrubbed = F.col(text_col)
+    return df.select(
+        F.col(id_col), *counts, pii_scrub_text(F.col(text_col)).alias("scrubbed")
+    )
+
+
+def pii_scrub_text(text: Column) -> Column:
+    """The scrubbed-text EXPRESSION alone (PII_PATTERNS replacement
+    chain) — for pipelines that want the redaction fused into an
+    existing projection (``withColumn``) instead of joining
+    :func:`pii_scrub`'s audit output back on the id (a corpus-sized
+    join for a per-row rewrite)."""
+    out = text
     for _, pat, token in PII_PATTERNS:
-        scrubbed = F.regexp_replace(scrubbed, pat, token)
-    return df.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))
+        out = F.regexp_replace(out, pat, token)
+    return out
 
 
 def chunk_documents(
@@ -702,16 +713,22 @@ def chunk_documents(
     text_col: str,
     max_tokens: int,
     stride: int | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Split long documents into fixed-length training sequences: the
     context-window chunking step between cleaning and shard packing.
-    Emits one row per chunk — ``(id, chunk_idx, n_chunk_tokens,
-    chunk)`` — where chunk *i* covers whitespace tokens
-    ``[i*stride+1 .. i*stride+max_tokens]`` (1-based), i.e. sliding
-    windows with ``max_tokens - stride`` tokens of overlap
-    (``stride=None`` → no overlap). Chunk starts run while they fall
-    inside the document, so the final window may be shorter; a doc
-    with ≤ max_tokens tokens yields exactly one chunk of itself.
+    Emits one row per chunk — ``(id, *carry_cols, chunk_idx,
+    n_chunk_tokens, chunk)`` — where chunk *i* covers whitespace
+    tokens ``[i*stride+1 .. i*stride+max_tokens]`` (1-based), i.e.
+    sliding windows with ``max_tokens - stride`` tokens of overlap
+    (``stride=None`` → no overlap). The last chunk index is
+    ``ceil((n - max_tokens)/stride)`` (0 for docs that fit in one
+    window), so the final window always reaches the end of the
+    document and is NEVER fully contained in its predecessor — a
+    naive "starts while start <= n" rule emits one extra
+    fully-overlapped window per document, silently duplicating
+    training data. ``carry_cols`` (labels, copy indices) pass through
+    untouched.
 
     Pure narrow pass (tokenize → index sequence → explode → slice):
     no shuffle, no Python; the explode fan-out is bounded by
@@ -723,21 +740,25 @@ def chunk_documents(
     if stride <= 0 or max_tokens <= 0:
         raise ValueError("max_tokens and stride must be positive")
     toks_df = df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+        F.col(id_col), *carry_cols, tokens(F.col(text_col)).alias("_toks")
     )
     toks = F.col("_toks")
     n = F.size(toks)
-    idx = F.explode(
-        F.sequence(F.lit(0), F.floor((n - 1) / F.lit(stride)).cast("int"))
-    ).alias("chunk_idx")
+    last_idx = (
+        F.when(n <= max_tokens, F.lit(0))
+        .otherwise(F.ceil((n - max_tokens) / F.lit(stride)))
+        .cast("int")
+    )
+    idx = F.explode(F.sequence(F.lit(0), last_idx)).alias("chunk_idx")
     sliced = F.slice(
         toks, F.col("chunk_idx") * stride + 1, max_tokens
     )
     return (
         toks_df.filter(n > 0)
-        .select(F.col(id_col), "_toks", idx)
+        .select(F.col(id_col), *carry_cols, "_toks", idx)
         .select(
             F.col(id_col),
+            *carry_cols,
             F.col("chunk_idx").cast("long").alias("chunk_idx"),
             F.size(sliced).cast("long").alias("n_chunk_tokens"),
             F.array_join(sliced, " ").alias("chunk"),
@@ -761,15 +782,17 @@ def build_vocab(
     the POST-LIMIT frame — a vocabulary is dimension-sized by
     definition (it must broadcast to every trainer worker anyway), so
     the single-partition window is bounded by max_size, not the
-    corpus; this is the same eager-small-side contract as
-    stats.vst_fitted, enforced by requiring max_size when min_count
-    would not bound the vocabulary.
+    corpus. ``max_size`` is therefore REQUIRED: min_count alone keeps
+    a corpus-scale share of distinct tokens and would funnel them
+    through the one-task window (the global-window anti-pattern
+    tests/test_plans.py bans).
     """
     from pyspark.sql.window import Window
 
-    if max_size is None and min_count <= 1:
+    if max_size is None:
         raise ValueError(
-            "unbounded vocab: set max_size and/or min_count > 1"
+            "unbounded vocab: max_size is required (min_count alone "
+            "does not bound the id-assignment window)"
         )
     tf = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
     cnt = (

@@ -142,7 +142,7 @@ def prepare_training_corpus(
     )
     from tcga_query_project_spark.operators.text import (
         chunk_documents,
-        pii_scrub,
+        pii_scrub_text,
         repetition_metrics,
     )
 
@@ -153,43 +153,33 @@ def prepare_training_corpus(
         docs.select(id_col, text_col), id_col
     )
     if gopher:
+        # metrics over the SURVIVORS only — the n-gram explode is the
+        # costliest stage, so docs already dropped by dedup/quality/
+        # language must not flow through it
         rep = repetition_metrics(
-            docs.select(id_col, text_col), id_col, text_col
+            base.select(id_col, text_col), id_col, text_col
         ).select(id_col, "passes_gopher")
         base = base.join(rep, id_col).filter(F.col("passes_gopher")).drop(
             "passes_gopher"
         )
     if scrub:
-        scrubbed = pii_scrub(base, id_col, text_col).select(
-            id_col, F.col("scrubbed").alias(text_col)
+        # fused into the projection (pii_scrub_text expression) — a
+        # per-row regex rewrite must not cost a corpus self-join
+        base = base.withColumn(
+            text_col, pii_scrub_text(F.col(text_col))
         )
-        base = base.drop(text_col).join(scrubbed, id_col)
     if mixture is not None:
         base = sample_mixture(base, "pred_lang", mixture, id_col)
     else:
         base = base.withColumn("copy_idx", F.lit(0).cast("long"))
     chunks = chunk_documents(
-        base.select(
-            id_col, "copy_idx", "split", "pred_lang", text_col
-        ).withColumn(
-            "_ck", F.concat_ws("#", F.col(id_col), F.col("copy_idx"))
-        ),
-        "_ck",
+        base,
+        id_col,
         text_col,
         max_tokens=max_tokens,
         stride=stride,
+        carry_cols=("copy_idx", "split", "pred_lang"),
     )
-    # chunk_documents keys on the composite; re-split it and re-attach
-    # the per-doc labels (dimension-light broadcast-able join on id)
-    parts = F.split(F.col("_ck"), "#")
-    chunks = chunks.select(
-        parts.getItem(0).cast("long").alias(id_col),
-        parts.getItem(1).cast("long").alias("copy_idx"),
-        "chunk_idx",
-        "n_chunk_tokens",
-        "chunk",
-    ).join(base.select(id_col, "copy_idx", "split", "pred_lang").distinct(),
-           [id_col, "copy_idx"])
     # pack_shards' block-totals aggregate is an EAGER first consumer of
     # the whole upstream chain; without a persist the final shard plan
     # would re-execute dedup→gopher→scrub→mixture→chunk a second time
