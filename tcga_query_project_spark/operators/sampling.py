@@ -57,7 +57,10 @@ def sample_mixture(
     - weight >= 1 : emit floor(w) full copies plus one more iff
       hash_fraction < frac(w) (deterministic oversample);
     - missing domains default to 0 (dropped) — an explicit mixture
-      spec, not a passthrough.
+      spec, not a passthrough;
+    - rows with a NULL domain or NULL key are dropped (null hash →
+      null copy count → filtered), same propagation in the SQL mirror
+      — clean your keys upstream if nulls must survive.
 
     Output = input columns + ``copy_idx`` (0-based; epoch schedulers
     use it to spread repeats). Pure narrow projection + filter +

@@ -109,6 +109,8 @@ def prepare_training_corpus(
     stride: int | None = None,
     shard_budget: int = 1 << 20,
     block_size: int = 1 << 20,
+    decontaminate_against: DataFrame | None = None,
+    decontaminate_threshold: float = 0.5,
 ) -> DataFrame:
     """The FULL training-data path, raw corpus → trainer-ready shard
     plan, composing every round-5 stage in the order a production
@@ -147,7 +149,9 @@ def prepare_training_corpus(
     )
 
     cleaned = corpus_clean(
-        docs, id_col, text_col, min_quality=min_quality, langs=langs
+        docs, id_col, text_col, min_quality=min_quality, langs=langs,
+        decontaminate_against=decontaminate_against,
+        decontaminate_threshold=decontaminate_threshold,
     ).select(id_col, "split", "pred_lang")
     base = cleaned.join(
         docs.select(id_col, text_col), id_col

@@ -170,3 +170,36 @@ def test_write_training_shards_layout(spark, tmp_path):
         f = [x for x in glob.glob(d + "/*") if x.endswith(".parquet")][0]
         ks = pq.read_table(f).column("k").to_pylist()
         assert ks == sorted(ks)
+
+
+def test_sample_mixture_null_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "web"), (2, None), (None, "web")],
+        "doc_id long, domain string",
+    )
+    out = sampling.sample_mixture(df, "domain", {"web": 2.0}, "doc_id")
+    rows = [(r["doc_id"], r["copy_idx"]) for r in out.collect()]
+    # null domain and null key both drop; weight-2 doc gets 2 copies
+    assert sorted(rows) == [(1, 0), (1, 1)]
+
+
+def test_prepare_training_corpus_decontaminates(spark):
+    from tcga_query_project_spark.pipelines.corpus_prep import (
+        prepare_training_corpus,
+    )
+
+    good = ("the quick brown fox jumps over the lazy dog and then it "
+            "runs far away to the old stone bridge where it is resting "
+            "now while the tired hunter is walking home this evening")
+    other = ("the small boat is drifting near the shore and the wind "
+             "is pushing it along while the birds are calling out over "
+             "the water in the bright cold morning air today again")
+    docs = spark.createDataFrame(
+        [(1, good), (2, other)], "doc_id long, text string"
+    )
+    evals = spark.createDataFrame([(900, good)], "doc_id long, text string")
+    out = prepare_training_corpus(
+        docs, max_tokens=16, shard_budget=64, block_size=2,
+        decontaminate_against=evals, decontaminate_threshold=0.5,
+    )
+    assert {r["doc_id"] for r in out.collect()} == {2}
