@@ -404,3 +404,44 @@ def test_repetition_metrics_matches_python_reference(spark):
         want = ref(textv)
         for k, v in want.items():
             assert abs(got[did][k] - v) < 1e-9, (did, k, got[did][k], v)
+
+
+def test_chunk_documents_matches_python_reference(spark):
+    """Randomized differential test for the sliding-window semantics:
+    last window reaches the end, no fully-contained windows, full
+    coverage, exact slice contents."""
+    import random
+
+    from tcga_query_project_spark.operators import text as t
+
+    rng = random.Random(41)
+    docs, params = [], []
+    for i in range(24):
+        n = rng.randrange(1, 60)
+        docs.append((i, " ".join(f"w{j}" for j in range(n))))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    for max_tokens, stride in [(8, 8), (8, 4), (5, 3), (16, 1), (7, 7)]:
+        got = {}
+        out = t.chunk_documents(
+            sdf, "doc_id", "text", max_tokens=max_tokens, stride=stride
+        ).collect()
+        for r in out:
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_idx"], r["n_chunk_tokens"], r["chunk"])
+            )
+        for did, textv in docs:
+            toks = textv.split()
+            n = len(toks)
+            last = 0 if n <= max_tokens else -(-(n - max_tokens) // stride)
+            want = []
+            for i in range(last + 1):
+                s = i * stride
+                w = toks[s : s + max_tokens]
+                want.append((i, len(w), " ".join(w)))
+            assert sorted(got[did]) == want, (did, max_tokens, stride)
+            # invariants: full coverage + final window hits the end
+            assert want[-1][0] * stride + want[-1][1] == n
+            covered = set()
+            for i, ln, _ in want:
+                covered.update(range(i * stride, i * stride + ln))
+            assert covered == set(range(n))
