@@ -670,7 +670,13 @@ def clusters_from_pairs(
 
     The component window hash-spreads on component id — singleton
     components dominate real corpora, so no skew; the graph step only
-    ever shuffles the pair edge list (see operators/graph.py).
+    ever shuffles the pair edge list (see operators/graph.py). The
+    docs⟕labels join is left to AQE: the label side is dimension-sized
+    whenever the near-dup rate is sane, so it converts to broadcast at
+    runtime (runtime stats — the checkpointed edge RDD has none at
+    plan time), but degrades safely to a shuffle join on a
+    pathologically duplicate-heavy corpus instead of OOMing a forced
+    broadcast.
     """
     from pyspark.sql.window import Window
 
