@@ -70,6 +70,7 @@ HEADLINE = [
     # round-5 additions (new operators, not renames — the headline
     # total grows accordingly; compare per-query across rounds)
     "a12_cube_margins",
+    "tj_asof_directions",
     "tx_repetition",
     "tx_pii_scrub",
     "tx_doc_chunks",

@@ -2173,6 +2173,83 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_bench_only(
+    "tj_asof_directions",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'click'
+    ),
+    r AS (
+      SELECT user_id, epoch_us(ts) AS rts, ROUND(MAX(value), 4) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    bwd AS (
+      SELECT l.event_id, MAX(r.rts) AS bts FROM l
+      LEFT JOIN r ON r.user_id = l.user_id AND r.rts <= l.ts_us
+      GROUP BY 1
+    ),
+    fwd AS (
+      SELECT l.event_id, MIN(r.rts) AS fts FROM l
+      LEFT JOIN r ON r.user_id = l.user_id AND r.rts >= l.ts_us
+      GROUP BY 1
+    ),
+    j AS (
+      SELECT l.event_id, l.user_id, l.ts_us, b.bts, f.fts,
+             CASE WHEN b.bts IS NULL THEN f.fts
+                  WHEN f.fts IS NULL THEN b.bts
+                  WHEN l.ts_us - b.bts <= f.fts - l.ts_us THEN b.bts
+                  ELSE f.fts END AS nts
+      FROM l JOIN bwd b ON b.event_id = l.event_id
+             JOIN fwd f ON f.event_id = l.event_id
+    )
+    SELECT j.event_id, j.user_id, j.ts_us,
+           j.bts AS bwd_ts_us, rb.v AS bwd_value,
+           j.fts AS fwd_ts_us, rf.v AS fwd_value,
+           j.nts AS near_ts_us, rn.v AS near_value
+    FROM j
+    LEFT JOIN r rb ON rb.user_id = j.user_id AND rb.rts = j.bts
+    LEFT JOIN r rf ON rf.user_id = j.user_id AND rf.rts = j.fts
+    LEFT JOIN r rn ON rn.user_id = j.user_id AND rn.rts = j.nts
+    """,
+    tags=("asof-join", "directions"),
+)
+def tj_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three as-of directions side by side (backward / forward /
+    nearest, operators/temporal.asof_join) — each click matched to the
+    user's latest prior, earliest later, and time-closest purchase.
+    The right side is pre-aggregated to unique (user, ts) per the
+    operator's documented tie contract; the oracle computes the same
+    three matches with inequality joins. BENCH_ONLY (48-slot driver
+    cap); verified by tests/test_oracle_parity.py."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 4).alias("v"))
+    )
+    outs = {}
+    for d, tag in (("backward", "bwd"), ("forward", "fwd"), ("nearest", "near")):
+        outs[tag] = temporal.asof_join(
+            clicks, purchases, "user_id", "ts", "ts", ["v"], direction=d
+        ).select(
+            "event_id",
+            F.unix_micros("asof_ts").alias(f"{tag}_ts_us"),
+            F.col("asof_v").alias(f"{tag}_value"),
+        )
+    base = clicks.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    return (
+        base.join(outs["bwd"], "event_id")
+        .join(outs["fwd"], "event_id")
+        .join(outs["near"], "event_id")
+    )
+
+
+@register_bench_only(
     "pp_training_full",
     None,  # composed pipeline; each stage is individually
     # oracle-verified (pp_corpus_clean, tx_repetition, tx_pii_scrub,

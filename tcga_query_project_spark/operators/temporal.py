@@ -29,21 +29,39 @@ def asof_join(
     right_ts: str,
     payload_cols: list[str],
     tolerance: Column | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: every ``left`` row gains the ``payload_cols`` of
-    the latest ``right`` row with ``right.ts <= left.ts`` and the same
-    ``on`` key (nulls when no prior right row exists).
+    the matched ``right`` row with the same ``on`` key, where the match
+    is selected by ``direction``:
 
-    Ties (right.ts == left.ts): the right row counts (DuckDB ASOF
-    semantics, ``>=``). When several right rows share the exact same
-    timestamp, the last by payload order wins deterministically via the
-    (ts, side-tag) sort; callers needing a different tie rule should
-    pre-aggregate the right side to unique (key, ts).
+    - ``"backward"`` (default): latest right row with ``right.ts <=
+      left.ts`` — the classic ASOF (kdb ``aj``, DuckDB ``ASOF JOIN``);
+    - ``"forward"``: earliest right row with ``right.ts >= left.ts``
+      (pandas ``merge_asof(direction='forward')``);
+    - ``"nearest"``: whichever of the two is closer in time, ties
+      going to the backward match (pandas ``direction='nearest'``).
 
-    ``tolerance``: optional max staleness (a Column interval in the
-    same units as the ts columns after ``unix``-style comparison is not
-    imposed here; filter on ``_asof_age`` downstream if needed).
+    Nulls when no matching right row exists on the required side.
+
+    Ties (right.ts == left.ts): the right row counts (``>=``/``<=``
+    inclusive on both directions). When several right rows share the
+    exact same timestamp, the last by payload order wins
+    deterministically via the (ts, side-tag) sort; callers needing a
+    different tie rule should pre-aggregate the right side to unique
+    (key, ts).
+
+    ``tolerance``: optional max |left.ts − match.ts| (same units as a
+    ``double`` cast of the ts columns); matches farther away null out.
+
+    All directions stay one shuffle: forward is the backward pass on
+    the reversed (ts, side) ordering; nearest evaluates both running
+    windows over the SAME hash(key) exchange (Spark inserts one
+    exchange and two sorts) and picks per row — never a second shuffle
+    or a range theta-join.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction!r}")
     # right payloads travel under reserved names so a left column with
     # the same name never conflates with them in the union
     l_tagged = left.withColumn("_side", F.lit(1)).withColumn(
@@ -60,39 +78,63 @@ def asof_join(
     for c in payload_cols:
         l_tagged = l_tagged.withColumn(f"_r_{c}", F.lit(None))
     unioned = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
-    # right rows (side 0) sort before left rows at equal ts → a right
-    # row at exactly left.ts is visible to that left row (>= semantics)
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col("_ets").asc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+
     # carry the whole right payload as ONE struct: the struct is
     # non-null for every right row even when individual payload fields
     # are null, so ignorenulls skips left rows only — a null payload in
     # the matched right row is carried faithfully.
-    carry = F.last(
-        F.when(
-            F.col("_side") == 0,
-            F.struct(
-                F.col("_ets").alias("_ts"),
-                *[F.col(f"_r_{c}").alias(c) for c in payload_cols],
-            ),
+    payload_struct = F.when(
+        F.col("_side") == 0,
+        F.struct(
+            F.col("_ets").alias("_ts"),
+            *[F.col(f"_r_{c}").alias(c) for c in payload_cols],
         ),
-        ignorenulls=True,
-    ).over(w)
+    )
+
+    def running(desc: bool):
+        # right rows (side 0) sort before left rows at equal ts in BOTH
+        # orderings → a right row at exactly left.ts is visible to that
+        # left row (inclusive semantics); ascending order carries the
+        # latest-at-or-before, descending the earliest-at-or-after
+        w = (
+            Window.partitionBy(on)
+            .orderBy(
+                F.col("_ets").desc() if desc else F.col("_ets").asc(),
+                F.col("_side").asc(),
+            )
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return F.last(payload_struct, ignorenulls=True).over(w)
+
+    if direction == "backward":
+        asof = running(desc=False)
+    elif direction == "forward":
+        asof = running(desc=True)
+    else:
+        bwd, fwd = running(desc=False), running(desc=True)
+        lts = F.col("_ets").cast("double")
+        bd = lts - bwd["_ts"].cast("double")
+        fd = fwd["_ts"].cast("double") - lts
+        asof = (
+            F.when(bwd.isNull(), fwd)
+            .when(fwd.isNull(), bwd)
+            .when(bd <= fd, bwd)
+            .otherwise(fwd)
+        )
     carried = unioned.select(
         *[c for c in left.columns],
         F.col("_side"),
-        carry.alias("_asof"),
+        asof.alias("_asof"),
     )
     out = carried.filter(F.col("_side") == 1).drop("_side")
     if tolerance is not None:
         out = out.withColumn(
             "_asof",
             F.when(
-                F.col(left_ts).cast("double")
-                - F.col("_asof._ts").cast("double")
+                F.abs(
+                    F.col(left_ts).cast("double")
+                    - F.col("_asof._ts").cast("double")
+                )
                 <= tolerance,
                 F.col("_asof"),
             ),

@@ -1309,3 +1309,111 @@ def test_build_vocab_and_encode(spark):
 
     with _pytest.raises(ValueError):
         t.build_vocab(docs, "text")  # unbounded
+
+
+def test_asof_join_directions(spark):
+    from tcga_query_project_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 14, "b"), (2, 7, "c"), (3, 5, "d")],
+        "k int, ts int, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 80.0), (1, 12, 120.0), (1, 20, 200.0), (2, 7, 7.0)],
+        "k int, ts int, v double",
+    )
+
+    def run(direction):
+        return {
+            r["tag"]: (r["asof_ts"], r["asof_v"])
+            for r in temporal.asof_join(
+                left, right, "k", "ts", "ts", ["v"], direction=direction
+            ).collect()
+        }
+
+    fwd = run("forward")
+    # a(ts=10): earliest right >= 10 is 12; b(14)->20; c: tie at 7
+    # counts; d: no right for key 3
+    assert fwd["a"] == (12, 120.0)
+    assert fwd["b"] == (20, 200.0)
+    assert fwd["c"] == (7, 7.0)
+    assert fwd["d"] == (None, None)
+
+    near = run("nearest")
+    # a(10): back 8 (d=2) vs fwd 12 (d=2) -> tie goes backward
+    assert near["a"] == (8, 80.0)
+    # b(14): back 12 (d=2) vs fwd 20 (d=6) -> backward
+    assert near["b"] == (12, 120.0)
+    assert near["c"] == (7, 7.0)
+    assert near["d"] == (None, None)
+
+    back = run("backward")
+    assert back["a"] == (8, 80.0) and back["b"] == (12, 120.0)
+    assert back["d"] == (None, None)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        run("sideways")
+
+    # one exchange regardless of direction (nearest shares the hash(k)
+    # exchange between its two orderings)
+    from tcga_query_project_spark.plans import inspect as plans
+
+    for d in ("backward", "forward", "nearest"):
+        df = temporal.asof_join(
+            left, right, "k", "ts", "ts", ["v"], direction=d
+        )
+        assert plans.count_exchanges(df) <= 1, d
+
+
+def test_asof_join_directions_random_vs_reference(spark):
+    import random
+
+    from tcga_query_project_spark.operators import temporal
+
+    rng = random.Random(17)
+    lrows = [
+        (rng.randrange(4), rng.randrange(100), i) for i in range(120)
+    ]
+    # unique (k, ts) on the right (documented tie contract)
+    rr = {(rng.randrange(4), rng.randrange(100)) for _ in range(80)}
+    rrows = [(k, ts, float(k * 1000 + ts)) for k, ts in sorted(rr)]
+    left = spark.createDataFrame(lrows, "k int, ts int, lid int")
+    right = spark.createDataFrame(rrows, "k int, ts int, v double")
+
+    def ref(direction):
+        out = {}
+        for k, ts, lid in lrows:
+            cands = [(rts, v) for rk, rts, v in rrows if rk == k]
+            back = max(
+                ((rts, v) for rts, v in cands if rts <= ts), default=None
+            )
+            fwd = min(
+                ((rts, v) for rts, v in cands if rts >= ts), default=None
+            )
+            if direction == "backward":
+                out[lid] = back
+            elif direction == "forward":
+                out[lid] = fwd
+            else:
+                if back is None:
+                    out[lid] = fwd
+                elif fwd is None:
+                    out[lid] = back
+                else:
+                    out[lid] = back if ts - back[0] <= fwd[0] - ts else fwd
+        return out
+
+    for d in ("backward", "forward", "nearest"):
+        got = {
+            r["lid"]: (
+                None
+                if r["asof_ts"] is None
+                else (r["asof_ts"], r["asof_v"])
+            )
+            for r in temporal.asof_join(
+                left, right, "k", "ts", "ts", ["v"], direction=d
+            ).collect()
+        }
+        assert got == ref(d), d
