@@ -175,7 +175,7 @@ def main() -> None:
         "sf": sf,
         "cpus": CPUS,
         # headline set size — totals are only comparable across rounds
-        # at equal counts (round 5 added 7 new-operator queries)
+        # at equal counts (round 5 added 8 new-operator queries)
         "n_queries": len(times),
     }
     print(json.dumps(out))
