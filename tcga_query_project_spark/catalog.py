@@ -2173,6 +2173,54 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_bench_only(
+    "tj_range_join",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(ts) AS pts
+      FROM events WHERE event_type = 'click'
+    ),
+    i AS (
+      SELECT user_id, epoch_us(ts) - 1800000000 AS range_start,
+             epoch_us(ts) + 1800000000 AS range_end,
+             ROUND(value, 4) AS r_value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.pts, i.range_start, i.range_end,
+           i.r_value
+    FROM p JOIN i ON i.user_id = p.user_id
+                 AND p.pts BETWEEN i.range_start AND i.range_end
+    """,
+    tags=("range-join",),
+)
+def tj_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (operators/temporal.range_join):
+    every click inside ±30 min of a purchase by the same user, paired
+    with that purchase's value. The engine plans the bucketized
+    equi-join (bins of 1 h on epoch-micros); the oracle states the
+    semantics as the plain BETWEEN theta-join DuckDB can afford at
+    oracle scale. BENCH_ONLY (48-slot driver cap); verified by
+    tests/test_oracle_parity.py."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("pts")
+    )
+    half = 1_800_000_000
+    i = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.unix_micros("ts") - half).alias("s"),
+        (F.unix_micros("ts") + half).alias("e"),
+        F.round("value", 4).alias("value"),
+    )
+    return temporal.range_join(
+        p, i, "user_id", "pts", "s", "e", ["value"],
+        bucket_width=3_600_000_000,
+    ).select(
+        "event_id", "user_id", "pts", "range_start", "range_end",
+        F.col("r_value"),
+    )
+
+
+@register_bench_only(
     "tj_asof_directions",
     """
     WITH l AS (

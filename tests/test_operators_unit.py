@@ -1417,3 +1417,54 @@ def test_asof_join_directions_random_vs_reference(spark):
             ).collect()
         }
         assert got == ref(d), d
+
+
+def test_range_join_matches_brute_force(spark):
+    import random
+
+    from tcga_query_project_spark.operators import temporal
+    from tcga_query_project_spark.plans import inspect as plans
+
+    rng = random.Random(23)
+    pts = [(i, rng.randrange(3), rng.randrange(0, 1000)) for i in range(150)]
+    ivs = []
+    for j in range(40):
+        s = rng.randrange(0, 950)
+        ivs.append((j, rng.randrange(3), s, s + rng.randrange(0, 120), float(j)))
+    points = spark.createDataFrame(pts, "pid int, k int, ts long")
+    intervals = spark.createDataFrame(
+        ivs, "iid int, k int, s long, e long, v double"
+    )
+    for width in (7, 64, 1000):
+        out = temporal.range_join(
+            points, intervals, "k", "ts", "s", "e", ["iid", "v"],
+            bucket_width=width,
+        )
+        got = sorted(
+            (r["pid"], r["r_iid"]) for r in out.collect()
+        )
+        want = sorted(
+            (pid, iid)
+            for pid, pk, ts in pts
+            for iid, ik, s, e, _ in ivs
+            if pk == ik and s <= ts <= e
+        )
+        assert got == want, width
+    # equi-join plan: no BroadcastNestedLoop/cartesian
+    assert not plans.scale_lint(out)
+
+
+def test_range_join_empty_and_degenerate_intervals(spark):
+    from tcga_query_project_spark.operators import temporal
+
+    points = spark.createDataFrame([(1, 1, 50)], "pid int, k int, ts long")
+    intervals = spark.createDataFrame(
+        [(1, 1, 50, 50, 1.0), (2, 1, 60, 40, 2.0)],
+        "iid int, k int, s long, e long, v double",
+    )
+    out = temporal.range_join(
+        points, intervals, "k", "ts", "s", "e", ["iid"], bucket_width=10
+    ).collect()
+    # zero-length interval containing the point matches; inverted
+    # (start > end) interval is filtered, not an ANSI sequence error
+    assert [(r["pid"], r["r_iid"]) for r in out] == [(1, 1)]
