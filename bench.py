@@ -72,6 +72,7 @@ HEADLINE = [
     "a12_cube_margins",
     "tj_asof_directions",
     "tj_range_join",
+    "tj_sessionize",
     "tx_repetition",
     "tx_pii_scrub",
     "tx_doc_chunks",
@@ -176,7 +177,7 @@ def main() -> None:
         "sf": sf,
         "cpus": CPUS,
         # headline set size — totals are only comparable across rounds
-        # at equal counts (round 5 added 9 new-operator queries)
+        # at equal counts (round 5 added 10 new-operator queries)
         "n_queries": len(times),
     }
     print(json.dumps(out))

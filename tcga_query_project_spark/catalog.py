@@ -2173,6 +2173,53 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_bench_only(
+    "tj_sessionize",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT user_id, ts_us, n_events,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w > 3600000000.0
+                  THEN 1 ELSE 0 END AS nf
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    ),
+    g AS (
+      SELECT user_id, ts_us, n_events,
+             SUM(nf) OVER (PARTITION BY user_id ORDER BY ts_us
+                           ROWS UNBOUNDED PRECEDING) AS so
+      FROM f
+    )
+    SELECT user_id, ts_us, n_events,
+           MIN(CAST(ts_us AS DOUBLE)) OVER (PARTITION BY user_id, so)
+             AS session_id
+    FROM g
+    """,
+    tags=("sessionize",),
+)
+def tj_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/temporal.sessionize, 1-hour
+    gap) labelling each distinct click instant per user with its
+    session's start time — the row-level form of st_session_sliding's
+    aggregate (boundary rule pinned against Spark's session_window in
+    unit test). Input pre-aggregated to unique (user, ts) so tied
+    timestamps cannot order differently across engines. BENCH_ONLY
+    (48-slot driver cap); verified by tests/test_oracle_parity.py."""
+    ev = _t(spark, sf_dir, "events")
+    e = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.unix_micros("ts").alias("ts_us"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    return temporal.sessionize(
+        e, "user_id", "ts_us", F.lit(3_600_000_000.0)
+    )
+
+
+@register_bench_only(
     "tj_range_join",
     """
     WITH p AS (

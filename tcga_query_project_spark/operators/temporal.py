@@ -254,3 +254,49 @@ def range_join(
         )
         .drop("_bin")
     )
+
+
+def sessionize(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    gap: Column,
+) -> DataFrame:
+    """Assign a SESSION ID to every event: a new session starts when
+    the gap to the previous event of the same ``key`` EXCEEDS ``gap``
+    (same-units Column as a ``double`` cast of ``ts``; strict ``>`` —
+    verified empirically against Spark's ``session_window``, which
+    merges an event arriving exactly ``gap`` after its predecessor, so
+    row labels agree with the window aggregate; the agreement is
+    pinned by test). The row-level companion of the session-window
+    AGGREGATE (streaming/windows): that one yields per-session
+    rollups; this one labels the events themselves so arbitrary
+    downstream logic (funnels, per-session joins, ordering features)
+    can group on ``session_id``.
+
+    ``session_id`` is deterministic and engine-portable: the epoch
+    value (double) of the session's FIRST event, composed with the key
+    by the caller if a globally unique id is needed. One shuffle
+    (hash(key)), two windows on the same sort (lag for the
+    new-session flag, running max… actually a running SUM of flags
+    picks the session ordinal, then a grouped min lifts the start) —
+    all codegen, no state beyond the sort.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc())
+    tsd = F.col(ts).cast("double")
+    prev = F.lag(F.col(ts)).over(w).cast("double")
+    new_flag = F.when(
+        prev.isNull() | ((tsd - prev) > gap), F.lit(1)
+    ).otherwise(F.lit(0))
+    wsum = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = events.withColumn(
+        "_sess_ord", F.sum(new_flag).over(wsum)
+    )
+    wstart = Window.partitionBy(key, "_sess_ord")
+    return flagged.withColumn(
+        "session_id", F.min(tsd).over(wstart)
+    ).drop("_sess_ord")

@@ -1468,3 +1468,42 @@ def test_range_join_empty_and_degenerate_intervals(spark):
     # zero-length interval containing the point matches; inverted
     # (start > end) interval is filtered, not an ANSI sequence error
     assert [(r["pid"], r["r_iid"]) for r in out] == [(1, 1)]
+
+
+def test_sessionize_golden_and_agrees_with_session_window(spark):
+    from tcga_query_project_spark.operators import temporal
+
+    rows = [
+        ("u1", 0), ("u1", 10), ("u1", 25),   # gaps 10, 15 < 30 -> one sess
+        ("u1", 55),                           # gap exactly 30 -> MERGES
+        ("u1", 150),                          # gap 95 > 30 -> new session
+        ("u2", 5),
+    ]
+    ev = spark.createDataFrame(rows, "user string, ts long")
+    out = temporal.sessionize(ev, "user", "ts", F.lit(30.0))
+    got = {(r["user"], r["ts"]): r["session_id"] for r in out.collect()}
+    assert (
+        got[("u1", 0)] == got[("u1", 10)] == got[("u1", 25)]
+        == got[("u1", 55)] == 0.0
+    )
+    assert got[("u1", 150)] == 150.0
+    assert got[("u2", 5)] == 5.0
+
+    # row labels must partition events exactly like the session_window
+    # aggregate: same number of sessions per key, same member counts
+    tsev = ev.select(
+        "user", F.timestamp_seconds(F.col("ts")).alias("ts")
+    )
+    agg = (
+        tsev.groupBy("user", F.session_window("ts", "30 seconds"))
+        .count()
+        .collect()
+    )
+    from collections import Counter
+
+    agg_sizes = Counter((r["user"], r["count"]) for r in agg)
+    lbl = (
+        out.groupBy("user", "session_id").count().collect()
+    )
+    lbl_sizes = Counter((r["user"], r["count"]) for r in lbl)
+    assert agg_sizes == lbl_sizes
