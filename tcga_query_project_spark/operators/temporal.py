@@ -45,14 +45,19 @@ def asof_join(
     Nulls when no matching right row exists on the required side.
 
     Ties (right.ts == left.ts): the right row counts (``>=``/``<=``
-    inclusive on both directions). When several right rows share the
-    exact same timestamp, the last by payload order wins
-    deterministically via the (ts, side-tag) sort; callers needing a
-    different tie rule should pre-aggregate the right side to unique
-    (key, ts).
+    inclusive on both directions). When several RIGHT rows share the
+    exact same (key, ts), the winner is UNDEFINED — the (ts, side-tag)
+    sort is not a total order over them, so it can change across
+    partitionings/retries; pre-aggregate the right side to unique
+    (key, ts) whenever duplicates are possible (the catalog queries
+    do).
 
-    ``tolerance``: optional max |left.ts − match.ts| (same units as a
-    ``double`` cast of the ts columns); matches farther away null out.
+    ``tolerance``: optional max |left.ts − match.ts|; matches farther
+    away null out. Units: epoch MICROSECONDS when the ts columns are
+    timestamps, else the columns' own numeric units — time arithmetic
+    here is exact-integer for timestamps (a ``double`` epoch-seconds
+    cast has ~0.24 µs of FP granularity at current epochs, enough to
+    flip a nearest-tie).
 
     All directions stay one shuffle: forward is the backward pass on
     the reversed (ts, side) ordering; nearest evaluates both running
@@ -62,6 +67,16 @@ def asof_join(
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction: {direction!r}")
+    _ts_is_timestamp = dict(left.dtypes)[left_ts].startswith("timestamp")
+
+    def _num(col: Column) -> Column:
+        # exact time arithmetic: integer micros for timestamps (a
+        # double epoch-seconds cast cannot represent µs differences)
+        return (
+            F.unix_micros(col).cast("double")
+            if _ts_is_timestamp
+            else col.cast("double")
+        )
     # right payloads travel under reserved names so a left column with
     # the same name never conflates with them in the union
     l_tagged = left.withColumn("_side", F.lit(1)).withColumn(
@@ -112,9 +127,9 @@ def asof_join(
         asof = running(desc=True)
     else:
         bwd, fwd = running(desc=False), running(desc=True)
-        lts = F.col("_ets").cast("double")
-        bd = lts - bwd["_ts"].cast("double")
-        fd = fwd["_ts"].cast("double") - lts
+        lts = _num(F.col("_ets"))
+        bd = lts - _num(bwd["_ts"])
+        fd = _num(fwd["_ts"]) - lts
         asof = (
             F.when(bwd.isNull(), fwd)
             .when(fwd.isNull(), bwd)
@@ -131,10 +146,7 @@ def asof_join(
         out = out.withColumn(
             "_asof",
             F.when(
-                F.abs(
-                    F.col(left_ts).cast("double")
-                    - F.col("_asof._ts").cast("double")
-                )
+                F.abs(_num(F.col(left_ts)) - _num(F.col("_asof._ts")))
                 <= tolerance,
                 F.col("_asof"),
             ),
@@ -224,7 +236,21 @@ def range_join(
     ``range_start``/``range_end``) + ``payload_cols`` (prefixed
     ``r_``). Inner-join semantics: unmatched points drop; left-outer
     callers can anti-join the complement back in.
+
+    ``range_start``, ``range_end``, ``_bin`` and ``r_<payload>`` are
+    RESERVED output names; a ``points`` column with any of them is
+    rejected up front (silent overwrite of ``_bin`` would corrupt the
+    join key; the rest would be ambiguous downstream).
     """
+    reserved = {"range_start", "range_end", "_bin"} | {
+        f"r_{c}" for c in payload_cols
+    }
+    clash = reserved & set(points.columns)
+    if clash:
+        raise ValueError(
+            f"points columns collide with reserved range_join names: "
+            f"{sorted(clash)}"
+        )
     pz = points.withColumn(
         "_bin",
         F.floor(F.col(point_ts).cast("double") / F.lit(float(bucket_width)))
@@ -276,7 +302,11 @@ def sessionize(
 
     ``session_id`` is deterministic and engine-portable: the epoch
     value (double) of the session's FIRST event, composed with the key
-    by the caller if a globally unique id is needed. One shuffle
+    by the caller if a globally unique id is needed. Rows with a NULL
+    ``ts`` sort first and land in a session whose id is NULL (min over
+    only-nulls) — filter them upstream if null-keyed groupBys would
+    silently drop them; NULL ``key`` rows group together per Spark
+    window semantics. One shuffle
     (hash(key)), two windows on the same sort (lag for the
     new-session flag, running max… actually a running SUM of flags
     picks the session ordinal, then a grouped min lifts the start) —

@@ -1507,3 +1507,43 @@ def test_sessionize_golden_and_agrees_with_session_window(spark):
     )
     lbl_sizes = Counter((r["user"], r["count"]) for r in lbl)
     assert agg_sizes == lbl_sizes
+
+
+def test_asof_nearest_tie_is_exact_on_timestamps(spark):
+    """Equidistant-in-microseconds tie must go backward: the distance
+    arithmetic runs in integer micros, not epoch-seconds doubles
+    (whose ~0.24us FP granularity flips ties at current epochs)."""
+    from tcga_query_project_spark.operators import temporal
+
+    base = 1_700_000_000_000_000  # epoch micros, year-2023 scale
+    left = spark.createDataFrame(
+        [(1, base + i * 7) for i in range(200)], "k int, us long"
+    ).select("k", F.timestamp_micros(F.col("us")).alias("ts"), "us")
+    right = spark.createDataFrame(
+        [(1, base + i * 7 - 1, 0.0) for i in range(200)]
+        + [(1, base + i * 7 + 1, 1.0) for i in range(200)],
+        "k int, us long, v double",
+    ).select("k", F.timestamp_micros(F.col("us")).alias("ts"), "v")
+    out = temporal.asof_join(
+        left, right, "k", "ts", "ts", ["v"], direction="nearest"
+    )
+    vals = [r["asof_v"] for r in out.collect()]
+    assert len(vals) == 200
+    assert all(v == 0.0 for v in vals), vals[:10]
+
+
+def test_range_join_rejects_reserved_name_collisions(spark):
+    from tcga_query_project_spark.operators import temporal
+
+    points = spark.createDataFrame(
+        [(1, 1, 5, 0)], "pid int, k int, ts long, _bin long"
+    )
+    intervals = spark.createDataFrame(
+        [(1, 1, 0, 10, 1.0)], "iid int, k int, s long, e long, v double"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="_bin"):
+        temporal.range_join(
+            points, intervals, "k", "ts", "s", "e", ["v"]
+        )
