@@ -445,3 +445,40 @@ def test_chunk_documents_matches_python_reference(spark):
             for i, ln, _ in want:
                 covered.update(range(i * stride, i * stride + ln))
             assert covered == set(range(n))
+
+
+def test_sessionize_matches_python_reference(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tcga_query_project_spark.operators import temporal
+
+    rng = random.Random(31)
+    rows = []
+    for k in range(5):
+        t = 0
+        for _ in range(rng.randrange(3, 40)):
+            t += rng.randrange(1, 120)
+            rows.append((k, t))
+    ev = spark.createDataFrame(rows, "k int, ts long")
+    gap = 45.0
+    got = {
+        (r["k"], r["ts"]): r["session_id"]
+        for r in temporal.sessionize(ev, "k", "ts", F.lit(gap)).collect()
+    }
+    # python reference: sort per key, break when diff > gap
+    bykey = {}
+    for k, t in rows:
+        bykey.setdefault(k, []).append(t)
+    want = {}
+    for k, ts in bykey.items():
+        ts.sort()
+        start = ts[0]
+        prev = ts[0]
+        for t in ts:
+            if t - prev > gap:
+                start = t
+            want[(k, t)] = float(start)
+            prev = t
+    assert got == want
