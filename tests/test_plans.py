@@ -201,6 +201,15 @@ def test_headline_shuffle_budgets(spark):
         # block-partitioned window + broadcast offset join (the global
         # cumsum never plans a single-partition exchange)
         "pp_mixture_shards": 2,
+        # (user,ts) dedup agg + user-keyed session window
+        "tj_sessionize": 2,
+        # bucketized equi-join broadcasts the interval side here; at
+        # scale it becomes ONE hash exchange, never a nested loop
+        "tj_range_join": 1,
+        # verification suite: three one-exchange asof passes + the
+        # three result joins; a 7th exchange means an asof direction
+        # stopped sharing its hash(key) exchange
+        "tj_asof_directions": 6,
     }
     from tcga_query_project_spark.catalog import BENCH_ONLY
 
