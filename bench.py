@@ -71,7 +71,7 @@ HEADLINE = [
     # total grows accordingly; compare per-query across rounds)
     "a12_cube_margins",
     "tj_asof_directions",
-    "tj_range_join",
+    "tj_point_in_interval",
     "tj_sessionize",
     "tx_repetition",
     "tx_pii_scrub",

@@ -2220,7 +2220,7 @@ def tj_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_bench_only(
-    "tj_range_join",
+    "tj_point_in_interval",
     """
     WITH p AS (
       SELECT event_id, user_id, epoch_us(ts) AS pts
@@ -2239,7 +2239,7 @@ def tj_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("range-join",),
 )
-def tj_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tj_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval range join (operators/temporal.range_join):
     every click inside ±30 min of a purchase by the same user, paired
     with that purchase's value. The engine plans the bucketized

@@ -180,6 +180,18 @@ def test_registry_within_driver_cap():
     )
 
 
+def test_no_registry_bench_only_name_collisions():
+    """A BENCH_ONLY name that shadows (or is shadowed by) a REGISTRY
+    name silently redirects every lookup-merge consumer — parity,
+    bench, lint — to the other query, leaving one of them unverified
+    (bit round 5: a bench-only point-in-interval join initially reused
+    the registry's tj_range_join name and never actually ran)."""
+    from tcga_query_project_spark.catalog import BENCH_ONLY
+
+    dup = set(REGISTRY) & set(BENCH_ONLY)
+    assert not dup, f"query names registered in both tiers: {sorted(dup)}"
+
+
 def test_headline_shuffle_budgets(spark):
     """Structural shuffle budgets for plans whose shape IS the design:
     a regression here means an optimization got undone (e.g. the
@@ -205,7 +217,7 @@ def test_headline_shuffle_budgets(spark):
         "tj_sessionize": 2,
         # bucketized equi-join broadcasts the interval side here; at
         # scale it becomes ONE hash exchange, never a nested loop
-        "tj_range_join": 1,
+        "tj_point_in_interval": 1,
         # verification suite: three one-exchange asof passes + the
         # three result joins; a 7th exchange means an asof direction
         # stopped sharing its hash(key) exchange
