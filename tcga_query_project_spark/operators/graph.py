@@ -27,16 +27,24 @@ Scale notes (100 TB corpus):
 - The working set is the EDGE list — near-dup pairs, orders of
   magnitude smaller than the corpus — and each round shuffles only
   (long, long) pairs. Documents are never shuffled here.
-- Rounds are separated by ``localCheckpoint`` (eager) to truncate
-  lineage: without it, iteration k's plan embeds k copies of the
-  join-agg subtree and both the optimizer and the scheduler choke. On
-  a real cluster prefer reliable ``checkpoint()`` (HDFS/S3-backed) so
-  a lost executor does not force recomputing the whole iteration
-  chain; ``localCheckpoint`` is the single-JVM stand-in, same lineage
-  semantics.
+- Rounds are separated by ``localCheckpoint`` (lazy — the round's
+  convergence digest materializes it, so each round is one Spark
+  action) to truncate lineage: without it, iteration k's plan embeds
+  k copies of the join-agg subtree and both the optimizer and the
+  scheduler choke. On a real cluster prefer reliable ``checkpoint()``
+  (HDFS/S3-backed) so a lost executor does not force recomputing the
+  whole iteration chain; ``localCheckpoint`` is the single-JVM
+  stand-in, same lineage semantics.
 - Convergence is detected with an order-insensitive digest
   (count + sum of xxhash64 over edges) — two scalar aggregates, no
   driver-side edge collection.
+- Small graphs short-circuit: the first digest yields the exact edge
+  count for free, and below ``local_threshold`` edges the component
+  labelling comes from driver-side union-find on the collected pairs
+  (the GraphFrames ``broadcastThreshold`` pattern) — a dedup pair
+  graph is orders of magnitude smaller than its corpus, and one
+  distributed round costs more wall-clock in shuffle-stage scheduling
+  than union-find costs on a million edges.
 
 Reference analog: none (the reference pipeline, vital_status_DESeq.R,
 has no graph step); this operator serves the LLM-data-pipeline dedup
@@ -95,11 +103,39 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+def _union_find_local(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find with path compression + union-by-size, relabelled so
+    every root is the MINIMUM id of its component (same canonical label
+    as the distributed fixed point)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min: the smaller id becomes the root, so the
+            # final root IS the component's minimum without a second
+            # relabelling pass
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    return {x: find(x) for x in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src: str,
     dst: str,
     max_iter: int = 50,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components of an undirected graph given as an edge
     list. Returns ``(id BIGINT, component BIGINT)`` with one row per
@@ -112,7 +148,26 @@ def connected_components(
     provably converges in O(log^2 n) rounds, so 50 covers any graph
     that fits in any cluster. Raises ``RuntimeError`` if the digest has
     not stabilized by then (indicates data corruption, e.g. NaN ids).
+
+    ``local_threshold``: when the deduplicated edge list has at most
+    this many edges (known exactly from the first convergence digest —
+    no extra job), solve with driver-side union-find on the collected
+    pairs instead of iterating distributed rounds. Each distributed
+    round costs ~6 shuffle stages of pure scheduling latency however
+    small the data, so a tiny graph pays seconds for work union-find
+    does in microseconds; 1M edges is ~16 MB of (long, long) — far
+    under any driver budget, and orders of magnitude smaller than the
+    corpus the pairs came from. Same size-gated escape hatch as
+    GraphFrames' ``broadcastThreshold``; set 0 to force the
+    distributed path (tests do, to pin both paths' equivalence).
     """
+    # Lazy checkpoints: marking the round's result for checkpoint and
+    # letting the digest aggregate materialize it costs ONE Spark action
+    # per round instead of two (eager checkpoint job + digest job) —
+    # the digest both truncates lineage and detects convergence in the
+    # same pass. Halves per-round fixed cost; matters because the edge
+    # list is tiny relative to the corpus, so round latency is
+    # scheduling overhead, not data.
     e = (
         edges.select(
             F.col(src).cast("long").alias("u"),
@@ -121,13 +176,11 @@ def connected_components(
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     out_schema = e.select(
         F.col("u").alias("id"), F.col("v").alias("component")
     )
-    if not e.head(1):
-        return out_schema.limit(0)
 
     def digest(df: DataFrame) -> tuple:
         # decimal(38,0) accumulator: a sum of 64-bit hashes overflows
@@ -142,8 +195,20 @@ def connected_components(
         return (row["n"], row["h"])
 
     prev = digest(e)
+    if prev[0] == 0:
+        return out_schema.limit(0)
+    if prev[0] <= local_threshold:
+        # e is checkpointed, so this collect re-reads materialized
+        # blocks — no recomputation of the (possibly expensive)
+        # pair-generation subtree.
+        comp = _union_find_local([(r["u"], r["v"]) for r in e.collect()])
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            [(int(k), int(v)) for k, v in sorted(comp.items())],
+            schema="id bigint, component bigint",
+        )
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = digest(e)
         if cur == prev:
             break

@@ -39,9 +39,9 @@ def union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
     return {n: min(ns + [r]) for r, ns in comp.items() for n in ns}
 
 
-def _run(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+def _run(spark, edges: list[tuple[int, int]], **kw) -> dict[int, int]:
     df = spark.createDataFrame(edges, "a long, b long")
-    out = connected_components(df, "a", "b")
+    out = connected_components(df, "a", "b", **kw)
     return {r["id"]: r["component"] for r in out.collect()}
 
 
@@ -70,7 +70,9 @@ def test_long_chain_converges_logarithmically(spark):
     n = 300
     edges = [(i, i + 1) for i in range(n - 1)]
     df = _shuffled_df(edges)
-    out = connected_components(df, "a", "b", max_iter=15)
+    # local_threshold=0 forces the distributed alternation — this test
+    # exists to pin ITS convergence rate, not the union-find shortcut
+    out = connected_components(df, "a", "b", max_iter=15, local_threshold=0)
     rows = out.collect()
     assert len(rows) == n
     assert {r["component"] for r in rows} == {0}
@@ -100,8 +102,12 @@ def test_random_graphs_match_union_find(spark, seed, n, m):
     rng = random.Random(seed)
     edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
     edges = [(u, v) for u, v in edges if u != v]
-    got = _run(spark, edges)
-    assert got == union_find_components(edges)
+    # both execution paths (size-gated driver union-find and the
+    # distributed star alternation) must produce the identical labelling
+    got_local = _run(spark, edges)
+    got_dist = _run(spark, edges, local_threshold=0)
+    assert got_local == union_find_components(edges)
+    assert got_dist == got_local
 
 
 def test_duplicate_and_reversed_edges_are_harmless(spark):
