@@ -79,6 +79,7 @@ HEADLINE = [
     "tx_vocab",
     "pp_mixture_shards",
     "pp_training_full",
+    "tx_bpe_pieces",
 ]
 
 

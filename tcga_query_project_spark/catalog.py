@@ -44,6 +44,7 @@ from tcga_query_project_spark.functions.scalar import (
     utc_us,
 )
 from tcga_query_project_spark.operators import (
+    bpe,
     dedup,
     glm,
     nested,
@@ -2834,4 +2835,32 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         bits=4,
         query_filter=F.col("query_id") < 50,
+    )
+
+
+@register_bench_only(
+    "tx_bpe_pieces",
+    None,  # iterative merge learning — not single-statement SQL; the
+    # learner and encoder are differential-tested against a naive
+    # recount reference and the driver greedy loop in tests/test_bpe.py
+    tags=("bpe", "tokenizer"),
+)
+def tx_bpe_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE tokenization of the corpus (operators/bpe): train a
+    merge table on the distributed word histogram (one shuffle +
+    dimension-sized driver learning, Sennrich subword-units recipe),
+    then encode every document via broadcast merge ranks in one
+    Arrow-batched mapInPandas pass — zero encode-side shuffles.
+    Complements tx_vocab (whole-word ids) with the subword path an LLM
+    pipeline actually trains on. Output: per-doc piece count plus
+    first/last piece (deterministic: the merge sequence is
+    tie-broken lexicographically)."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, "text", num_merges=200, max_words=50_000)
+    enc = bpe.bpe_encode(docs, merges, "doc_id", "text")
+    return enc.select(
+        "doc_id",
+        "n_pieces",
+        F.element_at("pieces", 1).alias("first_piece"),
+        F.element_at("pieces", -1).alias("last_piece"),
     )
