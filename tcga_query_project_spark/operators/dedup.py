@@ -747,3 +747,85 @@ def dup_clusters(
     return clusters_from_pairs(
         docs, pairs, id_col, weight_col=F.length(F.col(text_col))
     )
+
+
+def semantic_near_dup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_centroids: int = 16,
+    seed: int = 42,
+    sample_n: int = 2000,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas, Tirumala,
+    Simig, Ganguli & Morcos, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): coarse-cluster
+    the embedding space with a sampled spherical k-means
+    (similarity.train_spherical_kmeans — the quantizer shared with the
+    IVF index), then score pairwise cosine ONLY within each cluster
+    with the exact matmul kernel. Emits ``(id_a, id_b, cosine)`` with
+    ``id_a < id_b`` and cosine ≥ ``threshold`` (rounded to 4 decimals,
+    same portability contract as embedding_near_dup).
+
+    Versus :func:`embedding_near_dup_bucketed` (sign-LSH cells):
+    learned cells follow the DATA's density, so semantically-near
+    pairs co-locate far more often than under axis-aligned sign
+    planes — the recall/cost dial is ``n_centroids`` (cost
+    Σ cell² ≈ n²/n_centroids for balanced cells). Like any
+    single-probe scheme it misses pairs straddling a cell boundary;
+    raise ``threshold``-adjacent recall by lowering ``n_centroids`` or
+    composing with a second pass on a different seed.
+
+    Feed the pairs to :func:`clusters_from_pairs` for transitive
+    keeper resolution (the composition `semantic_dup_clusters`
+    packages)."""
+    from tcga_query_project_spark.operators.similarity import (
+        nearest_cells_expr,
+        train_spherical_kmeans,
+    )
+
+    centroids = train_spherical_kmeans(
+        df, vec_col, n_centroids, seed=seed, sample_n=sample_n
+    )
+    cell = nearest_cells_expr(centroids, vec_col, n_probe=1)[0]
+    # every cell group is a diagonal block for the shared pair kernel:
+    # all rows carry role 'a', so it scores the group against itself
+    # and keeps the strict upper triangle
+    rows = fan_out(df.select(F.col(id_col), F.col(vec_col)), id_col).select(
+        F.col(id_col),
+        F.col(vec_col),
+        cell.alias("_cell"),
+        F.lit("a").alias("_role"),
+    )
+
+    def kernel(pdf):
+        return _pair_kernel_pdf(pdf, id_col, vec_col, threshold)
+
+    return (
+        rows.groupBy("_cell")
+        .applyInPandas(kernel, _PAIR_SCHEMA)
+    )
+
+
+def semantic_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_centroids: int = 16,
+    seed: int = 42,
+    sample_n: int = 2000,
+    weight_col: Column | None = None,
+) -> DataFrame:
+    """SemDeDup end-to-end: semantic pair generation within learned
+    k-means cells + transitive cluster resolution with one keeper per
+    cluster (``weight_col`` maximizer, default smallest id — SemDeDup
+    proper keeps the member with LOWEST cosine to the cluster
+    centroid; pass that as ``weight_col`` to match exactly). One row
+    per input: ``(id_col, component, cluster_size, keep_id)``."""
+    pairs = semantic_near_dup(
+        df, id_col, vec_col, threshold,
+        n_centroids=n_centroids, seed=seed, sample_n=sample_n,
+    )
+    return clusters_from_pairs(df, pairs, id_col, weight_col=weight_col)

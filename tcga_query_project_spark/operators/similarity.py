@@ -159,6 +159,72 @@ def cosine_topk(
     )
 
 
+def train_spherical_kmeans(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int,
+    seed: int = 42,
+    sample_n: int = 2000,
+    iters: int = 5,
+):
+    """Driver-side spherical k-means on a bounded seeded sample —
+    the coarse-quantizer trainer shared by the IVF index and semantic
+    dedup (a coarse quantizer is *supposed* to train on a sample; only
+    assignment is distributed). Returns a unit-normalized
+    ``(n_centroids, dim)`` numpy array, deterministic for fixed
+    seed/sample."""
+    import numpy as np
+
+    def _unit(mat):
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        return mat / norms[:, None]
+
+    sample = df.select(vec_col).limit(sample_n).toPandas()
+    train = _unit(
+        np.array([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    )
+    rng = np.random.default_rng(seed)
+    centroids = train[
+        rng.choice(
+            len(train), size=min(n_centroids, len(train)), replace=False
+        )
+    ]
+    for _ in range(iters):
+        assign = np.argmax(train @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = train[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _unit(centroids)
+    return centroids
+
+
+def nearest_cells_expr(centroids, vec_col: str, n_probe: int = 1) -> Column:
+    """Expression-level assignment to the ``n_probe`` nearest k-means
+    cells: the unit-norm centroids become literal arrays, each row
+    computes one dot per centroid and keeps the best via array_sort —
+    no Python, no shuffle. (Raw dot ranks cells identically to cosine:
+    centroid norms are 1 and the row norm is a per-row constant.)
+    Returns an ARRAY<INT> of cell ids, best first; centroid index
+    breaks exact ties deterministically."""
+    vec = F.col(vec_col)
+    cell_scores = F.array(
+        *[
+            F.struct(
+                (-_dot(vec, F.array(*[F.lit(float(x)) for x in c]))).alias(
+                    "nd"
+                ),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.transform(
+        F.slice(F.array_sort(cell_scores), 1, n_probe), lambda s: s["i"]
+    )
+
+
 def cosine_topk_ivf(
     df: DataFrame,
     id_col: str,
@@ -189,40 +255,10 @@ def cosine_topk_ivf(
     Deterministic for fixed seed/sample; returns the same schema as
     :func:`cosine_topk` (query_id, neighbor_id, cosine, rank).
     """
-    import numpy as np
-
-    def _unit(mat):
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        return mat / norms[:, None]
-
-    sample = df.select(vec_col).limit(sample_n).toPandas()
-    train = _unit(np.array([np.asarray(v, dtype=np.float64) for v in sample[vec_col]]))
-    rng = np.random.default_rng(seed)
-    centroids = train[rng.choice(len(train), size=min(n_centroids, len(train)), replace=False)]
-    for _ in range(iters):
-        assign = np.argmax(train @ centroids.T, axis=1)
-        for c in range(len(centroids)):
-            members = train[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
-        centroids = _unit(centroids)
-
-    vec = F.col(vec_col)
-    # negative dot in the sort key → array_sort ascending = best first;
-    # centroid index breaks exact ties deterministically.
-    cell_scores = F.array(
-        *[
-            F.struct(
-                (-_dot(vec, F.array(*[F.lit(float(x)) for x in c]))).alias("nd"),
-                F.lit(i).alias("i"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    centroids = train_spherical_kmeans(
+        df, vec_col, n_centroids, seed=seed, sample_n=sample_n, iters=iters
     )
-    probes = F.transform(
-        F.slice(F.array_sort(cell_scores), 1, n_probe), lambda s: s["i"]
-    )
+    probes = nearest_cells_expr(centroids, vec_col, n_probe)
     # the probe-assignment subtree feeds both the candidate and query
     # branches; persist + eagerly populate so the centroid scoring runs
     # once per row (caching contract: see _materialize_shared).

@@ -1547,3 +1547,50 @@ def test_range_join_rejects_reserved_name_collisions(spark):
         temporal.range_join(
             points, intervals, "k", "ts", "s", "e", ["v"]
         )
+
+
+def test_semantic_near_dup_subset_and_exact_copy_recall(spark):
+    """SemDeDup-style pairs: never a false positive vs brute force, and
+    EXACT-copy pairs are always recalled — identical vectors map to the
+    identical k-means cell by construction, so single-probe cell
+    scoring cannot separate them."""
+    import numpy as np
+
+    from tcga_query_project_spark.operators import dedup
+
+    rows = _neardup_fixture()
+    # plant exact copies of ids 0..9 as ids 100..109
+    rows = rows + [(100 + i, list(rows[i][1])) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    expect = _brute_force_pairs(rows, 0.95)
+    got = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in dedup.semantic_near_dup(
+            df, "vec_id", "embedding", 0.95, n_centroids=8, sample_n=200
+        ).collect()
+    }
+    assert got <= expect
+    copy_pairs = {(i, 100 + i) for i in range(10)}
+    assert copy_pairs <= {(a, b) for a, b, _ in got}
+    # no duplicate pair rows
+    ids = [(a, b) for a, b, _ in got]
+    assert len(ids) == len(set(ids))
+
+
+def test_semantic_dup_clusters_end_to_end(spark):
+    from tcga_query_project_spark.operators import dedup
+
+    rows = _neardup_fixture()
+    rows = rows + [(100 + i, list(rows[i][1])) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dedup.semantic_dup_clusters(
+        df, "vec_id", "embedding", 0.999, n_centroids=8, sample_n=200
+    )
+    got = {r["vec_id"]: r for r in out.collect()}
+    assert len(got) == len(rows)
+    for i in range(3):
+        # exact copy joins its original's component; keeper = min id
+        assert got[100 + i]["component"] == got[i]["component"]
+        assert got[100 + i]["keep_id"] == got[i]["keep_id"]
+        assert got[i]["keep_id"] <= i
+        assert got[i]["cluster_size"] >= 2
