@@ -1594,3 +1594,62 @@ def test_semantic_dup_clusters_end_to_end(spark):
         assert got[100 + i]["keep_id"] == got[i]["keep_id"]
         assert got[i]["keep_id"] <= i
         assert got[i]["cluster_size"] >= 2
+
+
+def test_heavy_hitters_exact_topk_partitioning_invariant(spark):
+    from tcga_query_project_spark.operators import sketches
+
+    rows = (
+        [("alpha",)] * 500 + [("beta",)] * 300 + [("gamma",)] * 100
+        + [(f"tail{i}",) for i in range(2000)]
+    )
+    df = spark.createDataFrame(rows, "k string")
+    expect = [("alpha", 500), ("beta", 300), ("gamma", 100)]
+    for parts in (1, 13):
+        got = [
+            (r["k"], r["freq"])
+            for r in sketches.heavy_hitters(
+                df.repartition(parts), "k", k=3, capacity=64
+            ).collect()
+        ]
+        assert got == expect, parts
+
+
+def test_heavy_hitters_matches_full_aggregation_on_zipf(spark):
+    import random
+
+    from tcga_query_project_spark.operators import sketches
+
+    rng = random.Random(5)
+    # zipf-ish: key i appears ~ 3000/(i+1) times
+    rows = [(f"w{i}",) for i in range(60) for _ in range(3000 // (i + 1))]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k string")
+    exact = (
+        df.groupBy("k").count()
+        .orderBy(F.col("count").desc(), F.col("k").asc())
+        .limit(10)
+        .collect()
+    )
+    got = sketches.heavy_hitters(df, "k", k=10, capacity=256).collect()
+    assert [(r["k"], r["freq"]) for r in got] == [
+        (r["k"], r["count"]) for r in exact
+    ]
+
+
+def test_approx_set_overlap_close_to_exact(spark):
+    from tcga_query_project_spark.operators import sketches
+
+    rows = [("train", i) for i in range(1000)] + [
+        ("test", i) for i in range(500, 1500)
+    ]
+    df = spark.createDataFrame(rows, "split string, fp long")
+    out = sketches.approx_set_overlap(df, "split", "fp").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["label_a"], r["label_b"]) == ("test", "train")
+    assert abs(r["approx_a"] - 1000) / 1000 < 0.05
+    assert abs(r["approx_b"] - 1000) / 1000 < 0.05
+    assert abs(r["approx_intersection"] - 500) / 500 < 0.10
+    assert abs(r["approx_union"] - 1500) / 1500 < 0.05
+    assert abs(r["approx_jaccard"] - 1 / 3) < 0.05
