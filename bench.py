@@ -178,7 +178,7 @@ def main() -> None:
         "sf": sf,
         "cpus": CPUS,
         # headline set size — totals are only comparable across rounds
-        # at equal counts (round 5 added 10 new-operator queries)
+        # at equal counts (round 5 added 12 new-operator queries)
         "n_queries": len(times),
     }
     print(json.dumps(out))

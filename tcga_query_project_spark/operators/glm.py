@@ -30,6 +30,8 @@ dimension-sized. No driver collection, no global state.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -365,9 +367,16 @@ def f_cdf(x: float, d1: float, d2: float) -> float:
     return _betai(d1 / 2.0, d2 / 2.0, d1 * x / (d1 * x + d2))
 
 
+@functools.lru_cache(maxsize=256)
 def f_quantile(p: float, d1: float, d2: float) -> float:
     """Upper-quantile inverse of the F(d1, d2) CDF by bisection —
-    DESeq2's Cook's-distance cutoff is ``qf(0.99, p, m - p)``."""
+    DESeq2's Cook's-distance cutoff is ``qf(0.99, p, m - p)``.
+
+    lru_cache'd: the per-gene kernel calls this with the SAME (p, d1,
+    d2) for every gene of a design (a ~60-iteration bisection whose
+    each step runs the Lentz continued fraction), so without the memo a
+    60k-gene sweep re-derives one constant tens of thousands of times
+    on the executors."""
     lo, hi = 0.0, 1.0
     while f_cdf(hi, d1, d2) < p:
         hi *= 2.0

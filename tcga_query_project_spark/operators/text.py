@@ -800,9 +800,9 @@ def build_vocab(
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
         .filter(F.col("freq") >= min_count)
     )
-    ordered = cnt.orderBy(F.col("freq").desc(), F.col("token").asc())
-    if max_size is not None:
-        ordered = ordered.limit(max_size)
+    ordered = cnt.orderBy(F.col("freq").desc(), F.col("token").asc()).limit(
+        max_size
+    )
     w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
     return ordered.select(
         "token",

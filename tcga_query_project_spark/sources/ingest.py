@@ -30,7 +30,7 @@ without touching the Spark shape.
 from __future__ import annotations
 
 import math
-from collections.abc import Callable, Iterator
+from collections.abc import Callable
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -95,14 +95,20 @@ def fetch_chunked(
     files_per_chunk: int = 75,
 ) -> DataFrame:
     """Distributed chunked fetch: assign each manifest row (one case
-    barcode) to a chunk, repartition BY chunk so each Spark task owns
-    whole chunks, and run ``fetch_fn`` once per Arrow batch inside
-    ``mapInPandas`` — the executor-side GDCdownload.
+    barcode) to a chunk and run ``fetch_fn`` once per CHUNK GROUP via
+    ``applyInPandas`` — the executor-side GDCdownload.
 
-    ``files_per_chunk`` bounds per-request (and per-task) response
-    size exactly like the reference's ``files.per.chunk = 75``; the
-    number of chunks is ``ceil(n_cases / files_per_chunk)`` with hash
-    membership (deterministic, order-free).
+    ``files_per_chunk`` bounds per-request size exactly like the
+    reference's ``files.per.chunk = 75``; the number of chunks is
+    ``ceil(n_cases / files_per_chunk)`` with hash membership
+    (deterministic, order-free). Grouped-map (not ``repartition`` +
+    ``mapInPandas``) is what actually enforces the bound: repartition
+    HASH-partitions chunk ids, so two chunks can collide into one
+    partition and hand ``fetch_fn`` a 2x-over-bound barcode list —
+    ``groupBy(_chunk)`` guarantees one kernel call per chunk whatever
+    the physical partitioning. (Expected chunk size is
+    ``files_per_chunk`` with binomial spread from hash membership; a
+    request API with a HARD cap should slice inside ``fetch_fn``.)
     """
     n_cases = manifest.count()
     n_chunks = max(1, math.ceil(n_cases / files_per_chunk))
@@ -110,14 +116,12 @@ def fetch_chunked(
     chunked = manifest.select(
         F.col("barcode").cast("string").alias("barcode"),
         F.pmod(F.xxhash64("barcode"), F.lit(n_chunks)).cast("int").alias("_chunk"),
-    ).repartition(n_chunks, F.col("_chunk"))
+    )
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf):
-                yield fetch_fn(pdf["barcode"].tolist())
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return fetch_fn(pdf["barcode"].tolist())
 
-    return chunked.mapInPandas(fn, FETCHED_SCHEMA)
+    return chunked.groupBy("_chunk").applyInPandas(fn, FETCHED_SCHEMA)
 
 
 def normalize_star(fetched: DataFrame) -> dict[str, DataFrame]:

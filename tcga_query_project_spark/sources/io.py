@@ -67,14 +67,21 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     ts_type = dict(df.dtypes).get("ts")
     if ts_type in ("bigint", "int"):
+        # the BIGINT cast matters for the int32 case: epoch SECONDS fit
+        # an int32, but seconds * 1000000 does not — under ANSI the
+        # unwidened multiply throws ARITHMETIC_OVERFLOW for exactly the
+        # encoding this branch exists to normalize
         df = df.withColumn(
             "ts",
             F.timestamp_micros(
                 F.expr(
-                    "CASE WHEN abs(ts) >= 100000000000000000 THEN ts DIV 1000"
-                    "     WHEN abs(ts) >= 100000000000000 THEN ts"
-                    "     WHEN abs(ts) >= 100000000000 THEN ts * 1000"
-                    "     ELSE ts * 1000000 END"
+                    "CASE WHEN abs(CAST(ts AS BIGINT)) >= 100000000000000000"
+                    "          THEN CAST(ts AS BIGINT) DIV 1000"
+                    "     WHEN abs(CAST(ts AS BIGINT)) >= 100000000000000"
+                    "          THEN CAST(ts AS BIGINT)"
+                    "     WHEN abs(CAST(ts AS BIGINT)) >= 100000000000"
+                    "          THEN CAST(ts AS BIGINT) * 1000"
+                    "     ELSE CAST(ts AS BIGINT) * 1000000 END"
                 )
             ),
         )

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from tcga_query_project_spark.functions.scalar import md5_prefix_long
 from tcga_query_project_spark.operators.dedup import MINHASH_PRIME
 from tcga_query_project_spark.operators.text import tokens
 
@@ -64,7 +65,7 @@ def _band_sigs_expr(shingles: Column, num_hashes: int, band_size: int) -> Column
     ``(2i+1)·v + 1000003·i mod P`` (identical to
     operators/dedup.minhash_signature), min per seed via array_min,
     bands joined in seed order with the batch module's '_' separator."""
-    v = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")  # noqa: E731
+    v = md5_prefix_long  # the centralized portable-hash primitive
 
     def _perm(i: int):
         # single-parameter lambda built per seed: a TWO-parameter
@@ -83,7 +84,7 @@ def _band_sigs_expr(shingles: Column, num_hashes: int, band_size: int) -> Column
     bands = [
         mins[j : j + band_size] for j in range(0, len(mins), band_size)
     ]
-    return F.array(
+    sigs = F.array(
         *[
             F.struct(
                 F.lit(j).cast("long").alias("band"),
@@ -93,6 +94,15 @@ def _band_sigs_expr(shingles: Column, num_hashes: int, band_size: int) -> Column
             )
             for j, grp in enumerate(bands)
         ]
+    )
+    # empty shingles must yield an EMPTY band array, not n_bands
+    # sentinel structs: array_min over no shingles is NULL and
+    # concat_ws silently renders NULL as "" — without this guard every
+    # sub-k-token document would share the ('', band) keys and dedup
+    # against all other short documents instead of passing through the
+    # short-doc branch.
+    return F.when(F.size(shingles) > 0, sigs).otherwise(
+        F.array().cast("array<struct<band:bigint,band_sig:string>>")
     )
 
 

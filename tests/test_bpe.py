@@ -187,3 +187,14 @@ def test_vocab_covers_every_emitted_merged_piece(spark):
         if len(p.replace(EOW, "?")) > 1  # multi-symbol => born of a merge
     }
     assert emitted <= pieces
+
+    # with the encoded corpus supplied, the vocab covers EVERY emitted
+    # piece — including base chars that never joined a merge
+    full = bpe.bpe_vocab(merges, encoded=enc)
+    full_pieces = {r["piece"] for r in full.collect()}
+    all_emitted = {
+        r["p"] for r in enc.select(F.explode("pieces").alias("p")).collect()
+    }
+    assert all_emitted <= full_pieces
+    fids = sorted(r["piece_id"] for r in full.collect())
+    assert fids == list(range(len(full_pieces)))

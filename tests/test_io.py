@@ -241,3 +241,13 @@ def test_read_events_normalizes_any_encoding(spark, tmp_path):
     ).write.parquet(f"{d}/events.parquet")
     out = io.read_events(spark, d).collect()[0]
     assert out["ts"].replace(tzinfo=None) == base
+    # INT32 epoch seconds — the only unit an int32 can hold; regression
+    # for the unwidened `ts * 1000000` that overflowed under ANSI
+    d = str(tmp_path / "int32s")
+    spark.createDataFrame(
+        [(1, epoch_us // 1_000_000, "click", 1.0)],
+        "event_id long, ts int, event_type string, value double",
+    ).write.parquet(f"{d}/events.parquet")
+    out = io.read_events(spark, d).collect()[0]
+    got_us = int(out["ts"].replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    assert got_us == (epoch_us // 1_000_000) * 1_000_000

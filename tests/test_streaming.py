@@ -525,7 +525,10 @@ def test_near_dup_dedup_stream_bands(spark, tmp_path):
     b = "entirely different words describing some other topic completely"
     schema = "doc_id long, text string, ts timestamp"
     half1 = [(1, a, t(0)), (2, b, t(1))]
-    half2 = [(3, a, t(2)), (4, "hi", t(3))]  # 3 = exact re-arrival; 4 short
+    # 3 = exact re-arrival; 4 and 5 both short — TWO distinct short
+    # docs pin the regression where empty shingles produced n_bands
+    # sentinel ('', band) keys and short docs deduped against each other
+    half2 = [(3, a, t(2)), (4, "hi", t(3)), (5, "yo", t(3))]
     # append-mode aggregates emit only when the watermark passes the
     # window end: a late flush doc advances it past [00:00, 00:10)
     # (its own window stays open, so it is never emitted itself)
@@ -554,7 +557,7 @@ def test_near_dup_dedup_stream_bands(spark, tmp_path):
     passed = sorted(r["doc_id"] for r in rows)
     assert 1 in passed and 2 in passed      # novel docs pass
     assert 3 not in passed                  # exact re-arrival: all bands seen
-    assert 4 in passed                      # short doc: no bands, passes
+    assert 4 in passed and 5 in passed      # short docs: no bands, both pass
     assert 99 not in passed                 # flush doc's window never closed
 
     # batch form over the same (pre-flush) docs: same decision rule
