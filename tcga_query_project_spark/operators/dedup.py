@@ -829,3 +829,131 @@ def semantic_dup_clusters(
         n_centroids=n_centroids, seed=seed, sample_n=sample_n,
     )
     return clusters_from_pairs(df, pairs, id_col, weight_col=weight_col)
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_dir: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus's MinHash state as a PERSISTED dedup
+    index, so later deltas dedup against history without re-reading
+    (or re-hashing) the corpus — the incremental-ingest counterpart of
+    :func:`near_duplicates`, same layout philosophy as
+    ``similarity.build_ann_index``.
+
+    Layout under ``index_dir``:
+
+    - ``bands/``  — (doc_id, band_sig) hive-partitioned by ``band``:
+      the LSH candidate join side;
+    - ``signatures/`` — one wide ``_mh1.._mhN`` row per doc: the
+      verify side (signature agreement), kilobytes per million docs.
+
+    At 100 TB the corpus is hashed ONCE ever; each ingest batch pays
+    only its own hashing plus an equi-join against ``bands/``. For a
+    shuffle-free candidate join, save ``bands`` with
+    ``io.write_bucketed`` on (band, band_sig) instead — this parquet
+    form keeps the index engine-portable.
+    """
+    sh = shingle_array(docs, id_col, text_col, k)
+    sig = minhash_signature_arrays(sh, id_col, num_hashes)
+    seeds = list(range(1, num_hashes + 1))
+    bands = _band_signatures(sig, id_col, seeds, band_size)
+    bands.write.mode(mode).partitionBy("band").parquet(f"{index_dir}/bands")
+    sig.write.mode(mode).parquet(f"{index_dir}/signatures")
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_dir: str,
+    k: int = 3,
+    band_size: int = 2,
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """Flag delta documents that near-duplicate the INDEXED corpus:
+    ``(id_col, matched_id, est_jaccard)`` for each (delta doc, indexed
+    doc) candidate whose MinHash signature agreement reaches
+    ``est_threshold``.
+
+    The candidate join is delta-bands ⋈ index-bands on (band,
+    band_sig); the verify stage estimates Jaccard as the FRACTION OF
+    AGREEING MINHASHES (the unbiased MinHash estimator — granularity
+    1/num_hashes; the index stores signatures, not text, so exact
+    shingle Jaccard is by-design unavailable and the estimator is the
+    standard index-side verify). Clean the delta with an anti-join on
+    the returned ids; find delta-internal duplicates separately with
+    :func:`near_duplicates` on the delta (history cannot see them);
+    then :func:`append_to_index` the survivors.
+
+    num_hashes is read from the stored signature schema — the delta is
+    always hashed with the index's own family.
+    """
+    spark = new_docs.sparkSession
+    sig_i = spark.read.parquet(f"{index_dir}/signatures")
+    seeds = sorted(int(c[3:]) for c in sig_i.columns if c.startswith("_mh"))
+    sh_n = shingle_array(new_docs, id_col, text_col, k)
+    sig_n = minhash_signature_arrays(sh_n, id_col, len(seeds))
+    bands_n = _band_signatures(sig_n, id_col, seeds, band_size).select(
+        F.col(id_col), "band", "band_sig"
+    )
+    idx_id = sig_i.columns[0]  # id column as written by build
+    bands_i = spark.read.parquet(f"{index_dir}/bands").select(
+        F.col(idx_id).alias("matched_id"), "band", "band_sig"
+    )
+    cand = (
+        bands_n.join(bands_i, ["band", "band_sig"])
+        .select(id_col, "matched_id")
+        .distinct()
+    )
+    agree = sum(
+        (F.col(f"_n{i}") == F.col(f"_i{i}")).cast("int") for i in seeds
+    ) / F.lit(float(len(seeds)))
+    n_side = sig_n.select(
+        F.col(id_col), *[F.col(f"_mh{i}").alias(f"_n{i}") for i in seeds]
+    )
+    i_side = sig_i.select(
+        F.col(idx_id).alias("matched_id"),
+        *[F.col(f"_mh{i}").alias(f"_i{i}") for i in seeds],
+    )
+    return (
+        cand.join(n_side, id_col)
+        .join(i_side, "matched_id")
+        .select(
+            id_col,
+            "matched_id",
+            F.round(agree, 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= est_threshold)
+    )
+
+
+def append_to_index(
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_dir: str,
+    k: int = 3,
+    band_size: int = 2,
+) -> None:
+    """Append delta documents (the post-dedup survivors) to a
+    :func:`build_dedup_index` store — same family, append mode. Caller
+    contract: ids are globally unique across appends (reappending an
+    id creates duplicate index rows, which only cost extra candidate
+    checks, never correctness — the estimator dedups per pair)."""
+    spark = new_docs.sparkSession
+    sig_i = spark.read.parquet(f"{index_dir}/signatures")
+    seeds = sorted(int(c[3:]) for c in sig_i.columns if c.startswith("_mh"))
+    sh = shingle_array(new_docs, id_col, text_col, k)
+    sig = minhash_signature_arrays(sh, id_col, len(seeds))
+    bands = _band_signatures(sig, id_col, seeds, band_size)
+    bands.write.mode("append").partitionBy("band").parquet(
+        f"{index_dir}/bands"
+    )
+    sig.write.mode("append").parquet(f"{index_dir}/signatures")

@@ -1653,3 +1653,46 @@ def test_approx_set_overlap_close_to_exact(spark):
     assert abs(r["approx_intersection"] - 500) / 500 < 0.10
     assert abs(r["approx_union"] - 1500) / 1500 < 0.05
     assert abs(r["approx_jaccard"] - 1 / 3) < 0.05
+
+
+def test_dedup_index_build_query_append(spark, tmp_path):
+    """Incremental dedup: history is hashed once into a persisted
+    index; deltas dedup against it by band join + signature agreement,
+    and survivors append so the NEXT delta sees them."""
+    from tcga_query_project_spark.operators import dedup
+
+    a = (
+        "the quick brown fox jumps over the lazy dog while the careful "
+        "reader studies long prose about distributed systems design"
+    )
+    b = (
+        "entirely different content describing benchmark suites and "
+        "storage engines with columnar layouts and vectorized readers"
+    )
+    novel = (
+        "a third completely unrelated document text regarding cooking "
+        "recipes for sourdough bread and slow fermentation schedules"
+    )
+    idx = str(tmp_path / "dedup_index")
+    corpus = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    dedup.build_dedup_index(corpus, "doc_id", "text", idx)
+
+    delta = spark.createDataFrame(
+        [(100, a), (101, novel)], "doc_id long, text string"
+    )
+    hits = dedup.dedup_against_index(delta, "doc_id", "text", idx).collect()
+    got = {(r["doc_id"], r["matched_id"]): r["est_jaccard"] for r in hits}
+    assert (100, 1) in got and got[(100, 1)] == 1.0  # exact copy of A
+    assert all(i != 101 for i, _ in got)             # novel doc clean
+
+    # append the survivor; a later re-arrival of it must now be caught
+    survivors = delta.filter("doc_id = 101")
+    dedup.append_to_index(survivors, "doc_id", "text", idx)
+    delta2 = spark.createDataFrame(
+        [(200, novel)], "doc_id long, text string"
+    )
+    hits2 = dedup.dedup_against_index(delta2, "doc_id", "text", idx).collect()
+    got2 = {(r["doc_id"], r["matched_id"]) for r in hits2}
+    assert (200, 101) in got2
