@@ -1,0 +1,102 @@
+"""Single-pass expectation audit: metric values, pass/fail logic,
+single-job execution, null/empty edge semantics."""
+
+from __future__ import annotations
+
+from tcga_query_project_spark.operators import quality_audit as qa
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "en", 10.0, "a@b.com"),
+            (2, "en", 55.0, "c@d.org"),
+            (3, "fr", 99.0, "not-an-email"),
+            (4, None, 200.0, "e@f.net"),
+            (4, "de", -5.0, "g@h.io"),  # duplicate id, out-of-range vals
+        ],
+        "id long, lang string, score double, email string",
+    )
+
+
+def test_metrics_and_verdicts(spark):
+    df = _df(spark)
+    report = qa.audit(
+        df,
+        [
+            qa.not_null("lang", max_null_frac=0.0),       # fails: 1/5 null
+            qa.not_null("score"),                          # passes
+            qa.in_range("score", 0.0, 100.0),              # min fails, max fails
+            qa.unique("id"),                               # fails: dup 4
+            qa.in_set("lang", ["en", "fr", "de"], 0.8),    # passes: 4/5
+            qa.matches("email", r"^[^@]+@[^@]+\.[a-z]+$", 0.8),  # 4/5 passes
+            qa.row_count(3, 10),                           # passes
+        ],
+    )
+    rows = {(r["check"], r["column"]): r for r in report.collect()}
+    assert rows[("not_null", "lang")]["metric"] == 0.2
+    assert not rows[("not_null", "lang")]["passed"]
+    assert rows[("not_null", "score")]["passed"]
+    assert rows[("min_at_least", "score")]["metric"] == -5.0
+    assert not rows[("min_at_least", "score")]["passed"]
+    assert rows[("max_at_most", "score")]["metric"] == 200.0
+    assert not rows[("max_at_most", "score")]["passed"]
+    assert rows[("unique", "id")]["metric"] == 0.2
+    assert not rows[("unique", "id")]["passed"]
+    assert rows[("in_set", "lang")]["metric"] == 0.8
+    assert rows[("in_set", "lang")]["passed"]
+    assert rows[("matches", "email")]["metric"] == 0.8
+    assert rows[("matches", "email")]["passed"]
+    assert rows[("row_count_at_least", "*")]["metric"] == 5.0
+    assert rows[("row_count_at_least", "*")]["passed"]
+    assert not qa.audit_passed(report)
+
+
+def test_clean_batch_passes_gate(spark):
+    df = spark.createDataFrame(
+        [(1, "en", 10.0), (2, "fr", 20.0)], "id long, lang string, v double"
+    )
+    report = qa.audit(
+        df,
+        [
+            qa.not_null("lang"),
+            qa.unique("id"),
+            qa.in_range("v", 0.0, 100.0),
+            qa.row_count(1),
+        ],
+    )
+    assert qa.audit_passed(report)
+    assert all(r["passed"] for r in report.collect())
+
+
+def test_empty_batch_fails_not_vanishes(spark):
+    """NULL metrics (empty input) must FAIL their checks — an empty
+    ingest silently passing the gate is the worst audit outcome."""
+    df = spark.createDataFrame([], "id long, v double")
+    report = qa.audit(
+        df, [qa.in_range("v", 0.0, 1.0), qa.row_count(1)]
+    )
+    rows = {r["check"]: r for r in report.collect()}
+    assert not rows["min_at_least"]["passed"]
+    assert not rows["max_at_most"]["passed"]
+    assert not rows["row_count_at_least"]["passed"]
+    assert not qa.audit_passed(report)
+
+
+def test_single_job_plan(spark):
+    """However many checks, the audit is ONE aggregation over one scan
+    (no per-check jobs): the physical plan contains exactly one scan
+    of the input."""
+    df = _df(spark)
+    report = qa.audit(
+        df,
+        [
+            qa.not_null("lang"),
+            qa.not_null("score"),
+            qa.in_range("score", 0, 100),
+            qa.in_set("lang", ["en"]),
+            qa.row_count(1),
+        ],
+    )
+    plan = report._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") == 1
