@@ -903,3 +903,60 @@ def cosine_topk_pq(
     return exact.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+def reduce_embeddings(
+    df: DataFrame, id_col: str, vec_col: str, k: int
+) -> tuple[DataFrame, object]:
+    """PCA dimensionality reduction for an embedding column:
+    ``(id_col, reduced ARRAY<DOUBLE>)`` plus the fitted model (to apply
+    the SAME projection to later batches / the query side — projecting
+    corpus and queries with different fits breaks comparability).
+
+    JVM-side ``pyspark.ml.feature.PCA``: the covariance Gramian
+    accumulates distributed (one pass, map-side partials), the
+    dim×dim eigendecomposition is driver-local — the standard recipe,
+    sound for embedding dims in the hundreds-to-low-thousands. Use it
+    in front of the ANN indexes when the raw dimension dominates
+    scan/shuffle cost: a 768→128 reduction cuts every similarity
+    kernel's bytes 6x, and (per the PCA objective) is the linear
+    projection with least pairwise-distance distortion.
+
+    Deterministic: PCA of a fixed dataset is deterministic up to
+    component SIGN, which cancels in every dot/cosine/distance this
+    engine computes. Cast to double throughout (Spark ML Vectors are
+    float64).
+    """
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = df.select(
+        F.col(id_col),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("_v"),
+    )
+    model = PCA(k=k, inputCol="_v", outputCol="_p").fit(vecs)
+    out = model.transform(vecs).select(
+        F.col(id_col), vector_to_array(F.col("_p")).alias("reduced")
+    )
+    return out, model
+
+
+def apply_reduction(
+    model, df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Project a new batch with an existing :func:`reduce_embeddings`
+    model — same output schema. The model is a dim×k matrix broadcast
+    by Spark ML; the pass is map-only."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = df.select(
+        F.col(id_col),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("_v"),
+    )
+    return model.transform(vecs).select(
+        F.col(id_col), vector_to_array(F.col("_p")).alias("reduced")
+    )

@@ -177,3 +177,62 @@ def approx_set_overlap(
             "approx_jaccard"
         ),
     )
+
+
+def mergeable_quantile_rollup(
+    df: DataFrame,
+    bucket_col,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> tuple[DataFrame, DataFrame]:
+    """KLL-sketch quantile rollup — the quantile counterpart of
+    :func:`mergeable_distinct_rollup`: one KLL sketch per bucket, then
+    the GLOBAL quantiles come from merging bucket sketches, never from
+    re-reading rows. (Exact quantiles cannot roll up: a per-day median
+    says nothing about the month's median; the sketch's rank error
+    survives merging by construction — Karnin, Lang & Liberty, "KLL",
+    FOCS 2016; Spark's Datasketches build.)
+
+    Returns ``(per_bucket, total)``: ``per_bucket`` has one
+    ``approx_quantiles ARRAY<DOUBLE>`` row per bucket (+ ``n_rows``),
+    ``total`` one global row. The global merge folds the
+    dimension-sized bucket-sketch array with the binary
+    ``kll_sketch_merge`` scalar (Spark 4.1 ships no KLL union
+    aggregate) — sketch bytes only, kilobytes of work.
+    """
+    qs = [float(q) for q in quantiles]
+    per_bucket_sk = df.groupBy(bucket_col.alias("bucket")).agg(
+        F.kll_sketch_agg_double(F.col(value_col).cast("double")).alias("sk"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    per_bucket = per_bucket_sk.select(
+        "bucket",
+        F.array(
+            *[
+                F.kll_sketch_get_quantile_double("sk", F.lit(q))
+                for q in qs
+            ]
+        ).alias("approx_quantiles"),
+        "n_rows",
+    )
+    merged = per_bucket_sk.agg(
+        F.collect_list("sk").alias("_a"),
+        F.sum("n_rows").alias("n_rows"),
+    ).select(
+        F.aggregate(
+            F.slice("_a", 2, 1 << 30),
+            F.element_at("_a", 1),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ).alias("_m"),
+        "n_rows",
+    )
+    total = merged.select(
+        F.array(
+            *[
+                F.kll_sketch_get_quantile_double("_m", F.lit(q))
+                for q in qs
+            ]
+        ).alias("approx_quantiles"),
+        "n_rows",
+    )
+    return per_bucket, total

@@ -1696,3 +1696,72 @@ def test_dedup_index_build_query_append(spark, tmp_path):
     hits2 = dedup.dedup_against_index(delta2, "doc_id", "text", idx).collect()
     got2 = {(r["doc_id"], r["matched_id"]) for r in hits2}
     assert (200, 101) in got2
+
+
+def test_mergeable_quantile_rollup_tolerance(spark):
+    """Bucket quantiles and the merged GLOBAL quantiles track the exact
+    answers; the global estimate comes from sketch bytes only."""
+    import numpy as np
+
+    from tcga_query_project_spark.operators import sketches
+
+    rng = np.random.default_rng(8)
+    vals = rng.normal(loc=50, scale=10, size=6000)
+    rows = [(int(i % 4), float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "b int, v double")
+    per_bucket, total = sketches.mergeable_quantile_rollup(
+        df, F.col("b"), "v", quantiles=(0.25, 0.5, 0.75)
+    )
+    exact_global = np.quantile(vals, [0.25, 0.5, 0.75])
+    got_total = total.collect()[0]
+    assert got_total["n_rows"] == 6000
+    for g, e in zip(got_total["approx_quantiles"], exact_global):
+        assert abs(g - e) < 1.0, (g, e)  # ~0.1 sigma rank tolerance
+    pb = {r["bucket"]: r for r in per_bucket.collect()}
+    assert set(pb) == {0, 1, 2, 3}
+    for bkt, r in pb.items():
+        sub = vals[np.arange(len(vals)) % 4 == bkt]
+        assert r["n_rows"] == len(sub)
+        for g, e in zip(
+            r["approx_quantiles"], np.quantile(sub, [0.25, 0.5, 0.75])
+        ):
+            assert abs(g - e) < 1.5, (bkt, g, e)
+
+
+def test_pca_reduction_preserves_structure(spark):
+    """k=dim PCA is a rotation (pairwise L2 distances exact); data
+    lying in a 2-D subspace loses nothing at k=2; a later batch
+    projected with the SAME model lands in the same space."""
+    import itertools
+    import random
+
+    import numpy as np
+
+    from tcga_query_project_spark.operators import similarity
+
+    rng = random.Random(4)
+    # rank-2 data embedded in 8 dims via a fixed linear map
+    basis = np.array(
+        [[1.0, 0.5, 0.0, 2.0, 0.0, 1.0, 0.25, 0.0],
+         [0.0, 1.0, 1.5, 0.0, 2.0, 0.0, 0.5, 1.0]]
+    )
+    coords = [(rng.uniform(-3, 3), rng.uniform(-3, 3)) for _ in range(40)]
+    vecs = [tuple((np.array(c) @ basis).tolist()) for c in coords]
+    df = spark.createDataFrame(
+        [(i, list(v)) for i, v in enumerate(vecs)],
+        "id long, emb array<double>",
+    )
+    red2, model = similarity.reduce_embeddings(df, "id", "emb", k=2)
+    got = {r["id"]: np.array(r["reduced"]) for r in red2.collect()}
+    raw = {i: np.array(v) for i, v in enumerate(vecs)}
+    for a, b in itertools.islice(itertools.combinations(range(40), 2), 200):
+        d_raw = np.linalg.norm(raw[a] - raw[b])
+        d_red = np.linalg.norm(got[a] - got[b])
+        assert abs(d_raw - d_red) < 1e-6, (a, b)
+
+    # same model projects a new batch consistently (same subspace)
+    extra = spark.createDataFrame(
+        [(100, list(vecs[0]))], "id long, emb array<double>"
+    )
+    p = similarity.apply_reduction(model, extra, "id", "emb").collect()[0]
+    assert np.allclose(np.array(p["reduced"]), got[0], atol=1e-9)
