@@ -3,6 +3,8 @@ single-job execution, null/empty edge semantics."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from tcga_query_project_spark.operators import quality_audit as qa
 
 
@@ -100,3 +102,56 @@ def test_single_job_plan(spark):
     )
     plan = report._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") == 1
+
+
+def test_streaming_gate_routes_batches_whole(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): the clean one lands in
+    accept, the faulty one lands — complete — in quarantine, and the
+    audit log carries per-batch check rows."""
+    from tcga_query_project_spark.streaming.audit import audited_ingest
+
+    src = str(tmp_path / "src")
+    schema = "id long, lang string, v double"
+    good = [(1, "en", 10.0), (2, "fr", 20.0)]
+    bad = [(3, None, -4.0), (4, "en", 5.0)]  # null lang + out-of-range
+    spark.createDataFrame(good, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(bad, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    checks = [
+        qa.not_null("lang"),
+        qa.in_range("v", 0.0, 100.0),
+        qa.row_count(1),
+    ]
+    accept = str(tmp_path / "accept")
+    quar = str(tmp_path / "quar")
+    rep = str(tmp_path / "report")
+    q = audited_ingest(
+        stream, checks, accept, quar, rep, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    accepted = {r["id"] for r in spark.read.parquet(accept).collect()}
+    quarantined = {r["id"] for r in spark.read.parquet(quar).collect()}
+    assert accepted == {1, 2}
+    assert quarantined == {3, 4}  # whole batch, including the clean row
+    report = spark.read.parquet(rep)
+    # 4 checks (in_range expands to two) x 2 batches
+    assert report.count() == 8
+    by_batch = {
+        r["batch_id"]: r["n_fail"]
+        for r in report.groupBy("batch_id")
+        .agg(F.sum((~F.col("passed")).cast("int")).alias("n_fail"))
+        .collect()
+    }
+    # faulty batch fails exactly not_null (0.5 null frac) and
+    # min_at_least (-4 < 0); max and row_count pass
+    assert sorted(by_batch.values()) == [0, 2]
