@@ -88,7 +88,16 @@ def score_quality(
     any corpus-prep projection."""
     from pyspark.ml.functions import vector_to_array
 
-    scored = model.transform(df.select(id_col, text_col))
+    # RegexTokenizer's UDF NPEs on NULL input (unlike the expression-
+    # level quality scorers, which null-propagate); coalesce to empty
+    # so null-text rows score as empty documents instead of failing
+    # the whole job
+    scored = model.transform(
+        df.select(
+            F.col(id_col),
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        )
+    )
     return scored.select(
         F.col(id_col),
         F.round(

@@ -863,9 +863,14 @@ def build_dedup_index(
     sh = shingle_array(docs, id_col, text_col, k)
     sig = minhash_signature_arrays(sh, id_col, num_hashes)
     seeds = list(range(1, num_hashes + 1))
-    bands = _band_signatures(sig, id_col, seeds, band_size)
-    bands.write.mode(mode).partitionBy("band").parquet(f"{index_dir}/bands")
+    # write signatures FIRST, then derive bands by reading them back:
+    # the two writes are independent jobs, and without this the second
+    # would re-run the whole shingle+minhash chain (doubling the
+    # dominant cost of the build — the one-corpus-hash claim above)
     sig.write.mode(mode).parquet(f"{index_dir}/signatures")
+    sig_back = docs.sparkSession.read.parquet(f"{index_dir}/signatures")
+    bands = _band_signatures(sig_back, id_col, seeds, band_size)
+    bands.write.mode(mode).partitionBy("band").parquet(f"{index_dir}/bands")
 
 
 def dedup_against_index(
@@ -951,9 +956,18 @@ def append_to_index(
     sig_i = spark.read.parquet(f"{index_dir}/signatures")
     seeds = sorted(int(c[3:]) for c in sig_i.columns if c.startswith("_mh"))
     sh = shingle_array(new_docs, id_col, text_col, k)
-    sig = minhash_signature_arrays(sh, id_col, len(seeds))
-    bands = _band_signatures(sig, id_col, seeds, band_size)
-    bands.write.mode("append").partitionBy("band").parquet(
-        f"{index_dir}/bands"
-    )
-    sig.write.mode("append").parquet(f"{index_dir}/signatures")
+    # persist the delta signatures across the two writes: they are
+    # independent jobs, and un-persisted lineage would hash the delta
+    # twice (build_dedup_index avoids this by deriving bands from the
+    # written signatures, but an APPEND cannot read back — it would
+    # re-band the whole history); the delta is ingest-batch-sized, so
+    # the cache is cheap and released before returning
+    sig = minhash_signature_arrays(sh, id_col, len(seeds)).persist()
+    try:
+        bands = _band_signatures(sig, id_col, seeds, band_size)
+        bands.write.mode("append").partitionBy("band").parquet(
+            f"{index_dir}/bands"
+        )
+        sig.write.mode("append").parquet(f"{index_dir}/signatures")
+    finally:
+        sig.unpersist()

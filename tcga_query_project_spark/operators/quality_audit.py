@@ -77,10 +77,17 @@ def in_range(col: str, lo: float, hi: float) -> tuple[Check, Check]:
 
 
 def unique(col: str) -> Check:
-    """Duplicate fraction = 1 - distinct/count; passes at 0."""
-    dup_frac = F.lit(1.0) - F.countDistinct(F.col(col)).cast(
-        "double"
-    ) / F.count(F.lit(1)).cast("double")
+    """Duplicate fraction over NON-NULL keys = 1 - distinct/count(col);
+    passes at 0. Nulls are not counted as duplicates — that failure
+    mode belongs to ``not_null`` (pair the two), so the audit log names
+    the actual defect instead of mislabeling nullability as key
+    collision. ``try_divide`` keeps an all-null or EMPTY batch from
+    throwing under ANSI: the metric goes NULL, which the fail-closed
+    verdict logic turns into a failure."""
+    dup_frac = F.lit(1.0) - F.try_divide(
+        F.countDistinct(F.col(col)).cast("double"),
+        F.count(F.col(col)).cast("double"),
+    )
     return Check("unique", col, dup_frac, 0.0, at_most=True)
 
 
@@ -138,14 +145,17 @@ def audit(df: DataFrame, checks) -> DataFrame:
     All metrics are aggregate expressions over the same scan, so Spark
     executes a single (mostly map-side) pass however many checks are
     registered; only ``unique``'s count-distinct adds shuffle weight.
-    Metrics round to 6 decimals (engine-portability convention).
+    Verdicts compare the RAW metric against the threshold — rounding
+    happens only in the reported ``metric`` column, because rounding
+    before comparison fails OPEN at scale (one null row in 4M rounds a
+    2.5e-7 null fraction to 0.0 and passes a zero-tolerance check;
+    at the batch sizes this module targets that is hundreds of
+    thousands of silent violations).
     """
     flat = _flatten(checks)
     if not flat:
         raise ValueError("audit: no checks given")
-    aggs = [
-        F.round(c.metric, 6).alias(f"_m{i}") for i, c in enumerate(flat)
-    ]
+    aggs = [c.metric.alias(f"_m{i}") for i, c in enumerate(flat)]
     row = df.agg(*aggs)
     # one-row frame -> one row per check via an inline struct explode;
     # stays a DataFrame (composable into gate queries / sinks)
@@ -154,7 +164,7 @@ def audit(df: DataFrame, checks) -> DataFrame:
             F.struct(
                 F.lit(c.name).alias("check"),
                 F.lit(c.column).alias("column"),
-                F.col(f"_m{i}").alias("metric"),
+                F.round(F.col(f"_m{i}"), 6).alias("metric"),
                 F.lit(c.threshold).alias("threshold"),
                 # NULL metric (all-null column, empty batch) must FAIL
                 # the check, not vanish from the gate: a NULL

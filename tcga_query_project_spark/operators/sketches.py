@@ -219,9 +219,13 @@ def mergeable_quantile_rollup(
         F.collect_list("sk").alias("_a"),
         F.sum("n_rows").alias("n_rows"),
     ).select(
+        # F.get (0-based, null-safe) as the fold seed: element_at
+        # throws INVALID_ARRAY_INDEX under ANSI when a filtered-to-
+        # empty input leaves collect_list empty — the total must come
+        # back NULL, not crash the rollup
         F.aggregate(
             F.slice("_a", 2, 1 << 30),
-            F.element_at("_a", 1),
+            F.get("_a", 0),
             lambda acc, x: F.kll_sketch_merge_double(acc, x),
         ).alias("_m"),
         "n_rows",

@@ -12,14 +12,18 @@ and shipping the "clean-looking" remainder of a faulty batch is how
 silent corruption enters a corpus — quarantine the unit of delivery,
 repair upstream, replay.
 
-Exactly-once accounting comes from the streaming checkpoint: on
-restart a re-delivered batch id re-audits deterministically and
-rewrites the same routing decision.
+Replay safety: ``foreachBatch`` is at-least-once — a crash between the
+report write and the data write re-delivers the batch on restart — so
+every sink partitions by ``batch_id`` and writes with DYNAMIC
+partition overwrite: a replayed batch re-audits deterministically and
+REPLACES its own partition instead of appending duplicates. (Plain
+append here would double-count documents and check rows; this is the
+standard idempotent-foreachBatch recipe for non-transactional sinks.)
 
-At 100 TB/day: the audit is one map-side-partial aggregation per
-micro-batch (however many checks), so the gate adds a scan — not a
-shuffle — to the ingest path; the report is check-count-sized rows per
-batch.
+At 100 TB/day: one aggregation job per micro-batch (the check-count-
+sized report collects to the driver once and serves both the gate
+decision and the log write — the batch is never re-scanned for the
+verdict), plus the routing write itself.
 """
 
 from __future__ import annotations
@@ -41,18 +45,35 @@ def audited_ingest(
 ):
     """Start the gated ingest; returns the StreamingQuery (caller owns
     its lifecycle). Layout: ``accept_path``/``quarantine_path`` hold
-    the routed batches as appended parquet; ``report_path`` holds
-    ``(batch_id, check, column, metric, threshold, passed)`` rows.
+    the routed batches as parquet partitioned by ``batch_id``;
+    ``report_path`` holds ``(check, column, metric, threshold, passed,
+    batch_id)`` rows, same partitioning.
     """
 
+    def _overwrite_own_partition(df: DataFrame, path: str) -> None:
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
-        report = qa.audit(batch_df, checks)
-        ok = qa.audit_passed(report)
-        report.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(report_path)
+        spark = batch_df.sparkSession
+        # one aggregation job: the report is check-count-sized, so
+        # collecting it gives the gate verdict for free instead of
+        # re-running the aggregation (and re-scanning the batch) for
+        # audit_passed and again for the report write
+        rows = qa.audit(batch_df, checks).collect()
+        ok = all(r["passed"] for r in rows)
+        report = spark.createDataFrame(rows).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        _overwrite_own_partition(report, report_path)
         target = accept_path if ok else quarantine_path
-        batch_df.write.mode("append").parquet(target)
+        _overwrite_own_partition(
+            batch_df.withColumn("batch_id", F.lit(batch_id)), target
+        )
 
     writer = (
         stream.writeStream.foreachBatch(_gate)

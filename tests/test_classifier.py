@@ -91,3 +91,22 @@ def test_scoring_is_partitioning_invariant_and_deterministic(spark):
         ).collect()
     }
     assert one == again
+
+
+def test_null_text_scores_as_empty_not_crash(spark):
+    rows = _fixture(n_per_class=40, seed=2)
+    df = spark.createDataFrame(rows, "doc_id long, text string, label double")
+    model = classifier.train_quality_classifier(
+        df, "text", "label", n_features=1 << 12, max_iter=10
+    )
+    withnull = spark.createDataFrame(
+        [(900, None), (901, rows[0][1])], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["clf_quality"]
+        for r in classifier.score_quality(
+            model, withnull, "doc_id", "text"
+        ).collect()
+    }
+    assert set(got) == {900, 901}
+    assert 0.0 <= got[900] <= 1.0

@@ -1765,3 +1765,20 @@ def test_pca_reduction_preserves_structure(spark):
     )
     p = similarity.apply_reduction(model, extra, "id", "emb").collect()[0]
     assert np.allclose(np.array(p["reduced"]), got[0], atol=1e-9)
+
+
+def test_mergeable_quantile_rollup_empty_input_returns_null_total(spark):
+    """A filtered-to-empty slice must yield a NULL total, not an ANSI
+    INVALID_ARRAY_INDEX crash from the fold seed."""
+    from tcga_query_project_spark.operators import sketches
+
+    df = spark.createDataFrame([], "b int, v double")
+    per_bucket, total = sketches.mergeable_quantile_rollup(
+        df, F.col("b"), "v"
+    )
+    assert per_bucket.count() == 0
+    row = total.collect()[0]
+    assert row["n_rows"] is None
+    assert row["approx_quantiles"] is None or all(
+        x is None for x in row["approx_quantiles"]
+    )

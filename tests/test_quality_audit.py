@@ -155,3 +155,33 @@ def test_streaming_gate_routes_batches_whole(spark, tmp_path):
     # faulty batch fails exactly not_null (0.5 null frac) and
     # min_at_least (-4 < 0); max and row_count pass
     assert sorted(by_batch.values()) == [0, 2]
+
+
+def test_raw_metric_comparison_not_rounded(spark):
+    """A violation rate below rounding precision must still FAIL a
+    zero-tolerance check — rounding before comparison fails open."""
+    n = 4_000_000
+    df = spark.range(n).selectExpr(
+        "id", "CASE WHEN id = 0 THEN NULL ELSE 'en' END AS lang"
+    )
+    report = qa.audit(df, [qa.not_null("lang", max_null_frac=0.0)])
+    r = report.collect()[0]
+    assert r["metric"] == 0.0  # reported metric rounds to 6 decimals
+    assert not r["passed"]     # but the verdict sees the raw 2.5e-7
+    # duplicate key below rounding precision likewise fails unique()
+    dup = spark.range(n).selectExpr("CASE WHEN id = 1 THEN 0 ELSE id END AS id")
+    r2 = qa.audit(dup, [qa.unique("id")]).collect()[0]
+    assert not r2["passed"]
+
+
+def test_unique_semantics_nulls_and_empty(spark):
+    """unique() measures duplicates over NON-NULL keys (nullability is
+    not_null's job) and fails closed — without throwing — on empty."""
+    df = spark.createDataFrame([(1,), (2,), (None,)], "id long")
+    r = qa.audit(df, [qa.unique("id")]).collect()[0]
+    assert r["passed"] and r["metric"] == 0.0  # null is not a duplicate
+    dup = spark.createDataFrame([(1,), (1,), (None,)], "id long")
+    assert not qa.audit(dup, [qa.unique("id")]).collect()[0]["passed"]
+    empty = spark.createDataFrame([], "id long")
+    r3 = qa.audit(empty, [qa.unique("id")]).collect()[0]  # no ANSI throw
+    assert not r3["passed"]
