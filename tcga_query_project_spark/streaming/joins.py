@@ -52,3 +52,56 @@ def interval_join(
         & (rts <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
     )
     return left.join(r, cond, "inner").drop(key + right_suffix)
+
+
+def enrich_with_scd2(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time dimension enrichment for a stream: join each event
+    to the SCD2 dimension version that was valid AT THE EVENT'S OWN
+    TIME — `` dim.valid_from <= ts AND (valid_to IS NULL OR ts <
+    valid_to)`` — not the version current when the event happens to be
+    processed. The difference is exactly late data: an event replayed
+    an hour later must still see the dimension as of its event time, or
+    reprocessing changes answers.
+
+    Spark executes this as a stream-STATIC join (the dimension is a
+    batch DataFrame): stateless, no watermark needed, and the static
+    side broadcasts when dimension-sized — each micro-batch is one
+    map-side lookup. The SCD2 interval guarantee (gap-free,
+    non-overlapping per key — property-tested in
+    ``test_properties``) makes the match unique, so the join cannot
+    fan out rows. Rebuild/refresh the dim with
+    ``operators/temporal.scd2_intervals``; restart the query to pick
+    up a re-read dimension (stream-static joins bind the static
+    snapshot at query start — the documented Spark contract).
+
+    Works identically on a batch ``stream`` input (same plan, minus the
+    micro-batching), which is how the stream==batch test pins it.
+    """
+    d = dim.select(
+        F.col(key),
+        F.col(valid_from).alias("_vf"),
+        F.col(valid_to).alias("_vt"),
+        *[
+            F.col(c)
+            for c in dim.columns
+            if c not in (key, valid_from, valid_to)
+        ],
+    )
+    cond = (
+        (stream[key] == d[key])
+        & (d["_vf"] <= stream[ts_col])
+        & (d["_vt"].isNull() | (stream[ts_col] < d["_vt"]))
+    )
+    return (
+        stream.join(d, cond, "left")
+        .drop(d[key])
+        .withColumnRenamed("_vf", "dim_valid_from")
+        .withColumnRenamed("_vt", "dim_valid_to")
+    )

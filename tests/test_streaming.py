@@ -666,3 +666,58 @@ def test_streaming_minhash_values_match_batch_family(spark):
         ).collect()
     }
     assert batch == stream_side
+
+
+def test_enrich_with_scd2_event_time_versions(spark, tmp_path):
+    """Point-in-time dimension enrichment: each event joins the SCD2
+    version valid at ITS OWN timestamp (late replays included), the
+    match is unique (no fan-out), pre-history events get NULLs, and
+    the drained stream equals the batch join."""
+    import datetime as dt
+
+    from tcga_query_project_spark.operators.temporal import scd2_intervals
+    from tcga_query_project_spark.streaming.joins import enrich_with_scd2
+
+    def t(h):
+        return dt.datetime(2024, 1, 1, h)
+
+    changes = spark.createDataFrame(
+        [(1, t(1), "bronze"), (1, t(5), "gold"), (2, t(2), "silver")],
+        "cust long, ts timestamp, tier string",
+    )
+    dim = scd2_intervals(changes, "cust", "ts", ["tier"])
+
+    events_rows = [
+        (10, 1, t(0)),   # before any version -> NULL tier
+        (11, 1, t(3)),   # bronze era
+        (12, 1, t(5)),   # boundary: gold starts AT its change ts
+        (13, 1, t(9)),   # current era -> gold
+        (14, 2, t(8)),   # silver (open-ended)
+    ]
+    schema = "event_id long, cust long, ts timestamp"
+    batch = spark.createDataFrame(events_rows, schema)
+
+    expect = {10: None, 11: "bronze", 12: "gold", 13: "gold", 14: "silver"}
+    b = enrich_with_scd2(batch, dim, "cust", "ts")
+    got_b = {r["event_id"]: r["tier"] for r in b.collect()}
+    assert got_b == expect
+    assert b.count() == len(events_rows)  # unique match: no fan-out
+
+    src = str(tmp_path / "src")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    s = enrich_with_scd2(stream, dim, "cust", "ts")
+    assert s.isStreaming
+    q = (
+        s.writeStream.format("memory")
+        .queryName("t_scd2_enrich")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_s = {
+        r["event_id"]: r["tier"]
+        for r in spark.sql("SELECT * FROM t_scd2_enrich").collect()
+    }
+    assert got_s == expect
