@@ -80,6 +80,9 @@ HEADLINE = [
     "pp_mixture_shards",
     "pp_training_full",
     "tx_bpe_pieces",
+    "tx_heavy_tokens",
+    "qa_orders_audit",
+    "tj_scd2_lookup",
 ]
 
 

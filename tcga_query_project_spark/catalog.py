@@ -2864,3 +2864,163 @@ def tx_bpe_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("pieces", 1).alias("first_piece"),
         F.element_at("pieces", -1).alias("last_piece"),
     )
+
+
+@register_bench_only(
+    "tx_heavy_tokens",
+    r"""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (
+      SELECT unnest(regexp_extract_all(text,
+                    '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS token
+      FROM documents
+    )
+    GROUP BY token
+    ORDER BY freq DESC, token ASC
+    LIMIT 20
+    """,
+    tags=("sketch", "heavy-hitters"),
+)
+def tx_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token heavy hitters via the bounded-state Misra-Gries
+    operator (operators/sketches.heavy_hitters): per-partition
+    mergeable summaries -> dimension-sized candidate union -> exact
+    broadcast-semi-join recount -> TakeOrdered(20). The ORACLE is the
+    full-cardinality aggregation — the result is hash-identical
+    because every top-20 token's share clears the 1/capacity MG
+    guarantee by orders of magnitude, which is exactly the exactness
+    contract the operator documents (and the unit suite pins on a
+    Zipf corpus with adversarial partitionings)."""
+    from tcga_query_project_spark.operators import sketches
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(text.bpe_tokens(F.col("text"))).alias("token")
+    )
+    return sketches.heavy_hitters(toks, "token", k=20, capacity=4096)
+
+
+@register_bench_only(
+    "qa_orders_audit",
+    """
+    WITH m AS (
+      SELECT
+        ROUND(AVG(CASE WHEN o_custkey IS NULL THEN 1.0 ELSE 0.0 END), 6)
+          AS null_custkey,
+        ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 6) AS min_price,
+        ROUND(CAST(MAX(o_totalprice) AS DOUBLE), 6) AS max_price,
+        ROUND(1.0 - CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE)
+                    / CAST(COUNT(o_orderkey) AS DOUBLE), 6) AS dup_key,
+        ROUND(AVG(CASE WHEN COALESCE(o_orderstatus IN ('O','F','P'), FALSE)
+                       THEN 1.0 ELSE 0.0 END), 6) AS status_dom,
+        ROUND(CAST(COUNT(*) AS DOUBLE), 6) AS n_rows
+      FROM orders
+    )
+    SELECT 'not_null' AS check, 'o_custkey' AS "column",
+           null_custkey AS metric, 0.0 AS threshold,
+           null_custkey <= 0.0 AS passed FROM m
+    UNION ALL
+    SELECT 'min_at_least', 'o_totalprice', min_price, 0.0,
+           min_price >= 0.0 FROM m
+    UNION ALL
+    SELECT 'max_at_most', 'o_totalprice', max_price, 1000000.0,
+           max_price <= 1000000.0 FROM m
+    UNION ALL
+    SELECT 'unique', 'o_orderkey', dup_key, 0.0, dup_key <= 0.0 FROM m
+    UNION ALL
+    SELECT 'in_set', 'o_orderstatus', status_dom, 1.0,
+           status_dom >= 1.0 FROM m
+    UNION ALL
+    SELECT 'row_count_at_least', '*', n_rows, 1.0, n_rows >= 1.0 FROM m
+    """,
+    tags=("quality-audit",),
+)
+def qa_orders_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single-pass expectation audit (operators/quality_audit) over
+    the orders table — every check one aggregate in ONE job; the oracle
+    replays the identical metric algebra as plain SQL, so metric
+    values, thresholds AND verdicts hash-match. Mirrors a real ingest
+    gate: nullability, price bounds, key uniqueness, status domain,
+    batch-size floor."""
+    from tcga_query_project_spark.operators import quality_audit as qa
+
+    orders = _t(spark, sf_dir, "orders")
+    return qa.audit(
+        orders,
+        [
+            qa.not_null("o_custkey", 0.0),
+            qa.in_range("o_totalprice", 0.0, 1_000_000.0),
+            qa.unique("o_orderkey"),
+            qa.in_set("o_orderstatus", ["O", "F", "P"]),
+            qa.row_count(1),
+        ],
+    )
+
+
+@register_bench_only(
+    "tj_scd2_lookup",
+    """
+    WITH ch AS (
+      SELECT user_id, ts, event_id, value
+      FROM events WHERE event_type = 'click'
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR value IS DISTINCT FROM LAG(value) OVER w
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ch
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    iv AS (
+      SELECT user_id, value, ts AS valid_from,
+             LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ) AS valid_to
+      FROM flagged WHERE is_new = 1
+    ),
+    p AS (
+      SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.event_id, epoch_us(p.ts) AS ts_us,
+           ROUND(iv.value, 4) AS dim_value,
+           epoch_us(iv.valid_from) AS dim_from_us
+    FROM p LEFT JOIN iv
+      ON p.user_id = iv.user_id
+     AND iv.valid_from <= p.ts
+     AND (iv.valid_to IS NULL OR p.ts < iv.valid_to)
+    """,
+    tags=("temporal", "scd2", "point-in-time"),
+)
+def tj_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: build SCD2 validity intervals
+    from the click change-log (operators/temporal.scd2_intervals,
+    no-op changes collapsed, event_id tiebreak for equal timestamps)
+    and enrich every purchase with the version valid AT ITS OWN event
+    time (streaming/joins.enrich_with_scd2 — the same function the
+    streaming path runs; here on batch input). The oracle replays the
+    gaps-and-islands interval build + interval-containment join in
+    plain SQL. Purchases before a user's first click version keep
+    NULLs (left join); the SCD2 tiling guarantee makes each match
+    unique, so row count equals the purchase count."""
+    from tcga_query_project_spark.streaming.joins import enrich_with_scd2
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    dim = temporal.scd2_intervals(
+        changes, "user_id", "ts", ["value"], tiebreak=F.col("event_id").asc()
+    ).drop("is_current")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = enrich_with_scd2(purchases, dim, "user_id", "ts")
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value"), 4).alias("dim_value"),
+        F.unix_micros("dim_valid_from").alias("dim_from_us"),
+    )

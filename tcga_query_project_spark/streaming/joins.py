@@ -84,8 +84,15 @@ def enrich_with_scd2(
     Works identically on a batch ``stream`` input (same plan, minus the
     micro-batching), which is how the stream==batch test pins it.
     """
+    # explicit aliases on BOTH sides: when the dimension derives from
+    # the same source as the stream (a self-lineage point-in-time
+    # lookup, e.g. clicks enriching purchases of one events table),
+    # unaliased stream[key] == dim[key] resolves ambiguously and the
+    # post-join drop can keep the WRONG side's key (observed: null
+    # keys on unmatched rows)
+    left = stream.alias("_evt")
     d = dim.select(
-        F.col(key),
+        F.col(key).alias("_dimkey"),
         F.col(valid_from).alias("_vf"),
         F.col(valid_to).alias("_vt"),
         *[
@@ -93,15 +100,17 @@ def enrich_with_scd2(
             for c in dim.columns
             if c not in (key, valid_from, valid_to)
         ],
-    )
+    ).alias("_dim")
+    ev_key = F.col(f"_evt.{key}")
+    ev_ts = F.col(f"_evt.{ts_col}")
     cond = (
-        (stream[key] == d[key])
-        & (d["_vf"] <= stream[ts_col])
-        & (d["_vt"].isNull() | (stream[ts_col] < d["_vt"]))
+        (ev_key == F.col("_dimkey"))
+        & (F.col("_vf") <= ev_ts)
+        & (F.col("_vt").isNull() | (ev_ts < F.col("_vt")))
     )
     return (
-        stream.join(d, cond, "left")
-        .drop(d[key])
+        left.join(d, cond, "left")
+        .drop("_dimkey")
         .withColumnRenamed("_vf", "dim_valid_from")
         .withColumnRenamed("_vt", "dim_valid_to")
     )
