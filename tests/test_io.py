@@ -251,3 +251,60 @@ def test_read_events_normalizes_any_encoding(spark, tmp_path):
     out = io.read_events(spark, d).collect()[0]
     got_us = int(out["ts"].replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
     assert got_us == (epoch_us // 1_000_000) * 1_000_000
+
+
+def test_write_zordered_narrows_stats_on_every_dim(spark, tmp_path):
+    """Z-order clustering: every output file's min-max footer range is
+    narrow on BOTH curve columns (the multi-column data-skipping a
+    single-column sort cannot give — its second column spans the whole
+    domain in every file), and the rows round-trip unchanged."""
+    import glob
+    import random
+
+    import pyarrow.parquet as pq
+
+    from tcga_query_project_spark.operators.partitioning import (
+        write_zordered,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (rng.randrange(0, 1024), rng.randrange(0, 1024), i)
+        for i in range(40_000)
+    ]
+    df = spark.createDataFrame(rows, "x long, y long, id long")
+    zpath = str(tmp_path / "z")
+    write_zordered(df, zpath, ["x", "y"], n_files=8, bits=10)
+
+    def span_fracs(path, col):
+        fracs = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.read_metadata(f)
+            names = [md.schema.column(k).name for k in range(md.num_columns)]
+            j = names.index(col)
+            los, his = [], []
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(j).statistics
+                los.append(st.min)
+                his.append(st.max)
+            fracs.append((max(his) - min(los)) / 1023)
+        return fracs
+
+    zx, zy = span_fracs(zpath, "x"), span_fracs(zpath, "y")
+    assert sum(zx) / len(zx) < 0.75, zx
+    assert sum(zy) / len(zy) < 0.75, zy
+
+    # single-column sort baseline: files cover the FULL y domain
+    xpath = str(tmp_path / "xsort")
+    (
+        df.repartitionByRange(8, "x")
+        .sortWithinPartitions("x")
+        .write.parquet(xpath)
+    )
+    by = span_fracs(xpath, "y")
+    assert min(by) > 0.9, by
+
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(zpath).collect()
+    )
+    assert got == sorted(rows)
