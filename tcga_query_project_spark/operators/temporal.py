@@ -330,3 +330,55 @@ def sessionize(
     return flagged.withColumn(
         "session_id", F.min(tsd).over(wstart)
     ).drop("_sess_ord")
+
+
+def apply_cdc(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key: str,
+    ts: str,
+    op_col: str,
+    tiebreak: Column | None = None,
+) -> DataFrame:
+    """MERGE a keyed snapshot with an I/U/D change log — the batch
+    upsert Delta's ``MERGE INTO`` performs, as plain DataFrame ops:
+
+    - keys absent from the log keep their snapshot row;
+    - keys whose LATEST log entry (by ``ts``, then ``tiebreak``) is an
+      insert/update ('I'/'U') take that entry's attribute values
+      (full-row replacement semantics);
+    - keys whose latest entry is a delete ('D') disappear.
+
+    ``changes`` must carry the snapshot's schema plus ``ts`` and
+    ``op_col``; the output has exactly the snapshot's schema. Shape:
+    one window over the log keyed by ``key`` (the log, not the
+    snapshot, pays the sort) + one left-anti join + a union — the
+    snapshot is never window-sorted, which is the scale asymmetry that
+    matters (logs are deltas; snapshots are the 100 TB side). Late
+    replays are idempotent: applying the same log twice yields the
+    same snapshot (the window picks the same latest entry).
+
+    Companions: ``cdc_latest_snapshot`` (catalog) compacts a pure log
+    with no base snapshot; :func:`scd2_intervals` keeps every version
+    instead of the last.
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts).desc()] + (
+        [tiebreak.desc() if hasattr(tiebreak, "desc") else tiebreak]
+        if tiebreak is not None
+        else []
+    )
+    w = Window.partitionBy(key).orderBy(*order)
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    upserts = latest.filter(F.col(op_col) != F.lit("D")).select(
+        *snapshot.columns
+    )
+    untouched = snapshot.join(
+        latest.select(key), key, "left_anti"
+    )
+    return untouched.unionByName(upserts)

@@ -1782,3 +1782,38 @@ def test_mergeable_quantile_rollup_empty_input_returns_null_total(spark):
     assert row["approx_quantiles"] is None or all(
         x is None for x in row["approx_quantiles"]
     )
+
+
+def test_apply_cdc_merge_semantics(spark):
+    """Upsert/delete/untouched/insert + latest-wins ordering +
+    idempotent replay."""
+    from tcga_query_project_spark.operators.temporal import apply_cdc
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, v double",
+    )
+    chg = spark.createDataFrame(
+        [
+            (2, "b2", 21.0, 5, "U"),   # update key 2
+            (2, "bX", 22.0, 3, "U"),   # older update — must lose
+            (3, None, 0.0, 4, "D"),    # delete key 3
+            (4, "d", 40.0, 6, "I"),    # insert new key 4
+        ],
+        "id long, name string, v double, ts long, op string",
+    )
+    out = apply_cdc(snap, chg, "id", "ts", "op")
+    got = {r["id"]: (r["name"], r["v"]) for r in out.collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 4: ("d", 40.0)}
+    assert sorted(out.columns) == sorted(snap.columns)
+    # idempotent: applying the same log to the result changes nothing
+    again = apply_cdc(out, chg, "id", "ts", "op")
+    assert {r["id"]: (r["name"], r["v"]) for r in again.collect()} == got
+    # delete-then-reinsert within one log: latest wins
+    chg2 = spark.createDataFrame(
+        [(1, None, 0.0, 1, "D"), (1, "a2", 11.0, 2, "I")],
+        "id long, name string, v double, ts long, op string",
+    )
+    out2 = apply_cdc(snap, chg2, "id", "ts", "op")
+    got2 = {r["id"]: (r["name"], r["v"]) for r in out2.collect()}
+    assert got2[1] == ("a2", 11.0)
