@@ -2903,35 +2903,40 @@ def tx_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register_bench_only(
     "qa_orders_audit",
     """
+    -- raw metrics feed the verdicts; ROUND only in the reported
+    -- metric column — mirroring audit()'s fail-closed contract
+    -- (rounding before comparison would pass a sub-5e-7 violation)
     WITH m AS (
       SELECT
-        ROUND(AVG(CASE WHEN o_custkey IS NULL THEN 1.0 ELSE 0.0 END), 6)
+        AVG(CASE WHEN o_custkey IS NULL THEN 1.0 ELSE 0.0 END)
           AS null_custkey,
-        ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 6) AS min_price,
-        ROUND(CAST(MAX(o_totalprice) AS DOUBLE), 6) AS max_price,
-        ROUND(1.0 - CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE)
-                    / CAST(COUNT(o_orderkey) AS DOUBLE), 6) AS dup_key,
-        ROUND(AVG(CASE WHEN COALESCE(o_orderstatus IN ('O','F','P'), FALSE)
-                       THEN 1.0 ELSE 0.0 END), 6) AS status_dom,
-        ROUND(CAST(COUNT(*) AS DOUBLE), 6) AS n_rows
+        CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+        CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+        1.0 - CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE)
+              / CAST(COUNT(o_orderkey) AS DOUBLE) AS dup_key,
+        AVG(CASE WHEN COALESCE(o_orderstatus IN ('O','F','P'), FALSE)
+                 THEN 1.0 ELSE 0.0 END) AS status_dom,
+        CAST(COUNT(*) AS DOUBLE) AS n_rows
       FROM orders
     )
     SELECT 'not_null' AS check, 'o_custkey' AS "column",
-           null_custkey AS metric, 0.0 AS threshold,
+           ROUND(null_custkey, 6) AS metric, 0.0 AS threshold,
            null_custkey <= 0.0 AS passed FROM m
     UNION ALL
-    SELECT 'min_at_least', 'o_totalprice', min_price, 0.0,
+    SELECT 'min_at_least', 'o_totalprice', ROUND(min_price, 6), 0.0,
            min_price >= 0.0 FROM m
     UNION ALL
-    SELECT 'max_at_most', 'o_totalprice', max_price, 1000000.0,
+    SELECT 'max_at_most', 'o_totalprice', ROUND(max_price, 6), 1000000.0,
            max_price <= 1000000.0 FROM m
     UNION ALL
-    SELECT 'unique', 'o_orderkey', dup_key, 0.0, dup_key <= 0.0 FROM m
+    SELECT 'unique', 'o_orderkey', ROUND(dup_key, 6), 0.0,
+           dup_key <= 0.0 FROM m
     UNION ALL
-    SELECT 'in_set', 'o_orderstatus', status_dom, 1.0,
+    SELECT 'in_set', 'o_orderstatus', ROUND(status_dom, 6), 1.0,
            status_dom >= 1.0 FROM m
     UNION ALL
-    SELECT 'row_count_at_least', '*', n_rows, 1.0, n_rows >= 1.0 FROM m
+    SELECT 'row_count_at_least', '*', ROUND(n_rows, 6), 1.0,
+           n_rows >= 1.0 FROM m
     """,
     tags=("quality-audit",),
 )

@@ -232,6 +232,11 @@ def write_zordered(
             )
         ]
     ).first()
+    if any(stats[f"_lo_{c}"] is None for c in cols):
+        # empty input or an all-null curve column: no curve to build —
+        # write the data as-is rather than abort the maintenance job
+        df.write.mode(mode).parquet(path)
+        return
     n_levels = 1 << bits
     levels = []
     for c in cols:

@@ -364,10 +364,12 @@ def apply_cdc(
     """
     from pyspark.sql.window import Window
 
+    # tiebreak is a complete sort-order expression, used AS GIVEN —
+    # the same convention as scd2_intervals (pass .desc() for
+    # latest-wins among equal timestamps; wrapping it again would nest
+    # SortOrder nodes and crash at execution)
     order = [F.col(ts).desc()] + (
-        [tiebreak.desc() if hasattr(tiebreak, "desc") else tiebreak]
-        if tiebreak is not None
-        else []
+        [tiebreak] if tiebreak is not None else []
     )
     w = Window.partitionBy(key).orderBy(*order)
     latest = (
@@ -375,9 +377,14 @@ def apply_cdc(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    upserts = latest.filter(F.col(op_col) != F.lit("D")).select(
-        *snapshot.columns
-    )
+    # null-safe: only an explicit 'D' deletes. A NULL/unknown op on the
+    # latest entry must fall through to upsert — a plain != would
+    # evaluate NULL, drop the row from upserts, AND still anti-join the
+    # key out of the snapshot: silent data loss from one malformed CDC
+    # record
+    upserts = latest.filter(
+        ~F.col(op_col).eqNullSafe(F.lit("D"))
+    ).select(*snapshot.columns)
     untouched = snapshot.join(
         latest.select(key), key, "left_anti"
     )

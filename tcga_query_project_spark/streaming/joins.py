@@ -84,12 +84,13 @@ def enrich_with_scd2(
     Works identically on a batch ``stream`` input (same plan, minus the
     micro-batching), which is how the stream==batch test pins it.
     """
-    # explicit aliases on BOTH sides: when the dimension derives from
-    # the same source as the stream (a self-lineage point-in-time
-    # lookup, e.g. clicks enriching purchases of one events table),
-    # unaliased stream[key] == dim[key] resolves ambiguously and the
-    # post-join drop can keep the WRONG side's key (observed: null
-    # keys on unmatched rows)
+    # disambiguate the self-lineage case: when the dimension derives
+    # from the same source as the stream (clicks enriching purchases
+    # of one events table), unaliased stream[key] == dim[key] resolves
+    # ambiguously and the post-join drop can keep the WRONG side's key
+    # (observed: null keys on unmatched rows). The dim key renames to
+    # a private column and the event side gets an alias the condition
+    # references by name.
     left = stream.alias("_evt")
     d = dim.select(
         F.col(key).alias("_dimkey"),
@@ -100,7 +101,7 @@ def enrich_with_scd2(
             for c in dim.columns
             if c not in (key, valid_from, valid_to)
         ],
-    ).alias("_dim")
+    )
     ev_key = F.col(f"_evt.{key}")
     ev_ts = F.col(f"_evt.{ts_col}")
     cond = (

@@ -308,3 +308,23 @@ def test_write_zordered_narrows_stats_on_every_dim(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(zpath).collect()
     )
     assert got == sorted(rows)
+
+
+def test_write_zordered_degenerate_inputs(spark, tmp_path):
+    """Empty input and an all-null curve column must still write
+    (unclustered fallback), not abort the maintenance job."""
+    from tcga_query_project_spark.operators.partitioning import (
+        write_zordered,
+    )
+
+    empty = spark.createDataFrame([], "x long, y long")
+    p1 = str(tmp_path / "empty")
+    write_zordered(empty, p1, ["x", "y"])
+    assert spark.read.parquet(p1).count() == 0
+
+    nully = spark.createDataFrame(
+        [(None, 1), (None, 2)], "x long, y long"
+    )
+    p2 = str(tmp_path / "nully")
+    write_zordered(nully, p2, ["x", "y"])
+    assert spark.read.parquet(p2).count() == 2

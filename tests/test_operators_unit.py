@@ -1817,3 +1817,28 @@ def test_apply_cdc_merge_semantics(spark):
     out2 = apply_cdc(snap, chg2, "id", "ts", "op")
     got2 = {r["id"]: (r["name"], r["v"]) for r in out2.collect()}
     assert got2[1] == ("a2", 11.0)
+
+
+def test_apply_cdc_tiebreak_and_null_op(spark):
+    """A sort-order tiebreak (the scd2_intervals convention) must be
+    usable as-is, and a NULL/unknown op on the latest entry must
+    upsert, never silently delete."""
+    from tcga_query_project_spark.operators.temporal import apply_cdc
+
+    snap = spark.createDataFrame(
+        [(7, "x", 1.0)], "id long, name string, v double"
+    )
+    chg = spark.createDataFrame(
+        [
+            (7, "first", 2.0, 1, 0, "U"),
+            (7, "second", 3.0, 1, 1, "U"),  # same ts; seq breaks tie
+            (8, "ghost", 9.0, 2, 0, None),  # malformed op -> upsert
+        ],
+        "id long, name string, v double, ts long, seq long, op string",
+    )
+    out = apply_cdc(
+        snap, chg, "id", "ts", "op", tiebreak=F.col("seq").desc()
+    )
+    got = {r["id"]: (r["name"], r["v"]) for r in out.collect()}
+    assert got[7] == ("second", 3.0)   # highest seq wins the tie
+    assert got[8] == ("ghost", 9.0)    # NULL op did not delete
