@@ -482,3 +482,85 @@ def test_sessionize_matches_python_reference(spark):
             want[(k, t)] = float(start)
             prev = t
     assert got == want
+
+
+@given(
+    words=st.dictionaries(
+        st.text(alphabet="abcd", min_size=1, max_size=7),
+        st.integers(min_value=1, max_value=30),
+        min_size=1,
+        max_size=40,
+    ),
+    n_merges=st.integers(min_value=0, max_value=30),
+)
+@settings(max_examples=25, deadline=None)
+def test_bpe_learner_matches_naive_recount(words, n_merges):
+    """The incremental pair-count learner equals the textbook
+    full-recount loop on ANY histogram — driver-only, no Spark job."""
+    from tcga_query_project_spark.operators.bpe import _learn_merges
+    from tests.test_bpe import naive_learn
+
+    hist = sorted(words.items())
+    assert _learn_merges(hist, n_merges) == naive_learn(hist, n_merges)
+
+
+@given(
+    words=st.dictionaries(
+        st.text(alphabet="abcdef", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=20),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@settings(max_examples=25, deadline=None)
+def test_bpe_encode_concat_restores_word(words):
+    """Greedy encoding of any word with any learned table concatenates
+    back to word + EOW — merges can reorder the segmentation but never
+    the characters."""
+    from tcga_query_project_spark.operators.bpe import (
+        EOW,
+        _encode_word,
+        _learn_merges,
+    )
+
+    hist = sorted(words.items())
+    merges = _learn_merges(hist, 20)
+    ranks = {m: i for i, m in enumerate(merges)}
+    for w in words:
+        pieces = _encode_word(w, ranks)
+        assert "".join(pieces) == w + EOW
+        interior = _encode_word(w, ranks, eow=False)
+        assert "".join(interior) == w
+
+
+@given(
+    counts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),   # key id
+            st.integers(min_value=1, max_value=50),  # multiplicity
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    parts=st.integers(min_value=1, max_value=7),
+)
+@settings(**SETTINGS)
+def test_heavy_hitters_exact_under_any_partitioning(spark, counts, parts):
+    """With capacity above the distinct-key count the MG guarantee is
+    unconditional: the operator returns the exact ordered top-k for any
+    input and any physical partitioning."""
+    from collections import Counter
+
+    from tcga_query_project_spark.operators import sketches
+
+    bag = Counter()
+    for k, m in counts:
+        bag[f"k{k}"] += m
+    rows = [(key,) for key, m in bag.items() for _ in range(m)]
+    df = spark.createDataFrame(rows, "k string").repartition(parts)
+    got = [
+        (r["k"], r["freq"])
+        for r in sketches.heavy_hitters(df, "k", k=5, capacity=64).collect()
+    ]
+    want = sorted(bag.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == want
