@@ -389,3 +389,66 @@ def apply_cdc(
         latest.select(key), key, "left_anti"
     )
     return untouched.unionByName(upserts)
+
+
+def diff_snapshots(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+) -> DataFrame:
+    """Key-level diff of two snapshots of one table: ``(key, change,
+    changed_cols ARRAY<STRING>)`` with ``change`` ∈ {'added',
+    'removed', 'changed'} — unchanged keys are absent. The inverse
+    companion of :func:`apply_cdc` (which consumes a change log, while
+    this RECOVERS one from two table states — regression-testing a
+    pipeline rewrite, validating a backfill, or bootstrapping CDC for
+    a source that has none).
+
+    One full-outer equi-join on ``key`` (the one unavoidable shuffle
+    each side), null-safe per-column comparison (NULL → value IS a
+    change, NULL == NULL is not), column set = the shared non-key
+    columns. Schema-drift columns present on only one side are
+    ignored here — they are a schema diff, not a data diff; compare
+    ``old.columns``/``new.columns`` directly for that.
+    """
+    attr_cols = [
+        c for c in old.columns if c != key and c in set(new.columns)
+    ]
+    o = old.select(
+        F.col(key).alias("_ko"),
+        *[F.col(c).alias(f"_o_{c}") for c in attr_cols],
+    )
+    n = new.select(
+        F.col(key).alias("_kn"),
+        *[F.col(c).alias(f"_n_{c}") for c in attr_cols],
+    )
+    joined = o.join(n, F.col("_ko") == F.col("_kn"), "full_outer")
+    changed_cols = F.filter(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")),
+                    F.lit(c),
+                )
+                for c in attr_cols
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    change = (
+        F.when(F.col("_ko").isNull(), F.lit("added"))
+        .when(F.col("_kn").isNull(), F.lit("removed"))
+        .when(F.size(changed_cols) > 0, F.lit("changed"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("_ko"), F.col("_kn")).alias(key),
+            change.alias("change"),
+            F.when(
+                change == "changed", changed_cols
+            ).otherwise(F.array().cast("array<string>")).alias(
+                "changed_cols"
+            ),
+        )
+        .filter(F.col("change").isNotNull())
+    )

@@ -1842,3 +1842,44 @@ def test_apply_cdc_tiebreak_and_null_op(spark):
     got = {r["id"]: (r["name"], r["v"]) for r in out.collect()}
     assert got[7] == ("second", 3.0)   # highest seq wins the tie
     assert got[8] == ("ghost", 9.0)    # NULL op did not delete
+
+
+def test_diff_snapshots(spark):
+    from tcga_query_project_spark.operators.temporal import diff_snapshots
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "id long, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),        # unchanged -> absent from the diff
+         (2, "b2", 20.0),       # name changed
+         (3, "c", 30.0),        # NULL -> value IS a change
+         (5, "e", 50.0)],       # added; 4 removed
+        "id long, name string, v double",
+    )
+    got = {
+        r["id"]: (r["change"], sorted(r["changed_cols"]))
+        for r in diff_snapshots(old, new, "id").collect()
+    }
+    assert got == {
+        2: ("changed", ["name"]),
+        3: ("changed", ["v"]),
+        4: ("removed", []),
+        5: ("added", []),
+    }
+    # recovered log round-trips through apply_cdc: old + diff-as-log == new
+    from tcga_query_project_spark.operators.temporal import apply_cdc
+    from pyspark.sql import functions as F
+
+    log = (
+        diff_snapshots(old, new, "id")
+        .join(new, "id", "left")
+        .select(
+            "id", "name", "v",
+            F.lit(1).alias("ts"),
+            F.when(F.col("change") == "removed", "D").otherwise("U").alias("op"),
+        )
+    )
+    merged = apply_cdc(old, log, "id", "ts", "op")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, new.collect()))
