@@ -404,30 +404,46 @@ def diff_snapshots(
     pipeline rewrite, validating a backfill, or bootstrapping CDC for
     a source that has none).
 
-    One full-outer equi-join on ``key`` (the one unavoidable shuffle
-    each side), null-safe per-column comparison (NULL → value IS a
-    change, NULL == NULL is not), column set = the shared non-key
-    columns. Schema-drift columns present on only one side are
-    ignored here — they are a schema diff, not a data diff; compare
-    ``old.columns``/``new.columns`` directly for that.
+    One full-outer NULL-SAFE equi-join on ``key`` (the one unavoidable
+    shuffle each side; null-safe so a NULL-keyed row diffs against its
+    counterpart instead of misreading the join miss as added+removed —
+    with the usual keyed-table caveat that several NULL-keyed rows per
+    side make the match ambiguous), null-safe per-column comparison
+    (NULL → value IS a change, NULL == NULL is not), column set = the
+    shared non-key columns. Map-typed columns compare by their sorted
+    entry arrays (``<=>`` cannot order maps). Presence is detected via
+    marker columns, never key nullability. Schema-drift columns
+    present on only one side are ignored here — they are a schema
+    diff, not a data diff; compare ``old.columns``/``new.columns``
+    directly for that.
     """
-    attr_cols = [
-        c for c in old.columns if c != key and c in set(new.columns)
-    ]
+    new_cols = set(new.columns)
+    attr_cols = [c for c in old.columns if c != key and c in new_cols]
+    old_types = dict(old.dtypes)
+
+    def _cmp(c: str, side: str):
+        col = F.col(f"_{side}_{c}")
+        # eqNullSafe cannot order MapType; sorted entries can
+        if old_types.get(c, "").startswith("map<"):
+            return F.array_sort(F.map_entries(col))
+        return col
+
     o = old.select(
         F.col(key).alias("_ko"),
+        F.lit(True).alias("_po"),
         *[F.col(c).alias(f"_o_{c}") for c in attr_cols],
     )
     n = new.select(
         F.col(key).alias("_kn"),
+        F.lit(True).alias("_pn"),
         *[F.col(c).alias(f"_n_{c}") for c in attr_cols],
     )
-    joined = o.join(n, F.col("_ko") == F.col("_kn"), "full_outer")
+    joined = o.join(n, F.col("_ko").eqNullSafe(F.col("_kn")), "full_outer")
     changed_cols = F.filter(
         F.array(
             *[
                 F.when(
-                    ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")),
+                    ~_cmp(c, "o").eqNullSafe(_cmp(c, "n")),
                     F.lit(c),
                 )
                 for c in attr_cols
@@ -436,8 +452,8 @@ def diff_snapshots(
         lambda x: x.isNotNull(),
     )
     change = (
-        F.when(F.col("_ko").isNull(), F.lit("added"))
-        .when(F.col("_kn").isNull(), F.lit("removed"))
+        F.when(F.col("_po").isNull(), F.lit("added"))
+        .when(F.col("_pn").isNull(), F.lit("removed"))
         .when(F.size(changed_cols) > 0, F.lit("changed"))
     )
     return (

@@ -1883,3 +1883,31 @@ def test_diff_snapshots(spark):
     )
     merged = apply_cdc(old, log, "id", "ts", "op")
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_diff_snapshots_null_keys_and_map_columns(spark):
+    """A NULL-keyed row diffs against its counterpart (removed when
+    absent from new — not a phantom 'added'), and map-typed columns
+    compare by content without crashing eqNullSafe."""
+    from tcga_query_project_spark.operators.temporal import diff_snapshots
+
+    old = spark.createDataFrame(
+        [(None, "gone"), (1, "a")], "id long, name string"
+    )
+    new = spark.createDataFrame([(1, "a")], "id long, name string")
+    got = [(r["id"], r["change"]) for r in diff_snapshots(old, new, "id").collect()]
+    assert got == [(None, "removed")]
+
+    oldm = spark.createDataFrame(
+        [(1, {"a": 1, "b": 2}), (2, {"x": 9})],
+        "id long, m map<string,int>",
+    )
+    newm = spark.createDataFrame(
+        [(1, {"b": 2, "a": 1}), (2, {"x": 10})],  # 1 same content, 2 changed
+        "id long, m map<string,int>",
+    )
+    gotm = {
+        r["id"]: (r["change"], list(r["changed_cols"]))
+        for r in diff_snapshots(oldm, newm, "id").collect()
+    }
+    assert gotm == {2: ("changed", ["m"])}
