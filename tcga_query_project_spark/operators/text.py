@@ -848,3 +848,69 @@ def encode_documents(
             F.sum("_unk").alias("n_unk"),
         )
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 3,
+    delimiter: str = "\n",
+) -> DataFrame:
+    """Cross-document repeated-LINE removal — the C4/RefinedWeb
+    boilerplate pass that document-level dedup cannot do: navigation
+    menus, cookie banners, license headers and signatures repeat
+    across *different* pages whose documents are otherwise unique, so
+    no whole-doc signature catches them. A line (trimmed,
+    ``delimiter``-split) occurring in at least ``min_docs`` DISTINCT
+    documents is removed from every document; blank lines and the
+    documents' own internal repetition are untouched (that is
+    ``repetition_metrics``' Gopher territory).
+
+    Output: ``(id_col, text, n_removed BIGINT)`` — text reassembled in
+    original line order with boilerplate lines dropped.
+
+    Shape: posexplode lines (order keeper) → one count-distinct
+    shuffle keyed by line digest (md5 — the shuffle carries digests,
+    never line text) → membership join back on digest → one
+    reassembly aggregation keyed by doc. Three shuffles total,
+    all on content-derived keys; boilerplate cardinality does not
+    need to fit anywhere (the membership join is a plain equi-join,
+    broadcast only if the optimizer proves it small).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delimiter)).alias(
+            "_pos", "_line"
+        ),
+    ).withColumn("_key", F.md5(F.trim(F.col("_line"))))
+    boiler = (
+        lines.filter(F.trim(F.col("_line")) != "")
+        .groupBy("_key")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_key", F.lit(True).alias("_boiler"))
+    )
+    tagged = lines.join(boiler, "_key", "left")
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                delimiter,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_boiler").isNull(),
+                                F.struct(F.col("_pos"), F.col("_line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+            ).alias(text_col),
+            F.sum(F.col("_boiler").isNotNull().cast("long")).alias(
+                "n_removed"
+            ),
+        )
+    )

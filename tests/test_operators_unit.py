@@ -1911,3 +1911,43 @@ def test_diff_snapshots_null_keys_and_map_columns(spark):
         for r in diff_snapshots(oldm, newm, "id").collect()
     }
     assert gotm == {2: ("changed", ["m"])}
+
+
+def test_remove_boilerplate_lines(spark):
+    """A line repeated across >= min_docs distinct documents vanishes
+    from all of them; unique lines, blank lines, and within-document
+    repetition survive; line order is preserved."""
+    from tcga_query_project_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    banner = "ACCEPT COOKIES TO CONTINUE"
+    footer = "(c) example corp all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\nunique first article text\n\n{footer}"),
+            (2, f"{banner}\nsecond doc body line\nsecond doc body line\n{footer}"),
+            (3, f"{banner}\nthird page content here\n{footer}"),
+            (4, "a standalone document\nwith only unique lines"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in remove_boilerplate_lines(
+            docs, "doc_id", "text", min_docs=3
+        ).collect()
+    }
+    assert out[1] == ("unique first article text\n", 2)  # blank kept
+    # within-doc repetition of a NON-boilerplate line survives
+    assert out[2] == ("second doc body line\nsecond doc body line", 2)
+    assert out[3] == ("third page content here", 2)
+    assert out[4] == ("a standalone document\nwith only unique lines", 0)
+    # threshold: at min_docs=5 nothing qualifies
+    untouched = {
+        r["doc_id"]: r["n_removed"]
+        for r in remove_boilerplate_lines(
+            docs, "doc_id", "text", min_docs=5
+        ).collect()
+    }
+    assert all(v == 0 for v in untouched.values())
