@@ -262,7 +262,11 @@ def bpe_encode(
     sc = df.sparkSession.sparkContext
     b_ranks = sc.broadcast(ranks)
     pat = re.compile(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]")
-    out_schema = f"{id_col} long, pieces array<string>, n_pieces long"
+    # id passes through untouched, so its Arrow type must match the
+    # input exactly — a hardcoded `long` would fail (or silently
+    # miscast) string/int id columns
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, pieces array<string>, n_pieces long"
 
     def run(batches):
         import pandas as pd

@@ -859,7 +859,18 @@ def build_dedup_index(
     shuffle-free candidate join, save ``bands`` with
     ``io.write_bucketed`` on (band, band_sig) instead — this parquet
     form keeps the index engine-portable.
+
+    ``mode`` must be ``overwrite`` or ``errorifexists``: this builder
+    derives bands by reading back the signatures store, so an
+    ``append`` here would re-band the ENTIRE history on every call
+    (quadratic band growth across appends). Incremental growth goes
+    through :func:`append_to_index`, which bands only the delta.
     """
+    if mode not in ("overwrite", "errorifexists", "error"):
+        raise ValueError(
+            f"build_dedup_index: mode={mode!r} unsupported — full "
+            "(re)builds only; use append_to_index for deltas"
+        )
     sh = shingle_array(docs, id_col, text_col, k)
     sig = minhash_signature_arrays(sh, id_col, num_hashes)
     seeds = list(range(1, num_hashes + 1))

@@ -186,7 +186,19 @@ def zorder_value(
     :func:`write_zordered` builds) — parquet min/max statistics are on
     the RAW column values, so a hash-based level would leave every
     file spanning the full value range and prune nothing.
+
+    ``bits * len(levels)`` must fit in the 63 value bits of a signed
+    64-bit key; beyond that the interleave would overflow into the
+    sign bit, producing negative keys that break curve ordering (and
+    with it the clustering/stat-pruning guarantee) — rejected
+    explicitly rather than silently wrapped.
     """
+    if bits * len(levels) > 63:
+        raise ValueError(
+            f"zorder_value: bits({bits}) * dims({len(levels)}) = "
+            f"{bits * len(levels)} exceeds the 63 usable bits of a "
+            "signed 64-bit Morton key; lower bits or drop columns"
+        )
     z = F.lit(0).cast("long")
     for b in range(bits):
         for i, q in enumerate(levels):

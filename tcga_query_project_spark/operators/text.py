@@ -870,19 +870,26 @@ def remove_boilerplate_lines(
     Output: ``(id_col, text, n_removed BIGINT)`` — text reassembled in
     original line order with boilerplate lines dropped.
 
+    NULL ``text_col`` is coalesced to ``''`` so the document passes
+    through (as empty text) instead of silently vanishing — a
+    corpus-cleaning stage must be row-count-preserving for its
+    downstream joins.
+
     Shape: posexplode lines (order keeper) → one count-distinct
-    shuffle keyed by line digest (md5 — the shuffle carries digests,
-    never line text) → membership join back on digest → one
-    reassembly aggregation keyed by doc. Three shuffles total,
-    all on content-derived keys; boilerplate cardinality does not
-    need to fit anywhere (the membership join is a plain equi-join,
-    broadcast only if the optimizer proves it small).
+    shuffle keyed by line digest (md5 — that aggregation's shuffle
+    carries digests only) → membership join back on digest (this join
+    does move line text alongside the digest key: the text is needed
+    for reassembly) → one reassembly aggregation keyed by doc. Three
+    shuffles total, all on content-derived keys; boilerplate
+    cardinality does not need to fit anywhere (the membership join is
+    a plain equi-join, broadcast only if the optimizer proves it
+    small).
     """
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), delimiter)).alias(
-            "_pos", "_line"
-        ),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), delimiter)
+        ).alias("_pos", "_line"),
     ).withColumn("_key", F.md5(F.trim(F.col("_line"))))
     boiler = (
         lines.filter(F.trim(F.col("_line")) != "")

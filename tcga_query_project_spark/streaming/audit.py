@@ -64,9 +64,13 @@ def audited_ingest(
         # collecting it gives the gate verdict for free instead of
         # re-running the aggregation (and re-scanning the batch) for
         # audit_passed and again for the report write
-        rows = qa.audit(batch_df, checks).collect()
+        audit_df = qa.audit(batch_df, checks)
+        rows = audit_df.collect()
         ok = all(r["passed"] for r in rows)
-        report = spark.createDataFrame(rows).withColumn(
+        # explicit schema: on a degenerate batch (e.g. empty extract
+        # audited with only avg/min/max checks) every `metric` is None
+        # and Row-based inference would raise instead of quarantining
+        report = spark.createDataFrame(rows, audit_df.schema).withColumn(
             "batch_id", F.lit(batch_id)
         )
         _overwrite_own_partition(report, report_path)

@@ -198,3 +198,26 @@ def test_vocab_covers_every_emitted_merged_piece(spark):
     assert all_emitted <= full_pieces
     fids = sorted(r["piece_id"] for r in full.collect())
     assert fids == list(range(len(full_pieces)))
+
+
+def test_encode_preserves_non_long_id_types(spark):
+    """bpe_encode's output schema must carry the input id type through
+    (string ids are the common corpus case); a hardcoded `long` would
+    fail at Arrow conversion."""
+    docs = spark.createDataFrame(
+        [("doc-a", "low lower lowest"), ("doc-b", "new newest")],
+        "doc_id string, text string",
+    )
+    merges = bpe.bpe_train(docs, "text", num_merges=10, max_words=100)
+    enc = bpe.bpe_encode(docs, merges, "doc_id", "text")
+    assert dict(enc.dtypes)["doc_id"] == "string"
+    got = {r["doc_id"]: r["n_pieces"] for r in enc.collect()}
+    assert set(got) == {"doc-a", "doc-b"}
+    assert all(n > 0 for n in got.values())
+
+    idocs = spark.createDataFrame(
+        [(7, "low lower lowest")], "doc_id int, text string"
+    )
+    ienc = bpe.bpe_encode(idocs, merges, "doc_id", "text")
+    assert dict(ienc.dtypes)["doc_id"] == "int"
+    assert ienc.count() == 1

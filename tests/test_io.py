@@ -328,3 +328,21 @@ def test_write_zordered_degenerate_inputs(spark, tmp_path):
     p2 = str(tmp_path / "nully")
     write_zordered(nully, p2, ["x", "y"])
     assert spark.read.parquet(p2).count() == 2
+
+
+def test_zorder_rejects_key_overflow():
+    """bits * dims > 63 would overflow the signed-64 Morton key into
+    the sign bit (negative keys, broken curve order) — must raise, not
+    silently wrap."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tcga_query_project_spark.operators.partitioning import (
+        zorder_value,
+    )
+
+    cols = [F.col(f"c{i}") for i in range(7)]
+    with pytest.raises(ValueError, match="63"):
+        zorder_value(cols, bits=10)  # 70 bits
+    # 7 dims at 9 bits (63) is the legal maximum
+    zorder_value(cols, bits=9)

@@ -1697,6 +1697,16 @@ def test_dedup_index_build_query_append(spark, tmp_path):
     got2 = {(r["doc_id"], r["matched_id"]) for r in hits2}
     assert (200, 101) in got2
 
+    # append mode on the full builder would re-band the entire history
+    # every call (quadratic band growth) — deltas must go through
+    # append_to_index instead
+    import pytest
+
+    with pytest.raises(ValueError, match="append_to_index"):
+        dedup.build_dedup_index(
+            corpus, "doc_id", "text", idx, mode="append"
+        )
+
 
 def test_mergeable_quantile_rollup_tolerance(spark):
     """Bucket quantiles and the merged GLOBAL quantiles track the exact
@@ -1951,3 +1961,24 @@ def test_remove_boilerplate_lines(spark):
         ).collect()
     }
     assert all(v == 0 for v in untouched.values())
+
+
+def test_remove_boilerplate_preserves_null_text_rows(spark):
+    """A NULL-text document must pass through (as empty text), not
+    silently vanish — the cleaning stage is row-count-preserving."""
+    from tcga_query_project_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some text"), (2, None), (3, "other text")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in remove_boilerplate_lines(
+            docs, "doc_id", "text", min_docs=2
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[2] == ("", 0)

@@ -185,3 +185,48 @@ def test_unique_semantics_nulls_and_empty(spark):
     empty = spark.createDataFrame([], "id long")
     r3 = qa.audit(empty, [qa.unique("id")]).collect()[0]  # no ANSI throw
     assert not r3["passed"]
+
+
+def test_streaming_gate_survives_all_null_metric_batch(spark, tmp_path):
+    """An empty micro-batch audited with only avg/min/max-style checks
+    yields all-None metrics; the gate must quarantine that batch, not
+    crash on Row schema inference (ADVICE r5: explicit report schema)."""
+    from tcga_query_project_spark.streaming.audit import audited_ingest
+
+    src = str(tmp_path / "src")
+    schema = "id long, v double"
+    spark.createDataFrame([(1, 10.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    # second file: zero rows -> an empty micro-batch
+    spark.createDataFrame([], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    accept = str(tmp_path / "accept")
+    quar = str(tmp_path / "quar")
+    rep = str(tmp_path / "report")
+    q = audited_ingest(
+        stream,
+        [qa.in_range("v", 0.0, 100.0)],  # no row_count: metrics all None
+        accept,
+        quar,
+        rep,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    report = spark.read.parquet(rep)
+    n_batches = report.select("batch_id").distinct().count()
+    assert n_batches == 2  # the degenerate batch was audited, not fatal
+    none_metrics = report.filter(F.col("metric").isNull())
+    assert none_metrics.count() > 0
+    # fail-closed: the empty batch's checks all fail -> quarantined
+    assert not any(r["passed"] for r in none_metrics.collect())
+    assert {r["id"] for r in spark.read.parquet(accept).collect()} == {1}
