@@ -83,6 +83,8 @@ HEADLINE = [
     "tx_heavy_tokens",
     "qa_orders_audit",
     "tj_scd2_lookup",
+    # round-6 additions
+    "sv_logrank_cohorts",
 ]
 
 

@@ -903,12 +903,18 @@ def a7_normalize_vst(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("A6",),
 )
 def a6_nb_glm_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6: per-gene negative-binomial GLM Wald contrast via
-    ``applyInPandas`` (``DESeq(data)`` + ``results()``,
-    vital_status_DESeq.R:51,89) — l_partkey plays the gene, l_suppkey
-    the sample, l_linestatus the two-level condition. The engine's only
-    Python-boundary operator; unit-tested against closed-form Poisson
-    MLE in tests/test_glm.py (the driver check here is rows-only)."""
+    """A6 (v2, DESeq2-fidelity path): per-gene negative-binomial GLM
+    Wald contrast via ``applyInPandas`` (``DESeq(data)`` +
+    ``results()``, vital_status_DESeq.R:51,89) — l_partkey plays the
+    gene, l_suppkey the sample, l_linestatus the two-level condition.
+    Round 6 promoted the shrunk variant into this driver slot: the
+    registered query now runs the full estimateDispersions chain
+    (iteratively-refit dispersion trend, Cox-Reid MAP shrinkage,
+    Cook's-distance outlier gate), so its schema exposes
+    dispersion_mom/dispersion_map/max_cooks/cooks_outlier. Unit-tested
+    against closed-form Poisson MLE, prior-pull and Cook's-spike
+    goldens in tests/test_glm.py (the driver check here is
+    rows-only)."""
     li = _t(spark, sf_dir, "lineitem")
     sf = stats.size_factors(li, "l_partkey", "l_suppkey", "l_quantity")
     fact = li.select(
@@ -917,7 +923,7 @@ def a6_nb_glm_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linestatus",
         "l_quantity",
     )
-    return glm.nb_glm_wald(
+    return glm.nb_glm_wald_shrunk(
         fact, "l_partkey", "l_linestatus", "l_quantity", sf.withColumnRenamed("l_suppkey", "sample"), "sample", "F", "O"
     )
 
@@ -3028,4 +3034,105 @@ def tj_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
         F.round(F.col("value"), 4).alias("dim_value"),
         F.unix_micros("dim_valid_from").alias("dim_from_us"),
+    )
+
+
+@register_bench_only(
+    "sv_logrank_cohorts",
+    """
+    WITH base AS (
+      SELECT l_partkey % 25 AS cohort, l_linestatus AS grp,
+             CAST(l_quantity AS DOUBLE) AS time_s,
+             CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS status
+      FROM lineitem
+    ),
+    gt AS (
+      SELECT cohort, grp, time_s, CAST(SUM(status) AS DOUBLE) AS d_g,
+             CAST(COUNT(*) AS DOUBLE) AS r_g
+      FROM base GROUP BY cohort, grp, time_s
+    ),
+    grid AS (
+      SELECT t.cohort, t.time_s, g.grp
+      FROM (SELECT DISTINCT cohort, time_s FROM gt) t
+      JOIN (SELECT DISTINCT cohort, grp FROM gt) g USING (cohort)
+    ),
+    cells AS (
+      SELECT grid.cohort, grid.time_s, grid.grp,
+             COALESCE(gt.d_g, 0) AS d_g, COALESCE(gt.r_g, 0) AS r_g
+      FROM grid LEFT JOIN gt USING (cohort, grp, time_s)
+    ),
+    ar AS (
+      SELECT *, SUM(r_g) OVER (PARTITION BY cohort, grp)
+              - COALESCE(SUM(r_g) OVER (
+                  PARTITION BY cohort, grp ORDER BY time_s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_g,
+             CASE WHEN grp = MIN(grp) OVER (PARTITION BY cohort)
+                  THEN 1 ELSE 0 END AS is_g1
+      FROM cells
+    ),
+    pt AS (
+      SELECT cohort, time_s, SUM(n_g) AS n, SUM(d_g) AS d,
+             SUM(n_g * is_g1) AS n1, SUM(d_g * is_g1) AS d1
+      FROM ar GROUP BY cohort, time_s HAVING SUM(d_g) > 0
+    ),
+    terms AS (
+      SELECT cohort, d1 - d * n1 / n AS oe,
+             CASE WHEN n > 1
+                  THEN d * (n1 / n) * (1.0 - n1 / n) * (n - d) / (n - 1.0)
+                  ELSE 0 END AS v
+      FROM pt
+    ),
+    st AS (
+      SELECT cohort, SUM(oe) AS soe, SUM(v) AS sv FROM terms GROUP BY cohort
+    ),
+    ks AS (
+      SELECT cohort, CAST(COUNT(DISTINCT grp) - 1 AS BIGINT) AS dof
+      FROM gt GROUP BY cohort
+    ),
+    chi AS (
+      SELECT cohort,
+             CASE WHEN sv > 0 THEN ROUND(soe * soe / sv, 6) END AS chi2
+      FROM st
+    )
+    SELECT ks.cohort, chi.chi2, ks.dof,
+           ROUND("""
+    + NORMAL_SF_TWO_SIDED_SQL.format(z="SQRT(chi.chi2)")
+    + """, 6) AS p_value
+    FROM ks JOIN chi USING (cohort)
+    """,
+    tags=("W3", "survival", "fan-out"),
+)
+def sv_logrank_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 at fleet scale: the distributed per-cohort log-rank fan-out
+    (``survival.logrank_test_k_by`` — the 100 TB survival path: ONE
+    applyInPandas exchange keyed by cohort, no driver loop; shuffle
+    budget pinned in tests/test_plans.py) run over 25 l_partkey-hash
+    cohorts of lineitem, l_linestatus as the 2-level group, l_quantity
+    as survival time, deep-discount as the event. Reference analog:
+    surv_analysis_median_exp.R:98-168 looped over genes; this is that
+    loop as a single grouped job. The χ² statistic comes from the numpy
+    covariance-form kernel (algebraically the SQL soe²/sv form at k=2);
+    the display p-value is recomputed from the 6-decimal-ROUNDED χ² via
+    the shared Abramowitz-Stegun tail on BOTH sides so the hashed
+    floats cannot depend on erfc-vs-polynomial last-ulp divergence."""
+    from tcga_query_project_spark.functions.scalar import (
+        normal_sf_two_sided,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    tidy = li.select(
+        (F.col("l_partkey") % 25).alias("cohort"),
+        F.col("l_linestatus").alias("grp"),
+        F.col("l_quantity").cast("double").alias("time_s"),
+        (F.col("l_discount") > 0.05).cast("int").alias("status"),
+    )
+    res = survival.logrank_test_k_by(
+        tidy, "time_s", "status", "grp", by=["cohort"]
+    )
+    chi2r = F.round("chi2", 6)
+    return res.select(
+        "cohort",
+        chi2r.alias("chi2"),
+        F.col("df").cast("long").alias("dof"),
+        F.round(normal_sf_two_sided(F.sqrt(chi2r)), 6).alias("p_value"),
     )

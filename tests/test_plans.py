@@ -222,6 +222,10 @@ def test_headline_shuffle_budgets(spark):
         # three result joins; a 7th exchange means an asof direction
         # stopped sharing its hash(key) exchange
         "tj_asof_directions": 6,
+        # per-cohort log-rank fan-out: ONE applyInPandas exchange keyed
+        # by cohort — a second exchange means the fan-out regressed to
+        # a re-shuffled post-pass
+        "sv_logrank_cohorts": 1,
     }
     from tcga_query_project_spark.catalog import BENCH_ONLY
 
