@@ -1864,21 +1864,194 @@ def pp_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 
+from tcga_query_project_spark import fixtures as _fx  # noqa: E402
+
+#: Absolute paths of the committed fixture parquet files — embedded in
+#: the pipeline oracles below so DuckDB reads the IDENTICAL bytes the
+#: Spark queries read (round-6: this is what moved the composed TCGA
+#: pipelines from rows-only to full hash-checked oracles).
+_FIXD = _fx.fixtures_parquet_dir()
+
+#: shared oracle CTE prologue over the fixture star schema
+_FIX_TABLES = f"""
+    expr AS (SELECT gene_id, barcode, "count" AS cnt
+             FROM '{_FIXD}/expression.parquet'),
+    gn AS (SELECT gene_id, gene_name FROM '{_FIXD}/genes.parquet'),
+    smp AS (SELECT * FROM '{_FIXD}/samples.parquet')
+"""
+
+
 @register(
     "tcga_de_pipeline",
-    None,
-    tags=("pipeline-A", "A1", "A5", "A6", "A9"),
+    "WITH "
+    + _FIX_TABLES
+    + """,
+    cohort AS (
+      SELECT barcode, short_letter_code AS cond FROM smp
+      WHERE short_letter_code IS NOT NULL
+    ),
+    fullx AS (
+      SELECT e.* FROM expr e
+      WHERE e.barcode IN (SELECT barcode FROM cohort)
+    ),
+    pg AS (
+      SELECT gene_id, COUNT(*) AS n,
+             SUM(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS n_pos,
+             AVG(CASE WHEN cnt > 0 THEN LN(cnt) END) AS lg
+      FROM fullx GROUP BY gene_id
+    ),
+    sf AS (
+      SELECT f.barcode,
+             EXP(quantile_cont(LN(f.cnt) - pg.lg, 0.5)) AS size_factor
+      FROM fullx f JOIN pg ON f.gene_id = pg.gene_id AND pg.n_pos = pg.n
+      GROUP BY f.barcode
+    ),
+    goi AS (
+      SELECT g.gene_name, e.barcode, e.cnt,
+             LOG2(e.cnt / s.size_factor + 1.0) AS normalized
+      FROM expr e JOIN gn g USING (gene_id)
+      JOIN sf s ON e.barcode = s.barcode
+      WHERE UPPER(g.gene_name) IN ('ATAT1', 'HDAC6', 'SIRT2')
+    ),
+    goil AS (
+      SELECT goi.gene_name, goi.barcode, c.cond, goi.cnt, goi.normalized
+      FROM goi JOIN cohort c USING (barcode)
+    ),
+    two AS (
+      SELECT gene_name AS g, cond AS lab, normalized AS v
+      FROM goil WHERE cond IN ('NT', 'TP')
+    ),
+    pv AS (
+      SELECT g, v, CAST(COUNT(*) AS DOUBLE) AS cnt,
+             CAST(SUM(CASE WHEN lab = 'NT' THEN 1 ELSE 0 END) AS DOUBLE)
+               AS cnt_a
+      FROM two GROUP BY g, v
+    ),
+    rk AS (
+      SELECT *, COALESCE(SUM(cnt) OVER (
+                  PARTITION BY g ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + (cnt + 1.0) / 2.0 AS avg_rank
+      FROM pv
+    ),
+    st AS (
+      SELECT g, SUM(cnt_a) AS na, SUM(cnt) - SUM(cnt_a) AS nb,
+             SUM(cnt_a * avg_rank) AS ra,
+             SUM(cnt * cnt * cnt - cnt) AS tie
+      FROM rk GROUP BY g
+    ),
+    zs AS (
+      SELECT g,
+             CASE WHEN na * nb / 12.0 * ((na + nb + 1.0)
+                    - tie / ((na + nb) * (na + nb - 1.0))) > 0
+                  THEN (ra - na * (na + 1.0) / 2.0 - na * nb / 2.0)
+                       / SQRT(na * nb / 12.0 * ((na + nb + 1.0)
+                              - tie / ((na + nb) * (na + nb - 1.0))))
+             END AS z
+      FROM st
+    ),
+    wx AS (
+      SELECT g AS gene_name,
+             ROUND("""
+    + NORMAL_SF_TWO_SIDED_SQL.format(z="z")
+    + """, 6) AS p_value
+      FROM zs
+    ),
+    bh0 AS (SELECT p_value, COUNT(*) AS c FROM wx GROUP BY p_value),
+    bh1 AS (
+      SELECT p_value,
+             CAST(SUM(c) OVER (ORDER BY p_value ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS max_rank,
+             CAST(SUM(c) OVER () AS DOUBLE) AS n_tests
+      FROM bh0
+    ),
+    bh2 AS (
+      SELECT p_value, LEAST(1.0, MIN(p_value * n_tests / max_rank) OVER (
+               ORDER BY p_value DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS padj
+      FROM bh1
+    ),
+    de AS (
+      SELECT wx.gene_name, wx.p_value, ROUND(bh2.padj, 6) AS padj,
+             """
+    + SIGNIF_BIN_SQL.format(p="ROUND(bh2.padj, 6)")
+    + """ AS p_signif
+      FROM wx JOIN bh2 USING (p_value)
+    )
+    SELECT goil.gene_name, goil.barcode, goil.cond,
+           goil.cnt AS "count",
+           ROUND(goil.normalized, 6) AS normalized,
+           de.p_value, de.padj, de.p_signif
+    FROM goil JOIN de USING (gene_name)
+    """,
+    tags=("pipeline-A", "A1", "A4", "A5", "A6-padj", "A7", "A9", "J1", "J3"),
 )
 def tcga_de_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entry point A (§3.1): the full differential-expression pipeline
-    (lettercode_DESeq.R recast) on the deterministic TCGA fixtures —
-    sample filter → gene floor → size factors → NB GLM Wald → BH →
-    significance bins. ``sf_dir`` unused: the pipeline's inputs are the
-    reference-shaped star schema, not the TPC-H tables."""
+    """Entry point A (§3.1), the deterministic DE composition
+    (lettercode_DESeq.R recast): sample filter → gene floor → size
+    factors (A5) → normalize (A7) → goi presentation join (J1/J3) →
+    secondary Wilcoxon (A4, the reference's ``compare_means``
+    cross-check) → BH padj → significance bins (A9), all over the
+    COMMITTED fixture parquet so the whole composition hash-checks
+    against the DuckDB oracle (round-6; previously rows-only because
+    the fixtures lived in-session). The iterative NB GLM stage (A6)
+    runs in its own driver slot (``a6_nb_glm_wald``) and in the
+    BENCH_ONLY full pipeline ``tcga_de_full`` whose goldens live in
+    tests/test_pipelines.py. ``sf_dir`` unused: the inputs are the
+    reference-shaped star schema, not the TPC-H tables.
+
+    Determinism: Wilcoxon p rounds to 6 BEFORE the BH adjustment on
+    both sides, so the padj cummin consumes identical floats; the bin
+    is decided on the rounded padj (FP-portable boundary)."""
     from tcga_query_project_spark import fixtures
     from tcga_query_project_spark.pipelines import differential_expression as dp
 
-    t = fixtures.load_fixtures(spark)
+    t = fixtures.read_fixtures_parquet(spark)
+    goi_long = dp.goi_counts(
+        t["expression"], t["genes"], t["samples"], fixtures.GOI,
+        "short_letter_code",
+    )
+    wx = dp.wilcoxon_secondary(goi_long, "NT", "TP").select(
+        "gene_name", F.round("p_value", 6).alias("p_value")
+    )
+    adj = stats.bh_adjust_distinct(wx, "p_value")
+    de = adj.select(
+        "gene_name",
+        "p_value",
+        F.round("padj", 6).alias("padj"),
+        signif_bin(F.round("padj", 6)).alias("p_signif"),
+    )
+    return goi_long.join(F.broadcast(de), "gene_name").select(
+        "gene_name",
+        "barcode",
+        "cond",
+        "count",
+        F.round("normalized", 6).alias("normalized"),
+        "p_value",
+        "padj",
+        "p_signif",
+    )
+
+
+@register_bench_only(
+    "tcga_de_full",
+    None,  # iterative IRLS GLM stage — not SQL-expressible; goldens in
+    # tests/test_pipelines.py cover exact values
+    tags=("pipeline-A", "A1", "A5", "A6", "A9"),
+)
+def tcga_de_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry point A (§3.1), FULL: the complete differential-expression
+    pipeline including the per-gene NB GLM Wald stage — sample filter →
+    gene floor → size factors → NB GLM Wald → BH → significance bins
+    (lettercode_DESeq.R end-to-end). Held in BENCH_ONLY because the
+    IRLS fit is iterative (no single-statement SQL oracle exists); the
+    SQL-expressible composition is hash-checked by the
+    ``tcga_de_pipeline`` driver slot."""
+    from tcga_query_project_spark import fixtures
+    from tcga_query_project_spark.pipelines import differential_expression as dp
+
+    t = fixtures.read_fixtures_parquet(spark)
     return dp.differential_expression(
         t["expression"], t["genes"], t["samples"], "short_letter_code", "NT", "TP"
     )
@@ -1886,8 +2059,164 @@ def tcga_de_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tcga_drug_km_pipeline",
-    None,
-    tags=("pipeline-B", "pipeline-C", "P6", "P7", "F4", "J2", "W1", "W2"),
+    "WITH "
+    + _FIX_TABLES
+    + """,
+    kmt AS (
+      SELECT barcode,
+             CASE vital_status WHEN 'Alive' THEN 0 WHEN 'Dead' THEN 1
+             END AS status,
+             CASE WHEN vital_status = 'Alive'
+                  THEN CAST(paper_days_to_last_followup AS DOUBLE)
+                  ELSE CAST(days_to_death AS DOUBLE) END AS t
+      FROM smp
+    ),
+    kmv AS (
+      SELECT * FROM kmt WHERE status IS NOT NULL AND t IS NOT NULL
+    ),
+    keepb AS (SELECT gene_id FROM expr GROUP BY gene_id
+              HAVING SUM(cnt) >= 10),
+    flb AS (SELECT e.* FROM expr e JOIN keepb USING (gene_id)),
+    pgb AS (
+      SELECT gene_id, COUNT(*) AS n,
+             SUM(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS n_pos,
+             AVG(CASE WHEN cnt > 0 THEN LN(cnt) END) AS lg
+      FROM flb GROUP BY gene_id
+    ),
+    sfb AS (
+      SELECT f.barcode,
+             EXP(quantile_cont(LN(f.cnt) - pg.lg, 0.5)) AS size_factor
+      FROM flb f JOIN pgb pg ON f.gene_id = pg.gene_id AND pg.n_pos = pg.n
+      GROUP BY f.barcode
+    ),
+    goib AS (
+      SELECT g.gene_name, f.barcode,
+             LOG2(f.cnt / s.size_factor + 1.0) AS normalized
+      FROM flb f JOIN gn g USING (gene_id)
+      JOIN sfb s ON f.barcode = s.barcode
+      WHERE UPPER(g.gene_name) = 'ATAT1'
+    ),
+    stb AS (
+      SELECT k.t, k.status, g.gene_name,
+             NTILE(2) OVER (PARTITION BY g.gene_name
+                            ORDER BY g.normalized ASC, g.barcode ASC)
+               AS tile
+      FROM kmv k JOIN goib g USING (barcode)
+    ),
+    labb AS (
+      SELECT 'FULL_COHORT' AS drug_class, gene_name,
+             CASE WHEN tile = 1 THEN 'LOW' ELSE 'HIGH' END AS stratum,
+             t, status
+      FROM stb
+    ),
+    cohc AS (
+      SELECT 'Taxane' AS drug_class, SUBSTR(barcode, 1, 12) AS submitter_id
+      FROM smp
+      WHERE len(list_filter(treatments, x ->
+              x.treatment_type = 'Taxane'
+              OR x.therapeutic_agents IN ('Paclitaxel', 'Docetaxel'))) > 0
+      UNION
+      SELECT 'Anthracycline', SUBSTR(barcode, 1, 12) FROM smp
+      WHERE len(list_filter(treatments, x ->
+              x.treatment_type = 'Anthracycline'
+              OR x.therapeutic_agents IN ('Doxorubicin', 'Epirubicin'))) > 0
+    ),
+    tagc AS (
+      SELECT DISTINCT s.barcode, c.drug_class
+      FROM smp s JOIN cohc c ON SUBSTR(s.barcode, 1, 12) = c.submitter_id
+    ),
+    factc AS (
+      SELECT e.*, tc.drug_class FROM expr e JOIN tagc tc USING (barcode)
+    ),
+    keepc AS (
+      SELECT drug_class, gene_id FROM factc
+      GROUP BY drug_class, gene_id HAVING SUM(cnt) >= 10
+    ),
+    flc AS (
+      SELECT f.* FROM factc f JOIN keepc USING (drug_class, gene_id)
+    ),
+    pgc AS (
+      SELECT drug_class, gene_id, COUNT(*) AS n,
+             SUM(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS n_pos,
+             AVG(CASE WHEN cnt > 0 THEN LN(cnt) END) AS lg
+      FROM flc GROUP BY drug_class, gene_id
+    ),
+    sfc AS (
+      SELECT f.drug_class, f.barcode,
+             EXP(quantile_cont(LN(f.cnt) - pg.lg, 0.5)) AS size_factor
+      FROM flc f JOIN pgc pg
+        ON f.drug_class = pg.drug_class AND f.gene_id = pg.gene_id
+       AND pg.n_pos = pg.n
+      GROUP BY f.drug_class, f.barcode
+    ),
+    goic AS (
+      SELECT f.drug_class, g.gene_name, f.barcode,
+             LOG2(f.cnt / s.size_factor + 1.0) AS normalized
+      FROM flc f JOIN gn g USING (gene_id)
+      JOIN sfc s ON f.drug_class = s.drug_class AND f.barcode = s.barcode
+      WHERE UPPER(g.gene_name) = 'ATAT1'
+    ),
+    stc AS (
+      SELECT tc.drug_class, g.gene_name, k.t, k.status,
+             NTILE(2) OVER (PARTITION BY tc.drug_class, g.gene_name
+                            ORDER BY g.normalized ASC, g.barcode ASC)
+               AS tile
+      FROM kmv k
+      JOIN tagc tc USING (barcode)
+      JOIN goic g ON tc.drug_class = g.drug_class AND k.barcode = g.barcode
+    ),
+    labc AS (
+      SELECT drug_class, gene_name,
+             CASE WHEN tile = 1 THEN 'LOW' ELSE 'HIGH' END AS stratum,
+             t, status
+      FROM stc
+    ),
+    allsub AS (SELECT * FROM labb UNION ALL SELECT * FROM labc),
+    km0 AS (
+      SELECT drug_class, gene_name, stratum, t,
+             CAST(SUM(status) AS DOUBLE) AS d,
+             CAST(SUM(1 - status) AS DOUBLE) AS c
+      FROM allsub GROUP BY drug_class, gene_name, stratum, t
+    ),
+    km1 AS (
+      SELECT *, SUM(d + c) OVER (PARTITION BY drug_class, gene_name, stratum)
+              - COALESCE(SUM(d + c) OVER (
+                  PARTITION BY drug_class, gene_name, stratum ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+      FROM km0
+    ),
+    km2 AS (SELECT *, 1.0 - d / n AS factor FROM km1),
+    km3 AS (
+      SELECT *,
+             MAX(CASE WHEN factor <= 0 THEN 1 ELSE 0 END) OVER w AS hit_zero,
+             SUM(CASE WHEN factor > 0 THEN LN(factor) ELSE 0 END) OVER w
+               AS logsum,
+             SUM(CASE WHEN d > 0 AND n > d THEN d / (n * (n - d)) ELSE 0 END)
+               OVER w AS gw_sum
+      FROM km2
+      WINDOW w AS (PARTITION BY drug_class, gene_name, stratum ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT drug_class, gene_name, stratum, t AS "time",
+           CAST(n AS BIGINT) AS n_at_risk, CAST(d AS BIGINT) AS n_events,
+           CAST(c AS BIGINT) AS n_censored,
+           ROUND(CASE WHEN hit_zero = 1 THEN 0.0 ELSE EXP(logsum) END, 6)
+             AS survival,
+           CASE WHEN hit_zero = 1 THEN NULL
+                ELSE ROUND(EXP(logsum) * EXP(logsum) * gw_sum, 6)
+           END AS greenwood_var,
+           CASE WHEN hit_zero = 1 THEN NULL
+                ELSE ROUND(EXP(logsum)
+                           * EXP(-1.959963984540054 * SQRT(gw_sum)), 6)
+           END AS ci_lower,
+           CASE WHEN hit_zero = 1 THEN NULL
+                ELSE ROUND(LEAST(1.0, EXP(logsum)
+                           * EXP(1.959963984540054 * SQRT(gw_sum))), 6)
+           END AS ci_upper
+    FROM km3
+    """,
+    tags=("pipeline-B", "pipeline-C", "P6", "P7", "F4", "J2", "W1", "W2",
+          "W5"),
 )
 def tcga_drug_km_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entry points B AND C (§3.2-3.3) in one labeled curve table —
@@ -1903,12 +2232,18 @@ def tcga_drug_km_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       cohort-relative size factors, same B tail per drug class.
 
     Sharing one registry slot keeps the catalog at the 48-query driver
-    cap while both composed pipelines get rows-only correctness checks
-    (their iterative/ntile composition is not single-statement SQL)."""
+    cap. Round 6: both pipelines now build from the COMMITTED fixture
+    parquet and the ENTIRE composition — nested-treatments cohort
+    selection, cohort-relative median-of-ratios size factors, median
+    split, KM + Greenwood + log CIs — is replayed by the DuckDB oracle
+    and hash-compared (previously rows-only). Floats round to 6 on
+    both sides; the ntile ordering (normalized, barcode) is total on
+    this data (no duplicate (value, barcode) pairs — asserted in
+    tests/test_pipelines.py), so stratum assignment is engine-stable."""
     from tcga_query_project_spark import fixtures
     from tcga_query_project_spark.pipelines import survival_analysis as sp
 
-    t = fixtures.load_fixtures(spark)
+    t = fixtures.read_fixtures_parquet(spark)
     b = sp.km_by_median_expression(
         t["expression"], t["genes"], t["samples"], ["ATAT1"]
     )["curves"].select(
@@ -1917,7 +2252,20 @@ def tcga_drug_km_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = sp.drug_km(
         t["expression"], t["genes"], t["samples"], fixtures.DRUG_CLASSES, ["ATAT1"]
     )["curves"]
-    return b.unionByName(c)
+    out = b.unionByName(c)
+    return out.select(
+        "drug_class",
+        "gene_name",
+        "stratum",
+        "time",
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        F.round("survival", 6).alias("survival"),
+        F.round("greenwood_var", 6).alias("greenwood_var"),
+        F.round("ci_lower", 6).alias("ci_lower"),
+        F.round("ci_upper", 6).alias("ci_upper"),
+    )
 
 
 # =========================================================================

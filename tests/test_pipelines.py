@@ -274,3 +274,36 @@ def test_prepare_training_corpus_end_to_end(spark):
             assert r["cum_tokens"] == run
     finally:
         out.unpersist()
+
+
+def test_parquet_fixtures_match_in_session_fixtures(spark):
+    """The committed fixture parquet (the DuckDB oracle's view of the
+    star schema) must hold exactly the rows load_fixtures builds
+    in-session — if the generator drifts without re-persisting, the
+    pipeline oracles would silently verify stale data."""
+    mem = fixtures.load_fixtures(spark)
+    pq = fixtures.read_fixtures_parquet(spark)
+    for name in ("genes", "samples", "expression"):
+        a, b = mem[name], pq[name]
+        assert a.columns == b.columns, name
+        assert a.count() == b.count(), name
+        sym = a.exceptAll(b).count() + b.exceptAll(a).count()
+        assert sym == 0, f"{name}: {sym} differing rows"
+
+
+def test_km_ntile_ordering_is_total_on_fixtures(spark):
+    """The drug-KM oracle's hash match relies on the ntile ordering
+    (normalized, barcode) being duplicate-free within each pooled
+    gene_name partition (two gene_ids share the ATAT1 name): an exact
+    tie would make stratum assignment engine-dependent. Assert the
+    fixtures keep it total."""
+    t = fixtures.read_fixtures_parquet(spark)
+    goi = t["genes"].filter(F.upper(F.col("gene_name")) == "ATAT1")
+    dup = (
+        t["expression"]
+        .join(goi, "gene_id")
+        .groupBy("gene_name", "barcode", "count")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    assert dup.count() == 0

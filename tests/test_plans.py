@@ -89,6 +89,7 @@ GLOBAL_WINDOW_ALLOWED = {
     # BH cummin over DISTINCT p values (stats.bh_adjust_distinct), not
     # over test rows — the window input is the p-value cardinality.
     "tcga_de_pipeline",
+    "tcga_de_full",
     # vocab_id assignment runs on the POST-LIMIT frame (<= max_size
     # rows): a vocabulary is dimension-sized by definition — it has to
     # broadcast to every trainer worker anyway (text.build_vocab).
