@@ -1,13 +1,14 @@
 """Pure-python media codecs for the multimodal kernels.
 
-Real decode/encode for the three container formats that need no native
-library — BMP (24/32-bit uncompressed), PPM/PGM (binary P6/P5), and WAV
-(PCM 8/16-bit, via the stdlib ``wave`` module) — plus a nearest-neighbor
-resize kernel. These are the "real codec" leg of
+Real decode/encode for the container formats that need no native
+library — BMP (24/32-bit uncompressed), PPM/PGM (binary P6/P5), PNG
+(8-bit non-interlaced, stdlib ``zlib`` inflate + RFC 2083 unfiltering)
+and WAV (PCM 8/16-bit, via the stdlib ``wave`` module) — plus a
+nearest-neighbor resize kernel. These are the "real codec" leg of
 operators/multimodal.py: payloads in these formats decode to actual
-pixels/samples; anything else (PNG, JPEG, MP3, MP4 — formats that
-require zlib/DCT/entropy coders or full AV stacks) falls back to the
-documented deterministic byte-level stand-ins there.
+pixels/samples; anything else (JPEG, MP3, MP4 — formats that require
+DCT/entropy coders or full AV stacks) falls back to the documented
+deterministic byte-level stand-ins there.
 
 Everything here is driver-importable but designed to run inside Arrow
 ``mapInPandas`` batches on executors: pure functions over ``bytes`` in,
@@ -19,6 +20,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
@@ -137,13 +139,153 @@ def encode_ppm(rgb: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + rgb.astype(np.uint8).tobytes()
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray | None:
+    """Decode an 8-bit non-interlaced PNG (color types 0 gray, 2
+    truecolor, 3 palette, 4 gray+alpha, 6 RGBA) into (H, W, 3) uint8
+    RGB — stdlib ``zlib`` inflate of the concatenated IDAT stream plus
+    per-row unfiltering (None/Sub/Up/Average/Paeth, RFC 2083 §6); alpha
+    is dropped, gray replicated. None for malformed payloads, 16-bit,
+    interlaced, or unknown color types.
+
+    The most common real-corpus image container that needs no native
+    library: DEFLATE ships in CPython. Sub/Up unfilter vectorize per
+    row; Average/Paeth fall back to a per-pixel loop (their recurrence
+    is inherently sequential in x)."""
+    if payload[:8] != _PNG_MAGIC:
+        return None
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    try:
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack_from(">I", payload, pos)
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            if len(data) < length:
+                return None
+            pos += 12 + length  # length + type + data + crc (unchecked)
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif ctype == b"PLTE":
+                plte = np.frombuffer(data, dtype=np.uint8)
+            elif ctype == b"IDAT":
+                idat.extend(data)
+            elif ctype == b"IEND":
+                break
+        if ihdr is None or not idat:
+            return None
+        w, h, depth, color, comp, filt, interlace = ihdr
+        if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+            return None
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+        if channels is None or w <= 0 or h <= 0:
+            return None
+        raw = zlib.decompress(bytes(idat))
+    except Exception:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    scan = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    filters = scan[:, 0]
+    rows = scan[:, 1:].astype(np.int64)
+    bpp = channels  # 8-bit: bytes per pixel == channels
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = filters[y]
+        r = rows[y]
+        if f == 0:
+            cur = r
+        elif f == 1:  # Sub: cumulative along x with lag bpp
+            cur = r.copy()
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif f == 2:  # Up
+            cur = (r + prev) & 0xFF
+        elif f == 3:  # Average
+            cur = r.copy()
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = r.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b
+                else:
+                    pr = c
+                cur[x] = (cur[x] + pr) & 0xFF
+        else:
+            return None
+        out[y] = cur
+        prev = cur
+    px = out.astype(np.uint8).reshape(h, w, channels)
+    if color == 3:  # palette lookup
+        if plte is None or len(plte) % 3 != 0 or len(plte) == 0:
+            return None
+        pal = plte.reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max()) >= pal.shape[0]:
+            return None
+        return np.ascontiguousarray(pal[idx])
+    if channels == 1:
+        return np.ascontiguousarray(np.repeat(px, 3, axis=2))
+    if channels == 2:  # gray + alpha → replicate gray
+        return np.ascontiguousarray(np.repeat(px[:, :, :1], 3, axis=2))
+    if channels == 4:  # RGBA → drop alpha
+        return np.ascontiguousarray(px[:, :, :3])
+    return np.ascontiguousarray(px)
+
+
+def encode_png(rgb: np.ndarray) -> bytes:
+    """Encode (H, W, 3) uint8 RGB as an 8-bit truecolor non-interlaced
+    PNG (filter 0 on every row, one IDAT) — a valid inverse of
+    :func:`decode_png` usable anywhere PNG bytes are expected."""
+    h, w, _ = rgb.shape
+    scan = np.zeros((h, w * 3 + 1), dtype=np.uint8)
+    scan[:, 1:] = rgb.reshape(h, w * 3)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(scan.tobytes(), 6)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes) -> np.ndarray | None:
-    """Dispatch on magic bytes: BMP or PPM/PGM → (H, W, 3) uint8 RGB;
-    None for every other (or malformed) payload."""
+    """Dispatch on magic bytes: BMP, PPM/PGM or PNG → (H, W, 3) uint8
+    RGB; None for every other (or malformed) payload."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:1] == b"P" and payload[1:2] in b"56":
         return decode_ppm(payload)
+    if payload[:8] == _PNG_MAGIC:
+        return decode_png(payload)
     return None
 
 

@@ -150,10 +150,11 @@ def resize_images(
     payload (bytes in, bytes out), with the metadata struct updated to
     the target dimensions.
 
-    Kernel: decodable images (BMP / PPM / PGM) are REALLY resized —
-    decode → nearest-neighbor resample (operators/codecs.resize_nearest)
-    → re-encode in the same container family (BMP→BMP, PPM/PGM→PPM) —
-    so the output payload is a valid image of the target dimensions.
+    Kernel: decodable images (BMP / PPM / PGM / PNG) are REALLY
+    resized — decode → nearest-neighbor resample
+    (operators/codecs.resize_nearest) → re-encode in the same container
+    family (BMP→BMP, PPM/PGM→PPM, PNG→PNG) — so the output payload is
+    a valid image of the target dimensions.
     Undecodable payloads keep the deterministic byte-level stand-in
     (truncate/tile to ``w*h`` bytes), keeping the kernel total; PIL
     extends the decodable set without changing the dataflow.
@@ -169,6 +170,8 @@ def resize_images(
             resized = codecs.resize_nearest(img, w, h)
             if payload[:2] == b"BM":
                 return codecs.encode_bmp(resized)
+            if payload[:8] == codecs._PNG_MAGIC:
+                return codecs.encode_png(resized)
             return codecs.encode_ppm(resized)
         target = w * h
         if len(payload) == 0:

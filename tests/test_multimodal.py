@@ -320,3 +320,169 @@ def test_codecs_wav_roundtrip():
         f.writeframes(frames.tobytes())
     rate2, mono = codecs.decode_wav(buf.getvalue())
     assert rate2 == 8000 and np.abs(mono).max() == 0.0
+
+
+def _png_with_filters() -> tuple[bytes, np.ndarray]:
+    """Build a truecolor PNG whose five rows use filter types 0-4 by
+    applying the RFC 2083 FORWARD filters here (an independent
+    reference implementation) — decode_png must invert every one."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    h, w, _ = img.shape
+    bpp = 3
+    stride = w * bpp
+    raw = img.reshape(h, stride).astype(np.int64)
+    scan = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = y % 5
+        cur = raw[y]
+        if f == 0:
+            enc = cur.copy()
+        elif f == 1:
+            enc = cur.copy()
+            enc[bpp:] = (cur[bpp:] - cur[:-bpp]) & 0xFF
+        elif f == 2:
+            enc = (cur - prev) & 0xFF
+        elif f == 3:
+            enc = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                enc[x] = (cur[x] - ((left + prev[x]) >> 1)) & 0xFF
+        else:
+            enc = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (cur[x] - pr) & 0xFF
+        scan.append(f)
+        scan.extend(enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    magic = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (
+        magic + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+    return payload, img
+
+
+def test_codecs_png_roundtrip_and_unfilter():
+    """encode_png/decode_png round-trip exactly; decode_png inverts all
+    five RFC 2083 row filters (differential vs an independent forward
+    filterer); grayscale, gray+alpha, RGBA and palette color types
+    decode to the expected RGB; malformed payloads return None."""
+    import struct
+    import zlib
+
+    from tcga_query_project_spark.operators import codecs
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    payload = codecs.encode_png(img)
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    assert np.array_equal(codecs.decode_png(payload), img)
+    assert np.array_equal(codecs.decode_image(payload), img)
+
+    filt_payload, filt_img = _png_with_filters()
+    assert np.array_equal(codecs.decode_png(filt_payload), filt_img)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    magic = b"\x89PNG\r\n\x1a\n"
+
+    def png(color, channels, pix, extra=b""):
+        h, w = pix.shape[:2]
+        scan = bytearray()
+        for y in range(h):
+            scan.append(0)
+            scan.extend(pix[y].tobytes())
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        return (
+            magic + chunk(b"IHDR", ihdr) + extra
+            + chunk(b"IDAT", zlib.compress(bytes(scan)))
+            + chunk(b"IEND", b"")
+        )
+
+    # grayscale (type 0) replicates to RGB
+    gray = np.array([[0, 128], [255, 7]], dtype=np.uint8)
+    got = codecs.decode_png(png(0, 1, gray[..., None]))
+    assert got.shape == (2, 2, 3) and got[1, 0].tolist() == [255, 255, 255]
+    assert got[0, 1].tolist() == [128, 128, 128]
+    # gray+alpha (type 4): alpha dropped
+    ga = np.dstack([gray, np.full((2, 2), 9, np.uint8)])
+    assert np.array_equal(codecs.decode_png(png(4, 2, ga)), got)
+    # RGBA (type 6): alpha dropped
+    rgba = np.dstack([img[:2, :2], np.full((2, 2), 3, np.uint8)])
+    assert np.array_equal(
+        codecs.decode_png(png(6, 4, rgba)), img[:2, :2]
+    )
+    # palette (type 3)
+    pal = np.array([[10, 20, 30], [200, 100, 50]], dtype=np.uint8)
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    got_p = codecs.decode_png(
+        png(3, 1, idx[..., None], extra=chunk(b"PLTE", pal.tobytes()))
+    )
+    assert got_p[0, 1].tolist() == [200, 100, 50]
+    assert got_p[1, 1].tolist() == [10, 20, 30]
+
+    # malformed: truncated, 16-bit, interlaced -> None (never raise)
+    assert codecs.decode_png(payload[:30]) is None
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    assert codecs.decode_png(magic + chunk(b"IHDR", ihdr16)) is None
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    assert codecs.decode_png(magic + chunk(b"IHDR", ihdr_i)) is None
+
+
+def test_multimodal_png_e2e(spark):
+    """PNG through the real Spark kernels: extract_features sees the
+    decoded PIXELS (same luma histogram as the equivalent BMP), and
+    resize_images emits a VALID PNG of the target size that still
+    sniffs as image/png."""
+    from tcga_query_project_spark.operators import codecs
+
+    rgb = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+        dtype=np.uint8,
+    )
+    png = codecs.encode_png(rgb)
+    rows = [(1, "image", png, "image/png", 2, 2, None, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feat = np.array(
+        multimodal.extract_features(media, dim=16).collect()[0]["feature"]
+    )
+    # same decoded pixels as _bmp_2x2 -> same luma bins 4/9/1/15
+    assert feat[4] == 0.25 and feat[9] == 0.25
+    assert feat[1] == 0.25 and feat[15] == 0.25
+
+    out = multimodal.resize_images(media, 4, 4).collect()[0]
+    resized = codecs.decode_png(bytes(out["payload"]))
+    assert resized is not None and resized.shape == (4, 4, 3)
+    assert resized[0, 0].tolist() == [255, 0, 0]
+    assert resized[3, 3].tolist() == [255, 255, 255]
+    sniffed = multimodal.validate_media(
+        spark.createDataFrame(
+            [(1, "image", bytes(out["payload"]), "image/png", 4, 4, None, None)],
+            multimodal.MEDIA_SCHEMA,
+        )
+    ).collect()[0]
+    assert sniffed["sniffed_mime"] == "image/png" and sniffed["mime_ok"]
