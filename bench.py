@@ -85,6 +85,7 @@ HEADLINE = [
     "tj_scd2_lookup",
     # round-6 additions
     "sv_logrank_cohorts",
+    "tx_repeated_spans",
 ]
 
 

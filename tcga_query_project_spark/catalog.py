@@ -3484,3 +3484,72 @@ def sv_logrank_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("df").cast("long").alias("dof"),
         F.round(normal_sf_two_sided(F.sqrt(chi2r)), 6).alias("p_value"),
     )
+
+
+_RS_K = 10  # repeated-span gram length (tokens) for the catalog slot
+
+
+@register_bench_only(
+    "tx_repeated_spans",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(COALESCE(text, '')),
+                          '\\s+', ' ', 'g'), ' ') AS ts
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CAST(t.i AS INT) AS pos,
+             array_to_string(ts[t.i:t.i + {_RS_K - 1}], ' ') AS gram
+      FROM base, UNNEST(generate_series(1, len(ts) - {_RS_K} + 1)) AS t(i)
+      WHERE len(ts) >= {_RS_K}
+    ),
+    marked AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY gram
+                                ORDER BY doc_id, pos) AS rn,
+             COUNT(*) OVER (PARTITION BY gram) AS n
+      FROM grams
+    ),
+    cuts AS (SELECT doc_id, pos AS s FROM marked WHERE n > 1 AND rn > 1),
+    pcut AS (
+      SELECT doc_id, COUNT(*) AS n_grams_cut FROM cuts GROUP BY doc_id
+    ),
+    tok AS (
+      SELECT b.doc_id, CAST(t.i AS INT) AS p, ts[t.i] AS tokv
+      FROM base b, UNNEST(generate_series(1, len(b.ts))) AS t(i)
+    ),
+    keep AS (
+      SELECT tok.doc_id, tok.p, tok.tokv,
+             EXISTS (SELECT 1 FROM cuts c
+                     WHERE c.doc_id = tok.doc_id
+                       AND tok.p BETWEEN c.s AND c.s + {_RS_K - 1}) AS cut
+      FROM tok
+    ),
+    reb AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN NOT cut THEN tokv END, ' '
+                        ORDER BY p) AS text2,
+             SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS nrem
+      FROM keep GROUP BY doc_id
+    )
+    SELECT r.doc_id, COALESCE(r.text2, '') AS text,
+           CAST(r.nrem AS BIGINT) AS n_tokens_removed,
+           CAST(COALESCE(p.n_grams_cut, 0) AS BIGINT) AS n_grams_cut
+    FROM reb r LEFT JOIN pcut p USING (doc_id)
+    """,
+    tags=("dedup", "text", "exact-substring"),
+)
+def tx_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal repeated-span removal (Lee et al. 2022
+    ExactSubstr, token-10-gram form — text.remove_repeated_spans):
+    every token span ≥ k occurring more than once in the documents
+    corpus survives only at its first (id, position) occurrence. The
+    oracle replays tokenization, duplicated-gram ranking, coverage and
+    reassembly in plain SQL on the gram TEXT (the Spark side groups on
+    xxhash64 of the same gram — identical partitioning absent 64-bit
+    collisions). Complements the cross-corpus winnowing check
+    (``text.substring_contamination``) and line-level boilerplate
+    removal: this is the within-corpus exact-substring pass."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.remove_repeated_spans(docs, "doc_id", "text", k=_RS_K)

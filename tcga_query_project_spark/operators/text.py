@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: words = whitespace-split of trimmed text. Kept as a shared expression
 #: (and mirrored in catalog oracle SQL as string_split_regex) so Spark
@@ -920,4 +921,117 @@ def remove_boilerplate_lines(
                 "n_removed"
             ),
         )
+    )
+
+
+def repeated_span_cuts(
+    df: DataFrame, id_col: str, text_col: str, k: int = 20
+) -> DataFrame:
+    """Within-corpus duplicated k-gram occurrences — the candidate
+    stage of :func:`remove_repeated_spans` (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better":
+    ExactSubstr; their suffix array becomes a distributed token-k-gram
+    group). Tokens are the whitespace-normalized words (case kept —
+    exact-match semantics, unlike the lowercased winnowing sketch).
+
+    Every token k-gram of every document is hashed (xxhash64 of the
+    joined gram — 64-bit collisions are below test-data probability);
+    a gram occurring more than once corpus-wide keeps its FIRST
+    occurrence (ordered by (id, position) — the canonical copy) and
+    marks every later occurrence for cutting.
+
+    Output: ``(id_col, pos)`` 1-based token start positions of
+    non-keeper duplicated grams.
+
+    Scale shape: one narrow gram projection (array expressions, no
+    explode until the (id, pos, hash) stream), ONE shuffle keyed by
+    gram hash for the rank/count window. The window partition is a
+    single gram's occurrence list — bounded by that gram's corpus
+    frequency, the same skew profile as any content-keyed dedup; a
+    pathological mega-gram (billions of copies) is exactly what the
+    boilerplate-line and Gopher passes remove first.
+    """
+    norm = F.regexp_replace(
+        F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+    )
+    base = df.select(F.col(id_col), F.split(norm, " ").alias("_ts"))
+    grams = base.select(
+        F.col(id_col),
+        F.when(
+            F.size("_ts") >= k,
+            F.expr(
+                f"transform(sequence(1, size(_ts) - {k - 1}),"
+                f" i -> struct(i AS pos,"
+                f" xxhash64(concat_ws(' ', slice(_ts, i, {k}))) AS h))"
+            ),
+        )
+        .otherwise(F.expr("array()").cast("array<struct<pos:int,h:bigint>>"))
+        .alias("_g"),
+    ).select(F.col(id_col), F.explode("_g").alias("_e")).select(
+        F.col(id_col), F.col("_e.pos").alias("pos"), F.col("_e.h").alias("_h")
+    )
+    w_rank = Window.partitionBy("_h").orderBy(
+        F.col(id_col).asc(), F.col("pos").asc()
+    )
+    w_all = Window.partitionBy("_h")
+    return (
+        grams.withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+        .filter((F.col("_n") > 1) & (F.col("_rn") > 1))
+        .select(id_col, "pos")
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 20
+) -> DataFrame:
+    """Corpus-internal exact repeated-span removal (Lee et al. 2022
+    ExactSubstr, token-k-gram form): any token span of length ≥ k that
+    occurs more than once in the corpus — across documents or within
+    one — survives only at its first occurrence; every other copy is
+    cut from its document. Span recovery is implicit: overlapping
+    duplicated k-grams union into the full maximal repeated span
+    (every token of a repeated span of length ≥ k is covered by one of
+    its k-gram starts), so the whole span is removed without
+    reconstructing it explicitly.
+
+    Output: ``(id_col, text, n_tokens_removed BIGINT, n_grams_cut
+    BIGINT)`` — text reassembled from surviving tokens in order,
+    row-count-preserving (NULL text passes through as '').
+
+    Scale: the cut list (:func:`repeated_span_cuts` — one content-
+    keyed shuffle) aggregates per doc (second shuffle, id-keyed) and
+    joins back to the corpus (third, or broadcast when duplication is
+    sparse); the rebuild is pure array expressions. Only duplicated
+    gram OCCURRENCES travel through the last two shuffles — at 100 TB
+    nearly all grams are unique and drop at the window filter.
+    """
+    cuts = repeated_span_cuts(df, id_col, text_col, k)
+    per_doc = cuts.groupBy(id_col).agg(
+        F.collect_list("pos").alias("_cuts"),
+        F.count(F.lit(1)).cast("long").alias("n_grams_cut"),
+    )
+    norm = F.regexp_replace(
+        F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+    )
+    joined = df.select(F.col(id_col), F.split(norm, " ").alias("_ts")).join(
+        per_doc, id_col, "left"
+    )
+    cuts_arr = F.coalesce(F.col("_cuts"), F.expr("array()").cast("array<int>"))
+    indexed = F.expr("transform(_ts, (t, j) -> struct(t AS tok, j + 1 AS p))")
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            cuts_arr, lambda c: (s["p"] >= c) & (s["p"] <= c + (k - 1))
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.transform(kept, lambda s: s["tok"])).alias(
+            text_col
+        ),
+        (F.size("_ts") - F.size(kept)).cast("long").alias("n_tokens_removed"),
+        F.coalesce(F.col("n_grams_cut"), F.lit(0)).cast("long").alias(
+            "n_grams_cut"
+        ),
     )

@@ -1982,3 +1982,64 @@ def test_remove_boilerplate_preserves_null_text_rows(spark):
     }
     assert set(out) == {1, 2, 3}
     assert out[2] == ("", 0)
+
+
+def test_remove_repeated_spans_cross_and_within_doc(spark):
+    """Lee et al. ExactSubstr semantics (token-k-gram form): a span of
+    >= k tokens shared by two documents survives only in the first
+    (by id); a within-document repeat keeps only its first occurrence;
+    short docs and unique text pass through untouched; NULL text rows
+    survive as ''."""
+    from tcga_query_project_spark.operators.text import (
+        remove_repeated_spans,
+    )
+
+    span = "alpha bravo charlie delta echo"  # 5 tokens, k=5
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words {span} closing remark"),
+            (2, f"other page begins {span} and then diverges fully"),
+            (3, f"double trouble {span} middle part {span} tail bit"),
+            (4, "totally unique text with no duplicated spans at all"),
+            (5, "tiny doc"),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_tokens_removed"], r["n_grams_cut"])
+        for r in remove_repeated_spans(docs, "doc_id", "text", k=5).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    # doc 1 holds the canonical (first) copy -> untouched
+    assert out[1] == (f"intro words {span} closing remark", 0, 0)
+    # docs 2 and 3 lose every copy of the span
+    assert out[2] == ("other page begins and then diverges fully", 5, 1)
+    assert out[3] == ("double trouble middle part tail bit", 10, 2)
+    assert out[4][1] == 0 and out[4][2] == 0
+    assert out[5] == ("tiny doc", 0, 0)
+    assert out[6] == ("", 0, 0)
+
+
+def test_remove_repeated_spans_long_span_fully_recovered(spark):
+    """A repeated span LONGER than k is removed in full from the
+    non-canonical copy (overlapping duplicated k-grams union into the
+    maximal span), without nibbling the unique context around it."""
+    from tcga_query_project_spark.operators.text import (
+        remove_repeated_spans,
+    )
+
+    long_span = " ".join(f"w{i}" for i in range(12))  # 12 tokens, k=4
+    docs = spark.createDataFrame(
+        [
+            (1, f"first document context {long_span} finale one"),
+            (2, f"second unrelated opening {long_span} closing two"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_tokens_removed"])
+        for r in remove_repeated_spans(docs, "doc_id", "text", k=4).collect()
+    }
+    assert out[1] == (f"first document context {long_span} finale one", 0)
+    assert out[2] == ("second unrelated opening closing two", 12)
