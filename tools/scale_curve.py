@@ -1,0 +1,78 @@
+"""Compare two bench.py runs at different scale factors and record
+per-query scaling ratios (BENCH_SCALE.json) — the evidence that each
+headline plan scales linearly-ish in data size rather than
+superlinearly (a ratio far above the data ratio at 10x data flags a
+plan to audit; far below means fixed overheads still dominate).
+
+Usage: python tools/scale_curve.py <small.json> <big.json> [data_ratio]
+
+Inputs are bench.py final-line JSON (or DETAIL line payloads). Ratios
+use exec-only times when present (build/driver overheads are
+SF-independent and would mask the engine's scaling).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+def load(path: str) -> dict:
+    with open(path) as fh:
+        lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+    # prefer the DETAIL payload (carries queries_exec_only); the final
+    # compact line only has wall times
+    for line in reversed(lines):
+        if line.startswith("DETAIL "):
+            return json.loads(line[len("DETAIL "):])
+    for line in reversed(lines):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    raise SystemExit(f"no JSON line found in {path}")
+
+
+def main() -> None:
+    small, big = load(sys.argv[1]), load(sys.argv[2])
+    data_ratio = float(sys.argv[3]) if len(sys.argv) > 3 else (
+        (big.get("sf") or 0) / (small.get("sf") or 1) or 10.0
+    )
+    qs = small.get("queries_exec_only") or small["queries"]
+    qb = big.get("queries_exec_only") or big["queries"]
+    rows = {}
+    for name in sorted(set(qs) & set(qb)):
+        a, b = qs[name], qb[name]
+        rows[name] = {
+            "small_sec": a,
+            "big_sec": b,
+            "ratio": round(b / a, 2) if a > 0 else None,
+        }
+    out = {
+        "sf_small": small.get("sf"),
+        "sf_big": big.get("sf"),
+        "data_ratio": data_ratio,
+        "total_small": round(sum(qs.values()), 3),
+        "total_big": round(sum(qb.values()), 3),
+        "total_ratio": round(sum(qb.values()) / sum(qs.values()), 2),
+        "queries": rows,
+        "flagged_superlinear": sorted(
+            n for n, r in rows.items()
+            if r["ratio"] is not None and r["ratio"] > data_ratio
+            and r["big_sec"] > 0.5  # sub-second pairs are all overhead
+        ),
+    }
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_SCALE.json"), "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    w = max(len(n) for n in rows)
+    print(f"{'query'.ljust(w)}  sf{small.get('sf')}   sf{big.get('sf')}   ratio")
+    for n, r in sorted(rows.items(), key=lambda kv: -(kv[1]['ratio'] or 0)):
+        print(f"{n.ljust(w)}  {r['small_sec']:6.3f}  {r['big_sec']:7.3f}  {r['ratio']}")
+    print(f"TOTAL ratio {out['total_ratio']} on {data_ratio}x data; "
+          f"flagged: {out['flagged_superlinear']}")
+
+
+if __name__ == "__main__":
+    main()
