@@ -943,33 +943,36 @@ def repeated_span_cuts(
     Output: ``(id_col, pos)`` 1-based token start positions of
     non-keeper duplicated grams.
 
-    Scale shape: one narrow gram projection (array expressions, no
-    explode until the (id, pos, hash) stream), ONE shuffle keyed by
-    gram hash for the rank/count window. The window partition is a
-    single gram's occurrence list — bounded by that gram's corpus
-    frequency, the same skew profile as any content-keyed dedup; a
-    pathological mega-gram (billions of copies) is exactly what the
-    boilerplate-line and Gopher passes remove first.
+    Scale shape: posexplode tokens (codegen generator) → id-keyed
+    window builds each gram as ``concat_ws`` of ``lead(tok, 1..k-1)``
+    and hashes it — ALL whole-stage codegen (the array-lambda
+    formulation, ``transform(sequence(...), i -> xxhash64(slice))``,
+    is interpreted per gram and measured 3× slower at sf0.1) — then
+    ONE shuffle keyed by gram hash for the rank/count window. Two
+    exchanges total (id-keyed, then content-keyed); the hash-window
+    partition is a single gram's occurrence list — bounded by that
+    gram's corpus frequency, the same skew profile as any content-
+    keyed dedup; a pathological mega-gram (billions of copies) is
+    exactly what the boilerplate-line and Gopher passes remove first.
     """
     norm = F.regexp_replace(
         F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
     )
-    base = df.select(F.col(id_col), F.split(norm, " ").alias("_ts"))
-    grams = base.select(
+    toks = df.select(
+        F.col(id_col), F.posexplode(F.split(norm, " ")).alias("_p0", "_tok")
+    ).select(F.col(id_col), (F.col("_p0") + 1).alias("pos"), "_tok")
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    gram_cols = [F.col("_tok")] + [
+        F.lead("_tok", j).over(w_doc) for j in range(1, k)
+    ]
+    grams = toks.select(
         F.col(id_col),
+        "pos",
         F.when(
-            F.size("_ts") >= k,
-            F.expr(
-                f"transform(sequence(1, size(_ts) - {k - 1}),"
-                f" i -> struct(i AS pos,"
-                f" xxhash64(concat_ws(' ', slice(_ts, i, {k}))) AS h))"
-            ),
-        )
-        .otherwise(F.expr("array()").cast("array<struct<pos:int,h:bigint>>"))
-        .alias("_g"),
-    ).select(F.col(id_col), F.explode("_g").alias("_e")).select(
-        F.col(id_col), F.col("_e.pos").alias("pos"), F.col("_e.h").alias("_h")
-    )
+            F.lead("_tok", k - 1).over(w_doc).isNotNull(),
+            F.xxhash64(F.concat_ws(" ", *gram_cols)),
+        ).alias("_h"),
+    ).filter(F.col("_h").isNotNull())
     w_rank = Window.partitionBy("_h").orderBy(
         F.col(id_col).asc(), F.col("pos").asc()
     )
@@ -1002,9 +1005,12 @@ def remove_repeated_spans(
     Scale: the cut list (:func:`repeated_span_cuts` — one content-
     keyed shuffle) aggregates per doc (second shuffle, id-keyed) and
     joins back to the corpus (third, or broadcast when duplication is
-    sparse); the rebuild is pure array expressions. Only duplicated
-    gram OCCURRENCES travel through the last two shuffles — at 100 TB
-    nearly all grams are unique and drop at the window filter.
+    sparse). The array-lambda rebuild (Spark higher-order functions
+    are INTERPRETED, ~µs per token) runs ONLY on documents that
+    actually have cuts — the untouched majority passes through as one
+    codegen'd regex projection (whitespace normalization — exactly
+    what token reassembly would produce), so the per-token Python-ish
+    cost is proportional to the duplicated subset, not the corpus.
     """
     cuts = repeated_span_cuts(df, id_col, text_col, k)
     per_doc = cuts.groupBy(id_col).agg(
@@ -1014,24 +1020,29 @@ def remove_repeated_spans(
     norm = F.regexp_replace(
         F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
     )
-    joined = df.select(F.col(id_col), F.split(norm, " ").alias("_ts")).join(
-        per_doc, id_col, "left"
+    base = df.select(F.col(id_col), norm.alias("_norm"))
+    untouched = base.join(per_doc.select(id_col), id_col, "left_anti").select(
+        F.col(id_col),
+        F.col("_norm").alias(text_col),
+        F.lit(0).cast("long").alias("n_tokens_removed"),
+        F.lit(0).cast("long").alias("n_grams_cut"),
     )
-    cuts_arr = F.coalesce(F.col("_cuts"), F.expr("array()").cast("array<int>"))
+    joined = base.select(
+        F.col(id_col), F.split(F.col("_norm"), " ").alias("_ts")
+    ).join(per_doc, id_col)
     indexed = F.expr("transform(_ts, (t, j) -> struct(t AS tok, j + 1 AS p))")
     kept = F.filter(
         indexed,
         lambda s: ~F.exists(
-            cuts_arr, lambda c: (s["p"] >= c) & (s["p"] <= c + (k - 1))
+            F.col("_cuts"), lambda c: (s["p"] >= c) & (s["p"] <= c + (k - 1))
         ),
     )
-    return joined.select(
+    touched = joined.select(
         F.col(id_col),
         F.concat_ws(" ", F.transform(kept, lambda s: s["tok"])).alias(
             text_col
         ),
         (F.size("_ts") - F.size(kept)).cast("long").alias("n_tokens_removed"),
-        F.coalesce(F.col("n_grams_cut"), F.lit(0)).cast("long").alias(
-            "n_grams_cut"
-        ),
+        F.col("n_grams_cut"),
     )
+    return touched.unionByName(untouched)
