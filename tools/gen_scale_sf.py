@@ -72,7 +72,8 @@ def main() -> None:
         )
         con.execute(
             f"COPY (SELECT {sel} FROM '{SRC}/{t}.parquet', reps) TO "
-            f"'{out}/{t}.parquet' (FORMAT PARQUET)"
+            f"'{out}/{t}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE 65536)"
         )
         print(t, "x", n)
     # documents: offset ids AND make replica text distinct (suffix
@@ -88,7 +89,8 @@ def main() -> None:
                       ELSE text || ' replicatag' || r END) AS BIGINT)
                    AS n_chars
           FROM '{SRC}/documents.parquet', reps
-        ) TO '{out}/documents.parquet' (FORMAT PARQUET)"""
+        ) TO '{out}/documents.parquet'
+        (FORMAT PARQUET, ROW_GROUP_SIZE 2048)"""
     )
     print("documents x", n)
 
