@@ -86,6 +86,9 @@ HEADLINE = [
     # round-6 additions
     "sv_logrank_cohorts",
     "tx_repeated_spans",
+    "q4_order_priority",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
 ]
 
 

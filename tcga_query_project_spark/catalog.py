@@ -3553,3 +3553,140 @@ def tx_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal: this is the within-corpus exact-substring pass."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return text.remove_repeated_spans(docs, "doc_id", "text", k=_RS_K)
+
+
+@register_bench_only(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+    tags=("relational", "semi-join", "tpch-q4"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders with at least
+    one late lineitem (shipped > 60 days after the order date —
+    adapted to this schema's columns), counted per priority. The
+    EXISTS becomes a LEFT SEMI join — the fact side pre-filters and
+    pre-DISTINCTs on the join key BEFORE the shuffle, so the exchange
+    carries order keys once each, not one row per lineitem. Both
+    engines compare NTZ timestamps to NTZ + interval (timezone-free).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("o_orderkey")
+        .distinct()
+    )
+    return (
+        orders.join(late, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+@register_bench_only(
+    "q17_small_quantity_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+           ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < pa.half_avg
+    """,
+    tags=("relational", "correlated-agg", "tpch-q17"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitems whose
+    quantity is below half their part's average quantity. The
+    correlated scalar subquery decorrelates into one per-part
+    aggregate (dimension-sized: one row per part) broadcast back onto
+    the fact scan — the fact table shuffles ONCE (for the per-part
+    agg) and the probe side is map-only; at 100 TB the agg output is
+    still just |part| rows. Global result is a single row (rounded
+    money-scale sum)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pa = li.groupBy("l_partkey").agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        li.join(F.broadcast(pa), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_small"),
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+        )
+    )
+
+
+@register_bench_only(
+    "q18_large_volume_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    SELECT c.c_name, o.o_custkey, o.o_orderkey,
+           ROUND(o.o_totalprice, 4) AS o_totalprice,
+           ROUND(s.total_qty, 4) AS total_qty
+    FROM orders o
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+          FROM lineitem GROUP BY l_orderkey) s
+      ON s.l_orderkey = o.o_orderkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 100
+    """,
+    tags=("relational", "having-semi-join", "tpch-q18"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    lineitem quantity exceeds a threshold, enriched with customer and
+    ranked by price. ONE lineitem aggregation serves both the HAVING
+    gate and the reported quantity (the reference SQL's separate
+    GROUP BY and HAVING subqueries share the plan's exchange);
+    customer broadcasts; the global order is a TakeOrderedAndProject,
+    never a full sort. Unique-key tiebreak (o_orderkey) makes the
+    LIMIT deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    qty = li.groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("_tq")
+    )
+    big = qty.filter(F.col("_tq") > 250)
+    return (
+        orders.join(
+            big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        )
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            F.round("_tq", 4).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )

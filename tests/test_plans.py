@@ -227,6 +227,16 @@ def test_headline_shuffle_budgets(spark):
         # by cohort — a second exchange means the fan-out regressed to
         # a re-shuffled post-pass
         "sv_logrank_cohorts": 1,
+        # decorrelated scalar subquery: ONE per-part agg exchange, the
+        # probe side is a broadcast-join map pass
+        "q17_small_quantity_revenue": 1,
+        # one lineitem agg serves both the HAVING gate and the
+        # reported quantity; customer broadcasts; TakeOrdered, no sort
+        "q18_large_volume_customers": 1,
+        # EXISTS decorrelation: li⟗orders date join + key distinct +
+        # semi back — 3 exchanges; a 4th means the distinct stopped
+        # reusing the join's partitioning
+        "q4_order_priority": 3,
     }
     from tcga_query_project_spark.catalog import BENCH_ONLY
 
