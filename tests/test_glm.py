@@ -271,3 +271,93 @@ def test_cooks_distance_flags_single_wild_outlier(spark):
     assert clean["cooks_outlier"] == 0
     assert clean["pvalue"] is not None and not np.isnan(clean["pvalue"])
     assert clean["max_cooks"] < spiked["max_cooks"]
+
+
+def test_trigamma_matches_known_values():
+    """trigamma(1) = pi^2/6; trigamma(0.5) = pi^2/2; recurrence
+    consistency trigamma(x) = trigamma(x+1) + 1/x^2."""
+    assert abs(glm._trigamma(1.0) - np.pi**2 / 6.0) < 1e-7
+    assert abs(glm._trigamma(0.5) - np.pi**2 / 2.0) < 1e-7
+    for x in (0.7, 2.3, 5.0, 11.5):
+        assert abs(glm._trigamma(x) - (glm._trigamma(x + 1) + 1 / x**2)) < 1e-7
+
+
+def test_estimated_prior_variance_tracks_residual_spread(spark):
+    """dispPriorVar estimation: gene-wise dispersions sitting ON the
+    trend give the 0.25 floor (all apparent spread is sampling noise);
+    widely scattered dispersions give a prior variance well above the
+    floor and above the tight case."""
+    import math
+
+    a0, a1 = 0.05, 1.0
+    m = 20
+    tight = spark.createDataFrame(
+        [(a0 + a1 / mu, float(mu), m) for mu in range(10, 110, 2)],
+        "_alpha double, _mu double, _m long",
+    )
+    assert glm.estimate_dispersion_prior_variance(tight, a0, a1) == 0.25
+    wide = spark.createDataFrame(
+        [
+            (
+                (a0 + a1 / mu) * math.exp(3.0 * (1 if i % 2 else -1)),
+                float(mu),
+                m,
+            )
+            for i, mu in enumerate(range(10, 110, 2))
+        ],
+        "_alpha double, _mu double, _m long",
+    )
+    v = glm.estimate_dispersion_prior_variance(wide, a0, a1)
+    # residuals are +-3 in log space -> MAD*1.4826 ~ 4.45, var ~ 19.8
+    assert v > 5.0
+
+
+def test_outlier_counts_replaced_and_refit_at_seven_replicates(spark):
+    """minReplicatesForReplace semantics: with >= 7 replicates per
+    group, a flagged gene's wild count is REPLACED by its group's
+    trimmed mean and the fit re-runs — p-value reported (rescued, not
+    withheld), n_replaced counts the repair, and the refit LFC lands
+    near the clean gene's; with 6 replicates the p stays withheld."""
+    rng = np.random.default_rng(11)
+
+    def build(n_per):
+        rows = []
+        for g in range(20):  # background genes populate the trend
+            for i in range(n_per):
+                cond = "A" if i < n_per // 2 else "B"
+                lam = rng.gamma(shape=20.0, scale=60.0 / 20.0)
+                rows.append((f"bg{g}", f"s{i}", cond, float(rng.poisson(lam))))
+        for g, planted in [("clean", None), ("spiked", (3, 5000.0))]:
+            for i in range(n_per):
+                cond = "A" if i < n_per // 2 else "B"
+                val = float(rng.poisson(60.0))
+                if planted and i == planted[0]:
+                    val = planted[1]
+                rows.append((g, f"s{i}", cond, val))
+        fact = spark.createDataFrame(
+            rows, "gene string, sample string, cond string, cnt double"
+        )
+        sf = spark.createDataFrame(
+            [(f"s{i}", 1.0) for i in range(n_per)],
+            "sample string, size_factor double",
+        )
+        return {
+            r["gene"]: r
+            for r in glm.nb_glm_wald_shrunk(
+                fact, "gene", "cond", "cnt", sf, "sample", "A", "B"
+            ).collect()
+        }
+
+    out16 = build(16)  # 8 per group -> replacement active
+    spiked, clean = out16["spiked"], out16["clean"]
+    assert spiked["cooks_outlier"] == 1
+    assert spiked["n_replaced"] >= 1
+    assert spiked["pvalue"] is not None and not np.isnan(spiked["pvalue"])
+    # repaired gene: no real signal, LFC near the clean gene's scale
+    assert abs(spiked["log2_fold_change"]) < 1.0
+    assert clean["n_replaced"] == 0
+
+    out12 = build(12)  # 6 per group -> flag-and-withhold, no repair
+    s12 = out12["spiked"]
+    assert s12["cooks_outlier"] == 1 and s12["n_replaced"] == 0
+    assert s12["pvalue"] is None or np.isnan(s12["pvalue"])
