@@ -2,12 +2,13 @@
 
 Real decode/encode for the container formats that need no native
 library — BMP (24/32-bit uncompressed), PPM/PGM (binary P6/P5), PNG
-(8-bit non-interlaced, stdlib ``zlib`` inflate + RFC 2083 unfiltering)
-and WAV (PCM 8/16-bit, via the stdlib ``wave`` module) — plus a
-nearest-neighbor resize kernel. These are the "real codec" leg of
-operators/multimodal.py: payloads in these formats decode to actual
-pixels/samples; anything else (JPEG, MP3, MP4 — formats that require
-DCT/entropy coders or full AV stacks) falls back to the documented
+(8-bit non-interlaced, stdlib ``zlib`` inflate + RFC 2083 unfiltering),
+baseline JPEG (``operators/jpeg``: markers, canonical Huffman, numpy
+IDCT — dispatched from :func:`decode_image`) and WAV (PCM 8/16-bit,
+via the stdlib ``wave`` module) — plus a nearest-neighbor resize
+kernel. These are the "real codec" leg of operators/multimodal.py:
+payloads in these formats decode to actual pixels/samples; anything
+else (MP3, MP4 — full AV stacks) falls back to the documented
 deterministic byte-level stand-ins there.
 
 Everything here is driver-importable but designed to run inside Arrow
@@ -278,14 +279,19 @@ def encode_png(rgb: np.ndarray) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray | None:
-    """Dispatch on magic bytes: BMP, PPM/PGM or PNG → (H, W, 3) uint8
-    RGB; None for every other (or malformed) payload."""
+    """Dispatch on magic bytes: BMP, PPM/PGM, PNG or baseline JPEG →
+    (H, W, 3) uint8 RGB; None for every other (or malformed)
+    payload."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:1] == b"P" and payload[1:2] in b"56":
         return decode_ppm(payload)
     if payload[:8] == _PNG_MAGIC:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from tcga_query_project_spark.operators import jpeg
+
+        return jpeg.decode_jpeg(payload)
     return None
 
 

@@ -10,16 +10,17 @@ Decode / feature-extract run as Arrow-batched ``mapInPandas`` — one
 Python worker per partition, batch-at-a-time iterator, bounded memory
 regardless of corpus size.
 
-Codec strategy (round 5): payloads whose magic bytes identify a format
-decodable without native libraries — BMP / PPM / PGM images, PCM WAV
-audio (operators/codecs.py, pure python + numpy) — are REALLY decoded:
-features come from pixels/samples, resize is an actual nearest-neighbor
-resample re-encoded in the same container. Every other payload (PNG,
-JPEG, MP3, MP4 — formats needing zlib/DCT/AV stacks absent from this
-container) falls back to the original deterministic byte-level
-stand-ins, so the kernels stay total and exact-value-testable. Plugging
-PIL/librosa/av in extends ``codecs.decode_image`` / ``codecs.decode_wav``
-— the Spark-side dataflow does not change.
+Codec strategy (rounds 5-6): payloads whose magic bytes identify a
+format decodable without native libraries — BMP / PPM / PGM / PNG /
+baseline JPEG images, PCM WAV audio (operators/codecs.py +
+operators/jpeg.py, pure python + numpy) — are REALLY decoded: features
+come from pixels/samples, resize is an actual nearest-neighbor
+resample re-encoded in the same container. Every other payload (MP3,
+MP4 — full AV stacks absent from this container) falls back to the
+original deterministic byte-level stand-ins, so the kernels stay total
+and exact-value-testable. Plugging PIL/librosa/av in extends
+``codecs.decode_image`` / ``codecs.decode_wav`` — the Spark-side
+dataflow does not change.
 """
 
 from __future__ import annotations
@@ -172,6 +173,10 @@ def resize_images(
                 return codecs.encode_bmp(resized)
             if payload[:8] == codecs._PNG_MAGIC:
                 return codecs.encode_png(resized)
+            if payload[:2] == b"\xff\xd8":
+                from tcga_query_project_spark.operators import jpeg
+
+                return jpeg.encode_jpeg(resized)
             return codecs.encode_ppm(resized)
         target = w * h
         if len(payload) == 0:

@@ -486,3 +486,82 @@ def test_multimodal_png_e2e(spark):
         )
     ).collect()[0]
     assert sniffed["sniffed_mime"] == "image/png" and sniffed["mime_ok"]
+
+
+def test_codecs_jpeg_roundtrip_all_modes():
+    """Baseline JPEG codec: encode→decode round-trips within
+    quantization tolerance for 4:4:4, 4:2:0 (the general MCU walk) and
+    grayscale, including non-multiple-of-MCU dimensions; produced
+    bytes are structurally valid JFIF; malformed/progressive inputs
+    return None rather than raising."""
+    from tcga_query_project_spark.operators import jpeg
+
+    h, w = 24, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            xx * 255 / (w - 1),
+            yy * 255 / (h - 1),
+            (xx + yy) * 255 / (w + h - 2),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+    p444 = jpeg.encode_jpeg(img, quality=95, subsampling="444")
+    assert p444[:2] == b"\xff\xd8" and p444[-2:] == b"\xff\xd9"
+    d444 = jpeg.decode_jpeg(p444)
+    assert d444.shape == (h, w, 3)
+    assert np.abs(d444.astype(int) - img.astype(int)).max() <= 4
+
+    p420 = jpeg.encode_jpeg(img, quality=95, subsampling="420")
+    d420 = jpeg.decode_jpeg(p420)
+    assert d420.shape == (h, w, 3)
+    assert np.abs(d420.astype(int) - img.astype(int)).max() <= 16
+
+    # odd dimensions force MCU padding + crop on both paths
+    odd = img[:17, :13]
+    dodd = jpeg.decode_jpeg(jpeg.encode_jpeg(odd, 90, "420"))
+    assert dodd.shape == (17, 13, 3)
+    assert np.abs(dodd.astype(int) - odd.astype(int)).max() <= 24
+
+    gray = (yy * 255 / (h - 1)).astype(np.uint8)
+    dg = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(gray, quality=95))
+    assert dg.shape == (h, w, 3)
+    assert np.array_equal(dg[:, :, 0], dg[:, :, 1])  # replicated
+    assert np.abs(dg[:, :, 0].astype(int) - gray.astype(int)).max() <= 2
+
+    assert jpeg.decode_jpeg(p444[:40]) is None  # truncated
+    prog = bytearray(p444)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2  # progressive SOF: unsupported -> None
+    assert jpeg.decode_jpeg(bytes(prog)) is None
+
+
+def test_multimodal_jpeg_e2e(spark):
+    """JPEG through the Spark kernels: features come from decoded
+    PIXELS, and resize_images emits a VALID JPEG of the target size
+    that still sniffs as image/jpeg."""
+    from tcga_query_project_spark.operators import codecs, jpeg
+
+    # flat mid-gray: featurizer's luma histogram must concentrate in
+    # one bin (pixel-level evidence that decode really ran)
+    rgb = np.full((16, 16, 3), 120, dtype=np.uint8)
+    payload = jpeg.encode_jpeg(rgb, quality=95)
+    rows = [(1, "image", payload, "image/jpeg", 16, 16, None, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feat = np.array(
+        multimodal.extract_features(media, dim=16).collect()[0]["feature"]
+    )
+    assert feat[(120 * 256 // 256) >> 4] == 1.0  # all mass in bin 7
+
+    out = multimodal.resize_images(media, 8, 8).collect()[0]
+    resized = codecs.decode_image(bytes(out["payload"]))
+    assert resized is not None and resized.shape == (8, 8, 3)
+    assert np.abs(resized.astype(int) - 120).max() <= 6
+    sniffed = multimodal.validate_media(
+        spark.createDataFrame(
+            [(1, "image", bytes(out["payload"]), "image/jpeg", 8, 8, None, None)],
+            multimodal.MEDIA_SCHEMA,
+        )
+    ).collect()[0]
+    assert sniffed["sniffed_mime"] == "image/jpeg" and sniffed["mime_ok"]
