@@ -346,3 +346,79 @@ def test_zorder_rejects_key_overflow():
         zorder_value(cols, bits=10)  # 70 bits
     # 7 dims at 9 bits (63) is the legal maximum
     zorder_value(cols, bits=9)
+
+
+def _warc_record(rtype, uri, rid, body: bytes, extra=""):
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {rtype}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        f"{extra}"
+        f"Content-Length: {len(body)}\r\n"
+        f"\r\n"
+    ).encode()
+    return head + body + b"\r\n\r\n"
+
+
+def _http_html(html: str) -> bytes:
+    body = html.encode()
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+    )
+
+
+def test_warc_ingest_end_to_end(spark, tmp_path):
+    """WARC ingest: plain and member-gzipped archives parse to records
+    (framing, type filter, HTTP header split); html_to_text strips
+    script/style/tags/entities as a pure-expression pass; the
+    documents-shaped output feeds downstream corpus operators."""
+    import gzip
+
+    from tcga_query_project_spark.sources import warc
+
+    page1 = (
+        "<html><head><title>T</title><style>p{color:red}</style>"
+        "<script>var x = '<p>not text</p>';</script></head>"
+        "<body><h1>Heading&nbsp;One</h1><p>First paragraph &amp; more.</p>"
+        "<p>Second   paragraph.</p><!-- hidden --></body></html>"
+    )
+    page2 = "<html><body><p>Autre page.</p></body></html>"
+    rec_info = _warc_record("warcinfo", "", "aaa", b"robots: classic\r\n")
+    rec1 = _warc_record(
+        "response", "http://example.com/a", "bbb", _http_html(page1)
+    )
+    rec_req = _warc_record(
+        "request", "http://example.com/b", "ccc", b"GET /b HTTP/1.1\r\n"
+    )
+    rec2 = _warc_record(
+        "response", "http://example.com/b", "ddd", _http_html(page2)
+    )
+    plain = rec_info + rec1 + rec_req
+    # member-gzip: each record its own gzip member (Common Crawl layout)
+    gz = gzip.compress(rec_info) + gzip.compress(rec2) + gzip.compress(rec_req)
+    d = tmp_path / "warcs"
+    d.mkdir()
+    (d / "a.warc").write_bytes(plain)
+    (d / "b.warc.gz").write_bytes(gz)
+
+    recs = warc.read_warc(spark, str(d)).collect()
+    by_uri = {r["target_uri"]: r for r in recs}
+    assert set(by_uri) == {"http://example.com/a", "http://example.com/b"}
+    assert all(r["warc_type"] == "response" for r in recs)
+    a = by_uri["http://example.com/a"]
+    assert a["content_type"].startswith("text/html")
+    assert bytes(a["payload"]).decode().startswith("<html>")  # headers cut
+
+    docs = warc.warc_to_documents(spark, str(d)).collect()
+    texts = {r["source"]: r["text"] for r in docs}
+    t1 = texts["http://example.com/a"]
+    assert "not text" not in t1 and "color:red" not in t1  # script/style
+    assert "Heading One" in t1 and "First paragraph & more." in t1
+    assert "Second paragraph." in t1
+    assert "<" not in t1 and "hidden" not in t1
+    assert texts["http://example.com/b"] == "Autre page."
+    for r in docs:
+        assert r["n_chars"] == len(r["text"]) and r["doc_id"] is not None
