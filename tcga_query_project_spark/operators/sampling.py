@@ -174,3 +174,47 @@ def pack_shards(
             .alias("shard"),
         )
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    domain_col: str,
+    temperature: float,
+    total_budget: float | None = None,
+) -> dict[str, float]:
+    """Temperature-scaled mixture weights from observed domain sizes —
+    the multilingual/multi-domain rebalancing rule (sampling
+    probability ∝ size^(1/T), mBERT/XLM-R exponent form with
+    T = 1/alpha): T = 1 keeps natural proportions, T → ∞ approaches
+    uniform, pushing mass from head domains to the tail without
+    hand-tuning per-domain weights.
+
+    Returns the ``weights`` dict :func:`sample_mixture` consumes, with
+    per-domain weight = target_share / natural_share, scaled so the
+    expected output row count is ``total_budget`` (default: the input
+    size — pure re-balancing). Weights above 1 oversample (duplicate)
+    tail domains, matching how the temperature rule is actually
+    trained on.
+
+    Eager by design: one dimension-sized aggregate (a weights dict is
+    driver state however it is produced); the heavy re-sampling pass
+    stays lazy inside sample_mixture.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    counts = {
+        r["d"]: r["n"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r["d"] is not None
+    }
+    total = float(sum(counts.values()))
+    if not total:
+        return {}
+    budget = float(total_budget) if total_budget is not None else total
+    powered = {d: (n / total) ** (1.0 / temperature) for d, n in counts.items()}
+    z = sum(powered.values())
+    return {
+        d: round(budget * (p / z) / counts[d], 6) for d, p in powered.items()
+    }

@@ -225,3 +225,38 @@ def warc_to_documents(
         "source",
         F.length("text").cast("long").alias("n_chars"),
     ).filter(F.length("text") >= min_chars)
+
+
+def normalize_url(url):  # Column -> Column
+    """Canonical URL for URL-keyed crawl dedup (the FIRST dedup stage
+    of C4/CCNet-style pipelines — far cheaper than any content hash):
+    lowercase scheme+host, drop the fragment, drop default ports, strip
+    a trailing slash from the path, keep the query (it selects
+    content). Pure JVM expressions — runs in the scan projection."""
+    u = F.regexp_replace(url, r"#.*$", "")
+    # lowercase scheme://host only (path/query are case-significant)
+    u = F.regexp_replace(
+        u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)",
+        F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)),
+    )
+    u = F.regexp_replace(u, r"^(https://[^/?#]*):443(?=[/?]|$)", "$1")
+    u = F.regexp_replace(u, r"^(http://[^/?#]*):80(?=[/?]|$)", "$1")
+    u = F.regexp_replace(u, r"(://[^/?#]+[^?#]*?)/(?=\?|$)", "$1")
+    return F.regexp_replace(u, r"/$", "")
+
+
+def dedup_by_url(df: DataFrame, url_col: str, tiebreak: str) -> DataFrame:
+    """Exact URL dedup: one row per :func:`normalize_url` key, keeping
+    the smallest ``tiebreak`` (a unique id — deterministic on any
+    cluster layout). One shuffle keyed by the normalized URL; rows, not
+    documents, travel only within each key's group."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(normalize_url(F.col(url_col))).orderBy(
+        F.col(tiebreak).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -422,3 +422,37 @@ def test_warc_ingest_end_to_end(spark, tmp_path):
     assert texts["http://example.com/b"] == "Autre page."
     for r in docs:
         assert r["n_chars"] == len(r["text"]) and r["doc_id"] is not None
+
+
+def test_url_normalization_and_dedup(spark):
+    """normalize_url canonicalizes scheme/host case, fragments, default
+    ports and trailing slashes (query preserved — it selects content);
+    dedup_by_url keeps exactly one row per canonical URL, smallest id."""
+    from tcga_query_project_spark.sources import warc
+
+    pairs = [
+        ("HTTP://Example.COM/Path#frag", "http://example.com/Path"),
+        ("https://example.com:443/a/", "https://example.com/a"),
+        ("http://example.com:80/", "http://example.com"),
+        ("http://example.com/a?b=1#x", "http://example.com/a?b=1"),
+        ("http://example.com/A", "http://example.com/A"),  # path case kept
+        ("http://example.com:8080/a", "http://example.com:8080/a"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in pairs], "url string")
+    got = [
+        r["n"] for r in df.select(warc.normalize_url(F.col("url")).alias("n")).collect()
+    ]
+    assert got == [e for _, e in pairs]
+
+    docs = spark.createDataFrame(
+        [
+            (1, "http://example.com/a#one"),
+            (2, "HTTP://EXAMPLE.com/a"),
+            (3, "http://example.com/b"),
+        ],
+        "doc_id long, url string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in warc.dedup_by_url(docs, "url", "doc_id").collect()
+    )
+    assert kept == [1, 3]
