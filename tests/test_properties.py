@@ -564,3 +564,89 @@ def test_heavy_hitters_exact_under_any_partitioning(spark, counts, parts):
     ]
     want = sorted(bag.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert got == want
+
+
+# ---- codec + URL properties (no Spark job per example: pure python,
+# so these afford real hypothesis example counts) ----------------------
+
+import numpy as np
+from hypothesis import HealthCheck as _HC
+from hypothesis import given as _given
+from hypothesis import settings as _settings
+from hypothesis import strategies as _st
+from hypothesis.extra.numpy import arrays as _arrays
+
+_PURE = dict(max_examples=40, deadline=None)
+
+
+@_given(
+    img=_arrays(
+        np.uint8,
+        _st.tuples(
+            _st.integers(1, 12), _st.integers(1, 12), _st.just(3)
+        ),
+    )
+)
+@_settings(**_PURE)
+def test_png_roundtrip_exact_for_any_array(img):
+    """PNG is lossless: encode→decode is the identity for EVERY uint8
+    RGB array, any dimensions."""
+    from tcga_query_project_spark.operators import codecs
+
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(img)), img)
+
+
+@_given(
+    img=_arrays(
+        np.uint8,
+        _st.tuples(
+            _st.integers(1, 20), _st.integers(1, 20), _st.just(3)
+        ),
+    ),
+    mode=_st.sampled_from(["444", "420"]),
+)
+@_settings(max_examples=15, deadline=None)
+def test_jpeg_roundtrip_total_and_shaped(img, mode):
+    """JPEG encode→decode is TOTAL on arbitrary uint8 content (never
+    raises, shape preserved) and error-bounded at max quality on
+    uniform images (DC-only blocks survive quantization)."""
+    from tcga_query_project_spark.operators import jpeg
+
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90, subsampling=mode))
+    assert dec is not None and dec.shape == img.shape
+
+    flat = np.full_like(img, int(img[0, 0, 0]))
+    dflat = jpeg.decode_jpeg(jpeg.encode_jpeg(flat, quality=100))
+    assert np.abs(dflat.astype(int) - flat.astype(int)).max() <= 3
+
+
+_url = _st.builds(
+    lambda scheme, host, port, path, q, frag: (
+        f"{scheme}://{host}{port}{path}{q}{frag}"
+    ),
+    _st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+    _st.from_regex(r"[A-Za-z][A-Za-z0-9.-]{0,10}", fullmatch=True),
+    _st.sampled_from(["", ":80", ":443", ":8080"]),
+    _st.sampled_from(["", "/", "/a", "/a/", "/A/b", "/a/b/"]),
+    _st.sampled_from(["", "?x=1", "?b=2&a=1"]),
+    _st.sampled_from(["", "#frag", "#a/b?c"]),
+)
+
+
+@_given(url=_url)
+@_settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[_HC.function_scoped_fixture],
+)
+def test_normalize_url_idempotent(spark, url):
+    """Canonicalization is idempotent: normalize(normalize(u)) ==
+    normalize(u) — the property that makes it a safe dedup key (keys
+    stay stable if a stage runs twice)."""
+    from tcga_query_project_spark.sources.warc import normalize_url
+
+    df = spark.createDataFrame([(url,)], "u string")
+    once = df.select(normalize_url(F.col("u")).alias("n"))
+    twice = once.select(normalize_url(F.col("n")).alias("n2"))
+    r = once.join(twice).collect()[0]
+    assert r["n"] == r["n2"], url
