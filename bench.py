@@ -89,6 +89,7 @@ HEADLINE = [
     "q4_order_priority",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
+    "a6_poisson_wald",
 ]
 
 

@@ -3690,3 +3690,103 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )
+
+
+@register_bench_only(
+    "a6_poisson_wald",
+    "WITH "
+    + _SF_CTE
+    + """,
+    fact AS (
+      SELECT l.l_partkey, l.l_linestatus,
+             CAST(l.l_quantity AS DOUBLE) AS y, s.size_factor
+      FROM lineitem l JOIN sfac s ON l.l_suppkey = s.l_suppkey
+      WHERE l.l_linestatus IN ('F', 'O')
+    ),
+    pgk AS (
+      SELECT l_partkey,
+             SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_b,
+             SUM(CASE WHEN l_linestatus = 'F' THEN y ELSE 0 END) AS ya,
+             SUM(CASE WHEN l_linestatus = 'O' THEN y ELSE 0 END) AS yb,
+             SUM(CASE WHEN l_linestatus = 'F' THEN size_factor END) AS sa,
+             SUM(CASE WHEN l_linestatus = 'O' THEN size_factor END) AS sb,
+             AVG(y / size_factor) AS bm
+      FROM fact GROUP BY l_partkey
+      HAVING SUM(CASE WHEN l_linestatus = 'F' THEN y ELSE 0 END) > 0
+         AND SUM(CASE WHEN l_linestatus = 'O' THEN y ELSE 0 END) > 0
+    ),
+    st AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS gene,
+             ROUND(bm, 6) AS base_mean,
+             (LN(yb / sb) - LN(ya / sa)) / LN(2) AS lfc,
+             SQRT(1.0 / ya + 1.0 / yb) / LN(2) AS se,
+             (LN(yb / sb) - LN(ya / sa)) / SQRT(1.0 / ya + 1.0 / yb)
+               AS wald,
+             CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+      FROM pgk
+    )
+    SELECT gene, base_mean,
+           ROUND(lfc, 6) AS log2_fold_change,
+           ROUND(se, 6) AS lfc_se,
+           ROUND(wald, 6) AS wald_stat,
+           ROUND("""
+    + NORMAL_SF_TWO_SIDED_SQL.format(z="wald")
+    + """, 6) AS pvalue,
+           n_a, n_b
+    FROM st
+    """,
+    tags=("A6", "glm", "closed-form"),
+)
+def a6_poisson_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6's kernel, oracle-checked: the Poisson (alpha=0) member of the
+    GLM family run through the SAME grouped-map IRLS machinery as the
+    NB path (glm.poisson_glm_wald) — its two-group MLE has a closed
+    form, so the applyInPandas kernel itself hash-matches a plain SQL
+    oracle (measured: IRLS lands ~1e-14 from the closed form; the NB
+    variant stays rows-only because its dispersion is genuinely
+    iterative). Genes with a zero-sum group are excluded on BOTH sides
+    (the MLE diverges there — caller contract on poisson_glm_wald)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sf = stats.size_factors(li, "l_partkey", "l_suppkey", "l_quantity")
+    fact = li.select(
+        "l_partkey",
+        F.col("l_suppkey").alias("sample"),
+        "l_linestatus",
+        "l_quantity",
+    )
+    pos = (
+        fact.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))
+                .otherwise(0.0)
+            ).alias("_ya"),
+            F.sum(
+                F.when(F.col("l_linestatus") == "O", F.col("l_quantity"))
+                .otherwise(0.0)
+            ).alias("_yb"),
+        )
+        .filter((F.col("_ya") > 0) & (F.col("_yb") > 0))
+        .select("l_partkey")
+    )
+    out = glm.poisson_glm_wald(
+        fact.join(pos, "l_partkey", "left_semi"),
+        "l_partkey",
+        "l_linestatus",
+        "l_quantity",
+        sf.withColumnRenamed("l_suppkey", "sample"),
+        "sample",
+        "F",
+        "O",
+    )
+    return out.select(
+        "gene",
+        F.round("base_mean", 6).alias("base_mean"),
+        F.round("log2_fold_change", 6).alias("log2_fold_change"),
+        F.round("lfc_se", 6).alias("lfc_se"),
+        F.round("wald_stat", 6).alias("wald_stat"),
+        F.round("pvalue", 6).alias("pvalue"),
+        "n_a",
+        "n_b",
+    )

@@ -10,16 +10,19 @@ Everything around it (size factors, BH adjustment, significance bins)
 stays in pure Spark SQL (operators/stats.py).
 
 Scope (SURVEY.md §7 "hard parts" #1): v1 (:func:`nb_glm_wald`) fits
-the NB GLM with a method-of-moments per-gene dispersion; v2
+the NB GLM with a method-of-moments per-gene dispersion; v2/v3
 (:func:`nb_glm_wald_shrunk`) adds DESeq2-style empirical-Bayes
 dispersion shrinkage (gene-wise moments → iteratively-refit parametric
-trend with outlier exclusion → Cox-Reid MAP) and Cook's-distance
-outlier flagging (p-value withheld past the qf(0.99, p, m−p) cutoff).
-Remaining divergences (fixed prior variance, flagged outlier counts
-are reported rather than replaced-and-refit) are documented on v2;
-both use unshrunken MLE log2 fold changes and DESeq2's Wald
+trend with outlier exclusion → data-estimated prior variance
+(:func:`estimate_dispersion_prior_variance`) → Cox-Reid MAP) and
+Cook's-distance outlier handling (p-value withheld past the
+qf(0.99, p, m−p) cutoff below 7 replicates; trimmed-mean count
+replacement + refit at ≥ 7 — DESeq2's minReplicatesForReplace). All
+variants use unshrunken MLE log2 fold changes and DESeq2's Wald
 construction (coefficient / standard error from the observed
-information).
+information). :func:`poisson_glm_wald` runs the SAME kernel at
+alpha=0, whose closed-form MLE gives the applyInPandas machinery a
+full cross-engine SQL oracle (catalog ``a6_poisson_wald``).
 
 Design for 100 TB: the input is the long expression fact table
 partitioned by gene; ``groupBy(gene).applyInPandas`` shuffles once on
@@ -875,3 +878,66 @@ def nb_glm_wald_shrunk(
         return pd.DataFrame([out])
 
     return prepared.groupBy("gene").applyInPandas(fit_one, SHRUNK_RESULT_SCHEMA)
+
+
+def _fit_one_gene_poisson(pdf: pd.DataFrame) -> pd.DataFrame:
+    y = pdf["count"].to_numpy(dtype=np.float64)
+    grp = (pdf["cond"] == "B").to_numpy(dtype=np.float64)
+    sf = pdf["size_factor"].to_numpy(dtype=np.float64)
+    n_a = int(np.sum(grp == 0))
+    n_b = int(np.sum(grp == 1))
+    out = {
+        "gene": pdf["gene"].iloc[0],
+        "base_mean": float(np.mean(y / sf)),
+        "log2_fold_change": np.nan,
+        "lfc_se": np.nan,
+        "wald_stat": np.nan,
+        "pvalue": np.nan,
+        "n_a": n_a,
+        "n_b": n_b,
+    }
+    x = np.column_stack([np.ones_like(grp), grp])
+    fit = _fit_nb_irls(y, x, np.log(sf), alpha=0.0)
+    if fit is not None and fit[1][1] > 0 and np.isfinite(fit[1][1]):
+        beta, se = fit
+        wald = beta[1] / se[1]
+        out.update(
+            log2_fold_change=float(beta[1] / _LN2),
+            lfc_se=float(se[1] / _LN2),
+            wald_stat=float(wald),
+            pvalue=float(_normal_sf_two_sided(np.array([wald]))[0]),
+        )
+    return pd.DataFrame([out])
+
+
+def poisson_glm_wald(
+    fact: DataFrame,
+    gene: str,
+    cond: str,
+    value: str,
+    size_factors: DataFrame,
+    sample: str,
+    level_a: str,
+    level_b: str,
+) -> DataFrame:
+    """Per-gene POISSON (alpha = 0) GLM Wald contrast — the
+    closed-form-verifiable member of the GLM family: the log-link
+    two-group Poisson MLE is ``beta1 = ln((Σ_B y/Σ_B s)/(Σ_A y/Σ_A s))``
+    with ``se = sqrt(1/Σ_A y + 1/Σ_B y)``, so the SAME grouped-map IRLS
+    kernel that powers A6's iterative NB path gets a plain-SQL DuckDB
+    oracle (catalog ``a6_poisson_wald``) — a cross-engine hash check of
+    the applyInPandas machinery itself, which the NB variant (genuinely
+    iterative in its dispersion) cannot have. IRLS's 1e-8 step
+    criterion under quadratic convergence leaves the estimate ~1e-13
+    from the closed form — far inside 6-decimal rounding.
+
+    Caller contract (mirrored in the oracle): restrict to genes whose
+    count sum is positive in BOTH groups — with a zero group the MLE
+    diverges and the kernel's clipped estimate is not the closed form.
+    """
+    prepared = _prepare_contrast(
+        fact, gene, cond, value, size_factors, sample, level_a, level_b
+    )
+    return prepared.groupBy("gene").applyInPandas(
+        _fit_one_gene_poisson, RESULT_SCHEMA
+    )
