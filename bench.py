@@ -46,7 +46,13 @@ HEADLINE = [
     "a4_wilcoxon_ranksum",
     "a5_size_factors",
     "bh_adjust",
-    "w1_ntile_extremes",
+    # round 7: w1_ntile_extremes -> w1_quantile_extremes. Same LOW/HIGH
+    # stratification semantics, but the benchmarked form is now the
+    # scale-safe histogram-CDF + broadcast-label plan (the ntile form's
+    # low-cardinality PARTITION BY made it the one superlinear query at
+    # 10x data in round 6; it stays in the driver registry as the
+    # ntile-tie-semantics oracle pin, just not benched).
+    "w1_quantile_extremes",
     "w2_km_curve",
     "w3_w4_survival_tests",
     "st_session_sliding",

@@ -523,6 +523,59 @@ def test_median_split_threshold_matches_ntile_when_tie_free(spark):
     assert labs == {1: "LOW", 2: "LOW", 3: "LOW", 4: "HIGH"}
 
 
+def test_quantile_strata_matches_ntile_when_tie_free(spark):
+    """The scale-path n-tile stratification (histogram-CDF boundaries +
+    broadcast label, round-7 W1 bench form) agrees with ntile(n)'s
+    tiles 1/n exactly on tie-free grid-aligned values — with and
+    without partition columns, count divisible by n and not."""
+    from tcga_query_project_spark.operators import survival as sv
+
+    for n_rows in (40, 41, 43):
+        rows = [
+            (i, "g%d" % (i % 2), float((i * 7 % 97) * 4 + (i % 2)))
+            for i in range(n_rows)
+        ]
+        df = spark.createDataFrame(rows, "id int, g string, v double")
+        via_ntile = {
+            (r["id"], r["stratum"])
+            for r in sv.ntile_strata(
+                df, "v", 4, ["g"], F.col("id").asc()
+            ).collect()
+        }
+        via_quantile = {
+            (r["id"], r["stratum"])
+            for r in sv.quantile_strata(df, "v", 4, ["g"]).collect()
+        }
+        assert via_ntile == via_quantile, n_rows
+    # explicit tie rule: boundary ties all LOW at t_low, MID at t_high
+    tied = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(
+            [1.0, 1.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0])],
+        "id int, g string, v double",
+    )
+    # N=8, n=4: k_low=2 -> t_low=1.0 (cum 3>=2): ids 0,1,2 LOW;
+    # k_high=6 -> t_high=4.0 (cum 6>=6): only v>4.0 HIGH (ids 6,7)
+    labs = {r["id"]: r["stratum"]
+            for r in sv.quantile_strata(tied, "v", 4, ["g"]).collect()}
+    assert labs == {0: "LOW", 1: "LOW", 2: "LOW", 6: "HIGH", 7: "HIGH"}
+    # NULL value -> LOW (ntile nulls-first agreement); all-null group
+    # drops (no definable boundary)
+    withnull = spark.createDataFrame(
+        [(0, "g", None), (1, "g", 1.0), (2, "g", 2.0), (3, "g", 3.0),
+         (4, "g", 4.0), (5, "h", None)],
+        "id int, g string, v double",
+    )
+    out = {r["id"]: r["stratum"]
+           for r in sv.quantile_strata(withnull, "v", 4, ["g"]).collect()}
+    assert out[0] == "LOW" and 5 not in out
+    # keep_extremes_only=False labels the middle too
+    full = sv.quantile_strata(
+        tied, "v", 4, ["g"], keep_extremes_only=False
+    ).collect()
+    assert {r["stratum"] for r in full} == {"LOW", "MID", "HIGH"}
+    assert len(full) == 8
+
+
 def test_hash_split_bucket_engine_parity_and_proportions(spark):
     """The train/val/test hash split must be bit-identical in DuckDB
     (same md5-prefix construction) and roughly proportional."""
