@@ -95,6 +95,14 @@ HEADLINE = [
     "q4_order_priority",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
+    # round-7 additions: driver-invisible operators promoted to
+    # oracle-visible BENCH_ONLY entries (judge asks #4/#7)
+    "tx_boilerplate",
+    "tx_tfidf",
+    "tx_bm25",
+    "tj_diff_snapshots",
+    "tj_apply_cdc",
+    "dd_band_firstseen",
     # a6_poisson_wald is deliberately NOT benched: the GLM family has
     # never been in the headline set (per-gene grouped-map fits price
     # by group count, not data size — a correctness vehicle, verified

@@ -347,6 +347,64 @@ def near_duplicates(
     )
 
 
+def band_firstseen_gate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Batch form of the STREAMING near-dedup admission gate
+    (streaming/neardup.py ``near_dup_dedup_stream``): a document passes
+    iff EVERY one of its LSH band signatures is first-seen — the
+    conservative one-sided rule the stream applies per micro-batch,
+    here with "arrival order" = ascending ``id_col`` (the stream's
+    dropDuplicatesWithinWatermark keeps the first-processed row per
+    band key; batch replays that with a per-band-key min-id claim).
+
+    Same decision semantics, different trade than
+    :func:`near_duplicates`: no candidate verify, so an LSH
+    false-positive on even one band rejects a unique document — the
+    fail-closed direction (never admits a near-dup the bands can see).
+    Documents with no bands (< ``k`` tokens after normalization) pass
+    trivially, exactly like the stream's empty band array.
+
+    Output: one row per input document — ``(id, n_bands BIGINT,
+    passed BOOLEAN)``; filter ``passed`` for the admitted corpus.
+
+    Scale shape: shingle/minhash are narrow per-doc work (one signature
+    aggregation shuffle); the gate itself is ONE aggregation keyed by
+    (band, band_sig) — state is one min-id per band key, exactly the
+    stream's state size — joined back to the per-doc band rows, then a
+    per-doc all() aggregation. No self-join, no pair explosion: this is
+    the cheap pre-filter tier; the pair-verified tier is
+    :func:`near_duplicates`.
+    """
+    sh = shingle_array(df, id_col, text_col, k)
+    sig = minhash_signature_arrays(sh, id_col, num_hashes)
+    seeds = sorted(int(c[3:]) for c in sig.columns if c.startswith("_mh"))
+    bands = _band_signatures(sig, id_col, seeds, band_size)
+    first = bands.groupBy("band", "band_sig").agg(
+        F.min(id_col).alias("_keep")
+    )
+    per_doc = (
+        bands.join(first, ["band", "band_sig"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bands"),
+            F.min((F.col("_keep") == F.col(id_col)).cast("int")).alias(
+                "_all_first"
+            ),
+        )
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_bands"), F.lit(0).cast("long")).alias("n_bands"),
+        (F.coalesce(F.col("_all_first"), F.lit(1)) == 1).alias("passed"),
+    )
+
+
 #: Arrow output schema shared by the embedding near-dup kernels.
 _PAIR_SCHEMA = "id_a long, id_b long, cosine double"
 
