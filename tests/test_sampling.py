@@ -114,6 +114,52 @@ def test_pack_shards_block_size_invariance(spark):
         assert got == ref, bs
 
 
+def test_pack_shards_superblock_invariance_and_cap(spark):
+    """The two-level prefix sum (round 7: driver holds only SUPERBLOCK
+    totals) is an implementation detail: any (block_size,
+    superblock_factor) pair — including the adversarial block_size=1,
+    where every row is its own block and the superblock level does all
+    the lifting — yields the identical packing. The driver cap fails
+    loudly, not with an OOM."""
+    import random
+
+    import pytest as _pytest
+
+    from tcga_query_project_spark.operators import sampling as sm
+
+    rng = random.Random(23)
+    df = spark.createDataFrame(
+        [(i * 3 + 1, rng.randrange(1, 200)) for i in range(257)],
+        "k long, tok long",
+    )
+    ref = sorted(
+        (r["k"], r["cum_tokens"], r["shard"])
+        for r in sampling.pack_shards(
+            df, "k", "tok", budget=700, block_size=10**9
+        ).collect()
+    )
+    for bs, sbf in ((1, 1), (1, 2), (1, 7), (4, 3), (64, 1)):
+        got = sorted(
+            (r["k"], r["cum_tokens"], r["shard"])
+            for r in sampling.pack_shards(
+                df, "k", "tok", budget=700, block_size=bs,
+                superblock_factor=sbf,
+            ).collect()
+        )
+        assert got == ref, (bs, sbf)
+    # cap: fabricate a tiny cap via monkeypatching the module constant
+    orig = sm._MAX_DRIVER_SUPERBLOCKS
+    try:
+        sm._MAX_DRIVER_SUPERBLOCKS = 10
+        with _pytest.raises(ValueError, match="superblocks exceed"):
+            sampling.pack_shards(
+                df, "k", "tok", budget=700, block_size=1,
+                superblock_factor=1,
+            )
+    finally:
+        sm._MAX_DRIVER_SUPERBLOCKS = orig
+
+
 def test_pack_shards_overrun_bound(spark):
     """Each shard's token total may exceed the budget by at most one
     document's tokens (the straddler), never more."""
