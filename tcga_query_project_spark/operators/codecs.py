@@ -25,6 +25,16 @@ import zlib
 
 import numpy as np
 
+#: Upper bound on DECLARED pixel counts the decoders will allocate for
+#: (~64 Mpx ≈ a 8192x8192 image; RGBA int64 working arrays at that size
+#: are ~2 GB — the ceiling of what one Arrow-batch task should ever
+#: hold). Headers are attacker-controlled in crawl data: PNG/JPEG
+#: payload bytes are COMPRESSED, so a tiny payload can declare a huge
+#: canvas; every decoder must bounds-check the header before
+#: allocating, returning the documented None instead of OOM-killing
+#: the executor.
+MAX_DECODE_PIXELS = 64 * 1024 * 1024
+
 # --------------------------------------------------------------------------
 # images: BMP + PPM/PGM
 # --------------------------------------------------------------------------
@@ -185,10 +195,20 @@ def decode_png(payload: bytes) -> np.ndarray | None:
         channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
         if channels is None or w <= 0 or h <= 0:
             return None
-        raw = zlib.decompress(bytes(idat))
+        # Adversarial-input guards (crawl data is untrusted): reject
+        # implausible DECLARED dimensions before touching the DEFLATE
+        # stream, and inflate with an output bound — a small
+        # decompression-bomb IDAT must hit the documented return-None
+        # path, not exhaust executor memory (the size check used to
+        # run only AFTER full inflation).
+        if w * h > MAX_DECODE_PIXELS:
+            return None
+        stride = w * channels
+        need = h * (stride + 1)
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), need)
     except Exception:
         return None
-    stride = w * channels
     if len(raw) < h * (stride + 1):
         return None
     scan = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(

@@ -290,6 +290,16 @@ def _decode(d: bytes) -> np.ndarray | None:
             if prec != 8:
                 return None
             h, w = struct.unpack_from(">HH", seg, 1)
+            # declared-dimension cap BEFORE any MCU-plane allocation:
+            # the scan body is entropy-coded, so a tiny hostile payload
+            # can declare a huge canvas (codecs.MAX_DECODE_PIXELS —
+            # same guard as the PNG path)
+            from tcga_query_project_spark.operators.codecs import (
+                MAX_DECODE_PIXELS,
+            )
+
+            if h <= 0 or w <= 0 or h * w > MAX_DECODE_PIXELS:
+                return None
             ncomp = seg[5]
             comps = []
             for c in range(ncomp):

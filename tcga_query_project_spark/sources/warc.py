@@ -34,15 +34,26 @@ WARC_SCHEMA = (
 
 def _gunzip_members(data: bytes) -> bytes:
     """Decompress a (possibly multi-member) gzip stream; raw bytes pass
-    through untouched."""
+    through untouched.
+
+    A truncated or corrupt member (common in real Common Crawl
+    segments) must not fail the whole archive — one bad file would
+    otherwise kill the entire mapInPandas task and with it the ingest
+    job. On ``zlib.error`` the members decoded so far are returned and
+    the rest of the stream is dropped; the record parser then simply
+    stops at the truncation point (its resync logic already tolerates
+    a ragged tail)."""
     if data[:2] != b"\x1f\x8b":
         return data
     out = bytearray()
     rest = data
     while rest[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=31)
-        out += d.decompress(rest)
-        out += d.flush()
+        try:
+            out += d.decompress(rest)
+            out += d.flush()
+        except zlib.error:
+            break
         rest = d.unused_data
     return bytes(out)
 
@@ -65,12 +76,19 @@ def parse_warc_records(
         if nxt < 0:
             return
         pos = nxt
-        hdr_end = data.find(b"\r\n\r\n", pos)
-        sep = 4
-        if hdr_end < 0:
-            hdr_end = data.find(b"\n\n", pos)
-            sep = 2
-        if hdr_end < 0:
+        # EARLIEST of the two terminators wins. Preferring \r\n\r\n
+        # located anywhere downstream is wrong for LF-only WARC
+        # headers over a CRLF HTTP payload: the match would land at
+        # the HTTP header/body boundary INSIDE the payload, merging
+        # WARC and HTTP headers (HTTP Content-Length overwrites the
+        # WARC one; the record's true framing is lost).
+        e1 = data.find(b"\r\n\r\n", pos)
+        e2 = data.find(b"\n\n", pos)
+        if e1 >= 0 and (e2 < 0 or e1 < e2):
+            hdr_end, sep = e1, 4
+        elif e2 >= 0:
+            hdr_end, sep = e2, 2
+        else:
             return
         head = data[pos:hdr_end].decode("utf-8", errors="replace")
         lines = head.splitlines()
@@ -92,18 +110,25 @@ def parse_warc_records(
 
 def split_http_response(payload: bytes) -> tuple[dict[str, str], bytes]:
     """Split a WARC ``response`` record's payload into HTTP headers and
-    body (response records embed the full HTTP message)."""
-    for sep in (b"\r\n\r\n", b"\n\n"):
-        i = payload.find(sep)
-        if i >= 0:
-            head = payload[:i].decode("utf-8", errors="replace")
-            headers: dict[str, str] = {}
-            for line in head.splitlines()[1:]:
-                if ":" in line:
-                    k, v = line.split(":", 1)
-                    headers[k.strip().lower()] = v.strip()
-            return headers, payload[i + len(sep):]
-    return {}, payload
+    body (response records embed the full HTTP message). Same
+    earliest-terminator rule as :func:`parse_warc_records` — an
+    LF-only HTTP header block over a body that happens to contain
+    ``\\r\\n\\r\\n`` must split at the real (earlier) boundary."""
+    e1 = payload.find(b"\r\n\r\n")
+    e2 = payload.find(b"\n\n")
+    if e1 >= 0 and (e2 < 0 or e1 < e2):
+        i, sep_len = e1, 4
+    elif e2 >= 0:
+        i, sep_len = e2, 2
+    else:
+        return {}, payload
+    head = payload[:i].decode("utf-8", errors="replace")
+    headers: dict[str, str] = {}
+    for line in head.splitlines()[1:]:
+        if ":" in line:
+            k, v = line.split(":", 1)
+            headers[k.strip().lower()] = v.strip()
+    return headers, payload[i + sep_len:]
 
 
 def read_warc(
@@ -132,7 +157,17 @@ def read_warc(
         for pdf in batches:
             rows = []
             for fpath, blob in zip(pdf["path"], pdf["content"]):
-                for headers, payload in parse_warc_records(bytes(blob)):
+                # one unparseable archive must not fail the task (and
+                # with it the whole ingest job): salvage whatever
+                # records parsed before the fault and move on to the
+                # next file. Decompression truncation is already
+                # handled inside _gunzip_members; this guard catches
+                # anything else a hostile file can throw.
+                try:
+                    recs = list(parse_warc_records(bytes(blob)))
+                except Exception:
+                    continue
+                for headers, payload in recs:
                     wtype = headers.get("warc-type", "").lower()
                     if keep and wtype not in keep:
                         continue

@@ -424,6 +424,59 @@ def test_warc_ingest_end_to_end(spark, tmp_path):
         assert r["n_chars"] == len(r["text"]) and r["doc_id"] is not None
 
 
+def test_warc_lf_only_headers_and_corrupt_member(spark, tmp_path):
+    """Round-7 hardening (advisor findings): (1) an LF-only WARC header
+    block over a CRLF HTTP payload must split at the EARLIER
+    terminator — preferring \\r\\n\\r\\n anywhere downstream used to
+    merge WARC+HTTP headers (HTTP Content-Length overwrote the WARC
+    one and the page was silently dropped); (2) a truncated gzip
+    member must not fail the archive — records from intact members
+    before it still parse."""
+    import gzip
+
+    from tcga_query_project_spark.sources import warc
+
+    html = "<html><body><p>LF framed page.</p></body></html>"
+    http = _http_html(html)
+    lf_head = (
+        "WARC/1.0\n"
+        "WARC-Type: response\n"
+        "WARC-Record-ID: <urn:uuid:eee>\n"
+        "WARC-Target-URI: http://example.com/lf\n"
+        "WARC-Date: 2024-01-01T00:00:00Z\n"
+        f"Content-Length: {len(http)}\n"
+        "\n"
+    ).encode()
+    lf_rec = lf_head + http + b"\n\n"
+    recs = list(warc.parse_warc_records(lf_rec))
+    assert len(recs) == 1
+    headers, payload = recs[0]
+    # WARC framing intact: the HTTP headers did NOT leak into the WARC
+    # header dict and the payload is the FULL HTTP message
+    assert headers["content-length"] == str(len(http))
+    assert headers["warc-type"] == "response"
+    assert payload == http
+    hh, body = warc.split_http_response(payload)
+    assert hh["content-type"].startswith("text/html")
+    assert body == html.encode()
+    # LF-only HTTP headers over a body containing \r\n\r\n: split at
+    # the earlier LF-LF boundary
+    tricky = b"HTTP/1.1 200 OK\nContent-Type: text/plain\n\nA\r\n\r\nB"
+    hh2, body2 = warc.split_http_response(tricky)
+    assert hh2["content-type"] == "text/plain" and body2 == b"A\r\n\r\nB"
+
+    # corrupt member: good gzip member + truncated member
+    good = _warc_record(
+        "response", "http://example.com/ok", "fff", _http_html(html)
+    )
+    bad = gzip.compress(good)[: 40]  # truncated mid-member
+    d = tmp_path / "warcs2"
+    d.mkdir()
+    (d / "mixed.warc.gz").write_bytes(gzip.compress(good) + bad)
+    out = warc.read_warc(spark, str(d)).collect()
+    assert [r["target_uri"] for r in out] == ["http://example.com/ok"]
+
+
 def test_url_normalization_and_dedup(spark):
     """normalize_url canonicalizes scheme/host case, fragments, default
     ports and trailing slashes (query preserved — it selects content);

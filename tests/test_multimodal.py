@@ -453,6 +453,59 @@ def test_codecs_png_roundtrip_and_unfilter():
     assert codecs.decode_png(magic + chunk(b"IHDR", ihdr_i)) is None
 
 
+def test_codecs_adversarial_bounds():
+    """Round-7 hardening (advisor finding): decoders must bounds-check
+    DECLARED dimensions before allocating and inflate with an output
+    cap — a decompression-bomb IDAT or a huge declared canvas from
+    untrusted crawl data hits the documented return-None path (or a
+    bounded inflate), never an executor OOM."""
+    import struct
+    import time
+    import zlib
+
+    from tcga_query_project_spark.operators import codecs, jpeg
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    magic = b"\x89PNG\r\n\x1a\n"
+    # 1. huge declared canvas (40000x40000 = 1.6e9 px > cap), tiny IDAT:
+    #    rejected fast, before any inflate/allocation
+    ihdr_huge = struct.pack(">IIBBBBB", 40000, 40000, 8, 2, 0, 0, 0)
+    bomb_small = magic + chunk(b"IHDR", ihdr_huge) + chunk(
+        b"IDAT", zlib.compress(b"\x00" * 64)
+    ) + chunk(b"IEND", b"")
+    t0 = time.monotonic()
+    assert codecs.decode_png(bomb_small) is None
+    assert time.monotonic() - t0 < 1.0
+    # 2. small declared canvas, IDAT inflating to ~200 MB of zeros
+    #    (a ~200 KB payload): the bounded inflate reads only the bytes
+    #    the canvas needs and decoding still SUCCEEDS on the prefix
+    ihdr_2x2 = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb_stream = magic + chunk(b"IHDR", ihdr_2x2) + chunk(
+        b"IDAT", zlib.compress(b"\x00" * (200 * 1024 * 1024))
+    ) + chunk(b"IEND", b"")
+    t0 = time.monotonic()
+    got = codecs.decode_png(bomb_stream)
+    assert got is not None and got.shape == (2, 2, 3) and got.sum() == 0
+    assert time.monotonic() - t0 < 2.0
+    # 3. JPEG declaring a huge frame: rejected at SOF parse, before
+    #    any MCU-plane allocation
+    real = jpeg.encode_jpeg(
+        np.zeros((8, 8, 3), dtype=np.uint8), subsampling="444"
+    )
+    sof = real.find(b"\xff\xc0")
+    assert sof > 0
+    hacked = bytearray(real)
+    struct.pack_into(">HH", hacked, sof + 5, 40000, 40000)
+    t0 = time.monotonic()
+    assert jpeg.decode_jpeg(bytes(hacked)) is None
+    assert time.monotonic() - t0 < 1.0
+
+
 def test_multimodal_png_e2e(spark):
     """PNG through the real Spark kernels: extract_features sees the
     decoded PIXELS (same luma histogram as the equivalent BMP), and
