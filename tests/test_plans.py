@@ -241,6 +241,11 @@ def test_q17_no_forced_broadcast_of_fact_aggregate(spark):
     )
     df.write.format("noop").mode("overwrite").save()
     assert not plans.has_operator(df, "CartesianProduct")
+    # the window decorrelation means NO join at all (and exactly one
+    # fact exchange): a refactor back to agg+join reintroduces either
+    # the broadcast-build scale cost or a second fact shuffle
+    assert not plans.has_operator(df, "Join")
+    assert plans.count_exchanges(df) <= 2  # partkey window + final agg
 
 
 def test_headline_shuffle_budgets(spark):
