@@ -103,6 +103,8 @@ HEADLINE = [
     "tj_diff_snapshots",
     "tj_apply_cdc",
     "dd_band_firstseen",
+    "q21_sole_late_supplier",
+    "q22_idle_customers",
     # a6_poisson_wald is deliberately NOT benched: the GLM family has
     # never been in the headline set (per-gene grouped-map fits price
     # by group count, not data size — a correctness vehicle, verified

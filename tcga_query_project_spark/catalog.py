@@ -4101,6 +4101,126 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_bench_only(
+    "q21_sole_late_supplier",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey,
+             MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 80 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_orderkey, l_suppkey
+    ),
+    ord AS (
+      SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late
+      FROM li GROUP BY l_orderkey
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM li
+    JOIN ord ON ord.l_orderkey = li.l_orderkey
+    JOIN supplier s ON s.s_suppkey = li.l_suppkey
+    WHERE li.late = 1 AND ord.n_supp > 1 AND ord.n_late = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name LIMIT 50
+    """,
+    tags=("relational", "exists-not-exists", "tpch-q21"),
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): suppliers
+    late on a multi-supplier order where NO other supplier was late.
+    The reference SQL's correlated EXISTS (another supplier exists)
+    and NOT EXISTS (another late supplier exists) decorrelate into ONE
+    per-(order, supplier) aggregate plus a per-order rollup of it —
+    the triple lineitem self-join becomes two grouped passes over the
+    same derived table (the rollup reuses the first aggregation's
+    output, so the fact scans once), then a broadcast supplier join
+    and a TakeOrderedAndProject. Late = shipped > 80 days after the
+    order date (adapted to this schema's columns)."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+            "l_orderkey",
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 80 DAYS")
+                ).cast("int")
+            ).alias("late")
+        )
+    )
+    ord_stats = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        li.filter(F.col("late") == 1)
+        .join(ord_stats, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(50)
+    )
+
+
+@register_bench_only(
+    "q22_idle_customers",
+    """
+    WITH ab AS (
+      SELECT ROUND(AVG(c_acctbal), 4) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    ),
+    eligible AS (
+      SELECT c_custkey, c_nationkey % 10 AS cntry, c_acctbal
+      FROM customer, ab WHERE c_acctbal > ab.avg_bal
+    )
+    SELECT CAST(cntry AS BIGINT) AS cntry,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           ROUND(SUM(c_acctbal), 4) AS total_bal
+    FROM eligible e
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = e.c_custkey)
+    GROUP BY cntry
+    """,
+    tags=("relational", "scalar-subquery-anti-join", "tpch-q22"),
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with an
+    above-average positive balance and NO orders, grouped by a country
+    code (nationkey mod 10 stands in for the phone prefix). The scalar
+    subquery is a one-row broadcast (the global average, ROUNDed to 4
+    on both sides so the threshold compare is FP-portable); the NOT
+    EXISTS is a left-anti join against the order custkeys; the
+    customer table shuffles once (anti-join key), orders reduce to
+    their distinct custkeys before the exchange."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    ab = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        cust.join(F.broadcast(ab))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, "c_custkey", "left_anti")
+        .groupBy((F.col("c_nationkey") % 10).cast("long").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+        )
+    )
+
+
 @register(
     "a6_poisson_wald",
     "WITH "
