@@ -267,8 +267,11 @@ def test_headline_shuffle_budgets(spark):
         # and the totality join broadcasts or reuses
         "tx_repetition": 2,
         # block-partitioned window + broadcast offset join (the global
-        # cumsum never plans a single-partition exchange)
-        "pp_mixture_shards": 2,
+        # cumsum never plans a single-partition exchange). Round 7's
+        # two-level prefix sum moved the block-offset recovery INTO the
+        # plan (block-total agg + within-superblock window — both over
+        # dimension-sized block totals, not rows), +1 exchange
+        "pp_mixture_shards": 3,
         # (user,ts) dedup agg + user-keyed session window
         "tj_sessionize": 2,
         # bucketized equi-join broadcasts the interval side here; at
