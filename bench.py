@@ -105,6 +105,7 @@ HEADLINE = [
     "dd_band_firstseen",
     "q21_sole_late_supplier",
     "q22_idle_customers",
+    "dd_decontaminate",
     # a6_poisson_wald is deliberately NOT benched: the GLM family has
     # never been in the headline set (per-gene grouped-map fits price
     # by group count, not data size — a correctness vehicle, verified

@@ -1714,6 +1714,85 @@ def dd_band_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_bench_only(
+    "dd_decontaminate",
+    "WITH "
+    + _MINHASH_CTE
+    + """,
+    seeds AS (SELECT unnest(generate_series(1, 8)) AS seed),
+    sigc AS (
+      SELECT doc_id, seed,
+             MIN(((2 * seed + 1)
+                    * (('0x' || substring(md5(shingle), 1, 8))::BIGINT)
+                  + seed * 1000003) % 4294967311) AS mh
+      FROM sh CROSS JOIN seeds WHERE doc_id % 37 != 0
+      GROUP BY doc_id, seed
+    ),
+    sigr AS (
+      SELECT doc_id, seed,
+             MIN(((2 * seed + 1)
+                    * (('0x' || substring(md5(shingle), 1, 8))::BIGINT)
+                  + seed * 1000003) % 4294967311) AS mh
+      FROM sh CROSS JOIN seeds WHERE doc_id % 37 = 0
+      GROUP BY doc_id, seed
+    ),
+    bandsc AS (
+      SELECT doc_id AS corpus_id,
+             CAST(FLOOR((seed - 1) / 2.0) AS BIGINT) AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed))
+               AS band_sig
+      FROM sigc GROUP BY doc_id, band
+    ),
+    bandsr AS (
+      SELECT doc_id AS reference_id,
+             CAST(FLOOR((seed - 1) / 2.0) AS BIGINT) AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed))
+               AS band_sig
+      FROM sigr GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT c.corpus_id, r.reference_id
+      FROM bandsc c
+      JOIN bandsr r ON r.band = c.band AND r.band_sig = c.band_sig
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS sz
+              FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.corpus_id, c.reference_id, CAST(COUNT(*) AS DOUBLE) AS i
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.corpus_id
+      JOIN sh sb ON sb.doc_id = c.reference_id
+             AND sb.shingle = sa.shingle
+      GROUP BY c.corpus_id, c.reference_id
+    )
+    SELECT i.corpus_id, i.reference_id,
+           ROUND(i.i / (za.sz + zb.sz - i.i), 6) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.corpus_id
+    JOIN sizes zb ON zb.doc_id = i.reference_id
+    WHERE ROUND(i.i / (za.sz + zb.sz - i.i), 6) >= 0.2
+    """,
+    tags=("decontamination", "cross-corpus"),
+)
+def dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination (dedup.decontaminate), oracle-visible
+    since round 7: every 37th document plays the evaluation/reference
+    set, the rest the training corpus; pairs at word-3-gram Jaccard >=
+    0.2 are the contaminated (training_doc, eval_doc) hits. Same
+    portable minhash family as dd_minhash_lsh but a corpus x BROADCAST
+    reference band join instead of a self-join — the corpus scans once;
+    the only corpus-sized shuffle is its signature aggregation. The
+    oracle replays the identical hash pipeline split by the same
+    predicate."""
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 37 == 0)
+    corp = docs.filter(F.col("doc_id") % 37 != 0)
+    return dedup.decontaminate(
+        corp, ref, "doc_id", "text",
+        k=3, num_hashes=8, band_size=2, threshold=0.2,
+    )
+
+
 @register(
     "dd_embedding_neardup",
     """
