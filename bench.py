@@ -106,6 +106,7 @@ HEADLINE = [
     "q21_sole_late_supplier",
     "q22_idle_customers",
     "dd_decontaminate",
+    "dd_index_dedup",
     # a6_poisson_wald is deliberately NOT benched: the GLM family has
     # never been in the headline set (per-gene grouped-map fits price
     # by group count, not data size — a correctness vehicle, verified

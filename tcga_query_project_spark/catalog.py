@@ -1793,6 +1793,56 @@ def dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_bench_only(
+    "dd_index_dedup",
+    "WITH "
+    + _MINHASH_BANDS_CTES
+    + """,
+    bn AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+    bi AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS did, i.doc_id AS matched_id
+      FROM bn n JOIN bi i ON i.band = n.band AND i.band_sig = n.band_sig
+    )
+    SELECT c.did AS doc_id, c.matched_id,
+           ROUND(AVG(CASE WHEN sn.mh = si.mh THEN 1.0 ELSE 0.0 END), 6)
+             AS est_jaccard
+    FROM cand c
+    JOIN sig sn ON sn.doc_id = c.did
+    JOIN sig si ON si.doc_id = c.matched_id AND si.seed = sn.seed
+    GROUP BY c.did, c.matched_id
+    HAVING AVG(CASE WHEN sn.mh = si.mh THEN 1.0 ELSE 0.0 END) >= 0.5
+    """,
+    tags=("dedup-index", "incremental-ingest"),
+)
+def dd_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a PERSISTED index
+    (dedup.build_dedup_index + dedup_against_index), oracle-visible
+    since round 7: even doc_ids play the already-ingested corpus —
+    their MinHash state is materialized as a real parquet index
+    (signatures + band-partitioned band sigs) in a fresh temp dir —
+    and odd doc_ids play the ingest delta, deduped against that index
+    WITHOUT re-reading corpus text. Verify is the unbiased
+    signature-agreement estimator (fraction of agreeing minhashes,
+    k/8 granularity — exact in FP on both engines), threshold 0.5.
+    The oracle replays band collision + agreement over the same hash
+    family; the Spark side additionally exercises the index write/
+    read-back machinery the SQL cannot see (bench charges the build
+    to build-inclusive time, the query to exec)."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    index_dir = tempfile.mkdtemp(prefix="dedup_index_")
+    dedup.build_dedup_index(
+        docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text",
+        index_dir, k=3, num_hashes=8, band_size=2,
+    )
+    return dedup.dedup_against_index(
+        docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text",
+        index_dir, k=3, band_size=2, est_threshold=0.5,
+    )
+
+
 @register(
     "dd_embedding_neardup",
     """

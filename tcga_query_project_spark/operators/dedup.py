@@ -961,7 +961,17 @@ def build_dedup_index(
             f"build_dedup_index: mode={mode!r} unsupported — full "
             "(re)builds only; use append_to_index for deltas"
         )
-    sh = shingle_array(docs, id_col, text_col, k)
+    from tcga_query_project_spark.operators.caching import (
+        materialize_shared,
+    )
+
+    # persist the shingle stage even for this single-consumer chain:
+    # without it, the explode's inferred not-empty filter re-expands
+    # the interpreted shingle lambda under the projection (3 extra
+    # interpreted transforms per row; measured ~3x build cost at sf0.1)
+    sh = materialize_shared(
+        shingle_array(docs, id_col, text_col, k), eager=False
+    )
     sig = minhash_signature_arrays(sh, id_col, num_hashes)
     seeds = list(range(1, num_hashes + 1))
     # write signatures FIRST, then derive bands by reading them back:
@@ -1002,10 +1012,21 @@ def dedup_against_index(
     always hashed with the index's own family.
     """
     spark = new_docs.sparkSession
+    from tcga_query_project_spark.operators.caching import (
+        materialize_shared,
+    )
+
     sig_i = spark.read.parquet(f"{index_dir}/signatures")
     seeds = sorted(int(c[3:]) for c in sig_i.columns if c.startswith("_mh"))
-    sh_n = shingle_array(new_docs, id_col, text_col, k)
-    sig_n = minhash_signature_arrays(sh_n, id_col, len(seeds))
+    sh_n = materialize_shared(
+        shingle_array(new_docs, id_col, text_col, k), eager=False
+    )
+    # the delta signatures feed TWO consumers (band keys + the
+    # agreement verify) — persist, or the whole delta hash pipeline
+    # executes twice (near_duplicates contract)
+    sig_n = materialize_shared(
+        minhash_signature_arrays(sh_n, id_col, len(seeds)), eager=False
+    )
     bands_n = _band_signatures(sig_n, id_col, seeds, band_size).select(
         F.col(id_col), "band", "band_sig"
     )
