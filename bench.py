@@ -12,6 +12,7 @@ so the timing is the engine's, not pandas'.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -203,6 +204,17 @@ def main() -> None:
         times[name] = round(min(reps), 3)
         times_median[name] = round(sorted(reps)[1], 3)
         times_exec[name] = round(min(reps_exec), 3)
+        # Release the just-timed query's driver-side references NOW:
+        # broadcast variables survive clearCache() and are only
+        # unpersisted by the ContextCleaner once their py4j handles are
+        # garbage-collected — with 50+ broadcast-heavy queries in one
+        # session, lazily-collected handles pile JVM broadcast blocks
+        # up until later queries time against GC churn instead of
+        # their own plan (round-6 w1 read 3.1s in-session vs 0.89s
+        # isolated; round-7 caught dd_embedding_neardup at 9.2s vs
+        # 1.2s the same way).
+        df = None
+        gc.collect()
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
