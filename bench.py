@@ -108,6 +108,24 @@ HEADLINE = [
     "q22_idle_customers",
     "dd_decontaminate",
     "dd_index_dedup",
+    # round-7 additions (2): the remaining 14 classic TPC-H shapes —
+    # the full 22 are now oracle-checked (Q1-Q22 adapted to this
+    # schema; no partsupp table, lineitem stands in for the
+    # part-supplier relation)
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_lateness",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q19_disjunctive_revenue",
+    "q20_dominant_suppliers",
     # a6_poisson_wald is deliberately NOT benched: the GLM family has
     # never been in the headline set (per-gene grouped-map fits price
     # by group count, not data size — a correctness vehicle, verified

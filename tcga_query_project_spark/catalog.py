@@ -4452,3 +4452,835 @@ def a6_poisson_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         "n_b",
     )
+
+
+# =========================================================================
+# TPC-H shape completion (rounds 6-7 added Q1/Q3/Q4/Q5/Q17/Q18/Q21/Q22;
+# this block adds the remaining 14 classic shapes, adapted to this
+# schema: no partsupp table, so lineitem stands in for the part-supplier
+# relationship where needed; no l_shipmode/l_commitdate, so lateness is
+# shipdate vs orderdate and l_linestatus stands in for the mode
+# dimension. Exactness discipline: any value that feeds an EQUALITY or
+# THRESHOLD compare across engines is computed order-insensitively —
+# integer-cents BIGINT sums (q11/q15/q20) or MIN of exact doubles (q2) —
+# never a rounded FP sum, so the row SET cannot differ between Spark and
+# DuckDB; display-only money columns keep the ROUND(4) convention.
+# =========================================================================
+
+_Q2_SIZE_LO, _Q2_SIZE_HI = 5, 30
+
+
+@register_bench_only(
+    "q2_min_cost_supplier",
+    f"""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    cand AS (
+      SELECT p.p_partkey, p.p_name, eu.s_name, eu.n_name, eu.s_acctbal,
+             ps.unit_cost,
+             MIN(ps.unit_cost) OVER (PARTITION BY p.p_partkey) AS min_cost
+      FROM ps
+      JOIN eu ON ps.l_suppkey = eu.s_suppkey
+      JOIN part p ON ps.l_partkey = p.p_partkey
+      WHERE p.p_size BETWEEN {_Q2_SIZE_LO} AND {_Q2_SIZE_HI}
+        AND p.p_type = 'STANDARD'
+    )
+    SELECT p_partkey, p_name, s_name, n_name, s_acctbal,
+           unit_cost AS supplycost
+    FROM cand WHERE unit_cost = min_cost
+    ORDER BY s_acctbal DESC, p_partkey ASC, s_name ASC
+    LIMIT 100
+    """,
+    tags=("relational", "correlated-min", "tpch-q2"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each qualifying part,
+    the European supplier(s) achieving the minimum unit cost. With no
+    partsupp table, the part-supplier cost relation derives from
+    lineitem as MIN(l_extendedprice / l_quantity) per (part, supplier)
+    — deliberately MIN, not AVG: a one-instruction IEEE division then
+    an order-insensitive MIN is bit-exact in both engines, so the
+    correlated-minimum EQUALITY (the crux of Q2) compares exact
+    doubles, never a rounded FP sum — and the output cost stays
+    UNROUNDED for the same reason (it is already exact; a display
+    ROUND would reintroduce engine-dependent half-way cases). Plan: the (part,supp) aggregation
+    is the one fact shuffle; suppliers⋈nation⋈region broadcast; the
+    per-part minimum rides a window over the already-shuffled partkey
+    (no second exchange — partial agg output is hash-partitioned on
+    the grouping key prefix); top-k is TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = _t(spark, sf_dir, "part").filter(
+        F.col("p_size").between(_Q2_SIZE_LO, _Q2_SIZE_HI)
+        & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_name")
+    cand = (
+        ps.join(F.broadcast(eu), ps["l_suppkey"] == eu["s_suppkey"])
+        .join(F.broadcast(parts), ps["l_partkey"] == parts["p_partkey"])
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("_min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("_min_cost"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            "s_acctbal",
+            F.col("unit_cost").alias("supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("p_partkey").asc(),
+            F.col("s_name").asc(),
+        )
+        .limit(100)
+    )
+
+
+_Q6_LO = "1997-01-01 00:00:00"
+_Q6_HI = "1998-01-01 00:00:00"
+
+
+@register_bench_only(
+    "q6_forecast_revenue",
+    f"""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue_effect,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{_Q6_LO}'
+      AND l_shipdate < TIMESTAMP '{_Q6_HI}'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("relational", "scan-filter-agg", "tpch-q6"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): a pure
+    scan-filter-aggregate with NO join and NO group — the canonical
+    predicate-pushdown query. All four conjuncts (two timestamp bounds,
+    a discount band on raw parquet doubles, a quantity bound) push to
+    the parquet scan as PushedFilters, so at 100 TB the row-group
+    min/max statistics skip everything outside the ship-year; the agg
+    is a two-phase partial/final with a one-row result. Discount bounds
+    compare raw stored doubles (bit-identical in both engines)."""
+    lo = F.lit(_Q6_LO).cast("timestamp_ntz")
+    hi = F.lit(_Q6_HI).cast("timestamp_ntz")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4)
+            .alias("revenue_effect"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+@register_bench_only(
+    "q7_volume_shipping",
+    """
+    WITH nr AS (
+      SELECT n_nationkey, r_name
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+    )
+    SELECT nr_s.r_name AS supp_region, nr_c.r_name AS cust_region,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nr nr_s ON nr_s.n_nationkey = s.s_nationkey
+    JOIN nr nr_c ON nr_c.n_nationkey = c.c_nationkey
+    WHERE (nr_s.r_name = 'ASIA' AND nr_c.r_name = 'EUROPE')
+       OR (nr_s.r_name = 'EUROPE' AND nr_c.r_name = 'ASIA')
+    GROUP BY supp_region, cust_region, l_year
+    """,
+    tags=("relational", "disjunctive-pair", "tpch-q7"),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): trade volume between two
+    territories in both directions, by ship year. Adapted to regions
+    (the synthetic nation dim spreads suppliers too thin at small SF
+    for a nation pair to be non-empty). Plan: the nation→region name
+    map is built once and broadcast into BOTH the supplier and the
+    customer sides (two independent broadcast hash joins, no
+    self-join shuffle); the disjunctive pair predicate filters after
+    the cheap dim joins; lineitem is leftmost so the fact never
+    becomes a build side; one exchange for the final group-by."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nr = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "r_name")
+    )
+    nr_s = nr.select(
+        F.col("n_nationkey").alias("_snk"), F.col("r_name").alias("supp_region")
+    )
+    nr_c = nr.select(
+        F.col("n_nationkey").alias("_cnk"), F.col("r_name").alias("cust_region")
+    )
+    return (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nr_s), F.col("s_nationkey") == F.col("_snk"))
+        .join(F.broadcast(nr_c), F.col("c_nationkey") == F.col("_cnk"))
+        .filter(
+            ((F.col("supp_region") == "ASIA") & (F.col("cust_region") == "EUROPE"))
+            | ((F.col("supp_region") == "EUROPE") & (F.col("cust_region") == "ASIA"))
+        )
+        .groupBy(
+            "supp_region",
+            "cust_region",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@register_bench_only(
+    "q8_market_share",
+    """
+    WITH vol AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             ns.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = nc.n_regionkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                          ELSE 0 END) / SUM(volume), 6) AS mkt_share,
+           ROUND(SUM(volume), 4) AS total_volume
+    FROM vol GROUP BY o_year
+    """,
+    tags=("relational", "conditional-share", "tpch-q8"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_3's share of
+    ECONOMY-part revenue sold into AMERICA, by order year. The share is
+    a conditional-sum / total-sum ratio inside ONE aggregation pass
+    (never two scans joined back); part, supplier, and both nation maps
+    broadcast; orders joins on the fact's orderkey; one exchange for
+    the year group-by. The ratio rounds to 6 (FP-accumulation path);
+    the total keeps the money-scale ROUND 4."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    nc = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("_cnk"))
+    ns = nation.select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("_cnk"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("_snk"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            ),
+            "supp_nation",
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+                .otherwise(0.0)
+            )
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share"),
+        F.round(F.sum("volume"), 4).alias("total_volume"),
+    )
+
+
+@register_bench_only(
+    "q9_product_type_profit",
+    """
+    SELECT ns.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.5 * p.p_retailprice * l.l_quantity), 4)
+             AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    """,
+    tags=("relational", "profit-rollup", "tpch-q9"),
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit on red-named parts
+    by supplier nation and order year. With no partsupp.ps_supplycost,
+    cost is proxied as half the part's retail price per unit — the
+    arithmetic shape (revenue minus quantity-scaled cost inside one
+    SUM) is Q9's. The p_name LIKE filter broadcasts with part; orders
+    joins on the fact key (the one big exchange besides the final
+    group-by); supplier/nation broadcast."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("nation")
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("_snk"))
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+                ),
+                4,
+            ).alias("sum_profit")
+        )
+    )
+
+
+_Q10_LO = "1997-07-01 00:00:00"
+_Q10_HI = "1997-10-01 00:00:00"
+
+
+@register_bench_only(
+    "q10_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '{_Q10_LO}'
+      AND o.o_orderdate < TIMESTAMP '{_Q10_HI}'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    tags=("relational", "topk-returned", "tpch-q10"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): the 20 customers who
+    lost the most revenue to returns in one quarter. The quarter bound
+    prunes orders at the scan; returnflag prunes lineitem at the scan
+    (both PushedFilters); the orders⋈lineitem exchange carries only the
+    quarter's orders; customer enrichment joins AFTER the fact
+    aggregation would be wrong (the group key is the customer), so the
+    grouped revenue keys on custkey and the customer/nation dims
+    broadcast in before the group-by. Top-k is TakeOrderedAndProject on
+    rounded revenue with a unique-key tiebreak."""
+    lo = F.lit(_Q10_LO).cast("timestamp_ntz")
+    hi = F.lit(_Q10_HI).cast("timestamp_ntz")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register_bench_only(
+    "q11_important_parts",
+    """
+    WITH pv AS (
+      SELECT l.l_partkey,
+             SUM(CAST(ROUND(l.l_extendedprice * l.l_quantity * 100, 0)
+                      AS BIGINT)) AS value_c
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY l.l_partkey
+    ),
+    tot AS (SELECT SUM(value_c) AS total_c FROM pv)
+    SELECT pv.l_partkey, pv.value_c / 100.0 AS part_value
+    FROM pv, tot
+    WHERE pv.value_c * 1000 > tot.total_c
+    """,
+    tags=("relational", "global-share-scalar", "tpch-q11"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): parts whose
+    European-supplied value exceeds 0.1% of the total. Two exactness
+    moves make the cross-engine row SET identical: per-term
+    integer-cents conversion BEFORE summation (BIGINT sums are
+    order-insensitive; FP sums are not), and the threshold compare as
+    an integer cross-multiplication (value_c * 1000 > total_c) instead
+    of a float fraction. Plan: ONE fact aggregation; the grand total
+    reuses the per-part aggregate (never a second scan) and broadcasts
+    as a one-row relation into the filter."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    pv = (
+        li.join(F.broadcast(eu_supp), li["l_suppkey"] == eu_supp["s_suppkey"])
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * F.col("l_quantity") * 100, 0
+                ).cast("long")
+            ).alias("value_c")
+        )
+    )
+    tot = pv.agg(F.sum("value_c").alias("total_c"))
+    return (
+        pv.join(F.broadcast(tot))
+        .filter(F.col("value_c") * 1000 > F.col("total_c"))
+        .select("l_partkey", (F.col("value_c") / 100.0).alias("part_value"))
+    )
+
+
+@register_bench_only(
+    "q12_priority_lateness",
+    """
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY l.l_linestatus
+    """,
+    tags=("relational", "case-agg", "tpch-q12"),
+)
+def q12_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes and order priority): among late
+    shipments (shipped > 90 days after the order date — this schema
+    has no commit/receipt dates), how many came from high- vs
+    low-priority orders, per linestatus (the mode dimension stand-in).
+    The priority CASE split happens inside one aggregation pass; the
+    only exchanges are the orderkey join and the 2-group final agg."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high.cast("int")).cast("long").alias("high_line_count"),
+            F.sum((~high).cast("int")).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register_bench_only(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+    tags=("relational", "outer-join-histogram", "tpch-q13"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): a LEFT
+    OUTER join whose unmatched side MUST survive (customers with zero
+    orders land in the c_count=0 bucket — an inner join silently drops
+    the most interesting bar of the histogram), then a two-level
+    aggregation: per-customer count, then a count distribution over
+    the counts. The order-side predicate lives in the JOIN condition,
+    not a WHERE (a post-join WHERE on the right side would turn the
+    outer join back into an inner one). Plan: one custkey exchange for
+    the join+first agg (partial counts push below the shuffle), then a
+    tiny second exchange on the count value."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+_Q14_LO = "1997-09-01 00:00:00"
+_Q14_HI = "1997-10-01 00:00:00"
+
+
+@register_bench_only(
+    "q14_promo_revenue",
+    f"""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 6)
+             AS promo_revenue_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '{_Q14_LO}'
+      AND l.l_shipdate < TIMESTAMP '{_Q14_HI}'
+    """,
+    tags=("relational", "conditional-ratio", "tpch-q14"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): PROMO-typed parts' share of
+    one ship-month's revenue. The month bound prunes lineitem at the
+    scan; part broadcasts; numerator and denominator are computed in
+    the SAME single aggregation (one pass, no self-join); the ratio
+    rounds to 6 as an FP-accumulation path."""
+    lo = F.lit(_Q14_LO).cast("timestamp_ntz")
+    hi = F.lit(_Q14_HI).cast("timestamp_ntz")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+_Q15_LO = "1996-01-01 00:00:00"
+_Q15_HI = "1996-04-01 00:00:00"
+
+
+@register_bench_only(
+    "q15_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                      AS BIGINT)) AS revenue_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{_Q15_LO}'
+        AND l_shipdate < TIMESTAMP '{_Q15_HI}'
+      GROUP BY l_suppkey
+    ),
+    mx AS (SELECT MAX(revenue_c) AS max_c FROM rev)
+    SELECT s.s_suppkey, s.s_name, rev.revenue_c / 100.0 AS total_revenue
+    FROM rev JOIN mx ON rev.revenue_c = mx.max_c
+    JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+    """,
+    tags=("relational", "max-of-aggregate", "tpch-q15"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the supplier(s) with the maximum
+    revenue in one quarter — the max-of-an-aggregate EQUALITY that the
+    original phrases as a view + scalar subquery. Revenue is summed in
+    integer cents (per-term ROUND then BIGINT SUM), so the maximum and
+    the equality against it are exact in both engines — a rounded FP
+    sum here could disagree in the last ulp and change WHICH supplier
+    wins. Plan: one fact aggregation (quarter-pruned at the scan); the
+    one-row MAX reuses that aggregate and broadcasts back as the join
+    filter; supplier broadcasts for the name."""
+    lo = F.lit(_Q15_LO).cast("timestamp_ntz")
+    hi = F.lit(_Q15_HI).cast("timestamp_ntz")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+            ).cast("long")
+        ).alias("revenue_c")
+    )
+    mx = rev.agg(F.max("revenue_c").alias("max_c"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev["revenue_c"] == mx["max_c"])
+        .join(F.broadcast(supp), rev["l_suppkey"] == supp["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("revenue_c") / 100.0).alias("total_revenue"),
+        )
+    )
+
+
+_Q16_SIZES = (1, 5, 9, 14, 19, 23, 36, 45)
+
+
+@register_bench_only(
+    "q16_supplier_part_counts",
+    f"""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN {_Q16_SIZES!r}
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("relational", "count-distinct-anti", "tpch-q16"),
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many distinct
+    suppliers ship each (brand, type, size) combination, excluding a
+    blacklist (negative-balance suppliers stand in for the original's
+    complaint-comment scan; the lineitem join stands in for partsupp).
+    The NOT IN is a LEFT ANTI join against a tiny broadcast blacklist
+    — never a NullAwareAntiJoin pitfall because s_suppkey is non-null;
+    part filters broadcast; COUNT(DISTINCT) expands to the standard
+    two-phase partial-distinct plan on the group keys."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(*_Q16_SIZES)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).cast("long").alias("supplier_cnt"))
+    )
+
+
+@register_bench_only(
+    "q19_disjunctive_revenue",
+    """
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+    tags=("relational", "disjunctive-pushdown", "tpch-q19"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): an OR of three
+    brand/size/quantity conjunctions spanning both join sides — the
+    canonical disjunctive-predicate query. Catalyst's CNF conversion
+    extracts the single-side implications (brand IN the three brands,
+    size <= the widest bound, quantity within the union range) and
+    pushes them to the respective scans, so each side prunes BEFORE
+    the join even though no single conjunct applies globally; the
+    residual OR evaluates post-join. Part broadcasts; one row out."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    disj = (
+        ((brand == "Brand#1") & size.between(1, 15) & qty.between(1, 20))
+        | ((brand == "Brand#2") & size.between(1, 25) & qty.between(10, 30))
+        | ((brand == "Brand#3") & size.between(1, 35) & qty.between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter(disj)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+_Q20_LO = "1997-01-01 00:00:00"
+_Q20_HI = "1998-01-01 00:00:00"
+
+
+@register_bench_only(
+    "q20_dominant_suppliers",
+    f"""
+    WITH ps AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             SUM(CAST(l.l_quantity AS BIGINT)) AS qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'small%'
+        AND l.l_shipdate >= TIMESTAMP '{_Q20_LO}'
+        AND l.l_shipdate < TIMESTAMP '{_Q20_HI}'
+      GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    tot AS (
+      SELECT l_partkey, SUM(qty) AS total_qty FROM ps GROUP BY l_partkey
+    ),
+    dom AS (
+      SELECT DISTINCT ps.l_suppkey
+      FROM ps JOIN tot ON ps.l_partkey = tot.l_partkey
+      WHERE 2 * ps.qty > tot.total_qty
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    JOIN dom ON dom.l_suppkey = s.s_suppkey
+    WHERE r.r_name = 'AFRICA'
+    """,
+    tags=("relational", "nested-decorrelation", "tpch-q20"),
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): African suppliers
+    who shipped more than half of some small-named part's 1997 volume
+    — the original's doubly-nested IN/scalar-subquery, decorrelated.
+    The per-(part, supplier) aggregate is computed ONCE and reused for
+    the per-part total (the second grouping consumes the first's
+    output, so the fact scans once); dominance is an exact integer
+    compare (quantities are integral, summed as BIGINT — 2*qty >
+    total, no 0.5 float); the dominant-supplier set semi-joins into
+    the supplier dim, region filter broadcast."""
+    lo = F.lit(_Q20_LO).cast("timestamp_ntz")
+    hi = F.lit(_Q20_HI).cast("timestamp_ntz")
+    small = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    ps = (
+        li.join(F.broadcast(small), F.col("l_partkey") == small["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    tot = ps.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    dom = (
+        ps.join(tot, "l_partkey")
+        .filter(2 * F.col("qty") > F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(
+            dom.withColumnRenamed("l_suppkey", "s_suppkey"),
+            "s_suppkey",
+            "left_semi",
+        )
+        .select("s_name", "n_name")
+    )
