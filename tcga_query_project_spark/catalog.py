@@ -4512,11 +4512,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated-minimum EQUALITY (the crux of Q2) compares exact
     doubles, never a rounded FP sum — and the output cost stays
     UNROUNDED for the same reason (it is already exact; a display
-    ROUND would reintroduce engine-dependent half-way cases). Plan: the (part,supp) aggregation
-    is the one fact shuffle; suppliers⋈nation⋈region broadcast; the
-    per-part minimum rides a window over the already-shuffled partkey
-    (no second exchange — partial agg output is hash-partitioned on
-    the grouping key prefix); top-k is TakeOrderedAndProject."""
+    ROUND would reintroduce engine-dependent half-way cases). Plan:
+    the (part, supp) aggregation is the ONE fact-sized shuffle and it
+    map-side combines, so the wire carries (part, supplier) partials,
+    not lineitems; suppliers⋈nation⋈region broadcast; the per-part
+    minimum then re-exchanges ONLY those aggregated pairs onto partkey
+    for the window (verified: 2 hash exchanges, both post-combine —
+    cheaper at scale than a pre-partitioned single shuffle, which
+    would forgo the combine and move raw fact rows); top-k is
+    TakeOrderedAndProject."""
     li = _t(spark, sf_dir, "lineitem")
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")

