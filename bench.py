@@ -126,6 +126,8 @@ HEADLINE = [
     "q16_supplier_part_counts",
     "q19_disjunctive_revenue",
     "q20_dominant_suppliers",
+    # scale-safe per-language cap (training-mix balancer)
+    "pp_stratified_cap",
     # a6_poisson_wald is deliberately NOT benched: the GLM family has
     # never been in the headline set (per-gene grouped-map fits price
     # by group count, not data size — a correctness vehicle, verified

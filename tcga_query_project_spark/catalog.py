@@ -48,6 +48,7 @@ from tcga_query_project_spark.operators import (
     dedup,
     glm,
     nested,
+    partitioning,
     relational,
     sampling,
     similarity,
@@ -5287,4 +5288,38 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_semi",
         )
         .select("s_name", "n_name")
+    )
+
+
+@register_bench_only(
+    "pp_stratified_cap",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY ('0x' || substring(md5('cap' || CAST(doc_id AS VARCHAR)),
+                                  1, 8))::BIGINT ASC,
+               doc_id ASC) <= 40
+    """,
+    tags=("sampling", "stratified-cap", "training-mix"),
+)
+def pp_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document cap (the training-mix balancer every LLM
+    corpus pipeline runs: "at most N docs per language/source"), in the
+    SCALE-SAFE form — partitioning.stratified_cap_scaled: per-stratum
+    counts broadcast, under-cap strata pass through untouched, over-cap
+    strata prefilter to an O(cap) survivor prefix of the portable
+    md5-order before the exact row_number window, with a deficiency
+    fallback that keeps correctness non-probabilistic. The naive form
+    (one window over PARTITION BY lang) puts corpus/|langs| in a single
+    sort task at 100 TB — the same low-cardinality-partition defect the
+    W1 ntile fix removed. The oracle replays the exact keep-set with
+    the same md5-prefix order (QUALIFY row_number <= cap); both forms
+    and the oracle agree row-for-row
+    (tests/test_operators_unit.py::test_stratified_cap_scaled_matches_simple_form).
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return partitioning.stratified_cap_scaled(
+        docs, ["lang"], cap=40, tiebreak="doc_id", salt="cap"
     )

@@ -149,8 +149,22 @@ def skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:
     )
 
 
+def _cap_order_key(tiebreak: str, salt: str) -> "F.Column":
+    """The portable content-stable order for per-stratum capping: the
+    md5-prefix long of (salt || tiebreak) — same construction as
+    sampling.hash_fraction, bit-identical in DuckDB, so an oracle can
+    replay the exact keep-set (xxhash64 cannot be mirrored off-JVM)."""
+    from tcga_query_project_spark.functions.scalar import md5_prefix_long
+
+    return md5_prefix_long(F.concat(F.lit(salt), F.col(tiebreak).cast("string")))
+
+
 def stratified_cap(
-    df: DataFrame, strata_cols: list[str], cap: int, tiebreak: str
+    df: DataFrame,
+    strata_cols: list[str],
+    cap: int,
+    tiebreak: str,
+    salt: str | None = None,
 ) -> DataFrame:
     """Deterministic per-stratum row cap — the training-mix balancer:
     keep at most ``cap`` rows per stratum (domain, language, source),
@@ -158,20 +172,113 @@ def stratified_cap(
     so the same input always keeps the same rows on any cluster layout.
 
     ``tiebreak`` must be a unique column (an id): the keep-set is the
-    ``cap`` smallest ``xxhash64(tiebreak)`` values per stratum — a
-    uniform random-but-reproducible sample without a global sort; one
-    shuffle keyed by the strata.
+    ``cap`` smallest hash values per stratum — a uniform
+    random-but-reproducible sample without a global sort; one shuffle
+    keyed by the strata. Default order is ``xxhash64(tiebreak)``
+    (cheapest JVM-side); pass ``salt`` to switch to the portable
+    md5-prefix order that :func:`stratified_cap_scaled` and its DuckDB
+    oracle use (same keep-set across engines AND across the two forms).
+
+    SCALE CAVEAT: the window partitions by the strata — fine while
+    every stratum fits one task's sort, but a 5-language 100 TB corpus
+    puts corpus/5 in one partition. That regime is exactly
+    :func:`stratified_cap_scaled`; this form remains the oracle
+    tie-semantics pin and the small-strata fast path.
     """
     from pyspark.sql.window import Window
 
+    order = (
+        _cap_order_key(tiebreak, salt)
+        if salt is not None
+        else F.xxhash64(F.col(tiebreak))
+    )
     w = Window.partitionBy(*strata_cols).orderBy(
-        F.xxhash64(F.col(tiebreak)).asc(), F.col(tiebreak).asc()
+        order.asc(), F.col(tiebreak).asc()
     )
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+#: md5_prefix_long ranges over [0, 2^32) — 8 hex chars.
+_CAP_HASH_SPACE = 1 << 32
+
+
+def stratified_cap_scaled(
+    df: DataFrame,
+    strata_cols: list[str],
+    cap: int,
+    tiebreak: str,
+    salt: str = "cap",
+    slack: float = 1.25,
+    margin: int = 64,
+) -> DataFrame:
+    """:func:`stratified_cap` for corpus-sized strata: the SAME
+    keep-set (equivalence-tested) without ever sorting a whole stratum
+    in one task — the distributed-selection analog of the W1
+    quantile-strata fix.
+
+    The keep-set "cap smallest (h, tiebreak) per stratum" only needs a
+    full per-stratum sort of rows that can still be in the answer, so:
+
+    1. ONE tiny aggregate counts each stratum (strata are
+       language/source/domain — dimension-sized by contract; the count
+       relation broadcasts).
+    2. Strata with ``n <= cap`` pass through untouched (no ordering of
+       any kind).
+    3. Over-cap strata pre-filter to ``h < thr`` with
+       ``thr ≈ (cap·slack + margin)/n`` of the 2^32 hash space — a
+       per-stratum Bernoulli whose survivor count concentrates around
+       ``cap·slack + margin``, so the exact row_number window that
+       follows sees O(cap) rows per stratum, never n.
+    4. Correctness is never probabilistic: survivors form a PREFIX of
+       the (h, tiebreak) order, so survivors ⊇ true keep-set iff a
+       stratum kept ≥ cap survivors; the (rare: lower-tail binomial)
+       deficient strata — including zero-survivor ones — fall back to
+       their full row set for the window. The plan stays static; the
+       fallback branch is empty in the expected case.
+
+    Uses the portable md5-prefix order (``salt``) in both forms and in
+    the DuckDB oracle, so all three agree row-for-row.
+    """
+    from pyspark.sql.window import Window
+
+    h = _cap_order_key(tiebreak, salt)
+    with_h = df.withColumn("_h", h)
+    cnt = with_h.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("_n"))
+    joined = with_h.join(F.broadcast(cnt), strata_cols)
+    small = joined.filter(F.col("_n") <= cap).drop("_h", "_n")
+    big = joined.filter(F.col("_n") > cap)
+    thr = F.least(
+        F.lit(float(_CAP_HASH_SPACE)),
+        (cap * slack + margin) / F.col("_n") * _CAP_HASH_SPACE + 1.0,
+    ).cast("long")
+    surv = big.filter(F.col("_h") < thr)
+    sc = surv.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("_sn"))
+    # deficient = over-cap strata whose survivor prefix is too short to
+    # provably contain the keep-set; zero-survivor strata never reach
+    # sc at all, so recover them from the count relation by anti-join.
+    deficient = sc.filter(F.col("_sn") < cap).select(*strata_cols)
+    zero = (
+        cnt.filter(F.col("_n") > cap)
+        .select(*strata_cols)
+        .join(sc.select(*strata_cols), strata_cols, "left_anti")
+    )
+    fb_keys = deficient.unionByName(zero)
+    ok = surv.join(F.broadcast(fb_keys), strata_cols, "left_anti").drop("_sn")
+    fallback = big.join(F.broadcast(fb_keys), strata_cols, "left_semi")
+    cand = ok.unionByName(fallback)
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.col("_h").asc(), F.col(tiebreak).asc()
+    )
+    capped = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_h", "_n", "_rn")
+    )
+    return small.unionByName(capped)
 
 
 def zorder_value(

@@ -2096,3 +2096,49 @@ def test_remove_repeated_spans_long_span_fully_recovered(spark):
     }
     assert out[1] == (f"first document context {long_span} finale one", 0)
     assert out[2] == ("second unrelated opening closing two", 12)
+
+
+def test_stratified_cap_scaled_matches_simple_form(spark):
+    """stratified_cap_scaled must produce the IDENTICAL keep-set to the
+    window-only form under the shared portable md5 order — across a
+    skewed stratum mix (over-cap, exactly-cap, under-cap), under any
+    input partitioning, and on BOTH sides of the threshold machinery:
+    generous slack (prefilter path) and zero slack/margin (forces the
+    deficiency fallback, including the zero-survivor branch)."""
+    from tcga_query_project_spark.operators.partitioning import (
+        stratified_cap,
+        stratified_cap_scaled,
+    )
+
+    rows = (
+        [(i, "hot") for i in range(400)]
+        + [(1000 + i, "warm") for i in range(50)]
+        + [(2000 + i, "cold") for i in range(7)]
+    )
+    df = spark.createDataFrame(rows, "id long, k string")
+
+    def keep(res):
+        return sorted((r["k"], r["id"]) for r in res.collect())
+
+    expected = keep(stratified_cap(df, ["k"], cap=50, tiebreak="id", salt="s1"))
+    # sanity: hot capped, warm exactly at cap, cold untouched
+    by_k = {}
+    for k, i in expected:
+        by_k[k] = by_k.get(k, 0) + 1
+    assert by_k == {"hot": 50, "warm": 50, "cold": 7}
+
+    scaled = stratified_cap_scaled(df, ["k"], cap=50, tiebreak="id", salt="s1")
+    assert keep(scaled) == expected
+
+    # zero slack/margin: thr collapses to 1, every over-cap stratum is
+    # deficient (zero-or-near-zero survivors) -> full-stratum fallback
+    forced = stratified_cap_scaled(
+        df, ["k"], cap=50, tiebreak="id", salt="s1", slack=0.0, margin=0
+    )
+    assert keep(forced) == expected
+
+    # layout-independence
+    repart = stratified_cap_scaled(
+        df.repartition(7), ["k"], cap=50, tiebreak="id", salt="s1"
+    )
+    assert keep(repart) == expected
