@@ -650,3 +650,44 @@ def test_normalize_url_idempotent(spark, url):
     twice = once.select(normalize_url(F.col("n")).alias("n2"))
     r = once.join(twice).collect()[0]
     assert r["n"] == r["n2"], url
+
+
+@_given(
+    sizes=_st.lists(_st.integers(0, 60), min_size=1, max_size=5),
+    cap=_st.integers(1, 40),
+    slack=_st.sampled_from([0.0, 0.5, 1.25]),
+    margin=_st.sampled_from([0, 4, 64]),
+)
+@_settings(max_examples=8, deadline=None,
+           suppress_health_check=[_HC.function_scoped_fixture])
+def test_stratified_cap_scaled_equals_simple_for_any_mix(
+    spark, sizes, cap, slack, margin
+):
+    """For ANY stratum-size mix, cap, and threshold tuning (including
+    slack/margin choices that force the deficiency fallback), the
+    distributed-selection form keeps EXACTLY the window form's rows —
+    the threshold machinery is a pure optimization, never a sampler."""
+    from tcga_query_project_spark.operators.partitioning import (
+        stratified_cap,
+        stratified_cap_scaled,
+    )
+
+    rows = [
+        (k * 1000 + i, f"s{k}")
+        for k, n in enumerate(sizes)
+        for i in range(n)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "id long, k string")
+    want = sorted(
+        (r["k"], r["id"])
+        for r in stratified_cap(df, ["k"], cap, "id", salt="px").collect()
+    )
+    got = sorted(
+        (r["k"], r["id"])
+        for r in stratified_cap_scaled(
+            df, ["k"], cap, "id", salt="px", slack=slack, margin=margin
+        ).collect()
+    )
+    assert got == want
