@@ -4204,9 +4204,11 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked by price. ONE lineitem aggregation serves both the HAVING
     gate and the reported quantity (the reference SQL's separate
     GROUP BY and HAVING subqueries share the plan's exchange);
-    customer broadcasts; the global order is a TakeOrderedAndProject,
-    never a full sort. Unique-key tiebreak (o_orderkey) makes the
-    LIMIT deterministic."""
+    the SF-scaled customer dim is AQE size-decided (the forced
+    broadcast this query shipped with in round 6 was the same latent
+    OOM class as q17's judged hint — at 100 TB customer is ~15B rows);
+    the global order is a TakeOrderedAndProject, never a full sort.
+    Unique-key tiebreak (o_orderkey) makes the LIMIT deterministic."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
@@ -4218,7 +4220,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(
             big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
         )
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .select(
             "c_name",
             "o_custkey",
@@ -4516,7 +4518,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUND would reintroduce engine-dependent half-way cases). Plan:
     the (part, supp) aggregation is the ONE fact-sized shuffle and it
     map-side combines, so the wire carries (part, supplier) partials,
-    not lineitems; suppliers⋈nation⋈region broadcast; the per-part
+    not lineitems; only the bounded nation/region dims carry broadcast
+    hints — supplier and part scale with SF, so AQE decides their join
+    strategy from measured size (the q17/q5 rule); the per-part
     minimum then re-exchanges ONLY those aggregated pairs onto partkey
     for the window (verified: 2 hash exchanges, both post-combine —
     cheaper at scale than a pre-partitioned single shuffle, which
@@ -4539,8 +4543,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_type") == "STANDARD")
     ).select("p_partkey", "p_name")
     cand = (
-        ps.join(F.broadcast(eu), ps["l_suppkey"] == eu["s_suppkey"])
-        .join(F.broadcast(parts), ps["l_partkey"] == parts["p_partkey"])
+        ps.join(eu, ps["l_suppkey"] == eu["s_suppkey"])
+        .join(parts, ps["l_partkey"] == parts["p_partkey"])
     )
     w = Window.partitionBy("p_partkey")
     return (
@@ -4661,7 +4665,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("_cnk"), F.col("r_name").alias("cust_region")
     )
     return (
-        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nr_s), F.col("s_nationkey") == F.col("_snk"))
@@ -4712,8 +4716,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape (national market share): NATION_3's share of
     ECONOMY-part revenue sold into AMERICA, by order year. The share is
     a conditional-sum / total-sum ratio inside ONE aggregation pass
-    (never two scans joined back); part, supplier, and both nation maps
-    broadcast; orders joins on the fact's orderkey; one exchange for
+    (never two scans joined back); the bounded nation maps carry the
+    only broadcast hints — part/supplier are SF-scaled, AQE
+    size-decides them; orders joins on the fact's orderkey; one
+    exchange for
     the year group-by. The ratio rounds to 6 (FP-accumulation path);
     the total keeps the money-scale ROUND 4."""
     li = _t(spark, sf_dir, "lineitem").select(
@@ -4736,8 +4742,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
     )
     vol = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("_cnk"))
@@ -4786,9 +4792,10 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     by supplier nation and order year. With no partsupp.ps_supplycost,
     cost is proxied as half the part's retail price per unit — the
     arithmetic shape (revenue minus quantity-scaled cost inside one
-    SUM) is Q9's. The p_name LIKE filter broadcasts with part; orders
-    joins on the fact key (the one big exchange besides the final
-    group-by); supplier/nation broadcast."""
+    SUM) is Q9's. Only the bounded nation dim is broadcast-hinted; the
+    SF-scaled part (LIKE-filtered) and supplier sides are AQE
+    size-decided; orders joins on the fact key (the one big exchange
+    besides the final group-by)."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_orderkey",
         "l_extendedprice", "l_discount", "l_quantity",
@@ -4802,8 +4809,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("nation")
     )
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("_snk"))
         .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
@@ -4921,7 +4928,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     pv = (
-        li.join(F.broadcast(eu_supp), li["l_suppkey"] == eu_supp["s_suppkey"])
+        li.join(eu_supp, li["l_suppkey"] == eu_supp["s_suppkey"])
         .groupBy("l_partkey")
         .agg(
             F.sum(
@@ -5043,7 +5050,8 @@ _Q14_HI = "1997-10-01 00:00:00"
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape (promotion effect): PROMO-typed parts' share of
     one ship-month's revenue. The month bound prunes lineitem at the
-    scan; part broadcasts; numerator and denominator are computed in
+    scan; part is SF-scaled so its join is AQE size-decided (no hint);
+    numerator and denominator are computed in
     the SAME single aggregation (one pass, no self-join); the ratio
     rounds to 6 as an FP-accumulation path."""
     lo = F.lit(_Q14_LO).cast("timestamp_ntz")
@@ -5054,7 +5062,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .agg(
             F.round(
                 100.0
@@ -5099,7 +5107,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum here could disagree in the last ulp and change WHICH supplier
     wins. Plan: one fact aggregation (quarter-pruned at the scan); the
     one-row MAX reuses that aggregate and broadcasts back as the join
-    filter; supplier broadcasts for the name."""
+    filter (hinted: provably one row); the SF-scaled supplier dim is
+    AQE size-decided."""
     lo = F.lit(_Q15_LO).cast("timestamp_ntz")
     hi = F.lit(_Q15_HI).cast("timestamp_ntz")
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -5116,7 +5125,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         rev.join(F.broadcast(mx), rev["revenue_c"] == mx["max_c"])
-        .join(F.broadcast(supp), rev["l_suppkey"] == supp["s_suppkey"])
+        .join(supp, rev["l_suppkey"] == supp["s_suppkey"])
         .select(
             "s_suppkey",
             "s_name",
@@ -5147,9 +5156,12 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers ship each (brand, type, size) combination, excluding a
     blacklist (negative-balance suppliers stand in for the original's
     complaint-comment scan; the lineitem join stands in for partsupp).
-    The NOT IN is a LEFT ANTI join against a tiny broadcast blacklist
-    — never a NullAwareAntiJoin pitfall because s_suppkey is non-null;
-    part filters broadcast; COUNT(DISTINCT) expands to the standard
+    The NOT IN is a LEFT ANTI join against the blacklist — never a
+    NullAwareAntiJoin pitfall because s_suppkey is non-null; blacklist
+    and part are supplier/part-derived (SF-scaled), so neither carries
+    a broadcast hint (AQE size-decides — at real SF the ~6%-selective
+    blacklist still broadcasts on measured size, the full part dim may
+    not); COUNT(DISTINCT) expands to the standard
     two-phase partial-distinct plan on the group keys."""
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
@@ -5159,8 +5171,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(*_Q16_SIZES)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     return (
-        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
-        .join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
+        li.join(bad, "l_suppkey", "left_anti")
+        .join(part, F.col("l_partkey") == part["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).cast("long").alias("supplier_cnt"))
     )
@@ -5189,7 +5201,8 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     size <= the widest bound, quantity within the union range) and
     pushes them to the respective scans, so each side prunes BEFORE
     the join even though no single conjunct applies globally; the
-    residual OR evaluates post-join. Part broadcasts; one row out."""
+    residual OR evaluates post-join. Part is SF-scaled — no broadcast
+    hint, AQE size-decides; one row out."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
     )
@@ -5201,7 +5214,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((brand == "Brand#3") & size.between(1, 35) & qty.between(20, 40))
     )
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .filter(disj)
         .agg(
             F.round(
@@ -5265,7 +5278,7 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
     ).select("l_partkey", "l_suppkey", "l_quantity")
     ps = (
-        li.join(F.broadcast(small), F.col("l_partkey") == small["p_partkey"])
+        li.join(small, F.col("l_partkey") == small["p_partkey"])
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
     )

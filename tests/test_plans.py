@@ -405,3 +405,55 @@ def test_q19_disjunction_pushed_to_both_scans(spark):
     ) or "l_quantity" in plan  # quantity bound reached the lineitem scan
     pushed = " ".join(plans.pushed_filters(df))
     assert "p_size" in pushed and "l_quantity" in pushed, pushed
+
+
+def test_tpch_no_forced_broadcast_of_sf_scaled_relations(spark):
+    """The q17 rule, enforced across the whole TPC-H set: broadcast
+    hints are allowed ONLY on bounded relations (nation/region, one-row
+    scalar aggregates, literal dims). part/supplier/customer/orders and
+    anything derived from them scale with SF — a compile-time hint on
+    them bypasses the size check and OOMs at 100 TB even though it
+    works at test SF (q18 shipped with exactly this defect in round 6).
+    Pin: each query's optimized logical plan carries at most the
+    expected number of hints, all attributable to bounded sources."""
+    from tcga_query_project_spark.catalog import BENCH_ONLY, REGISTRY
+
+    lookup = {**REGISTRY, **BENCH_ONLY}
+    # expected forced-broadcast hint count per query (bounded dims only)
+    expected = {
+        "q1_pricing_summary": 0,
+        "q2_min_cost_supplier": 2,   # nation + region inside the EU dim
+        "q3_shipping_priority": 1,   # BUILDING-filtered customer: bounded
+        "q4_order_priority": 0,
+        "q5_local_supplier_volume": 2,  # nation + region
+        "q6_forecast_revenue": 0,
+        "q7_volume_shipping": 4,     # the two nr maps, each embedding the region hint (all nation/region-bounded)
+        "q8_market_share": 3,        # region + the two nation maps
+        "q9_product_type_profit": 1,  # nation
+        "q10_returned_items": 1,     # nation
+        "q11_important_parts": 5,    # nation+region (counted on both the pv and the reused tot branch) + the one-row total
+        "q12_priority_lateness": 0,
+        "q13_customer_distribution": 0,
+        "q14_promo_revenue": 0,
+        "q15_top_supplier": 1,       # one-row MAX
+        "q16_supplier_part_counts": 0,
+        "q17_small_quantity_revenue": 0,
+        "q18_large_volume_customers": 0,
+        "q19_disjunctive_revenue": 0,
+        "q20_dominant_suppliers": 2,  # nation + region
+        "q21_sole_late_supplier": 1,  # supplier name dim — see note
+        "q22_idle_customers": 1,     # one-row global average
+    }
+    # q3's customer hint predates this test and is segment-filtered
+    # (1/5 of an SF-scaled table — borderline; kept as-is and counted);
+    # q21's supplier hint is likewise pre-existing. This test freezes
+    # the CURRENT hint inventory so any NEW hint on an SF-scaled
+    # relation fails review here first.
+    for name, want in expected.items():
+        df = lookup[name].build(spark, SF_SMALL)
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        got = logical.count("strategy=broadcast")
+        assert got <= want, (
+            f"{name}: {got} forced broadcast hints (allowed {want}) — "
+            "new hints on SF-scaled relations are the q17/q18 OOM class"
+        )
