@@ -246,37 +246,43 @@ def stratified_cap_scaled(
     from pyspark.sql.window import Window
 
     h = _cap_order_key(tiebreak, salt)
-    with_h = df.withColumn("_h", h)
-    cnt = with_h.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("_n"))
-    joined = with_h.join(F.broadcast(cnt), strata_cols)
-    small = joined.filter(F.col("_n") <= cap).drop("_h", "_n")
+    # NULL is a legitimate stratum: the window form and the SQL oracle
+    # both cap a NULL partition, so every strata join below keys on a
+    # STRUCT of the strata columns — struct equality compares fields
+    # null-safely (verified: a NULL-field struct equi-joins and
+    # anti-joins like any other value), where a plain multi-column
+    # equi-join would silently DROP null-stratum rows.
+    with_h = df.withColumn("_h", h).withColumn("_sk", F.struct(*strata_cols))
+    cnt = with_h.groupBy("_sk").agg(F.count(F.lit(1)).alias("_n"))
+    joined = with_h.join(F.broadcast(cnt), "_sk")
+    small = joined.filter(F.col("_n") <= cap).drop("_h", "_n", "_sk")
     big = joined.filter(F.col("_n") > cap)
     thr = F.least(
         F.lit(float(_CAP_HASH_SPACE)),
         (cap * slack + margin) / F.col("_n") * _CAP_HASH_SPACE + 1.0,
     ).cast("long")
     surv = big.filter(F.col("_h") < thr)
-    sc = surv.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("_sn"))
+    sc = surv.groupBy("_sk").agg(F.count(F.lit(1)).alias("_sn"))
     # deficient = over-cap strata whose survivor prefix is too short to
     # provably contain the keep-set; zero-survivor strata never reach
     # sc at all, so recover them from the count relation by anti-join.
-    deficient = sc.filter(F.col("_sn") < cap).select(*strata_cols)
+    deficient = sc.filter(F.col("_sn") < cap).select("_sk")
     zero = (
         cnt.filter(F.col("_n") > cap)
-        .select(*strata_cols)
-        .join(sc.select(*strata_cols), strata_cols, "left_anti")
+        .select("_sk")
+        .join(sc.select("_sk"), "_sk", "left_anti")
     )
     fb_keys = deficient.unionByName(zero)
-    ok = surv.join(F.broadcast(fb_keys), strata_cols, "left_anti").drop("_sn")
-    fallback = big.join(F.broadcast(fb_keys), strata_cols, "left_semi")
+    ok = surv.join(F.broadcast(fb_keys), "_sk", "left_anti")
+    fallback = big.join(F.broadcast(fb_keys), "_sk", "left_semi")
     cand = ok.unionByName(fallback)
-    w = Window.partitionBy(*strata_cols).orderBy(
+    w = Window.partitionBy("_sk").orderBy(
         F.col("_h").asc(), F.col(tiebreak).asc()
     )
     capped = (
         cand.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= cap)
-        .drop("_h", "_n", "_rn")
+        .drop("_h", "_n", "_rn", "_sk")
     )
     return small.unionByName(capped)
 

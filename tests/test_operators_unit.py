@@ -2142,3 +2142,65 @@ def test_stratified_cap_scaled_matches_simple_form(spark):
         df.repartition(7), ["k"], cap=50, tiebreak="id", salt="s1"
     )
     assert keep(repart) == expected
+
+
+def test_stratified_cap_scaled_keeps_null_strata(spark):
+    """Regression: NULL is a legitimate stratum. The window form (and
+    the SQL oracle's PARTITION BY) group NULL strata like any other
+    value, so the scaled form's internal joins must be null-safe —
+    a plain multi-column equi-join would silently drop every
+    NULL-stratum row. Covers both the over-cap path (NULL stratum is
+    the hot one) and the pass-through path (NULL stratum under cap)."""
+    from tcga_query_project_spark.operators.partitioning import (
+        stratified_cap,
+        stratified_cap_scaled,
+    )
+
+    def keep(res):
+        return sorted(
+            ((r["k"] is None, r["k"] or ""), r["id"]) for r in res.collect()
+        )
+
+    # NULL stratum over cap, named stratum under cap
+    rows = [(i, None) for i in range(300)] + [(1000 + i, "en") for i in range(9)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    expected = keep(stratified_cap(df, ["k"], cap=40, tiebreak="id", salt="nz"))
+    by_k = {}
+    for k, _ in expected:
+        by_k[k] = by_k.get(k, 0) + 1
+    assert by_k == {(True, ""): 40, (False, "en"): 9}
+    assert keep(
+        stratified_cap_scaled(df, ["k"], cap=40, tiebreak="id", salt="nz")
+    ) == expected
+    # deficiency fallback path with a NULL stratum
+    assert keep(
+        stratified_cap_scaled(
+            df, ["k"], cap=40, tiebreak="id", salt="nz", slack=0.0, margin=0
+        )
+    ) == expected
+
+    # NULL stratum under cap (pass-through branch), named over cap
+    rows2 = [(i, "en") for i in range(300)] + [(1000 + i, None) for i in range(9)]
+    df2 = spark.createDataFrame(rows2, "id long, k string")
+    expected2 = keep(stratified_cap(df2, ["k"], cap=40, tiebreak="id", salt="nz"))
+    assert keep(
+        stratified_cap_scaled(df2, ["k"], cap=40, tiebreak="id", salt="nz")
+    ) == expected2
+
+    # multi-column strata with NULL in one component
+    rows3 = [(i, None, "web") for i in range(120)] + [
+        (500 + i, "en", None) for i in range(120)
+    ]
+    df3 = spark.createDataFrame(rows3, "id long, k string, src string")
+
+    def keep2(res):
+        return sorted(
+            (r["k"] or "", r["src"] or "", r["id"]) for r in res.collect()
+        )
+
+    expected3 = keep2(
+        stratified_cap(df3, ["k", "src"], cap=30, tiebreak="id", salt="nz")
+    )
+    assert keep2(
+        stratified_cap_scaled(df3, ["k", "src"], cap=30, tiebreak="id", salt="nz")
+    ) == expected3
