@@ -236,8 +236,15 @@ def main() -> None:
         df = None
         gc.collect()
 
-    m = re.search(r"sf([0-9.]+)", SF_DIR)
-    sf = float(m.group(1)) if m else None
+    # SPARK_GRAFT_SF labels the run explicitly (the dir-name heuristic
+    # misreads names like ntpch_sf01); the label feeds BENCH_SCALE's
+    # sf_small/sf_big fields only, never a computation.
+    sf_env = os.environ.get("SPARK_GRAFT_SF")
+    if sf_env:
+        sf = float(sf_env)
+    else:
+        m = re.search(r"sf([0-9.]+)", SF_DIR)
+        sf = float(m.group(1)) if m else None
     detail = {
         "metric": "headline_query_wall_time_total",
         "value": round(sum(times.values()), 3),

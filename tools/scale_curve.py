@@ -91,7 +91,11 @@ def main() -> None:
         ),
     }
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "BENCH_SCALE.json"), "w") as fh:
+    # SCALE_OUT overrides the artifact name (e.g. BENCH_SCALE_NATIVE.json
+    # for the dbgen-data curve) so a second curve never clobbers the
+    # primary derived-data one.
+    out_name = os.environ.get("SCALE_OUT", "BENCH_SCALE.json")
+    with open(os.path.join(repo, out_name), "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     w = max(len(n) for n in rows)
     print(f"{'query'.ljust(w)}  sf{small.get('sf')}   sf{big.get('sf')}   ratio")
