@@ -289,13 +289,15 @@ def p7_cohort_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j1_left_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1: left equi-join fact ⟕ dimension then group
     (``left_join(clinical_data, gene_count, by="barcode")``,
-    vital_status_DESeq.R:116). The dimension side broadcasts — no
-    shuffle of the fact table."""
+    vital_status_DESeq.R:116). The dimension side is AQE size-decided
+    (it broadcasts at any realistic dim size — plan test pins the
+    BroadcastHashJoin); customer is SF-scaled, so a FORCED hint here
+    would be the q17/q18 100 TB OOM class."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     return (
         orders.join(
-            F.broadcast(cust),
+            cust,
             orders.o_custkey == cust.c_custkey,
             "left",
         )
@@ -652,8 +654,10 @@ def p2_rename_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     a join with the genes dim — strictly better')."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
+    # part is SF-scaled: AQE size-decides the join (broadcast at any
+    # realistic dim size); a forced hint would OOM at 100 TB.
     return li.join(
-        F.broadcast(part), li.l_partkey == part.p_partkey
+        part, li.l_partkey == part.p_partkey
     ).select("l_orderkey", "l_linenumber", F.col("p_name").alias("part_name"))
 
 
@@ -2563,7 +2567,9 @@ _Q3_CUTOFF = "2001-06-01 00:00:00"
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-join + grouped top-k (TPC-H Q3 shape): the J1 fact⟕dim
     pattern chained twice. Plan at scale: the filtered customer dim
-    broadcasts into orders (no shuffle), then one shuffle join on
+    is AQE size-decided into a broadcast (no forced hint — customer
+    scales with SF and the segment filter keeps 1/5 of it, which is
+    still billions of rows at 100 TB), then one shuffle join on
     l_orderkey; top-k is TakeOrderedAndProject on the rounded revenue
     (rounding makes the rank order FP-portable)."""
     cust = _t(spark, sf_dir, "customer").filter(
@@ -2573,7 +2579,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     joined = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
@@ -4294,7 +4300,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("late") == 1)
         .join(ord_stats, "l_orderkey")
         .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())

@@ -421,9 +421,13 @@ def test_tpch_no_forced_broadcast_of_sf_scaled_relations(spark):
     lookup = {**REGISTRY, **BENCH_ONLY}
     # expected forced-broadcast hint count per query (bounded dims only)
     expected = {
+        # non-TPC-H fact⟕dim queries whose dims are SF-scaled, frozen
+        # to the same bounded-only rule
+        "j1_left_join_enrich": 0,
+        "p2_rename_dim_join": 0,
         "q1_pricing_summary": 0,
         "q2_min_cost_supplier": 2,   # nation + region inside the EU dim
-        "q3_shipping_priority": 1,   # BUILDING-filtered customer: bounded
+        "q3_shipping_priority": 0,
         "q4_order_priority": 0,
         "q5_local_supplier_volume": 2,  # nation + region
         "q6_forecast_revenue": 0,
@@ -441,13 +445,14 @@ def test_tpch_no_forced_broadcast_of_sf_scaled_relations(spark):
         "q18_large_volume_customers": 0,
         "q19_disjunctive_revenue": 0,
         "q20_dominant_suppliers": 2,  # nation + region
-        "q21_sole_late_supplier": 1,  # supplier name dim — see note
+        "q21_sole_late_supplier": 0,
         "q22_idle_customers": 1,     # one-row global average
     }
-    # q3's customer hint predates this test and is segment-filtered
-    # (1/5 of an SF-scaled table — borderline; kept as-is and counted);
-    # q21's supplier hint is likewise pre-existing. This test freezes
-    # the CURRENT hint inventory so any NEW hint on an SF-scaled
+    # Late round 7 removed the last four SF-scaled hints (q3's
+    # segment-filtered customer, q21's supplier name dim, and the
+    # non-TPC-H j1/p2 full-dim hints): the filter does not bound a
+    # relation that scales with SF. This test freezes the hint
+    # inventory at bounded-only so any NEW hint on an SF-scaled
     # relation fails review here first.
     for name, want in expected.items():
         df = lookup[name].build(spark, SF_SMALL)
