@@ -5117,8 +5117,16 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE size-decided."""
     lo = F.lit(_Q15_LO).cast("timestamp_ntz")
     hi = F.lit(_Q15_HI).cast("timestamp_ntz")
+    # The explicit isNotNull matters for the PLAN, not the data (TPC-H
+    # keys are non-null): the later inner join against supplier infers
+    # it into the join branch's scan only, which de-canonicalizes the
+    # two consumers of `rev` and defeats AQE exchange reuse — the fact
+    # scan+aggregate would run twice (pinned:
+    # test_aggregate_self_joins_reuse_exchange).
     li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+        (F.col("l_shipdate") >= lo)
+        & (F.col("l_shipdate") < hi)
+        & F.col("l_suppkey").isNotNull()
     ).select("l_suppkey", "l_extendedprice", "l_discount")
     rev = li.groupBy("l_suppkey").agg(
         F.sum(

@@ -462,3 +462,33 @@ def test_tpch_no_forced_broadcast_of_sf_scaled_relations(spark):
             f"{name}: {got} forced broadcast hints (allowed {want}) — "
             "new hints on SF-scaled relations are the q17/q18 OOM class"
         )
+
+
+def test_aggregate_self_joins_reuse_exchange(spark):
+    """q11/q15/q20 derive a per-key aggregate and consume it twice
+    (grand total / max / dominance threshold joined back onto it). The
+    plan-time tree contains the fact pipeline twice; correctness of the
+    SCALE story relies on AQE's runtime exchange reuse collapsing the
+    second copy onto the first shuffle (verified here on the executed
+    plan). A refactor that breaks canonical equality of the two
+    branches — e.g. an extra column in one of them — silently doubles
+    the fact scan+join+aggregate, which is invisible to result tests
+    and to the plan-time exchange budget."""
+    from tcga_query_project_spark.catalog import BENCH_ONLY, REGISTRY
+
+    lookup = {**REGISTRY, **BENCH_ONLY}
+    for name in (
+        "q11_important_parts",
+        "q15_top_supplier",
+        "q20_dominant_suppliers",
+    ):
+        df = lookup[name].build(spark, SF_SMALL)
+        # collect() (not a sink write) so THIS df's queryExecution is
+        # the one AQE finalizes; results are a handful of rows at
+        # sf0.001
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan, (
+            f"{name}: no runtime exchange reuse — the derived aggregate's "
+            "second consumer re-executes the whole fact pipeline"
+        )
