@@ -26,11 +26,13 @@ reclaimed — the same horizon contract as exact_dedup_stream).
 
 Signature computation is per-row expression work (higher-order
 functions over the shingle array) rather than the batch module's
-exploded hash aggregation: HOF lambdas evaluate interpreted (~4x
-slower per shingle), but they are STATELESS — the only stateful
-operators in the query are the band dedup and the per-doc band count,
-both watermark-bounded. Values are bit-identical to the batch family
-(same md5 → 32-bit parse → linear permutation mod the same prime).
+exploded hash aggregation: HOF lambdas evaluate interpreted, but they
+are STATELESS — the only stateful operators in the query are the band
+dedup and the per-doc band count, both watermark-bounded. The md5 is
+hashed once per shingle and all seed mins fold in one aggregate pass
+(see ``_band_sigs_expr``); values are bit-identical to the batch
+family (same md5 → 32-bit parse → linear permutation mod the same
+prime).
 """
 
 from __future__ import annotations
@@ -63,48 +65,70 @@ def _band_sigs_expr(shingles: Column, num_hashes: int, band_size: int) -> Column
     """ARRAY<STRUCT<band, band_sig>> of LSH band signatures, computed
     per row: shingle → md5 → first-32-bits int, seed i's permutation
     ``(2i+1)·v + 1000003·i mod P`` (identical to
-    operators/dedup.minhash_signature), min per seed via array_min,
-    bands joined in seed order with the batch module's '_' separator."""
+    operators/dedup.minhash_signature), min per seed, bands joined in
+    seed order with the batch module's '_' separator.
+
+    Cost shape (this is the hot expression of the streaming near-dedup
+    path, evaluated interpreted — HOFs sit outside codegen): the md5 is
+    ~everything, so each shingle is hashed exactly ONCE
+    (``transform``), and all ``num_hashes`` running mins fold in ONE
+    ``aggregate`` pass of pure arithmetic whose ``finish`` lambda
+    builds the band structs from the bound accumulator — the whole
+    signature is a single traversal. The previous form re-hashed every
+    shingle once PER SEED (8 md5 passes); measured ~8x slower per
+    micro-batch at sf0.1 (tools/bench_streaming.py neardup_bands).
+    Values stay bit-identical to the batch family
+    (test_streaming_minhash_values_match_batch_family)."""
     v = md5_prefix_long  # the centralized portable-hash primitive
+    hashed = F.transform(shingles, lambda s: v(s))
+    # any permuted value is < P, so P is the identity for least()
+    init = F.array_repeat(F.lit(int(MINHASH_PRIME)).cast("long"), num_hashes)
 
-    def _perm(i: int):
-        # single-parameter lambda built per seed: a TWO-parameter
-        # lambda (e.g. ``lambda s, i=i``) would be treated by
-        # F.transform as an (element, index) function and silently
-        # overwrite the seed with the array index, collapsing every
-        # seed to one permutation (caught by the bit-identity test).
-        return lambda s: (
-            (2 * i + 1) * v(s) + F.lit(i * 1000003).cast("long")
-        ) % F.lit(MINHASH_PRIME)
+    def step(acc: Column, h: Column) -> Column:
+        # seed i runs 1..num_hashes (list position i-1), matching the
+        # batch module's family exactly
+        return F.array(
+            *[
+                F.least(
+                    F.get(acc, i),
+                    (
+                        (2 * (i + 1) + 1) * h
+                        + F.lit((i + 1) * 1000003).cast("long")
+                    )
+                    % F.lit(MINHASH_PRIME),
+                )
+                for i in range(num_hashes)
+            ]
+        )
 
-    mins = [
-        F.array_min(F.transform(shingles, _perm(i)))
-        for i in range(1, num_hashes + 1)
-    ]
-    bands = [
-        mins[j : j + band_size] for j in range(0, len(mins), band_size)
-    ]
-    sigs = F.array(
-        *[
-            F.struct(
-                F.lit(j).cast("long").alias("band"),
-                F.concat_ws("_", *[m.cast("string") for m in grp]).alias(
-                    "band_sig"
-                ),
-            )
-            for j, grp in enumerate(bands)
+    def finish(acc: Column) -> Column:
+        # acc is a BOUND lambda variable: the 8 extractions read the
+        # materialized accumulator, they do not re-run the fold
+        mins = [F.get(acc, i) for i in range(num_hashes)]
+        bands = [
+            mins[j : j + band_size] for j in range(0, num_hashes, band_size)
         ]
-    )
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(j).cast("long").alias("band"),
+                    F.concat_ws(
+                        "_", *[m.cast("string") for m in grp]
+                    ).alias("band_sig"),
+                )
+                for j, grp in enumerate(bands)
+            ]
+        )
+
+    sigs = F.aggregate(hashed, init, step, finish)
     # empty shingles must yield an EMPTY band array, not n_bands
-    # sentinel structs: array_min over no shingles is NULL and
-    # concat_ws silently renders NULL as "" — without this guard every
-    # sub-k-token document would share the ('', band) keys and dedup
-    # against all other short documents instead of passing through the
-    # short-doc branch.
+    # sentinel structs built from the untouched init accumulator:
+    # without this guard every sub-k-token document would share the
+    # same sentinel band keys and dedup against all other short
+    # documents instead of passing through the short-doc branch.
     return F.when(F.size(shingles) > 0, sigs).otherwise(
         F.array().cast("array<struct<band:bigint,band_sig:string>>")
     )
-
 
 def near_dup_dedup_stream(
     df: DataFrame,
@@ -142,24 +166,26 @@ def near_dup_dedup_stream(
     """
     n_bands = -(-num_hashes // band_size)  # ceil
     sh = _shingle_expr(F.col(text_col), k)
-    based = df.select(
-        F.col(id_col),
-        F.col(text_col),
-        F.col(ts_col),
-        _band_sigs_expr(sh, num_hashes, band_size).alias("_bands"),
-    )
-    short_docs = based.filter(F.size("_bands") == 0).select(
+    # branch on the CHEAP shortness test (token count < k ⟺ empty
+    # shingles ⟺ empty bands): the short branch never evaluates the
+    # md5 fold at all, and the band branch evaluates it exactly once —
+    # filtering both branches on size(_bands) would run the hot hash
+    # expression over every document in BOTH branch scans
+    n_toks = F.size(tokens(F.lower(F.trim(F.col(text_col)))))
+    short_docs = df.filter(n_toks < k).select(
         F.unix_millis(F.window(ts_col, window).getField("start")).alias(
             "window_start_ms"
         ),
         F.col(id_col),
         F.col(text_col),
     )
-    bands = based.filter(F.size("_bands") > 0).select(
+    bands = df.filter(n_toks >= k).select(
         F.col(id_col),
         F.col(text_col),
         F.col(ts_col),
-        F.explode("_bands").alias("_b"),
+        F.explode(
+            _band_sigs_expr(sh, num_hashes, band_size)
+        ).alias("_b"),
     ).select(
         id_col, text_col, ts_col,
         F.col("_b.band").alias("_band"),

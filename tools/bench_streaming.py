@@ -1,0 +1,260 @@
+"""Structured Streaming throughput benchmark — rows/sec through the
+engine's streaming operators, recorded into STREAM_BENCH.json.
+
+The batch-form BENCH entries (st_session_sliding, dd_band_firstseen,
+tj_scd2_lookup) pin the OPERATOR cost; this harness pins the
+STREAMING-RUNTIME cost on top: micro-batch scheduling, watermark
+advancement, and state-store traffic, which no batch query exercises.
+
+Method: the sf0.1 events table (100k rows) / documents table (5k docs)
+is re-written into N parquet files; each pipeline runs a file-source
+stream with ``maxFilesPerTrigger=1`` under ``trigger(availableNow)``
+to a noop sink, so every run processes the full input as N genuine
+micro-batches (state carried across triggers, watermark advancing
+between them — the regime a 24/7 ingest job lives in) and terminates
+deterministically. Reported: wall seconds for the drained run and
+input rows/sec. Rates are single-node local[CPUS] figures for
+ROUND-OVER-ROUND comparison, not absolute cluster throughput.
+
+Pipelines:
+- tumbling_agg: per-minute/event_type counts+sums (windowed agg state)
+- session_agg: per-user session windows (merging window state)
+- exact_dedup: dropDuplicatesWithinWatermark on event_id
+- running_totals_tws: transformWithState Python stateful totals
+- scd2_enrich: stream-static point-in-time dimension join
+- neardup_bands: two chained stateful ops (band dedup -> windowed
+  count) over the documents stream
+
+Usage: python tools/bench_streaming.py [sf_dir] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# transformWithState's state-server protocol needs google.protobuf in
+# the driver and every Python worker — same shim wiring as
+# tests/conftest.py (must precede SparkSession creation).
+_VENDOR = os.path.join(REPO, "tests", "_vendor")
+try:
+    import google.protobuf  # noqa: F401
+except ImportError:
+    if os.path.isdir(
+        os.environ.get(
+            "SPARK_GRAFT_PROTOBUF_HOME",
+            "/usr/lib/google-cloud-sdk/platform/google_appengine/google",
+        )
+    ):
+        sys.path.insert(0, _VENDOR)
+        os.environ["PYTHONPATH"] = os.pathsep.join(
+            p for p in (_VENDOR, os.environ.get("PYTHONPATH")) if p
+        )
+
+N_EVENT_FILES = 16
+N_DOC_FILES = 8
+
+
+def _drain(stream_df, name: str, mode: str = "append") -> float:
+    t0 = time.monotonic()
+    q = (
+        stream_df.writeStream.format("noop")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ck_{name}_"))
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return time.monotonic() - t0
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        REPO, "STREAM_BENCH.json"
+    )
+    from pyspark.sql import functions as F
+
+    from tcga_query_project_spark.session import get_spark
+    from tcga_query_project_spark.sources.io import read_events
+    from tcga_query_project_spark.streaming import (
+        dedup as sdedup,
+        joins as sjoins,
+        neardup as sneardup,
+        stateful,
+        windows as swin,
+    )
+
+    # state-store shards = shuffle partitions, and each shard pays a
+    # per-micro-batch checkpoint write: at 100k-row batches the default
+    # 32 shards are pure fixed cost (32 shards x 2 stateful ops x N
+    # batches of delta files). 8 is the tuned figure for this input
+    # size; a real job sizes shards to its state volume, not its cores.
+    spark = get_spark("stream-bench", shuffle_partitions=8)
+    work = tempfile.mkdtemp(prefix="stream_bench_")
+    ev_dir = os.path.join(work, "events")
+    doc_dir = os.path.join(work, "docs")
+    events = read_events(spark, sf_dir)
+    # one file per micro-batch; repartition by nothing specific — the
+    # file split IS the trigger boundary
+    events.repartition(N_EVENT_FILES).write.parquet(ev_dir)
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        # documents carry no timestamp; synthesize an arrival time so
+        # the watermark machinery runs (1 doc/second)
+        .withColumn(
+            "ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id"))
+        )
+    )
+    docs.repartition(N_DOC_FILES).write.parquet(doc_dir)
+    n_events = events.count()
+    n_docs = docs.count()
+
+    ev_schema = spark.read.parquet(ev_dir).schema
+    doc_schema = spark.read.parquet(doc_dir).schema
+
+    def ev_stream():
+        return (
+            spark.readStream.schema(ev_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ev_dir)
+        )
+
+    def doc_stream():
+        return (
+            spark.readStream.schema(doc_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(doc_dir)
+        )
+
+    # a small SCD2 user dimension: two versions per user over the
+    # event time span (dimension-sized: |users| << |events|)
+    users = events.select("user_id").distinct()
+    span = events.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    mid = span["lo"] + (span["hi"] - span["lo"]) / 2
+    dim = users.select(
+        "user_id",
+        F.lit(span["lo"]).alias("valid_from"),
+        F.lit(mid).alias("valid_to"),
+        F.concat(F.lit("tier_a_"), F.col("user_id")).alias("tier"),
+    ).unionByName(
+        users.select(
+            "user_id",
+            F.lit(mid).alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            F.concat(F.lit("tier_b_"), F.col("user_id")).alias("tier"),
+        )
+    )
+
+    pipelines = {
+        "tumbling_agg": (
+            lambda: swin.tumbling_agg(
+                ev_stream(), "ts", "1 minute", ["event_type"],
+                [F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")],
+            ),
+            n_events,
+        ),
+        "session_agg": (
+            lambda: swin.session_agg(
+                ev_stream(), "ts", "5 minutes", ["user_id"],
+                [F.count(F.lit(1)).alias("n")],
+            ),
+            n_events,
+        ),
+        "exact_dedup": (
+            lambda: sdedup.exact_dedup_stream(
+                ev_stream(), ["event_id"], "ts", "10 minutes"
+            ),
+            n_events,
+        ),
+        "running_totals_tws": (
+            # no outer watermark: the operator defines its own on the
+            # renamed event-time column (redefining is an error)
+            lambda: stateful.running_totals_tws(
+                ev_stream(), key="user_id", value="value", ts="ts",
+            ),
+            n_events,
+        ),
+        "scd2_enrich": (
+            lambda: sjoins.enrich_with_scd2(
+                ev_stream(), dim, "user_id", "ts"
+            ),
+            n_events,
+        ),
+        "neardup_bands": (
+            lambda: sneardup.near_dup_dedup_stream(
+                doc_stream(), "doc_id", "text", "ts", "10 minutes"
+            ),
+            n_docs,
+        ),
+    }
+
+    # transformWithState needs the RocksDB provider (one column family
+    # per named state variable; the HDFS-backed store has exactly one)
+    # and emits running rows, i.e. update mode
+    special = {
+        "running_totals_tws": {
+            "mode": "update",
+            "conf": {
+                "spark.sql.streaming.stateStore.providerClass": (
+                    "org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider"
+                )
+            },
+        }
+    }
+
+    results: dict[str, dict] = {}
+    for name, (build, rows) in pipelines.items():
+        extra = special.get(name, {})
+        mode = extra.get("mode", "append")
+        prev: dict[str, str | None] = {}
+        for k, val in extra.get("conf", {}).items():
+            prev[k] = spark.conf.get(k, None)
+            spark.conf.set(k, val)
+        try:
+            _drain(build(), name, mode)  # warm: codegen + state-store init
+            secs = min(_drain(build(), name, mode) for _ in range(2))
+            results[name] = {
+                "rows_in": rows,
+                "sec": round(secs, 3),
+                "rows_per_sec": int(rows / secs),
+            }
+        except Exception as e:  # record, don't abort the whole bench
+            results[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        finally:
+            for k, val in prev.items():
+                if val is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, val)
+        print(name, results[name])
+
+    out = {
+        "sf_dir": sf_dir,
+        "n_event_files": N_EVENT_FILES,
+        "n_doc_files": N_DOC_FILES,
+        "note": (
+            "availableNow + maxFilesPerTrigger=1: full input as N "
+            "micro-batches to a noop sink; best-of-2 after a warm run; "
+            "single-node round-over-round figures"
+        ),
+        "pipelines": results,
+    }
+    with open(out_path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(json.dumps({k: v.get("rows_per_sec") for k, v in results.items()}))
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
