@@ -1,0 +1,315 @@
+"""Cross-engine FUZZ parity: hypothesis-generated TPC-H-shaped
+micro-tables run through edge-prone catalog queries on Spark AND their
+DuckDB oracles over the same parquet files.
+
+The fixed-testdata parity suite proves the engines agree on the
+driver's data; this suite varies the DATA SHAPE — empty tables,
+dangling foreign keys, NULLs in value columns, single-row groups,
+every-row-one-group skew — the places where outer-join, anti-join,
+aggregate-over-empty, and threshold semantics can silently diverge
+(the NULL-stratum dedup bug this round was exactly such a shape
+defect, invisible at every fixed SF).
+
+Money values are multiples of 0.25 and quantities small integers, so
+every product and sum is EXACTLY representable in binary: comparisons
+never hinge on FP association order, and any mismatch is a real
+semantic divergence, not accumulation noise.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.oracle_harness import compare, run_oracle
+
+#: aggregate-only outputs (no LIMIT): result is a deterministic SET
+FUZZ_QUERIES = [
+    "q1_pricing_summary",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q11_important_parts",
+    "q12_priority_lateness",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+]
+
+_EPOCH = dt.datetime(1995, 1, 1)
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_TYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+_NAMES = ["blue anvil", "red bolt", "small gear", "old gizmo", "hot plate"]
+
+# exactly-representable money: k * 0.25
+money = st.integers(0, 4000).map(lambda k: k * 0.25)
+opt_money = st.one_of(st.none(), money)
+day = st.integers(0, 2400)
+
+
+def _ts(d: int) -> dt.datetime:
+    return _EPOCH + dt.timedelta(days=d)
+
+
+@st.composite
+def tpch_micro(draw):
+    n_cust = draw(st.integers(0, 10))
+    n_supp = draw(st.integers(0, 5))
+    n_part = draw(st.integers(0, 8))
+    n_ord = draw(st.integers(0, 20))
+    n_li = draw(st.integers(0, 40))
+    key_pool = st.integers(1, max(n_cust, 1) + 2)  # dangling keys allowed
+    ord_pool = st.integers(1, max(n_ord, 1) + 2)
+    part_pool = st.integers(1, max(n_part, 1) + 2)
+    supp_pool = st.integers(1, max(n_supp, 1) + 2)
+    cust = {
+        "c_custkey": list(range(1, n_cust + 1)),
+        "c_name": [f"c{i}" for i in range(n_cust)],
+        "c_nationkey": draw(
+            st.lists(st.integers(0, 24), min_size=n_cust, max_size=n_cust)
+        ),
+        "c_acctbal": draw(
+            st.lists(opt_money, min_size=n_cust, max_size=n_cust)
+        ),
+        "c_mktsegment": draw(
+            st.lists(
+                st.one_of(st.none(), st.sampled_from(_SEGMENTS)),
+                min_size=n_cust,
+                max_size=n_cust,
+            )
+        ),
+    }
+    supp = {
+        "s_suppkey": list(range(1, n_supp + 1)),
+        "s_name": [f"s{i}" for i in range(n_supp)],
+        "s_nationkey": draw(
+            st.lists(st.integers(0, 24), min_size=n_supp, max_size=n_supp)
+        ),
+        "s_acctbal": draw(st.lists(money, min_size=n_supp, max_size=n_supp)),
+    }
+    part = {
+        "p_partkey": list(range(1, n_part + 1)),
+        "p_name": draw(
+            st.lists(st.sampled_from(_NAMES), min_size=n_part, max_size=n_part)
+        ),
+        "p_brand": draw(
+            st.lists(
+                st.sampled_from([f"Brand#{i}" for i in range(1, 6)]),
+                min_size=n_part,
+                max_size=n_part,
+            )
+        ),
+        "p_type": draw(
+            st.lists(st.sampled_from(_TYPES), min_size=n_part, max_size=n_part)
+        ),
+        "p_size": draw(
+            st.lists(st.integers(1, 50), min_size=n_part, max_size=n_part)
+        ),
+        "p_retailprice": draw(
+            st.lists(money, min_size=n_part, max_size=n_part)
+        ),
+    }
+    orders = {
+        "o_orderkey": list(range(1, n_ord + 1)),
+        "o_custkey": draw(
+            st.lists(key_pool, min_size=n_ord, max_size=n_ord)
+        ),
+        "o_orderstatus": draw(
+            st.lists(
+                st.sampled_from(["F", "O", "P"]), min_size=n_ord, max_size=n_ord
+            )
+        ),
+        "o_totalprice": draw(st.lists(money, min_size=n_ord, max_size=n_ord)),
+        "o_orderdate": [
+            _ts(d) for d in draw(st.lists(day, min_size=n_ord, max_size=n_ord))
+        ],
+        "o_orderpriority": draw(
+            st.lists(
+                st.sampled_from(_PRIORITIES), min_size=n_ord, max_size=n_ord
+            )
+        ),
+    }
+    li = {
+        "l_orderkey": draw(st.lists(ord_pool, min_size=n_li, max_size=n_li)),
+        "l_partkey": draw(st.lists(part_pool, min_size=n_li, max_size=n_li)),
+        "l_suppkey": draw(st.lists(supp_pool, min_size=n_li, max_size=n_li)),
+        "l_linenumber": list(range(1, n_li + 1)),
+        "l_quantity": draw(
+            st.lists(
+                st.integers(1, 50).map(float), min_size=n_li, max_size=n_li
+            )
+        ),
+        "l_extendedprice": draw(st.lists(money, min_size=n_li, max_size=n_li)),
+        "l_discount": draw(
+            st.lists(
+                st.sampled_from([0.0, 0.25, 0.5]), min_size=n_li, max_size=n_li
+            )
+        ),
+        "l_tax": draw(
+            st.lists(
+                st.sampled_from([0.0, 0.25]), min_size=n_li, max_size=n_li
+            )
+        ),
+        "l_returnflag": draw(
+            st.lists(
+                st.sampled_from(["A", "N", "R"]), min_size=n_li, max_size=n_li
+            )
+        ),
+        "l_linestatus": draw(
+            st.lists(st.sampled_from(["F", "O"]), min_size=n_li, max_size=n_li)
+        ),
+        "l_shipdate": [
+            _ts(d) for d in draw(st.lists(day, min_size=n_li, max_size=n_li))
+        ],
+    }
+    return {
+        "customer": cust,
+        "supplier": supp,
+        "part": part,
+        "orders": orders,
+        "lineitem": li,
+    }
+
+
+_SCHEMAS = {
+    "region": pa.schema(
+        [("r_regionkey", pa.int32()), ("r_name", pa.string())]
+    ),
+    "nation": pa.schema(
+        [
+            ("n_nationkey", pa.int32()),
+            ("n_name", pa.string()),
+            ("n_regionkey", pa.int32()),
+        ]
+    ),
+    "customer": pa.schema(
+        [
+            ("c_custkey", pa.int64()),
+            ("c_name", pa.string()),
+            ("c_nationkey", pa.int32()),
+            ("c_acctbal", pa.float64()),
+            ("c_mktsegment", pa.string()),
+        ]
+    ),
+    "supplier": pa.schema(
+        [
+            ("s_suppkey", pa.int64()),
+            ("s_name", pa.string()),
+            ("s_nationkey", pa.int32()),
+            ("s_acctbal", pa.float64()),
+        ]
+    ),
+    "part": pa.schema(
+        [
+            ("p_partkey", pa.int64()),
+            ("p_name", pa.string()),
+            ("p_brand", pa.string()),
+            ("p_type", pa.string()),
+            ("p_size", pa.int32()),
+            ("p_retailprice", pa.float64()),
+        ]
+    ),
+    "orders": pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_orderstatus", pa.string()),
+            ("o_totalprice", pa.float64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+        ]
+    ),
+    "lineitem": pa.schema(
+        [
+            ("l_orderkey", pa.int64()),
+            ("l_partkey", pa.int64()),
+            ("l_suppkey", pa.int64()),
+            ("l_linenumber", pa.int32()),
+            ("l_quantity", pa.float64()),
+            ("l_extendedprice", pa.float64()),
+            ("l_discount", pa.float64()),
+            ("l_tax", pa.float64()),
+            ("l_returnflag", pa.string()),
+            ("l_linestatus", pa.string()),
+            ("l_shipdate", pa.timestamp("us")),
+        ]
+    ),
+    "events": pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    ),
+    "documents": pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    ),
+    "embeddings": pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    ),
+}
+
+
+def _write_dir(tables: dict, path: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    fixed = {
+        "region": {
+            "r_regionkey": list(range(5)),
+            "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"],
+        },
+        "nation": {
+            "n_nationkey": list(range(25)),
+            "n_name": [f"NATION_{i}" for i in range(25)],
+            "n_regionkey": [i % 5 for i in range(25)],
+        },
+    }
+    for t, schema in _SCHEMAS.items():
+        data = tables.get(t) or fixed.get(t) or {
+            f.name: [] for f in schema
+        }
+        pq.write_table(
+            pa.table(data, schema=schema), os.path.join(path, f"{t}.parquet")
+        )
+
+
+@pytest.mark.parametrize("name", FUZZ_QUERIES)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+    derandomize=True,  # CI-stable: same examples every run
+)
+@given(tables=tpch_micro())
+def test_fuzz_query_matches_oracle(spark, tmp_path_factory, name, tables):
+    from tcga_query_project_spark.catalog import BENCH_ONLY, REGISTRY
+
+    lookup = {**REGISTRY, **BENCH_ONLY}
+    d = str(tmp_path_factory.mktemp("fuzz"))
+    _write_dir(tables, d)
+    spec = lookup[name]
+    got = spec.build(spark, d).toPandas()
+    want = run_oracle(spec.oracle, d)
+    problems = compare(got, want)
+    assert not problems, (name, problems)
