@@ -294,6 +294,78 @@ def _write_dir(tables: dict, path: str) -> None:
         )
 
 
+#: events-based temporal/interval operators: as-of tie rules, interval
+#: endpoints, session-gap edges, CDC tiebreaks — generated with
+#: COLLIDING timestamps (coarse second grid) so the tie rules are
+#: actually exercised, and duplicate (user, ts) pairs are common
+EVENT_FUZZ_QUERIES = [
+    "tj_asof_join",
+    "tj_asof_directions",
+    "tj_range_join",
+    "tj_point_in_interval",
+    "tj_sessionize",
+    "cdc_latest_snapshot",
+    "w6_rolling_range",
+]
+
+_ETYPES = ["signup", "click", "error", "view", "purchase"]
+
+
+@st.composite
+def events_micro(draw):
+    n = draw(st.integers(0, 40))
+    # coarse grid: many exact ts collisions across and within users
+    secs = draw(
+        st.lists(st.integers(0, 30), min_size=n, max_size=n)
+    )
+    return {
+        "events": {
+            "event_id": list(range(1, n + 1)),
+            "ts": [
+                _EPOCH + dt.timedelta(minutes=m, seconds=0) for m in secs
+            ],
+            "user_id": draw(
+                st.lists(st.integers(1, 4), min_size=n, max_size=n)
+            ),
+            "event_type": draw(
+                st.lists(st.sampled_from(_ETYPES), min_size=n, max_size=n)
+            ),
+            "value": draw(st.lists(money, min_size=n, max_size=n)),
+            "props": draw(
+                st.lists(
+                    st.one_of(
+                        st.none(),
+                        st.integers(0, 99).map(lambda k: f'{{"k": {k}}}'),
+                    ),
+                    min_size=n,
+                    max_size=n,
+                )
+            ),
+        }
+    }
+
+
+@pytest.mark.parametrize("name", EVENT_FUZZ_QUERIES)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+    derandomize=True,
+)
+@given(tables=events_micro())
+def test_fuzz_events_query_matches_oracle(spark, tmp_path_factory, name, tables):
+    from tcga_query_project_spark.catalog import BENCH_ONLY, REGISTRY
+
+    lookup = {**REGISTRY, **BENCH_ONLY}
+    d = str(tmp_path_factory.mktemp("fuzz_ev"))
+    _write_dir(tables, d)
+    spec = lookup[name]
+    got = spec.build(spark, d).toPandas()
+    want = run_oracle(spec.oracle, d)
+    problems = compare(got, want)
+    assert not problems, (name, problems)
+
+
 @pytest.mark.parametrize("name", FUZZ_QUERIES)
 @settings(
     max_examples=5,
