@@ -385,3 +385,71 @@ def test_fuzz_query_matches_oracle(spark, tmp_path_factory, name, tables):
     want = run_oracle(spec.oracle, d)
     problems = compare(got, want)
     assert not problems, (name, problems)
+
+
+#: documents-based text/dedup operators: tokenization and shingle edge
+#: cases — empty strings, whitespace runs, punctuation-only docs,
+#: exact duplicate texts (dedup clusters), sub-k-token docs. ASCII
+#: only: the point is boundary semantics shared by both engines, not
+#: regex-engine unicode differences.
+DOC_FUZZ_QUERIES = [
+    "dd_doc_signatures",
+    "tx_doc_metrics",
+    "tx_doc_chunks",
+    "dd_minhash_lsh",
+]
+
+_WORDS = ["the", "quick", "brown", "fox", "data", "spark", "x1", "a"]
+_JUNK = ["", " ", "  ", "...", "!!", "\t"]
+
+
+@st.composite
+def documents_micro(draw):
+    n = draw(st.integers(0, 15))
+    texts = []
+    for _ in range(n):
+        kind = draw(st.integers(0, 3))
+        if kind == 0:  # junk / empty / whitespace
+            texts.append(draw(st.sampled_from(_JUNK)))
+        elif kind == 1:  # short (< shingle k)
+            texts.append(" ".join(draw(st.lists(
+                st.sampled_from(_WORDS), min_size=1, max_size=2))))
+        else:  # normal doc; duplicates across docs are likely
+            texts.append(" ".join(draw(st.lists(
+                st.sampled_from(_WORDS), min_size=3, max_size=12))))
+    langs = draw(st.lists(
+        st.sampled_from(["en", "de", "fr"]), min_size=n, max_size=n))
+    srcs = draw(st.lists(
+        st.sampled_from(["web", "book"]), min_size=n, max_size=n))
+    return {
+        "documents": {
+            "doc_id": list(range(1, n + 1)),
+            "text": texts,
+            "lang": langs,
+            "source": srcs,
+            "n_chars": [len(t) for t in texts],
+        }
+    }
+
+
+@pytest.mark.parametrize("name", DOC_FUZZ_QUERIES)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+    derandomize=True,
+)
+@given(tables=documents_micro())
+def test_fuzz_documents_query_matches_oracle(
+    spark, tmp_path_factory, name, tables
+):
+    from tcga_query_project_spark.catalog import BENCH_ONLY, REGISTRY
+
+    lookup = {**REGISTRY, **BENCH_ONLY}
+    d = str(tmp_path_factory.mktemp("fuzz_doc"))
+    _write_dir(tables, d)
+    spec = lookup[name]
+    got = spec.build(spark, d).toPandas()
+    want = run_oracle(spec.oracle, d)
+    problems = compare(got, want)
+    assert not problems, (name, problems)
