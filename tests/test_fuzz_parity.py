@@ -42,6 +42,20 @@ FUZZ_QUERIES = [
     "q16_supplier_part_counts",
     "q19_disjunctive_revenue",
     "q22_idle_customers",
+    # joins/limits with full unique tiebreaks (deterministic sets even
+    # under the fuzz grid's heavy value ties); micro tables keep every
+    # LIMIT non-binding anyway
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q20_dominant_suppliers",
+    "q21_sole_late_supplier",
 ]
 
 _EPOCH = dt.datetime(1995, 1, 1)
