@@ -533,23 +533,21 @@ def u_set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
 
-    long = relational.stack_wide_to_long(
-        li, [], ["l_quantity", "l_extendedprice"], "metric_raw", "val"
+    # The stack rows come from ONE global aggregate then a melt of the
+    # single result row (relational.stack_wide_to_long on the 1-row
+    # aggregate): one scan, partial aggregation, no grouped shuffle —
+    # and, unlike the previous melt→groupBy(metric) form, it matches
+    # the oracle's global-aggregate semantics on EMPTY input too (a
+    # grouped aggregate over zero rows yields zero groups; a global
+    # aggregate yields its one row — caught by the fuzz parity suite).
+    totals = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("stack_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("stack_price"),
     )
-    stacked = (
-        long.withColumn(
-            "metric",
-            F.when(F.col("metric_raw") == "l_quantity", "qty").otherwise("price"),
-        )
-        .groupBy("metric")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.sum("val"), 4).alias("val"),
-        )
-        .select(
-            F.concat(F.lit("stack_"), F.col("metric")).alias("which"), "n", "val"
-        )
-    )
+    stacked = relational.stack_wide_to_long(
+        totals, ["n"], ["stack_qty", "stack_price"], "which", "val"
+    ).select("which", "n", "val")
 
     def agg_of(df: DataFrame) -> DataFrame:
         return df.agg(
@@ -665,7 +663,7 @@ def p2_rename_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f_scalar_suite",
     """
     SELECT c_custkey, c_name, c_acctbal,
-           concat(upper(substring(c_mktsegment, 1, 3)), '-',
+           (upper(substring(c_mktsegment, 1, 3)) || '-' ||
                   CAST(c_custkey AS VARCHAR)) AS cust_tag,
            substring(c_name, 1, 12) AS short_name,
            regexp_replace(c_name, '#', '_', 'g') AS uscore_name,
