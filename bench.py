@@ -128,6 +128,9 @@ HEADLINE = [
     "q20_dominant_suppliers",
     # scale-safe per-language cap (training-mix balancer)
     "pp_stratified_cap",
+    # link-graph quality prior (iterative, oracle-mirrored as chained
+    # CTEs): per-iteration join+agg cost is what the bench watches
+    "gq_pagerank",
     # a6_poisson_wald is deliberately NOT benched: the GLM family has
     # never been in the headline set (per-gene grouped-map fits price
     # by group count, not data size — a correctness vehicle, verified

@@ -40,6 +40,7 @@ from pyspark.sql.window import Window
 from tcga_query_project_spark.functions.scalar import (
     HASH_SPLIT_BUCKET_SQL,
     SIGNIF_BIN_SQL,
+    md5_prefix_long,
     signif_bin,
     utc_us,
 )
@@ -47,6 +48,7 @@ from tcga_query_project_spark.operators import (
     bpe,
     dedup,
     glm,
+    graph,
     nested,
     partitioning,
     relational,
@@ -2092,6 +2094,108 @@ def pp_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return corpus_prep.corpus_clean(
         docs, "doc_id", "text", min_quality=0.4, langs=("en",)
+    )
+
+
+def _pagerank_oracle(n_iter: int, damping: float) -> str:
+    """Chained-CTE replay of :func:`operators.graph.pagerank` — one CTE
+    per synchronous power iteration (fixed iteration count is what
+    makes the iterative operator SQL-mirrorable at all). All float
+    literals cast to DOUBLE: DuckDB parses bare decimals as DECIMAL,
+    whose arithmetic would diverge from Spark's IEEE doubles."""
+    d = f"CAST({damping!r} AS DOUBLE)"
+    iters = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        iters.append(
+            f"""r{i} AS (
+      SELECT nd.node,
+             (1.0 - {d}) / nn.n
+             + {d} * (COALESCE(c.contrib, 0.0) + dg.dang / nn.n) AS rank
+      FROM nodes nd CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank / o.od) AS contrib
+        FROM edges e
+        JOIN {prev} r ON r.node = e.src
+        JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst
+      ) c ON c.node = nd.node
+      CROSS JOIN (
+        SELECT COALESCE(SUM(r.rank), CAST(0 AS DOUBLE)) AS dang
+        FROM {prev} r LEFT JOIN outdeg o ON o.src = r.node
+        WHERE o.src IS NULL
+      ) dg
+    )"""
+        )
+        prev = f"r{i}"
+    return (
+        """
+    WITH cnt AS (SELECT COUNT(*) AS c FROM documents),
+    edges0 AS (
+      SELECT d.doc_id AS src,
+             ('0x' || substring(md5('pr' || CAST(d.doc_id AS VARCHAR)
+                                    || '|' || CAST(k.k AS VARCHAR)), 1, 8)
+             )::BIGINT % cnt.c AS dst
+      FROM documents d
+      CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS k) k
+      CROSS JOIN cnt
+    ),
+    edges AS (SELECT DISTINCT src, dst FROM edges0 WHERE src <> dst),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS od
+               FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank
+           FROM nodes CROSS JOIN nn),
+    """
+        + ",\n    ".join(iters)
+        + f"""
+    SELECT node AS doc_id, ROUND(rank, 8) AS pagerank FROM {prev}
+    """
+    )
+
+
+@register_bench_only(
+    "gq_pagerank",
+    _pagerank_oracle(n_iter=6, damping=0.85),
+    tags=("graph", "quality-prior"),
+)
+def gq_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph quality prior (operators/graph.pagerank): 6 power
+    iterations of PageRank(d=0.85) over a deterministic synthetic
+    citation graph — each document links to the 3 documents selected by
+    the portable md5-prefix hash of (doc_id, k) mod corpus size, so
+    Spark and DuckDB materialize the IDENTICAL graph and the oracle
+    replays the iterations as 6 chained CTEs. Exercises the full
+    operator contract: simple-graph normalization, per-iteration
+    join + dst-aggregation, in-plan dangling-mass redistribution.
+    Real-world shape: Common Crawl's host-level rank used as a
+    quality-weighted sampling prior."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    cnt = docs.agg(F.count(F.lit(1)).alias("_c"))
+    ks = spark.range(3).select(F.col("id").alias("k"))
+    edges = (
+        docs.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            F.col("doc_id").alias("src"),
+            (
+                md5_prefix_long(
+                    F.concat(
+                        F.lit("pr"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("|"),
+                        F.col("k").cast("string"),
+                    )
+                )
+                % F.col("_c")
+            ).alias("dst"),
+        )
+    )
+    pr = graph.pagerank(edges, damping=0.85, n_iter=6)
+    return pr.select(
+        F.col("node").alias("doc_id"),
+        F.round(F.col("rank"), 8).alias("pagerank"),
     )
 
 

@@ -225,3 +225,123 @@ def connected_components(
         .select("id", F.col("id").alias("component"))
     )
     return members.union(roots).distinct()
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """PageRank over a directed edge list — the link-graph quality
+    prior of a web-scale training pipeline (Common Crawl publishes
+    exactly this as its host-level ranking; quality-weighted sampling
+    and crawl frontier prioritization both consume it).
+
+    Returns ``(node BIGINT, rank DOUBLE)`` with one row per node that
+    appears in ``edges`` (as source OR target); ranks sum to 1. Fixed
+    ``n_iter`` synchronous power iterations of the standard recurrence
+
+        rank'(j) = (1-d)/n + d * (sum_{i->j} rank(i)/outdeg(i)
+                                  + dangling_mass/n)
+
+    with dangling-node mass (nodes with no out-edges) redistributed
+    uniformly — the convention of Page et al. 1999 that keeps the
+    iterate a probability distribution, so a fixed iteration count is
+    comparable across engines (and mirrorable in SQL as ``n_iter``
+    chained CTEs: see the ``gq_pagerank`` oracle).
+
+    Scale notes (billion-node web graph):
+
+    - Per iteration: ONE join of the rank vector to the edge list and
+      ONE groupBy(dst) partial-aggregated sum — both node/edge-scale
+      relational shuffles; documents/pages themselves never move.
+      The edge list and the (node, outdeg) base are hash-partitioned
+      on their join keys ONCE and persisted, so every iteration
+      re-shuffles only the rank vector (8+8 bytes per node).
+    - The dangling-mass scalar stays IN-PLAN (a 1-row aggregate
+      broadcast-cross-joined onto the update) — no per-iteration
+      driver collect.
+    - Each iteration ends in an eager ``localCheckpoint`` (reliable
+      ``checkpoint()`` on a real cluster) so iteration k's plan does
+      not embed k copies of the join-agg subtree — same lineage
+      discipline as :func:`connected_components`.
+    - Self-loops and duplicate edges are dropped (simple-graph
+      semantics); NULL endpoints are dropped.
+
+    Reference analog: none (no graph step in the reference); serves
+    the LLM-data-pipeline quality surface the brief adds.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("od")
+    )
+    # Static per-iteration side: (node, od) with od NULL for dangling
+    # nodes; partitioned on node so the per-iteration rank join is
+    # co-located.
+    base = (
+        nodes.join(outdeg, nodes["node"] == outdeg["src"], "left")
+        .select("node", "od")
+        .repartition("node")
+        .persist()
+    )
+    n = base.count()  # one action; also materializes base + e
+    if n == 0:
+        base.unpersist()
+        e.unpersist()
+        return edges.sparkSession.createDataFrame(
+            [], schema="node bigint, rank double"
+        )
+    ranks = base.select(
+        "node", F.lit(1.0 / n).alias("rank")
+    ).localCheckpoint(eager=True)
+    teleport = (1.0 - damping) / n
+    for _ in range(n_iter):
+        withdeg = ranks.join(base, "node")
+        contrib = (
+            withdeg.join(e, withdeg["node"] == e["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("od")).alias("_contrib"))
+        )
+        dangling = withdeg.filter(F.col("od").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
+        )
+        new = (
+            base.select("node")
+            .join(contrib, base["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_contrib"), F.lit(0.0))
+                        + F.col("_dang") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+        )
+        ranks = new.localCheckpoint(eager=True)
+    base.unpersist()
+    e.unpersist()
+    return ranks

@@ -195,3 +195,78 @@ def test_clusters_from_pairs_embedding_source(spark):
         assert r["component"] == ref.get(vid, vid)
         # weight_col=None -> keeper is the component label (min id)
         assert r["keep_id"] == r["component"]
+
+
+# =====================================================================
+# PageRank
+# =====================================================================
+
+
+def numpy_pagerank(
+    edges: list[tuple[int, int]], damping: float, n_iter: int
+) -> dict[int, float]:
+    """Dense power-iteration reference: identical recurrence to the
+    operator (uniform init, dangling mass redistributed uniformly,
+    simple-graph normalization)."""
+    import numpy as np
+
+    es = sorted({(u, v) for u, v in edges if u != v})
+    nodes = sorted({u for u, _ in es} | {v for _, v in es})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out: dict[int, list[int]] = {}
+    for u, v in es:
+        out.setdefault(idx[u], []).append(idx[v])
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        nxt = np.full(n, (1.0 - damping) / n)
+        dang = sum(r[i] for i in range(n) if i not in out)
+        nxt += damping * dang / n
+        for i, targets in out.items():
+            share = damping * r[i] / len(targets)
+            for j in targets:
+                nxt[j] += share
+        r = nxt
+    return {nodes[i]: float(r[i]) for i in range(n)}
+
+
+def _pagerank_dict(spark, edges, **kw) -> dict[int, float]:
+    from tcga_query_project_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(edges, schema="src bigint, dst bigint")
+    return {
+        r["node"]: r["rank"] for r in pagerank(df, **kw).collect()
+    }
+
+
+def test_pagerank_two_node_cycle_is_uniform(spark):
+    got = _pagerank_dict(spark, [(1, 2), (2, 1)], n_iter=5)
+    assert got == pytest.approx({1: 0.5, 2: 0.5})
+
+
+def test_pagerank_star_concentrates_on_hub(spark):
+    # 4 leaves all pointing at the hub; hub is dangling. With uniform
+    # dangling redistribution rank stays a probability distribution and
+    # the hub strictly dominates every leaf.
+    got = _pagerank_dict(
+        spark, [(1, 0), (2, 0), (3, 0), (4, 0)], n_iter=8
+    )
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert all(got[0] > got[leaf] for leaf in (1, 2, 3, 4))
+    assert got[1] == pytest.approx(got[2])
+
+
+@pytest.mark.parametrize("seed,n,m", [(7, 30, 90), (11, 50, 120)])
+def test_pagerank_matches_numpy_power_iteration(spark, seed, n, m):
+    """Differential vs the dense reference on random digraphs that
+    contain dangling nodes, sinks, duplicate and self-loop edges."""
+    rng = random.Random(seed)
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    edges += edges[:5]  # duplicates
+    edges.append((3, 3))  # self-loop (dropped by both)
+    want = numpy_pagerank(edges, damping=0.85, n_iter=7)
+    got = _pagerank_dict(spark, edges, damping=0.85, n_iter=7)
+    assert set(got) == set(want)
+    for node, rank in want.items():
+        assert got[node] == pytest.approx(rank, abs=1e-12), node
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
