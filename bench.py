@@ -131,6 +131,8 @@ HEADLINE = [
     # link-graph quality prior (iterative, oracle-mirrored as chained
     # CTEs): per-iteration join+agg cost is what the bench watches
     "gq_pagerank",
+    # snapshot drift gate (PSI): two scans + one bin-count shuffle
+    "qa_psi_drift",
     # a6_poisson_wald is deliberately NOT benched: the GLM family has
     # never been in the headline set (per-gene grouped-map fits price
     # by group count, not data size — a correctness vehicle, verified

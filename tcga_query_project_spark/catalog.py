@@ -3957,6 +3957,83 @@ def qa_orders_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PSI_CUTOFF = "1998-01-01 00:00:00"
+_PSI_PRICE_EDGES = (50_000.0, 100_000.0, 200_000.0, 300_000.0, 400_000.0)
+
+
+@register_bench_only(
+    "qa_psi_drift",
+    f"""
+    WITH base AS (
+      SELECT CASE WHEN o_orderdate < TIMESTAMP '{_PSI_CUTOFF}'
+                  THEN 1 ELSE 0 END AS is_ref,
+             CASE WHEN o_totalprice IS NULL THEN '__null__'
+                  ELSE 'b' || CAST(
+                    {" + ".join(f"CAST(o_totalprice >= {e!r} AS INT)" for e in _PSI_PRICE_EDGES)}
+                  AS VARCHAR) END AS b_price,
+             COALESCE(o_orderpriority, '__null__') AS b_prio,
+             COALESCE(o_orderstatus, '__null__') AS b_status
+      FROM orders
+    ),
+    ex AS (
+      SELECT is_ref, t.f['feature'] AS feature, t.f['bin'] AS bin
+      FROM base, UNNEST([
+        {{'feature': 'o_totalprice', 'bin': b_price}},
+        {{'feature': 'o_orderpriority', 'bin': b_prio}},
+        {{'feature': 'o_orderstatus', 'bin': b_status}}]) AS t(f)
+    ),
+    counts AS (
+      SELECT feature, bin,
+             CAST(SUM(is_ref) AS DOUBLE) AS ref_n,
+             CAST(SUM(1 - is_ref) AS DOUBLE) AS cur_n
+      FROM ex GROUP BY feature, bin
+    ),
+    tot AS (
+      SELECT feature, SUM(ref_n) AS rt, SUM(cur_n) AS ct
+      FROM counts GROUP BY feature
+    ),
+    terms AS (
+      SELECT c.feature,
+             GREATEST(c.ref_n / t.rt, 1e-6) AS p,
+             GREATEST(c.cur_n / t.ct, 1e-6) AS q
+      FROM counts c JOIN tot t USING (feature)
+    ),
+    agg AS (
+      SELECT feature,
+             ROUND(SUM((p - q) * ln(p / q)), 6) AS psi,
+             CAST(COUNT(*) AS BIGINT) AS n_bins
+      FROM terms GROUP BY feature
+    )
+    SELECT feature, psi, n_bins, psi > 0.2 AS drifted FROM agg
+    """,
+    tags=("quality-drift",),
+)
+def qa_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-drift gate (operators/quality_audit.psi_drift): PSI of
+    the price distribution and the priority/status mixes between the
+    pre-1998 reference window and the current window of orders — the
+    month-over-month "did my training-mix assumptions move" check.
+    Fixed data-independent bin edges, epsilon-floored shares, verdict
+    from the rounded PSI; the oracle replays bins, shares and the PSI
+    algebra in plain SQL so values AND verdicts hash-match."""
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.lit(_PSI_CUTOFF).cast("timestamp_ntz")
+    ref = orders.filter(F.col("o_orderdate") < cutoff)
+    cur = orders.filter(
+        F.col("o_orderdate").isNull() | (F.col("o_orderdate") >= cutoff)
+    )
+    from tcga_query_project_spark.operators import quality_audit as qa
+
+    return qa.psi_drift(
+        ref,
+        cur,
+        numeric={"o_totalprice": list(_PSI_PRICE_EDGES)},
+        categorical=["o_orderpriority", "o_orderstatus"],
+        epsilon=1e-6,
+        threshold=0.2,
+    )
+
+
 @register_bench_only(
     "tj_scd2_lookup",
     """

@@ -230,3 +230,64 @@ def test_streaming_gate_survives_all_null_metric_batch(spark, tmp_path):
     # fail-closed: the empty batch's checks all fail -> quarantined
     assert not any(r["passed"] for r in none_metrics.collect())
     assert {r["id"] for r in spark.read.parquet(accept).collect()} == {1}
+
+
+# =====================================================================
+# PSI drift
+# =====================================================================
+
+
+def _psi_map(df):
+    return {r["feature"]: r for r in df.collect()}
+
+
+def test_psi_hand_worked_value(spark):
+    """2 categorical bins, shares (0.8, 0.2) vs (0.2, 0.8):
+    PSI = (0.8-0.2)ln(0.8/0.2) + (0.2-0.8)ln(0.2/0.8)
+        = 1.2 ln 4 = 1.663553."""
+    ref = spark.createDataFrame([("a",)] * 8 + [("b",)] * 2, "cat string")
+    cur = spark.createDataFrame([("a",)] * 2 + [("b",)] * 8, "cat string")
+    got = _psi_map(qa.psi_drift(ref, cur, categorical=["cat"]))["cat"]
+    assert got["psi"] == 1.663553
+    assert got["n_bins"] == 2
+    assert bool(got["drifted"]) is True
+
+
+def test_psi_planted_numeric_drift_fires_stable_does_not(spark):
+    rows_ref = [(float(i % 100), "x" if i % 2 else "y") for i in range(1000)]
+    # price distribution shifted up 10x; cat mix unchanged
+    rows_cur = [(float(i % 100) * 10, "x" if i % 2 else "y") for i in range(1000)]
+    ref = spark.createDataFrame(rows_ref, "price double, cat string")
+    cur = spark.createDataFrame(rows_cur, "price double, cat string")
+    got = _psi_map(
+        qa.psi_drift(
+            ref, cur,
+            numeric={"price": [50.0, 200.0, 500.0]},
+            categorical=["cat"],
+        )
+    )
+    assert bool(got["price"]["drifted"]) is True
+    assert got["price"]["psi"] > 0.2
+    assert bool(got["cat"]["drifted"]) is False
+    assert got["cat"]["psi"] == 0.0
+
+
+def test_psi_one_sided_bin_uses_epsilon_floor_and_null_bin(spark):
+    # 'c' appears only in ref; NULLs bin separately on both sides.
+    ref = spark.createDataFrame(
+        [("a",), ("a",), ("c",), (None,)], "cat string"
+    )
+    cur = spark.createDataFrame([("a",), ("a",), (None,), (None,)], "cat string")
+    out = _psi_map(qa.psi_drift(ref, cur, categorical=["cat"]))["cat"]
+    import math
+
+    assert out["n_bins"] == 3  # a, c, __null__
+    assert math.isfinite(out["psi"]) and out["psi"] > 0
+
+
+def test_psi_requires_features(spark):
+    import pytest as _pt
+
+    df = spark.range(3)
+    with _pt.raises(ValueError):
+        qa.psi_drift(df, df)
