@@ -133,6 +133,8 @@ HEADLINE = [
     "gq_pagerank",
     # snapshot drift gate (PSI): two scans + one bin-count shuffle
     "qa_psi_drift",
+    # robust anomaly gate: two grouped exact medians + broadcast joins
+    "qa_robust_outliers",
     # a6_poisson_wald is deliberately NOT benched: the GLM family has
     # never been in the headline set (per-gene grouped-map fits price
     # by group count, not data size — a correctness vehicle, verified

@@ -3957,6 +3957,49 @@ def qa_orders_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_bench_only(
+    "qa_robust_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type
+    ),
+    j AS (
+      SELECT e.event_id, e.event_type, e.value, m.med
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, median(abs(value - med)) AS mad
+      FROM j GROUP BY event_type
+    ),
+    scored AS (
+      SELECT j.event_id, j.event_type, j.value,
+             CASE WHEN d.mad = 0 OR j.value IS NULL THEN NULL
+                  ELSE ROUND((j.value - j.med)
+                             / (CAST(1.4826 AS DOUBLE) * d.mad), 6)
+             END AS robust_z
+      FROM j JOIN mad d USING (event_type)
+    )
+    SELECT event_id, event_type, value, robust_z,
+           COALESCE(abs(robust_z) > CAST(3.5 AS DOUBLE), FALSE) AS is_outlier
+    FROM scored
+    """,
+    tags=("quality-outliers",),
+)
+def qa_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust z-scores per event type
+    (operators/stats.robust_outliers) — the distribution-aware anomaly
+    gate over the events stream: every row scored against ITS group's
+    median and MAD (breakdown point 50%, so the outliers cannot hide
+    themselves the way they do in a mean/stddev z-score). Oracle
+    replays median -> MAD -> modified-z -> verdict in SQL; values AND
+    the |z| > 3.5 verdicts hash-match."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return stats.robust_outliers(ev, ["event_type"], "value")
+
+
 _PSI_CUTOFF = "1998-01-01 00:00:00"
 _PSI_PRICE_EDGES = (50_000.0, 100_000.0, 200_000.0, 300_000.0, 400_000.0)
 

@@ -2204,3 +2204,59 @@ def test_stratified_cap_scaled_keeps_null_strata(spark):
     assert keep2(
         stratified_cap_scaled(df3, ["k", "src"], cap=30, tiebreak="id", salt="nz")
     ) == expected3
+
+
+# =====================================================================
+# robust_outliers (median/MAD modified z)
+# =====================================================================
+
+
+def test_robust_outliers_hand_worked(spark):
+    """Group g: values 1..9 plus a planted 1000. median of the 10
+    values = 5.5; |x - 5.5| = [4.5,3.5,...,0.5,0.5,...,994.5], MAD =
+    median = 2.5; z(1000) = 994.5/(1.4826*2.5) = 268.312424 -> outlier;
+    z(9) = 3.5/3.7065 = 0.944287 -> not."""
+    rows = [("g", float(v)) for v in range(1, 10)] + [("g", 1000.0)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = {
+        r["value"]: r
+        for r in stats.robust_outliers(df, ["grp"], "value").collect()
+    }
+    assert out[1000.0]["robust_z"] == 268.312424
+    assert bool(out[1000.0]["is_outlier"]) is True
+    assert out[9.0]["robust_z"] == 0.944287
+    assert bool(out[9.0]["is_outlier"]) is False
+
+
+def test_robust_outliers_outlier_cannot_mask_itself(spark):
+    """The property that motivates median/MAD over mean/stddev: one
+    extreme value inflates stddev enough to keep its OWN classic z
+    under 3.5 (max sample z in a batch of n is (n-1)/sqrt(n): 3.18 at
+    n=12), while the robust z still fires."""
+    rows = [("g", float(v % 7)) for v in range(11)] + [("g", 1e6)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    scored = stats.robust_outliers(df, ["grp"], "value")
+    big = scored.filter(F.col("value") == 1e6).first()
+    assert bool(big["is_outlier"]) is True
+    classic = df.groupBy("grp").agg(
+        F.avg("value").alias("mu"), F.stddev("value").alias("sd")
+    )
+    z = (
+        df.join(classic, "grp")
+        .select(((F.col("value") - F.col("mu")) / F.col("sd")).alias("z"))
+        .agg(F.max(F.abs(F.col("z"))))
+        .first()[0]
+    )
+    assert z < 3.5  # classic z never fires on this batch
+
+
+def test_robust_outliers_degenerate_and_null_groups(spark):
+    # constant group -> MAD 0 -> z NULL, not outlier; NULL values safe
+    rows = [("c", 7.0)] * 5 + [("c", None), ("n", 1.0), ("n", 2.0), ("n", 3.0)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    got = stats.robust_outliers(df, ["grp"], "value").collect()
+    cs = [r for r in got if r["grp"] == "c"]
+    assert all(r["robust_z"] is None for r in cs)
+    assert all(bool(r["is_outlier"]) is False for r in cs)
+    ns = {r["value"]: r for r in got if r["grp"] == "n"}
+    assert ns[2.0]["robust_z"] == 0.0
