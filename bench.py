@@ -135,6 +135,8 @@ HEADLINE = [
     "qa_psi_drift",
     # robust anomaly gate: two grouped exact medians + broadcast joins
     "qa_robust_outliers",
+    # fuzzy join: delete-variant explode + equi-join, no cartesian
+    "er_fuzzy_name_pairs",
     # a6_poisson_wald is deliberately NOT benched: the GLM family has
     # never been in the headline set (per-gene grouped-map fits price
     # by group count, not data size — a correctness vehicle, verified

@@ -3958,6 +3958,33 @@ def qa_orders_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_bench_only(
+    "er_fuzzy_name_pairs",
+    """
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part
+                   WHERE p_name IS NOT NULL)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+    FROM names a JOIN names b ON a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 2
+    """,
+    tags=("entity-resolution", "fuzzy-join"),
+)
+def er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance join without a cartesian product
+    (operators/fuzzy.fuzzy_pairs): all part-name pairs within
+    Levenshtein 2 via SymSpell deletion-neighborhood blocking — a
+    provably complete equi-join on delete-variants plus an exact
+    verify on candidates only. The oracle IS the brute-force all-pairs
+    theta join the operator refuses to run (fine at oracle scale,
+    quadratic suicide at corpus scale), so the hash match is a direct
+    proof of blocking completeness on real data."""
+    part = _t(spark, sf_dir, "part")
+    from tcga_query_project_spark.operators import fuzzy
+
+    return fuzzy.fuzzy_pairs(part, "p_name", max_dist=2)
+
+
+@register_bench_only(
     "qa_robust_outliers",
     """
     WITH med AS (
