@@ -137,6 +137,8 @@ HEADLINE = [
     "qa_robust_outliers",
     # fuzzy join: delete-variant explode + equi-join, no cartesian
     "er_fuzzy_name_pairs",
+    # Poisson bootstrap: B-fold map-side explode, partial-agg shuffle
+    "a13_bootstrap_ci",
     # a6_poisson_wald is deliberately NOT benched: the GLM family has
     # never been in the headline set (per-gene grouped-map fits price
     # by group count, not data size — a correctness vehicle, verified

@@ -3957,6 +3957,70 @@ def qa_orders_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _poisson_case_sql(u: str) -> str:
+    """The Poisson(1) inverse-CDF CASE chain over the SAME threshold
+    literals the Spark expression uses (stats.POISSON1_CDF) — repr
+    round-trips doubles exactly, so both engines draw identical
+    weights from identical hashes."""
+    whens = "\n             ".join(
+        f"WHEN {u} < CAST({t!r} AS DOUBLE) THEN {k}"
+        for k, t in enumerate(stats.POISSON1_CDF)
+    )
+    return f"CASE {whens}\n             ELSE {len(stats.POISSON1_CDF)} END"
+
+
+@register_bench_only(
+    "a13_bootstrap_ci",
+    f"""
+    WITH ex AS (
+      SELECT event_type, value AS x, b.b AS b,
+             ('0x' || substring(md5('boot' || CAST(event_id AS VARCHAR)
+                                    || '|' || CAST(b.b AS VARCHAR)), 1, 8)
+             )::BIGINT / CAST(4294967296 AS DOUBLE) AS u
+      FROM events CROSS JOIN (SELECT UNNEST(range(100)) AS b) b
+    ),
+    wt AS (
+      SELECT event_type, b, x,
+             CAST({_poisson_case_sql("u")} AS DOUBLE) AS w
+      FROM ex
+    ),
+    per_rep AS (
+      SELECT event_type, b,
+             CASE WHEN SUM(w) > 0 THEN SUM(w * x) / SUM(w) END AS mean_b
+      FROM wt GROUP BY event_type, b
+    ),
+    ci AS (
+      SELECT event_type,
+             ROUND(quantile_cont(mean_b, 0.025), 6) AS lo,
+             ROUND(quantile_cont(mean_b, 0.975), 6) AS hi
+      FROM per_rep GROUP BY event_type
+    ),
+    est AS (
+      SELECT event_type, ROUND(AVG(value), 6) AS est
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, e.est, c.lo, c.hi, CAST(100 AS BIGINT) AS n_boot
+    FROM est e JOIN ci c USING (event_type)
+    """,
+    tags=("stats-bootstrap",),
+)
+def a13_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-bootstrap mean CI per event type
+    (operators/stats.bootstrap_ci): 100 Poisson-bootstrap replicates
+    whose resample counts come from the portable md5-prefix hash of
+    (salt, event_id, replicate) — deterministic, layout-independent,
+    and re-drawn identically by the oracle, which replays explode ->
+    weight -> per-replicate weighted mean -> percentile interval in
+    plain SQL. The map-side partial aggregation keeps the shuffle at
+    (groups x replicates) partials regardless of row count."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return stats.bootstrap_ci(
+        ev, ["event_type"], "value", "event_id", n_boot=100
+    )
+
+
 @register_bench_only(
     "er_fuzzy_name_pairs",
     """

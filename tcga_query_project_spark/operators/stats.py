@@ -448,3 +448,114 @@ def robust_outliers(
         )
         .drop("_med", "_mad")
     )
+
+
+#: Cumulative Poisson(1) CDF thresholds for k = 0..7 (tail mass
+#: ~1e-5 truncates to k=8). Embedded as exact double literals in BOTH
+#: engines (see the st_bootstrap oracle), so the weight drawn from a
+#: given hash value is engine-portable by construction.
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+)
+
+
+def poisson1_weight(u: Column) -> Column:
+    """Poisson(1) draw from a uniform ``u`` in [0, 1) by inverse CDF —
+    the per-row resample count of the Poisson bootstrap. Branch chain
+    over 8 fixed thresholds; identical CASE chain in the SQL mirror."""
+    w: Column = F.lit(len(POISSON1_CDF))
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    *,
+    n_boot: int = 100,
+    level: float = 0.95,
+    salt: str = "boot",
+) -> DataFrame:
+    """Per-group bootstrap confidence interval for the MEAN via the
+    Poisson bootstrap — the resampling scheme that works when the data
+    cannot sit on one machine (Chamandy et al., "Estimating Uncertainty
+    for Massive Data Streams", Google 2012): instead of drawing n rows
+    with replacement (which needs global coordination), each row enters
+    replicate ``b`` Poisson(1)-many times. Resample counts come from
+    the portable md5-prefix hash of ``(salt, id, b)``, so replicas are
+    deterministic, layout-independent, and replayable in plain SQL —
+    the ``st_bootstrap_mean_ci`` oracle re-draws the identical weights.
+
+    Returns one row per group: ``(group_cols..., est, lo, hi,
+    n_boot)`` — ``est`` the plain mean, ``lo``/``hi`` the
+    equal-tailed percentile interval over replicate means (all rounded
+    6). Replicates where a group draws zero total weight (possible
+    only for tiny groups) yield a NULL replicate mean, which the
+    percentile skips — the standard small-group caveat of the Poisson
+    bootstrap.
+
+    Scale: the explode is ``n_boot`` PER ROW but map-side — partial
+    aggregation collapses it before the shuffle, so the exchange
+    carries ~(partitions x groups x n_boot) partial sums, independent
+    of row count. CPU is the inherent B-fold bootstrap cost;
+    ``n_boot=100`` on a quantile that needs 2.5%/97.5% tails is the
+    practical floor. No driver-side state, no rand() (never
+    reproducible across retries), no per-row Python.
+    """
+    if not 0 < level < 1:
+        raise ValueError("level must be in (0, 1)")
+    from tcga_query_project_spark.functions.scalar import md5_prefix_long
+
+    alpha = (1.0 - level) / 2.0
+    key = F.concat(
+        F.lit(salt),
+        F.col("_id").cast("string"),
+        F.lit("|"),
+        F.col("_b").cast("string"),
+    )
+    u = md5_prefix_long(key) / F.lit(4294967296.0)
+    w = poisson1_weight(u).cast("double")
+    per_rep = (
+        df.select(
+            *group_cols,
+            F.col(value_col).alias("_x"),
+            F.col(id_col).alias("_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("_b"),
+        )
+        .withColumn("_w", w)
+        .groupBy(*group_cols, "_b")
+        .agg(
+            F.sum(F.col("_w") * F.col("_x")).alias("_sw"),
+            F.sum("_w").alias("_n"),
+        )
+        .select(
+            *group_cols,
+            F.when(
+                F.col("_n") > 0, F.col("_sw") / F.col("_n")
+            ).alias("_mean_b"),
+        )
+    )
+    ci = per_rep.groupBy(*group_cols).agg(
+        F.round(F.percentile(F.col("_mean_b"), F.lit(alpha)), 6).alias("lo"),
+        F.round(
+            F.percentile(F.col("_mean_b"), F.lit(1.0 - alpha)), 6
+        ).alias("hi"),
+    )
+    est = df.groupBy(*group_cols).agg(
+        F.round(F.avg(value_col), 6).alias("est")
+    )
+    return (
+        est.join(ci, group_cols)
+        .withColumn("n_boot", F.lit(n_boot).cast("bigint"))
+        .select(*group_cols, "est", "lo", "hi", "n_boot")
+    )

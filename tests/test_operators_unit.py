@@ -2260,3 +2260,72 @@ def test_robust_outliers_degenerate_and_null_groups(spark):
     assert all(bool(r["is_outlier"]) is False for r in cs)
     ns = {r["value"]: r for r in got if r["grp"] == "n"}
     assert ns[2.0]["robust_z"] == 0.0
+
+
+# =====================================================================
+# bootstrap_ci (Poisson bootstrap)
+# =====================================================================
+
+
+def test_bootstrap_weights_are_poisson1(spark):
+    """The hash-drawn weights must actually BE Poisson(1): mean 1,
+    P(0) ~ e^-1, within sampling tolerance on 40k draws."""
+    from tcga_query_project_spark.functions.scalar import md5_prefix_long
+
+    df = spark.range(40000)
+    u = md5_prefix_long(F.concat(F.lit("t"), F.col("id").cast("string"))) / F.lit(
+        4294967296.0
+    )
+    w = stats.poisson1_weight(u)
+    row = df.select(w.alias("w")).agg(
+        F.avg("w").alias("mu"),
+        F.avg((F.col("w") == 0).cast("double")).alias("p0"),
+    ).first()
+    assert row["mu"] == pytest.approx(1.0, abs=0.02)
+    assert row["p0"] == pytest.approx(math.exp(-1), abs=0.01)
+
+
+def test_bootstrap_ci_covers_true_mean_and_is_deterministic(spark):
+    rows = [("a", i, float(i % 21)) for i in range(2000)]  # mean 10
+    rows += [("b", 10_000 + i, 100.0 + (i % 5)) for i in range(500)]  # mean 102
+    df = spark.createDataFrame(rows, "grp string, id bigint, value double")
+    out1 = {
+        r["grp"]: r
+        for r in stats.bootstrap_ci(
+            df, ["grp"], "value", "id", n_boot=60
+        ).collect()
+    }
+    assert out1["a"]["lo"] < 10.0 < out1["a"]["hi"]
+    assert out1["b"]["lo"] < 102.0 < out1["b"]["hi"]
+    # interval width sanity: sd(a) ~ 6.06/sqrt(2000) ~ 0.14 per tail
+    assert out1["a"]["hi"] - out1["a"]["lo"] < 1.5
+    # deterministic: same salt -> identical intervals on re-run,
+    # different salt -> (almost surely) different resamples
+    out2 = {
+        r["grp"]: r
+        for r in stats.bootstrap_ci(
+            df.repartition(7), ["grp"], "value", "id", n_boot=60
+        ).collect()
+    }
+    assert out1 == out2  # layout-independent
+    out3 = {
+        r["grp"]: r
+        for r in stats.bootstrap_ci(
+            df, ["grp"], "value", "id", n_boot=60, salt="other"
+        ).collect()
+    }
+    assert (out3["a"]["lo"], out3["a"]["hi"]) != (
+        out1["a"]["lo"],
+        out1["a"]["hi"],
+    )
+
+
+def test_bootstrap_ci_tiny_group_null_replicates_skipped(spark):
+    # a 1-row group draws weight 0 in ~37% of replicates; those
+    # replicate means are NULL and the percentile must skip them
+    df = spark.createDataFrame(
+        [("solo", 1, 42.0)], "grp string, id bigint, value double"
+    )
+    row = stats.bootstrap_ci(df, ["grp"], "value", "id", n_boot=50).first()
+    assert row["est"] == 42.0
+    assert row["lo"] == 42.0 and row["hi"] == 42.0
