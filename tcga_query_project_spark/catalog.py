@@ -4128,8 +4128,10 @@ _PSI_PRICE_EDGES = (50_000.0, 100_000.0, 200_000.0, 300_000.0, 400_000.0)
     ),
     terms AS (
       SELECT c.feature,
-             GREATEST(c.ref_n / t.rt, 1e-6) AS p,
-             GREATEST(c.cur_n / t.ct, 1e-6) AS q
+             GREATEST(CASE WHEN t.rt > 0 THEN c.ref_n / t.rt
+                           ELSE 0.0 END, 1e-6) AS p,
+             GREATEST(CASE WHEN t.ct > 0 THEN c.cur_n / t.ct
+                           ELSE 0.0 END, 1e-6) AS q
       FROM counts c JOIN tot t USING (feature)
     ),
     agg AS (

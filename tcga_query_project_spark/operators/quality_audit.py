@@ -291,8 +291,22 @@ def psi_drift(
     totals = counts.groupBy("feature").agg(
         F.sum("ref_n").alias("_rt"), F.sum("cur_n").alias("_ct")
     )
-    p = F.greatest(F.col("ref_n") / F.col("_rt"), F.lit(epsilon))
-    q = F.greatest(F.col("cur_n") / F.col("_ct"), F.lit(epsilon))
+    # An EMPTY side (no reference rows / no current rows) must not
+    # 0/0-NaN the shares: its every bin share floors to epsilon, so
+    # PSI degenerates to "everything changed" — large and drifted,
+    # the sensible verdict — identically in both engines.
+    p = F.greatest(
+        F.when(F.col("_rt") > 0, F.col("ref_n") / F.col("_rt")).otherwise(
+            F.lit(0.0)
+        ),
+        F.lit(epsilon),
+    )
+    q = F.greatest(
+        F.when(F.col("_ct") > 0, F.col("cur_n") / F.col("_ct")).otherwise(
+            F.lit(0.0)
+        ),
+        F.lit(epsilon),
+    )
     term = (p - q) * F.log(p / q)
     psi = F.round(F.sum(term), 6)
     return (

@@ -66,6 +66,11 @@ FUZZ_QUERIES = [
     "j3_semi_join_dim",
     "f_scalar_suite",
     "o1_o4_topk_suite",
+    # round-7 additions: PSI over empty-side windows (the 0/0 shape),
+    # fuzzy pairs over a 5-name domain (brute-force-oracle completeness
+    # under duplicates/empty part table)
+    "qa_psi_drift",
+    "er_fuzzy_name_pairs",
 ]
 
 _EPOCH = dt.datetime(1995, 1, 1)
@@ -333,6 +338,12 @@ EVENT_FUZZ_QUERIES = [
     "p3_p5_filters",
     "p6_json_predicate",
     "w7_w8_window_suite",
+    # round-7 additions: exact quarter-valued sums make median/MAD and
+    # bootstrap weighted means order-independent, so single-row groups,
+    # constant groups (MAD=0) and tiny-group zero-weight replicates
+    # are pure semantics checks
+    "qa_robust_outliers",
+    "a13_bootstrap_ci",
 ]
 
 _ETYPES = ["signup", "click", "error", "view", "purchase"]
@@ -444,6 +455,10 @@ DOC_FUZZ_QUERIES = [
     "dd_minhash_lsh",
     "a12_cube_margins",
     "tx_lang_profile",
+    # round-7 addition: pagerank over hash-derived graphs on 0/1/n-doc
+    # corpora (empty edge list, all-self-loop single node, modulo
+    # domain = doc count)
+    "gq_pagerank",
 ]
 
 _WORDS = ["the", "quick", "brown", "fox", "data", "spark", "x1", "a"]

@@ -285,6 +285,18 @@ def test_psi_one_sided_bin_uses_epsilon_floor_and_null_bin(spark):
     assert math.isfinite(out["psi"]) and out["psi"] > 0
 
 
+def test_psi_empty_reference_side_is_total_and_drifts(spark):
+    """An empty ref window must not 0/0-NaN the shares: every ref
+    share floors to epsilon -> PSI large -> drifted, deterministically."""
+    ref = spark.createDataFrame([], "cat string")
+    cur = spark.createDataFrame([("a",), ("b",)], "cat string")
+    row = qa.psi_drift(ref, cur, categorical=["cat"]).first()
+    import math
+
+    assert math.isfinite(row["psi"]) and row["psi"] > 0.2
+    assert bool(row["drifted"]) is True
+
+
 def test_psi_requires_features(spark):
     import pytest as _pt
 
