@@ -87,3 +87,62 @@ def audited_ingest(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def drift_monitor(
+    stream: DataFrame,
+    reference: DataFrame,
+    *,
+    numeric: dict | None = None,
+    categorical: list | None = None,
+    report_path: str,
+    checkpoint_path: str,
+    threshold: float = 0.2,
+    trigger_available_now: bool = True,
+):
+    """Streaming distribution-drift monitor: PSI of every micro-batch
+    against a STATIC reference window (the data the filters/weights
+    were tuned on — see :func:`...operators.quality_audit.psi_drift`),
+    appended per batch to a drift log. The alerting layer tails the
+    log for ``drifted = true`` rows; the pipeline itself keeps
+    flowing — drift is a re-tune signal, not a data fault, which is
+    why this monitor OBSERVES rather than gates (contrast
+    :func:`audited_ingest`, where a failed expectation quarantines
+    the batch).
+
+    The reference side is re-binned per micro-batch. Bin counts are
+    feature x bin sized, so the repeated cost is one scan of the
+    (usually dimension-sized, cached) reference — callers with a big
+    reference should pass ``reference.persist()`` or pre-aggregate.
+
+    Same idempotent-foreachBatch recipe as :func:`audited_ingest`:
+    the report partitions by ``batch_id`` with dynamic overwrite, so
+    an at-least-once replay replaces its own partition.
+
+    Returns the StreamingQuery; report rows are ``(feature, psi,
+    n_bins, drifted, batch_id)``.
+    """
+
+    def _check(batch_df: DataFrame, batch_id: int) -> None:
+        report = qa.psi_drift(
+            reference,
+            batch_df,
+            numeric=numeric,
+            categorical=categorical,
+            threshold=threshold,
+        ).withColumn("batch_id", F.lit(batch_id))
+        (
+            report.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(report_path)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_check)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -303,3 +303,54 @@ def test_psi_requires_features(spark):
     df = spark.range(3)
     with _pt.raises(ValueError):
         qa.psi_drift(df, df)
+
+
+def test_streaming_drift_monitor_per_batch_psi(spark, tmp_path):
+    """Two micro-batches against a static reference: the matching
+    batch logs drifted=false, the shifted batch drifted=true, and each
+    batch's PSI equals the batch-mode psi_drift on the same rows
+    (stream == batch)."""
+    from tcga_query_project_spark.streaming.audit import drift_monitor
+
+    schema = "id long, cat string"
+    ref_rows = [(i, "x" if i % 2 else "y") for i in range(100)]
+    same = [(i, "x" if i % 2 else "y") for i in range(50)]
+    shifted = [(i, "x") for i in range(50)]  # all one category
+    ref = spark.createDataFrame(ref_rows, schema)
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(same, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(shifted, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    rep = str(tmp_path / "rep")
+    q = drift_monitor(
+        stream,
+        ref,
+        categorical=["cat"],
+        report_path=rep,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    report = spark.read.parquet(rep).collect()
+    assert len(report) == 2  # one 'cat' row per batch
+    by_drift = {bool(r["drifted"]): r for r in report}
+    assert by_drift[False]["psi"] == 0.0
+    assert by_drift[True]["psi"] > 0.2
+    # stream == batch: the drifted batch's PSI equals batch mode
+    batch_psi = (
+        qa.psi_drift(
+            ref, spark.createDataFrame(shifted, schema), categorical=["cat"]
+        )
+        .first()["psi"]
+    )
+    assert by_drift[True]["psi"] == batch_psi
