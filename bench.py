@@ -139,6 +139,9 @@ HEADLINE = [
     "er_fuzzy_name_pairs",
     # Poisson bootstrap: B-fold map-side explode, partial-agg shuffle
     "a13_bootstrap_ci",
+    # unigram-LM tokenizer: histogram shuffle + driver EM + map-only
+    # Viterbi encode (the BPE slot's probabilistic sibling)
+    "tx_unigram_pieces",
     # a6_poisson_wald is deliberately NOT benched: the GLM family has
     # never been in the headline set (per-gene grouped-map fits price
     # by group count, not data size — a correctness vehicle, verified

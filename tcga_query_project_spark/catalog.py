@@ -3862,6 +3862,39 @@ def tx_bpe_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_bench_only(
+    "tx_unigram_pieces",
+    None,  # EM-trained unigram LM — iterative, not single-statement
+    # SQL; forward-backward and Viterbi are enumeration-differential-
+    # tested and the pipeline is round-trip-tested in tests/test_unigram.py
+    tags=("unigram", "tokenizer"),
+)
+def tx_unigram_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenization of the corpus
+    (operators/unigram, Kudo 2018): EM-train a piece distribution on
+    the distributed word histogram (one shuffle + dimension-sized
+    driver EM — same contract as tx_bpe_pieces), then
+    Viterbi-tokenize every document via a broadcast model in one
+    Arrow-batched mapInPandas pass, zero encode-side shuffles. The
+    second tokenizer family beside BPE: probabilistic top-down
+    segmentation vs greedy bottom-up merges. Output mirrors
+    tx_bpe_pieces (deterministic: EM/pruning/Viterbi ties all break
+    lexicographically)."""
+    from tcga_query_project_spark.operators import unigram as ug
+
+    docs = _t(spark, sf_dir, "documents")
+    model = ug.unigram_train(
+        docs, "text", vocab_size=300, seed_size=1500, max_words=50_000
+    )
+    enc = ug.unigram_encode(docs, model, "doc_id", "text")
+    return enc.select(
+        "doc_id",
+        "n_pieces",
+        F.element_at("pieces", 1).alias("first_piece"),
+        F.element_at("pieces", -1).alias("last_piece"),
+    )
+
+
+@register_bench_only(
     "tx_heavy_tokens",
     r"""
     SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
