@@ -3990,31 +3990,36 @@ def qa_orders_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _poisson_case_sql(u: str) -> str:
-    """The Poisson(1) inverse-CDF CASE chain over the SAME threshold
-    literals the Spark expression uses (stats.POISSON1_CDF) — repr
-    round-trips doubles exactly, so both engines draw identical
-    weights from identical hashes."""
+def _poisson_case_sql(slice8: str) -> str:
+    """The Poisson(1) inverse-CDF CASE chain over the SAME hex-string
+    threshold literals the Spark expression uses
+    (stats.POISSON1_CDF_HEX) — fixed-width lowercase hex compares
+    lexicographically as its integer value in both engines, so both
+    draw identical weights from identical digest slices."""
     whens = "\n             ".join(
-        f"WHEN {u} < CAST({t!r} AS DOUBLE) THEN {k}"
-        for k, t in enumerate(stats.POISSON1_CDF)
+        f"WHEN {slice8} <= '{t}' THEN {k}"
+        for k, t in enumerate(stats.POISSON1_CDF_HEX)
     )
-    return f"CASE {whens}\n             ELSE {len(stats.POISSON1_CDF)} END"
+    return (
+        f"CASE {whens}\n             ELSE {len(stats.POISSON1_CDF_HEX)} END"
+    )
 
 
 @register_bench_only(
     "a13_bootstrap_ci",
     f"""
     WITH ex AS (
-      SELECT event_type, value AS x, b.b AS b,
-             ('0x' || substring(md5('boot' || CAST(event_id AS VARCHAR)
-                                    || '|' || CAST(b.b AS VARCHAR)), 1, 8)
-             )::BIGINT / CAST(4294967296 AS DOUBLE) AS u
-      FROM events CROSS JOIN (SELECT UNNEST(range(100)) AS b) b
+      SELECT event_type, value AS x, g.g * 4 + s.s AS b,
+             substring(md5('boot' || CAST(event_id AS VARCHAR)
+                           || '|' || CAST(g.g AS VARCHAR)),
+                       1 + 8 * s.s, 8) AS sl
+      FROM events
+      CROSS JOIN (SELECT UNNEST(range(25)) AS g) g
+      CROSS JOIN (SELECT UNNEST(range(4)) AS s) s
     ),
     wt AS (
       SELECT event_type, b, x,
-             CAST({_poisson_case_sql("u")} AS DOUBLE) AS w
+             CAST({_poisson_case_sql("sl")} AS DOUBLE) AS w
       FROM ex
     ),
     per_rep AS (
@@ -4040,12 +4045,15 @@ def _poisson_case_sql(u: str) -> str:
 def a13_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed-bootstrap mean CI per event type
     (operators/stats.bootstrap_ci): 100 Poisson-bootstrap replicates
-    whose resample counts come from the portable md5-prefix hash of
-    (salt, event_id, replicate) — deterministic, layout-independent,
-    and re-drawn identically by the oracle, which replays explode ->
-    weight -> per-replicate weighted mean -> percentile interval in
-    plain SQL. The map-side partial aggregation keeps the shuffle at
-    (groups x replicates) partials regardless of row count."""
+    whose resample counts come from portable md5 digests of
+    (salt, event_id, replicate-group) — one digest feeds FOUR
+    replicates via its 8-hex-char slices, weights drawn by direct
+    hex-string comparison (no conversions in the hot path) —
+    deterministic, layout-independent, and re-sliced identically by
+    the oracle, which replays digest -> slice -> weight ->
+    per-replicate weighted mean -> percentile interval in plain SQL.
+    The map-side partial aggregation keeps the shuffle at (groups x
+    replicates) partials regardless of row count."""
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )

@@ -466,13 +466,39 @@ POISSON1_CDF = (
 )
 
 
+
+#: The same thresholds as 8-hex-digit STRING literals
+#: (``format(floor(t * 2^32), '08x')``): an 8-char lowercase-hex md5
+#: slice compares lexicographically exactly like its integer value, so
+#: ``slice <= POISSON1_CDF_HEX[k]`` IS ``u < POISSON1_CDF[k]`` at
+#: 32-bit resolution — no hex->int conversion in the hot path (conv()
+#: measured ~40% of the per-draw cost at sf0.1).
+POISSON1_CDF_HEX = tuple(
+    format(int(t * 2**32), "08x") for t in POISSON1_CDF
+)
+
+
 def poisson1_weight(u: Column) -> Column:
     """Poisson(1) draw from a uniform ``u`` in [0, 1) by inverse CDF —
     the per-row resample count of the Poisson bootstrap. Branch chain
-    over 8 fixed thresholds; identical CASE chain in the SQL mirror."""
+    over 8 fixed thresholds; identical CASE chain in the SQL mirror.
+    (Distribution-reference form; the hot path uses
+    :func:`poisson1_weight_hex` on raw digest slices.)"""
     w: Column = F.lit(len(POISSON1_CDF))
     for k in range(len(POISSON1_CDF) - 1, -1, -1):
         w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def poisson1_weight_hex(slice8: Column) -> Column:
+    """Poisson(1) draw from an 8-char lowercase-hex digest slice by
+    STRING comparison against :data:`POISSON1_CDF_HEX` — equivalent to
+    :func:`poisson1_weight` on ``int(slice, 16) / 2^32`` but with no
+    string->integer conversion (fixed-width lowercase hex orders
+    lexicographically as its value; both engines compare ASCII)."""
+    w: Column = F.lit(len(POISSON1_CDF_HEX))
+    for k in range(len(POISSON1_CDF_HEX) - 1, -1, -1):
+        w = F.when(slice8 <= F.lit(POISSON1_CDF_HEX[k]), F.lit(k)).otherwise(w)
     return w
 
 
@@ -492,9 +518,13 @@ def bootstrap_ci(
     for Massive Data Streams", Google 2012): instead of drawing n rows
     with replacement (which needs global coordination), each row enters
     replicate ``b`` Poisson(1)-many times. Resample counts come from
-    the portable md5-prefix hash of ``(salt, id, b)``, so replicas are
-    deterministic, layout-independent, and replayable in plain SQL —
-    the ``st_bootstrap_mean_ci`` oracle re-draws the identical weights.
+    the portable md5 digest of ``(salt, id, b div 4)``: ONE md5 yields
+    FOUR 32-bit draws (the digest's 8-hex-char slices, one per
+    replicate in the group of four), each mapped through the inverse
+    CDF by direct hex-string comparison — a 4x hash-count and
+    zero-conversion hot path that is still deterministic,
+    layout-independent, and replayable in plain SQL (the
+    ``a13_bootstrap_ci`` oracle re-slices the identical digests).
 
     Returns one row per group: ``(group_cols..., est, lo, hi,
     n_boot)`` — ``est`` the plain mean, ``lo``/``hi`` the
@@ -507,32 +537,48 @@ def bootstrap_ci(
     Scale: the explode is ``n_boot`` PER ROW but map-side — partial
     aggregation collapses it before the shuffle, so the exchange
     carries ~(partitions x groups x n_boot) partial sums, independent
-    of row count. CPU is the inherent B-fold bootstrap cost;
-    ``n_boot=100`` on a quantile that needs 2.5%/97.5% tails is the
-    practical floor. No driver-side state, no rand() (never
-    reproducible across retries), no per-row Python.
+    of row count. CPU is the inherent B-fold bootstrap cost (md5 paid
+    once per 4 replicates); ``n_boot=100`` on a quantile that needs
+    2.5%/97.5% tails is the practical floor. No driver-side state, no
+    rand() (never reproducible across retries), no per-row Python.
     """
     if not 0 < level < 1:
         raise ValueError("level must be in (0, 1)")
-    from tcga_query_project_spark.functions.scalar import md5_prefix_long
-
     alpha = (1.0 - level) / 2.0
-    key = F.concat(
-        F.lit(salt),
-        F.col("_id").cast("string"),
-        F.lit("|"),
-        F.col("_b").cast("string"),
+    n_groups = (n_boot + 3) // 4
+    dig = F.md5(
+        F.concat(
+            F.lit(salt),
+            F.col("_id").cast("string"),
+            F.lit("|"),
+            F.col("_g").cast("string"),
+        )
     )
-    u = md5_prefix_long(key) / F.lit(4294967296.0)
-    w = poisson1_weight(u).cast("double")
+    # one digest -> four 8-hex-char slices; computed INSIDE the
+    # posexplode argument so the md5 runs once per (row, digest group),
+    # not once per replicate
+    slices = F.array(
+        *[F.substring(F.col("_dig"), 8 * s + 1, 8) for s in range(4)]
+    )
     per_rep = (
         df.select(
             *group_cols,
             F.col(value_col).alias("_x"),
             F.col(id_col).alias("_id"),
-            F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("_b"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_groups - 1))
+            ).alias("_g"),
         )
-        .withColumn("_w", w)
+        .withColumn("_dig", dig)
+        .select(
+            *group_cols,
+            "_x",
+            "_g",
+            F.posexplode(slices).alias("_s", "_slice"),
+        )
+        .withColumn("_b", F.col("_g") * 4 + F.col("_s"))
+        .filter(F.col("_b") < n_boot)
+        .withColumn("_w", poisson1_weight_hex(F.col("_slice")).cast("double"))
         .groupBy(*group_cols, "_b")
         .agg(
             F.sum(F.col("_w") * F.col("_x")).alias("_sw"),

@@ -2329,3 +2329,28 @@ def test_bootstrap_ci_tiny_group_null_replicates_skipped(spark):
     row = stats.bootstrap_ci(df, ["grp"], "value", "id", n_boot=50).first()
     assert row["est"] == 42.0
     assert row["lo"] == 42.0 and row["hi"] == 42.0
+
+
+def test_poisson_hex_weight_equals_double_form(spark):
+    """The hex-string comparison draw must equal the double-uniform
+    draw on the same 32-bit value, for every threshold boundary."""
+    from tcga_query_project_spark.operators.stats import (
+        POISSON1_CDF,
+        poisson1_weight,
+        poisson1_weight_hex,
+    )
+
+    # probe each threshold's floor value, its neighbors, and extremes
+    probes = set()
+    for t in POISSON1_CDF:
+        v = int(t * 2**32)
+        probes.update({max(v - 1, 0), v, min(v + 1, 2**32 - 1)})
+    probes.update({0, 2**32 - 1, 123456789})
+    rows = [(format(v, "08x"), v / 2**32) for v in sorted(probes)]
+    df = spark.createDataFrame(rows, "slice8 string, u double")
+    got = df.select(
+        poisson1_weight_hex(F.col("slice8")).alias("wh"),
+        poisson1_weight(F.col("u")).alias("wu"),
+    ).collect()
+    for r in got:
+        assert r["wh"] == r["wu"]
