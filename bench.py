@@ -142,6 +142,9 @@ HEADLINE = [
     # unigram-LM tokenizer: histogram shuffle + driver EM + map-only
     # Viterbi encode (the BPE slot's probabilistic sibling)
     "tx_unigram_pieces",
+    # incremental view maintenance: delta agg + group-sized merge,
+    # base fact never rescanned
+    "tj_incremental_agg",
     # a6_poisson_wald is deliberately NOT benched: the GLM family has
     # never been in the headline set (per-gene grouped-map fits price
     # by group count, not data size — a correctness vehicle, verified

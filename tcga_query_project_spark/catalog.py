@@ -4090,6 +4090,78 @@ def er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_bench_only(
+    "tj_incremental_agg",
+    """
+    WITH patched AS (
+      SELECT event_type AS g, value AS x FROM events
+      WHERE event_id % 37 <> 0 AND event_id % 5 <> 0
+      UNION ALL
+      SELECT CASE WHEN event_id % 10 = 0 THEN 'view' ELSE event_type END,
+             value + 100
+      FROM events WHERE event_id % 37 <> 0 AND event_id % 5 = 0
+      UNION ALL
+      SELECT 'signup', value * 0.5 FROM events WHERE event_id % 7 = 0
+    )
+    SELECT g AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(x), 4) AS sum_x,
+           ROUND(SUM(x) / COUNT(*), 6) AS avg_x
+    FROM patched GROUP BY g
+    """,
+    tags=("cdc", "incremental-view-maintenance"),
+)
+def tj_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance
+    (operators/temporal.maintain_grouped_agg): the per-event-type
+    count/sum/avg is maintained from a Debezium-shaped I/U/D change
+    log (deletes: id%37=0; updates: id%5=0 with +100 and some rows
+    MOVING group; inserts: derived signup rows) — two narrow log
+    projections, one delta aggregate, one group-sized full-outer
+    merge; the base fact is never rescanned. The oracle is the FULL
+    RECOMPUTE over the patched fact, so the hash match is a
+    cross-engine proof that incremental maintenance equals recompute
+    on this log — counts exactly, sums to the rounding tolerance."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    base = temporal.grouped_agg_snapshot(ev, ["event_type"], "value")
+    is_del = F.col("event_id") % 37 == 0
+    is_upd = (F.col("event_id") % 37 != 0) & (F.col("event_id") % 5 == 0)
+    is_ins = F.col("event_id") % 7 == 0
+    deletes = ev.filter(is_del).select(
+        F.lit("D").alias("op"),
+        F.col("event_type").alias("before_event_type"),
+        F.col("value").alias("before_x"),
+        F.lit(None).cast("string").alias("after_event_type"),
+        F.lit(None).cast("double").alias("after_x"),
+    )
+    updates = ev.filter(is_upd).select(
+        F.lit("U").alias("op"),
+        F.col("event_type").alias("before_event_type"),
+        F.col("value").alias("before_x"),
+        F.when(F.col("event_id") % 10 == 0, F.lit("view"))
+        .otherwise(F.col("event_type"))
+        .alias("after_event_type"),
+        (F.col("value") + 100).alias("after_x"),
+    )
+    inserts = ev.filter(is_ins).select(
+        F.lit("I").alias("op"),
+        F.lit(None).cast("string").alias("before_event_type"),
+        F.lit(None).cast("double").alias("before_x"),
+        F.lit("signup").alias("after_event_type"),
+        (F.col("value") * 0.5).alias("after_x"),
+    )
+    log = deletes.unionByName(updates).unionByName(inserts)
+    out = temporal.maintain_grouped_agg(base, log, ["event_type"])
+    return out.select(
+        "event_type",
+        "cnt",
+        F.round(F.col("sum_x"), 4).alias("sum_x"),
+        F.round(F.col("avg_x"), 6).alias("avg_x"),
+    )
+
+
+@register_bench_only(
     "qa_robust_outliers",
     """
     WITH med AS (

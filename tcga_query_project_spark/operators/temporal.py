@@ -468,3 +468,89 @@ def diff_snapshots(
         )
         .filter(F.col("change").isNotNull())
     )
+
+
+def maintain_grouped_agg(
+    base_agg: DataFrame,
+    log: DataFrame,
+    group_cols: list[str],
+    *,
+    op_col: str = "op",
+    before_prefix: str = "before_",
+    after_prefix: str = "after_",
+    value_col: str = "x",
+) -> DataFrame:
+    """Incremental maintenance of a grouped count/sum/avg aggregate
+    from a CDC change log — the materialized-view maintenance step of
+    a streaming warehouse: the base fact is NEVER rescanned; only the
+    (delta-sized) log is aggregated and merged into the existing
+    aggregate table. At 100 TB base / GB-scale daily deltas this is
+    the difference between a seconds-long merge and a full recompute.
+
+    Contract:
+
+    - ``base_agg``: ``(group_cols..., cnt BIGINT, sum_x DOUBLE)`` —
+      the previously materialized aggregate (as produced by
+      :func:`grouped_agg_snapshot` or any equivalent groupBy).
+    - ``log``: Debezium-shaped rows with before/after images:
+      ``op`` in {'I','U','D'}, ``before_<group>``/``before_x`` (valid
+      for U/D), ``after_<group>``/``after_x`` (valid for I/U). An
+      update contributes -1/-x at its BEFORE group and +1/+x at its
+      AFTER group, so group-moving updates maintain correctly.
+    - Output: the new ``(group_cols..., cnt, sum_x, avg_x)`` with
+      zero-count groups dropped — bitwise the aggregate a full
+      recompute over the patched fact would produce (the catalog
+      oracle IS that recompute, so the hash match is a cross-engine
+      proof of incremental == recompute on integer-exact sums).
+
+    Shape: two narrow projections of the log (retractions, additions)
+    -> one union -> one groupBy(group) delta aggregate -> one
+    full-outer merge with the base aggregate (group-cardinality-sized
+    on both sides). No window, no fact scan.
+    """
+    retract = log.filter(F.col(op_col).isin("U", "D")).select(
+        *[
+            F.col(before_prefix + g).alias(g) for g in group_cols
+        ],
+        F.lit(-1).cast("long").alias("_dc"),
+        (-F.col(before_prefix + value_col)).alias("_dx"),
+    )
+    add = log.filter(F.col(op_col).isin("I", "U")).select(
+        *[F.col(after_prefix + g).alias(g) for g in group_cols],
+        F.lit(1).cast("long").alias("_dc"),
+        F.col(after_prefix + value_col).alias("_dx"),
+    )
+    delta = (
+        retract.unionByName(add)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("_dc").alias("_dcnt"),
+            F.sum("_dx").alias("_dsum"),
+        )
+    )
+    merged = base_agg.join(delta, group_cols, "full_outer").select(
+        *group_cols,
+        (
+            F.coalesce(F.col("cnt"), F.lit(0))
+            + F.coalesce(F.col("_dcnt"), F.lit(0))
+        ).alias("cnt"),
+        (
+            F.coalesce(F.col("sum_x"), F.lit(0.0))
+            + F.coalesce(F.col("_dsum"), F.lit(0.0))
+        ).alias("sum_x"),
+    )
+    return merged.filter(F.col("cnt") > 0).withColumn(
+        "avg_x", F.col("sum_x") / F.col("cnt")
+    )
+
+
+def grouped_agg_snapshot(
+    fact: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """The base aggregate :func:`maintain_grouped_agg` maintains:
+    ``(group_cols..., cnt, sum_x)`` — materialize once over the full
+    fact, then maintain from logs forever."""
+    return fact.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.col(value_col)).alias("sum_x"),
+    )

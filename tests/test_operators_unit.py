@@ -2354,3 +2354,94 @@ def test_poisson_hex_weight_equals_double_form(spark):
     ).collect()
     for r in got:
         assert r["wh"] == r["wu"]
+
+
+# =====================================================================
+# maintain_grouped_agg (incremental materialized-view maintenance)
+# =====================================================================
+
+
+def _recompute(rows):
+    agg = {}
+    for g, x in rows:
+        c, s = agg.get(g, (0, 0.0))
+        agg[g] = (c + 1, s + x)
+    return {
+        g: (c, s, s / c) for g, (c, s) in agg.items() if c > 0
+    }
+
+
+def test_maintain_agg_matches_recompute_with_group_moves(spark):
+    from tcga_query_project_spark.operators import temporal
+
+    fact = [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0), ("c", 5.0)]
+    df = spark.createDataFrame(fact, "g string, x double")
+    base = temporal.grouped_agg_snapshot(df, ["g"], "x")
+    # U moves (b,3) -> (a,30); D removes (c,5) emptying group c;
+    # I adds (d,7)
+    log = spark.createDataFrame(
+        [
+            ("U", "b", 3.0, "a", 30.0),
+            ("D", "c", 5.0, None, None),
+            ("I", None, None, "d", 7.0),
+        ],
+        "op string, before_g string, before_x double, "
+        "after_g string, after_x double",
+    )
+    got = {
+        r["g"]: (r["cnt"], r["sum_x"], r["avg_x"])
+        for r in temporal.maintain_grouped_agg(base, log, ["g"]).collect()
+    }
+    patched = [("a", 1.0), ("a", 2.0), ("a", 30.0), ("b", 4.0), ("d", 7.0)]
+    want = _recompute(patched)
+    assert set(got) == set(want)  # group c vanished
+    for g in want:
+        assert got[g] == pytest.approx(want[g])
+
+
+def test_maintain_agg_random_logs_equal_recompute(spark):
+    """Randomized differential: any I/U/D log over exact quarter-valued
+    facts maintains to EXACTLY the full recompute (integer-exact sums
+    remove FP association noise — mismatches are semantic)."""
+    import random
+
+    from tcga_query_project_spark.operators import temporal
+
+    rng = random.Random(13)
+    groups = ["g0", "g1", "g2", "g3"]
+    fact = [
+        (i, rng.choice(groups), rng.randrange(40) * 0.25)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(fact, "id long, g string, x double")
+    base = temporal.grouped_agg_snapshot(df, ["g"], "x")
+    current = {i: (g, x) for i, g, x in fact}
+    log_rows = []
+    next_id = 1000
+    for _ in range(40):
+        op = rng.choice("IUD")
+        if op == "I":
+            g, x = rng.choice(groups), rng.randrange(40) * 0.25
+            log_rows.append(("I", None, None, g, x))
+            current[next_id] = (g, x)
+            next_id += 1
+        elif current:
+            i = rng.choice(sorted(current))
+            bg, bx = current.pop(i)
+            if op == "U":
+                g, x = rng.choice(groups), rng.randrange(40) * 0.25
+                log_rows.append(("U", bg, bx, g, x))
+                current[i] = (g, x)
+            else:
+                log_rows.append(("D", bg, bx, None, None))
+    log = spark.createDataFrame(
+        log_rows,
+        "op string, before_g string, before_x double, "
+        "after_g string, after_x double",
+    )
+    got = {
+        r["g"]: (r["cnt"], r["sum_x"], r["avg_x"])
+        for r in temporal.maintain_grouped_agg(base, log, ["g"]).collect()
+    }
+    want = _recompute(list(current.values()))
+    assert got == want  # exact: quarter-valued sums are FP-exact
