@@ -1046,3 +1046,53 @@ def remove_repeated_spans(
         F.col("n_grams_cut"),
     )
     return touched.unionByName(untouched)
+
+
+def compression_ratio(
+    df: DataFrame, id_col: str, text_col: str, level: int = 6
+) -> DataFrame:
+    """Per-document zlib compression ratio — the classic cheap
+    redundancy detector (used as a quality signal alongside the Gopher
+    rules: templated/boilerplate/keyword-stuffed text compresses far
+    below prose, and binary-ish noise compresses above it).
+    ``ratio = deflate_bytes / utf8_bytes``: English prose lands
+    ~0.3-0.5; heavy repetition approaches 0; incompressible noise
+    approaches (slightly exceeds) 1. NULL/empty text -> NULL ratio.
+
+    Output: ``(id_col, n_bytes BIGINT, ratio DOUBLE [rounded 6])``.
+
+    This is the ONE Python-side op in this module (everything else is
+    JVM expressions): there is no codec expression in Spark SQL, so it
+    runs as an Arrow-batched ``mapInPandas`` projection — zero
+    shuffles, linear scan, stdlib zlib, no per-row Python overhead
+    beyond the batch loop. DEFLATE output is bit-stable for a given
+    (input, level, strategy) within a zlib build — and the ratio
+    consumer is a threshold, not a hash — so cross-run determinism is
+    what matters, and holds. Unit-tested ordering invariant:
+    repetitive < prose < noise."""
+    import zlib as _zlib  # stdlib; named here for the executor closure
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, n_bytes bigint, ratio double"
+    lvl = int(level)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, sizes, ratios = [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                ids.append(rid)
+                if text is None or text == "":
+                    sizes.append(0)
+                    ratios.append(None)
+                    continue
+                raw = text.encode("utf-8")
+                comp = _zlib.compress(raw, lvl)
+                sizes.append(len(raw))
+                ratios.append(round(len(comp) / len(raw), 6))
+            yield pd.DataFrame(
+                {id_col: ids, "n_bytes": sizes, "ratio": ratios}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)

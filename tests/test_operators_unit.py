@@ -2445,3 +2445,40 @@ def test_maintain_agg_random_logs_equal_recompute(spark):
     }
     want = _recompute(list(current.values()))
     assert got == want  # exact: quarter-valued sums are FP-exact
+
+
+def test_compression_ratio_orders_redundancy(spark):
+    """The signal the filter relies on: repetition << prose < noise;
+    NULL/empty -> NULL; deterministic across partitionings."""
+    import random
+
+    from tcga_query_project_spark.operators import text as tx
+
+    rng = random.Random(5)
+    noise = "".join(chr(rng.randrange(33, 127)) for _ in range(2000))
+    rows = [
+        (1, "spam " * 400),
+        (2, ("the quick brown fox jumps over the lazy dog and then "
+             "discusses compression ratios at considerable length ") * 8),
+        (3, noise),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r
+        for r in tx.compression_ratio(df, "doc_id", "text").collect()
+    }
+    assert got[1]["ratio"] < 0.05          # pure repetition
+    assert 0.1 < got[2]["ratio"] < 0.6     # prose
+    assert got[3]["ratio"] > 0.8           # noise barely compresses
+    assert got[1]["ratio"] < got[2]["ratio"] < got[3]["ratio"]
+    assert got[4]["ratio"] is None and got[5]["ratio"] is None
+    assert got[2]["n_bytes"] == len(rows[1][1].encode())
+    again = {
+        r["doc_id"]: r["ratio"]
+        for r in tx.compression_ratio(
+            df.repartition(4), "doc_id", "text"
+        ).collect()
+    }
+    assert again == {k: v["ratio"] for k, v in got.items()}
