@@ -344,6 +344,10 @@ EVENT_FUZZ_QUERIES = [
     # are pure semantics checks
     "qa_robust_outliers",
     "a13_bootstrap_ci",
+    # incremental maintenance == full recompute, exactly, on any
+    # event shape (quarter-valued sums are FP-exact; empty tables,
+    # groups emptied by deletes, group-moving updates)
+    "tj_incremental_agg",
 ]
 
 _ETYPES = ["signup", "click", "error", "view", "purchase"]
