@@ -137,6 +137,8 @@ HEADLINE = [
     "qa_robust_outliers",
     # fuzzy join: delete-variant explode + equi-join, no cartesian
     "er_fuzzy_name_pairs",
+    # full ER: fuzzy pairs -> connected components -> canonical
+    "er_entity_clusters",
     # Poisson bootstrap: B-fold map-side explode, partial-agg shuffle
     "a13_bootstrap_ci",
     # unigram-LM tokenizer: histogram shuffle + driver EM + map-only

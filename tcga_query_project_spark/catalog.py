@@ -4162,6 +4162,50 @@ def tj_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_bench_only(
+    "er_entity_clusters",
+    """
+    WITH RECURSIVE names AS (
+      SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL
+    ),
+    pairs AS (
+      SELECT a.name AS na, b.name AS nb
+      FROM names a JOIN names b ON a.name < b.name
+      WHERE levenshtein(a.name, b.name) <= 2
+    ),
+    edges AS (SELECT na AS u, nb AS v FROM pairs
+              UNION SELECT nb, na FROM pairs),
+    reach AS (
+      SELECT name AS id, name AS comp FROM names
+      UNION
+      SELECT e.v AS id, r.comp AS comp
+      FROM reach r JOIN edges e ON e.u = r.id
+      WHERE r.comp < e.v
+    ),
+    comp AS (SELECT id AS name, MIN(comp) AS canonical
+             FROM reach GROUP BY id),
+    sized AS (SELECT canonical, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM comp GROUP BY canonical)
+    SELECT c.name, c.canonical, s.cluster_size
+    FROM comp c JOIN sized s USING (canonical)
+    """,
+    tags=("entity-resolution", "graph"),
+)
+def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full entity resolution over the part-name domain
+    (operators/fuzzy.resolve_entities): fuzzy pairs (SymSpell
+    blocking) -> connected components (large-star/small-star on
+    portable-hash node ids) -> lexicographic-min canonical name +
+    cluster size per distinct name. The oracle resolves the SAME
+    brute-force pair graph with a recursive min-label CTE over the
+    name strings themselves — so the hash match checks blocking
+    completeness AND transitive-closure agreement in one query."""
+    part = _t(spark, sf_dir, "part")
+    from tcga_query_project_spark.operators import fuzzy
+
+    return fuzzy.resolve_entities(part, "p_name", max_dist=2)
+
+
+@register_bench_only(
     "qa_robust_outliers",
     """
     WITH med AS (
