@@ -2107,8 +2107,13 @@ def _pagerank_oracle(n_iter: int, damping: float) -> str:
     iters = []
     prev = "r0"
     for i in range(1, n_iter + 1):
+        # MATERIALIZED: each iteration references its predecessor TWICE
+        # (contribution join + dangling-mass subquery); DuckDB inlines
+        # plain CTEs, which recomputes r0 2^n_iter times (measured 13 s
+        # for 6 iterations over 500 nodes). Materializing makes the
+        # oracle linear in n_iter (~0.1 s).
         iters.append(
-            f"""r{i} AS (
+            f"""r{i} AS MATERIALIZED (
       SELECT nd.node,
              (1.0 - {d}) / nn.n
              + {d} * (COALESCE(c.contrib, 0.0) + dg.dang / nn.n) AS rank

@@ -256,16 +256,24 @@ def test_pagerank_star_concentrates_on_hub(spark):
     assert got[1] == pytest.approx(got[2])
 
 
+@pytest.mark.parametrize("local_threshold", [0, 1_000_000])
 @pytest.mark.parametrize("seed,n,m", [(7, 30, 90), (11, 50, 120)])
-def test_pagerank_matches_numpy_power_iteration(spark, seed, n, m):
+def test_pagerank_matches_numpy_power_iteration(
+    spark, seed, n, m, local_threshold
+):
     """Differential vs the dense reference on random digraphs that
-    contain dangling nodes, sinks, duplicate and self-loop edges."""
+    contain dangling nodes, sinks, duplicate and self-loop edges —
+    BOTH the distributed path (threshold 0) and the driver escape
+    hatch must match the same numpy reference."""
     rng = random.Random(seed)
     edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
     edges += edges[:5]  # duplicates
     edges.append((3, 3))  # self-loop (dropped by both)
     want = numpy_pagerank(edges, damping=0.85, n_iter=7)
-    got = _pagerank_dict(spark, edges, damping=0.85, n_iter=7)
+    got = _pagerank_dict(
+        spark, edges, damping=0.85, n_iter=7,
+        local_threshold=local_threshold,
+    )
     assert set(got) == set(want)
     for node, rank in want.items():
         assert got[node] == pytest.approx(rank, abs=1e-12), node
