@@ -71,6 +71,12 @@ FUZZ_QUERIES = [
     # under duplicates/empty part table)
     "qa_psi_drift",
     "er_fuzzy_name_pairs",
+    # round-7 widening: remaining relational shapes with exact-money
+    # aggregates and unique-key windows
+    "a11_group_moments",
+    "r2_ragged_export",
+    "j1_left_join_enrich",
+    "p2_rename_dim_join",
 ]
 
 _EPOCH = dt.datetime(1995, 1, 1)
@@ -348,6 +354,11 @@ EVENT_FUZZ_QUERIES = [
     # event shape (quarter-valued sums are FP-exact; empty tables,
     # groups emptied by deletes, group-moving updates)
     "tj_incremental_agg",
+    # round-7 widening: SCD2 point-in-time lookup tie rules and the
+    # streaming-window batch equivalents under colliding timestamps
+    "tj_scd2_lookup",
+    "st_session_sliding",
+    "st_rollup_hierarchy",
 ]
 
 _ETYPES = ["signup", "click", "error", "view", "purchase"]
@@ -463,6 +474,16 @@ DOC_FUZZ_QUERIES = [
     # corpora (empty edge list, all-self-loop single node, modulo
     # domain = doc count)
     "gq_pagerank",
+    # round-7 widening: line/shingle/token boundary semantics across
+    # the text-dedup family, the recursive-CTE cluster oracle, and the
+    # full corpus-prep composition on junk-heavy corpora
+    "tx_boilerplate",
+    "tx_tfidf",
+    "tx_bm25",
+    "tx_repeated_spans",
+    "dd_decontaminate",
+    "dd_dup_clusters",
+    "pp_corpus_clean",
 ]
 
 _WORDS = ["the", "quick", "brown", "fox", "data", "spark", "x1", "a"]
