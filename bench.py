@@ -147,6 +147,8 @@ HEADLINE = [
     # incremental view maintenance: delta agg + group-sized merge,
     # base fact never rescanned
     "tj_incremental_agg",
+    # k-stage funnel: user-keyed grouped-min chain, no windows
+    "tj_funnel",
     # a6_poisson_wald is deliberately NOT benched: the GLM family has
     # never been in the headline set (per-gene grouped-map fits price
     # by group count, not data size — a correctness vehicle, verified

@@ -4095,6 +4095,53 @@ def er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_bench_only(
+    "tj_funnel",
+    """
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+    ),
+    s1 AS (SELECT user_id, MIN(ts_us) AS t1_us FROM ev
+           WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts_us) AS t2_us
+           FROM ev e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts_us > s1.t1_us
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts_us) AS t3_us
+           FROM ev e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2_us
+           GROUP BY e.user_id)
+    SELECT s1.user_id, s1.t1_us, s2.t2_us, s3.t3_us,
+           CAST(1 + CAST(s2.user_id IS NOT NULL AS INT)
+                  + CAST(s3.user_id IS NOT NULL AS INT) AS BIGINT)
+             AS stages_completed,
+           COALESCE(s3.t3_us - s1.t1_us <= 604800000000, FALSE)
+             AS converted
+    FROM s1
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    """,
+    tags=("funnel", "event-analytics"),
+)
+def tj_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-stage conversion funnel (operators/temporal.funnel): earliest
+    strictly-increasing signup -> click -> purchase chain per user,
+    converted within a 7-day window — k-1 co-partitioned user-key
+    joins of user-sized aggregates, no windows, no per-user event
+    materialization. The oracle replays the identical earliest-chain
+    recurrence as chained grouped-min CTEs; timestamps compare as
+    epoch micros per the catalog convention."""
+    ev = _t(spark, sf_dir, "events")
+    return temporal.funnel(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        ["signup", "click", "purchase"],
+        max_span_us=604_800_000_000,
+    )
+
+
+@register_bench_only(
     "tj_incremental_agg",
     """
     WITH patched AS (

@@ -554,3 +554,79 @@ def grouped_agg_snapshot(
         F.count(F.lit(1)).cast("long").alias("cnt"),
         F.sum(F.col(value_col)).alias("sum_x"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+    *,
+    max_span_us: int | None = None,
+) -> DataFrame:
+    """K-stage event funnel (signup -> click -> purchase ...): for each
+    user who performed stage 1, the EARLIEST strictly-increasing chain
+    of stage timestamps — the conversion query of every product
+    analytics engine (ClickHouse ``windowFunnel``, Amplitude funnels).
+
+    Semantics, stated precisely: ``t1`` is the user's first stage-1
+    event; ``t_i`` is the first stage-i event strictly AFTER
+    ``t_(i-1)``; a user converts when every stage matched and, with
+    ``max_span_us``, ``t_k - t1 <= max_span_us``. Earliest-chain is
+    deterministic and engine-portable; it is the strict variant of
+    funnel matching (a user whose only full chain starts at a LATER
+    stage-1 occurrence does not convert — the standard trade the
+    greedy funnel makes; re-run with a later analysis window to see
+    those).
+
+    Output: one row per stage-1 user — ``(user_col, t1_us..tk_us
+    BIGINT nullable, stages_completed BIGINT, converted BOOLEAN)``.
+    Timestamps are epoch MICROS (the catalog's engine-portable
+    convention), and ``t_i`` NULL implies all later stages NULL.
+
+    Shape: the event stream is filtered to the stage types once, then
+    each stage is one user-keyed aggregate joined (left) onto the
+    accumulating per-user chain — k-1 co-partitioned user-key joins of
+    user-cardinality tables plus k filtered-scan aggregates, no
+    windows, no per-user arrays (a collect_list walk would bound state
+    by the heaviest user; this form never materializes a user's
+    events). Reference analog: none (serves the event-analytics
+    surface beside sessionize/asof).
+    """
+    if len(stages) < 2:
+        raise ValueError("funnel needs at least 2 stages")
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.unix_micros(F.col(ts_col)).alias("_ts"),
+        F.col(type_col).alias("_tp"),
+    ).filter(F.col("_tp").isin(list(stages)))
+    cur = (
+        ev.filter(F.col("_tp") == stages[0])
+        .groupBy("_u")
+        .agg(F.min("_ts").alias("t1_us"))
+    )
+    for i, stage in enumerate(stages[1:], start=2):
+        prev_t = f"t{i - 1}_us"
+        nxt = (
+            ev.filter(F.col("_tp") == stage)
+            .join(cur.select("_u", prev_t), "_u")
+            .filter(F.col("_ts") > F.col(prev_t))
+            .groupBy("_u")
+            .agg(F.min("_ts").alias(f"t{i}_us"))
+        )
+        cur = cur.join(nxt, "_u", "left")
+    k = len(stages)
+    completed = F.lit(1)
+    for i in range(2, k + 1):
+        completed = completed + F.col(f"t{i}_us").isNotNull().cast("int")
+    last = F.col(f"t{k}_us")
+    conv = last.isNotNull()
+    if max_span_us is not None:
+        conv = conv & (last - F.col("t1_us") <= F.lit(int(max_span_us)))
+    return cur.select(
+        F.col("_u").alias(user_col),
+        *[F.col(f"t{i}_us") for i in range(1, k + 1)],
+        completed.cast("bigint").alias("stages_completed"),
+        F.coalesce(conv, F.lit(False)).alias("converted"),
+    )

@@ -359,6 +359,9 @@ EVENT_FUZZ_QUERIES = [
     "tj_scd2_lookup",
     "st_session_sliding",
     "st_rollup_hierarchy",
+    # funnel: strictly-after chain semantics under the colliding-ts
+    # grid (same-instant stages must NOT chain)
+    "tj_funnel",
 ]
 
 _ETYPES = ["signup", "click", "error", "view", "purchase"]

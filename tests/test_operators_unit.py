@@ -2482,3 +2482,70 @@ def test_compression_ratio_orders_redundancy(spark):
         ).collect()
     }
     assert again == {k: v["ratio"] for k, v in got.items()}
+
+
+# =====================================================================
+# funnel (earliest strictly-increasing stage chain)
+# =====================================================================
+
+
+def test_funnel_semantics_hand_crafted(spark):
+    from datetime import datetime as dt
+
+    from tcga_query_project_spark.operators import temporal
+
+    def t(m):
+        return dt(2000, 1, 1, 0, m)
+
+    rows = [
+        # u1 converts: s@0 -> c@1 -> p@2
+        (1, t(0), "signup"), (1, t(1), "click"), (1, t(2), "purchase"),
+        # u2: purchase BEFORE click -> only 2 stages
+        (2, t(0), "signup"), (2, t(5), "click"), (2, t(3), "purchase"),
+        # u3: click at the SAME instant as signup -> strictly-after
+        # rejects it; later click@4 -> purchase@6 converts
+        (3, t(0), "signup"), (3, t(0), "click"), (3, t(4), "click"),
+        (3, t(6), "purchase"),
+        # u4: no signup -> excluded entirely
+        (4, t(1), "click"), (4, t(2), "purchase"),
+        # u5: greedy-earliest trade — the EARLIEST signup's chain is
+        # incomplete and a later signup would have worked; strict
+        # semantics: count from the first signup
+        (5, t(0), "signup"), (5, t(1), "click"), (5, t(8), "signup"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r["user_id"]: r
+        for r in temporal.funnel(
+            df, "user_id", "ts", "event_type",
+            ["signup", "click", "purchase"],
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3, 5}
+    assert got[1]["stages_completed"] == 3 and bool(got[1]["converted"])
+    assert got[2]["stages_completed"] == 2 and not got[2]["converted"]
+    assert got[3]["stages_completed"] == 3 and bool(got[3]["converted"])
+    assert got[3]["t2_us"] > got[3]["t1_us"]  # same-instant click rejected
+    assert got[5]["stages_completed"] == 2 and not got[5]["converted"]
+    # monotone nulls: t3 null whenever t2 null
+    assert got[2]["t3_us"] is None or got[2]["t2_us"] is not None
+
+
+def test_funnel_span_boundary(spark):
+    from datetime import datetime as dt
+
+    from tcga_query_project_spark.operators import temporal
+
+    rows = [
+        (1, dt(2000, 1, 1, 0, 0), "a"), (1, dt(2000, 1, 1, 0, 10), "b"),
+        (2, dt(2000, 1, 1, 0, 0), "a"), (2, dt(2000, 1, 1, 0, 11), "b"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r["user_id"]: bool(r["converted"])
+        for r in temporal.funnel(
+            df, "user_id", "ts", "event_type", ["a", "b"],
+            max_span_us=600_000_000,  # exactly 10 minutes, inclusive
+        ).collect()
+    }
+    assert got == {1: True, 2: False}
