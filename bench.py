@@ -149,6 +149,8 @@ HEADLINE = [
     "tj_incremental_agg",
     # k-stage funnel: user-keyed grouped-min chain, no windows
     "tj_funnel",
+    # cohort retention: two user-keyed aggs + cohort-size broadcast
+    "tj_retention",
     # a6_poisson_wald is deliberately NOT benched: the GLM family has
     # never been in the headline set (per-gene grouped-map fits price
     # by group count, not data size — a correctness vehicle, verified

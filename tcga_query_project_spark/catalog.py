@@ -4142,6 +4142,40 @@ def tj_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_bench_only(
+    "tj_retention",
+    """
+    WITH ev AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(FLOOR(epoch_us(ts) / 86400000000.0) AS BIGINT) AS p
+      FROM events
+    ),
+    first AS (SELECT u, MIN(p) AS cohort_period FROM ev GROUP BY u),
+    cells AS (
+      SELECT f.cohort_period, e.p - f.cohort_period AS period_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM ev e JOIN first f USING (u)
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT cohort_period, CAST(COUNT(*) AS BIGINT) AS cohort_size
+              FROM first GROUP BY cohort_period)
+    SELECT c.cohort_period, c.period_offset, c.n_active, s.cohort_size,
+           ROUND(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+    FROM cells c JOIN sizes s USING (cohort_period)
+    """,
+    tags=("retention", "event-analytics"),
+)
+def tj_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix (operators/temporal.retention):
+    users cohorted by first-activity day (integer epoch-day buckets —
+    no calendar/timezone divergence surface), per-(cohort, offset)
+    active fraction. Two user-keyed aggregates + a co-partitioned
+    join + a cohort-sized broadcast; oracle replays the identical
+    integer-bucket algebra."""
+    ev = _t(spark, sf_dir, "events")
+    return temporal.retention(ev, "user_id", "ts", 86_400_000_000)
+
+
+@register_bench_only(
     "tj_incremental_agg",
     """
     WITH patched AS (

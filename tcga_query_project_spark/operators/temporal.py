@@ -630,3 +630,61 @@ def funnel(
         completed.cast("bigint").alias("stages_completed"),
         F.coalesce(conv, F.lit(False)).alias("converted"),
     )
+
+
+def retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period_us: int,
+) -> DataFrame:
+    """Cohort retention matrix — the other half of event analytics
+    beside :func:`funnel`: users are cohorted by the period of their
+    FIRST activity; for each (cohort, later period) the fraction of
+    the cohort still active. Periods are integer indexes
+    ``floor(epoch_us / period_us)`` — pure integer arithmetic, so
+    both engines bucket identically (calendar date-trunc functions
+    have timezone/week-start divergences this deliberately avoids;
+    callers wanting calendar weeks pass 7-day ``period_us`` and align
+    the epoch themselves).
+
+    Output: ``(cohort_period BIGINT, period_offset BIGINT [0 = the
+    cohort's own period], n_active BIGINT, cohort_size BIGINT,
+    retention DOUBLE [rounded 6])`` — one row per (cohort, offset)
+    with activity; offset-0 retention is 1.0 by construction.
+
+    Shape: one user-keyed min-aggregate (first activity), one
+    distinct over (user, period) — both user/user-period-sized — a
+    co-partitioned join back on user, then a (cohort, offset) count
+    aggregate and a broadcast-sized cohort-size join. No windows; the
+    event stream is scanned twice (first-seen, activity), both
+    scans column-pruned to (user, ts).
+    """
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.floor(F.unix_micros(F.col(ts_col)) / F.lit(int(period_us)))
+        .cast("long")
+        .alias("_p"),
+    )
+    first = ev.groupBy("_u").agg(F.min("_p").alias("cohort_period"))
+    active = ev.distinct()
+    cells = (
+        active.join(first, "_u")
+        .groupBy(
+            "cohort_period",
+            (F.col("_p") - F.col("cohort_period")).alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    sizes = first.groupBy("cohort_period").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    return cells.join(F.broadcast(sizes), "cohort_period").select(
+        "cohort_period",
+        "period_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+            "retention"
+        ),
+    )

@@ -362,6 +362,8 @@ EVENT_FUZZ_QUERIES = [
     # funnel: strictly-after chain semantics under the colliding-ts
     # grid (same-instant stages must NOT chain)
     "tj_funnel",
+    # retention: integer period bucketing + sparse-matrix semantics
+    "tj_retention",
 ]
 
 _ETYPES = ["signup", "click", "error", "view", "purchase"]

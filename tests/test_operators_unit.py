@@ -2549,3 +2549,41 @@ def test_funnel_span_boundary(spark):
         ).collect()
     }
     assert got == {1: True, 2: False}
+
+
+def test_retention_hand_crafted_matrix(spark):
+    from datetime import datetime as dt, timedelta as td
+
+    from tcga_query_project_spark.operators import temporal
+
+    day = 86_400_000_000
+    base = dt(2000, 1, 3)  # arbitrary epoch-aligned-enough anchor
+
+    def at(d, h=0):
+        return base + td(days=d, hours=h)
+
+    rows = [
+        # cohort A (day 0): u1 active d0,d1,d2; u2 active d0,d2;
+        # u3 active d0 only. Two same-day events dedupe.
+        (1, at(0)), (1, at(0, 5)), (1, at(1)), (1, at(2)),
+        (2, at(0)), (2, at(2)),
+        (3, at(0)),
+        # cohort B (day 1): u4 active d1, d3
+        (4, at(1)), (4, at(3)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    raw = temporal.retention(df, "user_id", "ts", day).collect()
+    day0 = min(r["cohort_period"] for r in raw)  # = the d0 cohort
+    got = {
+        (r["cohort_period"] - day0, r["period_offset"]): (
+            r["n_active"], r["cohort_size"], r["retention"],
+        )
+        for r in raw
+    }
+    # relative cohort indexes; offsets are what matter
+    assert got[(0, 0)] == (3, 3, 1.0)
+    assert got[(0, 1)] == (1, 3, round(1 / 3, 6))
+    assert got[(0, 2)] == (2, 3, round(2 / 3, 6))
+    assert got[(1, 0)] == (1, 1, 1.0)
+    assert got[(1, 2)] == (1, 1, 1.0)
+    assert (1, 1) not in got  # no activity -> no row (sparse matrix)
