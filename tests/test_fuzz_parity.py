@@ -29,6 +29,13 @@ from hypothesis import strategies as st
 
 from tests.oracle_harness import compare, run_oracle
 
+#: Soak dials: the CI grid is 5 derandomized examples per query (stable,
+#: fast). For a divergence hunt set SPARK_GRAFT_FUZZ_EXAMPLES=25 (or
+#: higher) and SPARK_GRAFT_FUZZ_SOAK=1 to draw FRESH random shapes each
+#: run — failures print the reproducing example via hypothesis as usual.
+FUZZ_EXAMPLES = int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "5"))
+FUZZ_DERANDOMIZE = os.environ.get("SPARK_GRAFT_FUZZ_SOAK", "") == ""
+
 #: aggregate-only outputs (no LIMIT): result is a deterministic SET
 FUZZ_QUERIES = [
     "q1_pricing_summary",
@@ -418,10 +425,10 @@ _NONEMPTY = {
 
 @pytest.mark.parametrize("name", EVENT_FUZZ_QUERIES)
 @settings(
-    max_examples=5,
+    max_examples=FUZZ_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
-    derandomize=True,
+    derandomize=FUZZ_DERANDOMIZE,
 )
 @given(tables=events_micro())
 def test_fuzz_events_query_matches_oracle(spark, tmp_path_factory, name, tables):
@@ -439,10 +446,10 @@ def test_fuzz_events_query_matches_oracle(spark, tmp_path_factory, name, tables)
 
 @pytest.mark.parametrize("name", FUZZ_QUERIES)
 @settings(
-    max_examples=5,
+    max_examples=FUZZ_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
-    derandomize=True,  # CI-stable: same examples every run
+    derandomize=FUZZ_DERANDOMIZE,  # CI-stable: same examples every run
 )
 @given(tables=tpch_micro())
 def test_fuzz_query_matches_oracle(spark, tmp_path_factory, name, tables):
@@ -526,10 +533,10 @@ def documents_micro(draw):
 
 @pytest.mark.parametrize("name", DOC_FUZZ_QUERIES)
 @settings(
-    max_examples=5,
+    max_examples=FUZZ_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
-    derandomize=True,
+    derandomize=FUZZ_DERANDOMIZE,
 )
 @given(tables=documents_micro())
 def test_fuzz_documents_query_matches_oracle(
