@@ -169,7 +169,14 @@ ONLY = [
 def main() -> None:
     global HEADLINE
     if ONLY:
+        unknown = [q for q in ONLY if q not in HEADLINE]
         HEADLINE = [q for q in HEADLINE if q in ONLY]
+        if not HEADLINE:
+            raise SystemExit(
+                "SPARK_GRAFT_BENCH_ONLY matched no headline query "
+                f"(unmatched: {unknown}) — check spelling against "
+                "bench.py HEADLINE"
+            )
     spark = get_spark("bench", cpus=CPUS)
     # Warm the JVM + file listing once so per-query times measure the
     # query, not session startup (first selected query when a subset

@@ -1834,10 +1834,21 @@ def dd_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     family; the Spark side additionally exercises the index write/
     read-back machinery the SQL cannot see (bench charges the build
     to build-inclusive time, the query to exec)."""
+    import hashlib
+    import os as _os
     import tempfile
 
     docs = _t(spark, sf_dir, "documents")
-    index_dir = tempfile.mkdtemp(prefix="dedup_index_")
+    # one FIXED index location per (pid, sf_dir): bench invokes build()
+    # 4x (warmup + 3 timed reps) and tests/plan-audit again — a fresh
+    # mkdtemp per call would leak a full parquet index into /tmp each
+    # time; rebuilding into the same overwrite-mode path is the
+    # operator's normal re-run semantics
+    sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    index_dir = _os.path.join(
+        tempfile.gettempdir(),
+        f"dedup_index_{_os.getpid()}_{sf_tag}",
+    )
     dedup.build_dedup_index(
         docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text",
         index_dir, k=3, num_hashes=8, band_size=2,

@@ -85,7 +85,10 @@ def quantile_strata(
     - NULL values are LOW — matching ntile's nulls-first ascending
       order (tile 1), so a null-valued subject's stratum does not flip
       when swapping implementations. Groups with NO non-null values
-      drop (no boundary is definable; inner join).
+      drop (no boundary is definable; inner join). NULL partition
+      KEYS form their own group (null-safe struct-keyed label join),
+      exactly as ``Window.partitionBy`` treats them in
+      :func:`ntile_strata`.
 
     On tie-free rounded values with group size divisible by ``n`` this
     equals ntile's tiles 1/n exactly (equivalence-tested); under ties
@@ -135,7 +138,19 @@ def quantile_strata(
             "_t_high"
         ),
     )
-    labeled = df.join(F.broadcast(bounds), partition_cols).withColumn(
+    # struct-keyed join: struct equality compares fields null-safely,
+    # so NULL-keyed groups stratify like any other (a plain
+    # multi-column equi-join would silently DROP null-stratum rows —
+    # the same defect stratified_cap_scaled fixed; ntile_strata's
+    # Window.partitionBy treats NULL as a normal partition and these
+    # two must agree)
+    _k = F.struct(*[F.col(c) for c in partition_cols])
+    bounds_k = bounds.withColumn("_sk", _k).drop(*partition_cols)
+    labeled = (
+        df.withColumn("_sk", _k)
+        .join(F.broadcast(bounds_k), "_sk")
+        .drop("_sk")
+    ).withColumn(
         out,
         F.when(
             F.col(value).isNull()

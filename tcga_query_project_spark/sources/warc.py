@@ -103,9 +103,18 @@ def parse_warc_records(
             pos = hdr_end + sep
             continue
         body_start = hdr_end + sep
+        if length < 0:
+            # hostile header: a negative length would move pos
+            # BACKWARD onto the same 'WARC/' magic and loop forever —
+            # treat as malformed, resync after the header block
+            pos = body_start
+            continue
         payload = data[body_start : body_start + length]
         yield headers, payload
-        pos = body_start + length
+        # strictly advance even if length is a lie that lands us
+        # before the header end (cannot happen with length >= 0, but
+        # the invariant is what prevents any future infinite loop)
+        pos = max(body_start + length, body_start)
 
 
 def split_http_response(payload: bytes) -> tuple[dict[str, str], bytes]:
@@ -162,12 +171,22 @@ def read_warc(
                 # records parsed before the fault and move on to the
                 # next file. Decompression truncation is already
                 # handled inside _gunzip_members; this guard catches
-                # anything else a hostile file can throw.
-                try:
-                    recs = list(parse_warc_records(bytes(blob)))
-                except Exception:
-                    continue
-                for headers, payload in recs:
+                # anything else a hostile file can throw. Pull the
+                # generator record-BY-record so a fault at record
+                # 10,001 keeps the 10,000 already parsed (a list()
+                # inside the try would discard them all — and double
+                # peak memory per archive besides).
+                def salvage(blob_bytes):
+                    gen = parse_warc_records(blob_bytes)
+                    while True:
+                        try:
+                            yield next(gen)
+                        except StopIteration:
+                            return
+                        except Exception:
+                            return  # salvage what we have
+
+                for headers, payload in salvage(bytes(blob)):
                     wtype = headers.get("warc-type", "").lower()
                     if keep and wtype not in keep:
                         continue

@@ -171,7 +171,14 @@ def near_dup_dedup_stream(
     # md5 fold at all, and the band branch evaluates it exactly once —
     # filtering both branches on size(_bands) would run the hot hash
     # expression over every document in BOTH branch scans
-    n_toks = F.size(tokens(F.lower(F.trim(F.col(text_col)))))
+    # coalesce(-1): size(tokens(NULL)) is NULL under ANSI, and a NULL
+    # predicate lands a NULL-text document in NEITHER branch — it
+    # would silently vanish from the stream instead of passing through
+    # the short branch (the batch family treats NULL text as
+    # unshingleable, i.e. short)
+    n_toks = F.coalesce(
+        F.size(tokens(F.lower(F.trim(F.col(text_col))))), F.lit(-1)
+    )
     short_docs = df.filter(n_toks < k).select(
         F.unix_millis(F.window(ts_col, window).getField("start")).alias(
             "window_start_ms"

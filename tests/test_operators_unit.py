@@ -2587,3 +2587,25 @@ def test_retention_hand_crafted_matrix(spark):
     assert got[(1, 0)] == (1, 1, 1.0)
     assert got[(1, 2)] == (1, 1, 1.0)
     assert (1, 1) not in got  # no activity -> no row (sparse matrix)
+
+
+def test_quantile_strata_null_partition_key_is_its_own_group(spark):
+    """NULL-keyed rows must stratify as their own group (the null-safe
+    struct join), exactly like ntile_strata's Window.partitionBy —
+    a plain equi-join would silently drop them."""
+    from tcga_query_project_spark.operators import survival as sv
+
+    rows = [("a", float(v)) for v in range(1, 9)]
+    rows += [(None, float(v)) for v in range(1, 9)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = sv.quantile_strata(
+        df, "v", 4, ["g"], keep_extremes_only=False
+    ).collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["g"], []).append(r["stratum"])
+    assert len(by_g.get(None, [])) == 8  # nothing dropped
+    # NULL group gets the same LOW/MID/HIGH split as the named group
+    from collections import Counter
+
+    assert Counter(by_g[None]) == Counter(by_g["a"])

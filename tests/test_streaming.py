@@ -721,3 +721,30 @@ def test_enrich_with_scd2_event_time_versions(spark, tmp_path):
         for r in spark.sql("SELECT * FROM t_scd2_enrich").collect()
     }
     assert got_s == expect
+
+
+def test_near_dup_stream_null_text_passes_through(spark, tmp_path):
+    """NULL-text documents must land in the short-doc branch (batch
+    family treats NULL as unshingleable), not vanish: under ANSI,
+    size(tokens(NULL)) is NULL and an unguarded branch split drops
+    the row from BOTH branches."""
+    import datetime as dt
+
+    from tcga_query_project_spark.streaming.neardup import (
+        near_dup_dedup_stream,
+    )
+
+    rows = [
+        (1, None, dt.datetime(2000, 1, 1, 0, 0)),
+        (2, "", dt.datetime(2000, 1, 1, 0, 1)),
+        (3, "the quick brown fox jumps over the lazy dog every day",
+         dt.datetime(2000, 1, 1, 0, 2)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    out = near_dup_dedup_stream(
+        df, "doc_id", "text", "ts",
+        k=3, num_hashes=8, band_size=2,
+        delay="10 minutes", window="1 hour",
+    )
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1, 2, 3}  # NULL and empty text pass through
