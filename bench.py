@@ -131,6 +131,9 @@ HEADLINE = [
     # link-graph quality prior (iterative, oracle-mirrored as chained
     # CTEs): per-iteration join+agg cost is what the bench watches
     "gq_pagerank",
+    # triangle counting: degree-oriented wedge self-join + closing-edge
+    # equi-join — the cost is 3 edge-list shuffles
+    "gq_triangles",
     # snapshot drift gate (PSI): two scans + one bin-count shuffle
     "qa_psi_drift",
     # robust anomaly gate: two grouped exact medians + broadcast joins

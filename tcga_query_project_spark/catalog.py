@@ -2215,6 +2215,85 @@ def gq_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_bench_only(
+    "gq_triangles",
+    """
+    WITH cnt AS (SELECT COUNT(*) AS c FROM documents),
+    e0 AS (
+      SELECT d.doc_id AS s,
+             ('0x' || substring(md5('tri' || CAST(d.doc_id AS VARCHAR)
+                                    || '|' || CAST(k.k AS VARCHAR)), 1, 8)
+             )::BIGINT % cnt.c AS t
+      FROM documents d
+      CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS k) k
+      CROSS JOIN cnt
+    ),
+    und AS (SELECT DISTINCT LEAST(s, t) AS a, GREATEST(s, t) AS b
+            FROM e0 WHERE s <> t),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+      GROUP BY node
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tn AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+      FROM (SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+      GROUP BY node
+    )
+    SELECT d.node, d.degree,
+           COALESCE(tn.triangles, 0) AS triangles,
+           CASE WHEN d.degree >= 2
+                THEN ROUND(CAST(2 AS DOUBLE) * COALESCE(tn.triangles, 0)
+                           / (d.degree * (d.degree - 1)), 6)
+           END AS clustering
+    FROM deg d LEFT JOIN tn USING (node)
+    """,
+    tags=("graph", "quality-prior"),
+)
+def gq_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient
+    (operators/graph.triangle_counts) over the same deterministic
+    md5-hash citation graph family as ``gq_pagerank`` (salt "tri",
+    4 out-links per document), so Spark and DuckDB materialize the
+    IDENTICAL graph. The Spark side runs the degree-ordered-orientation
+    plan (Suri & Vassilvitskii WWW'11 — pivot out-degree bounded by
+    O(√m), so the wedge self-join survives power-law hubs); the oracle
+    replays the naive x<y<z triple-join, which is affordable at oracle
+    scale and counts exactly the same triangles. Real-world shape:
+    link-farm detection / neighborhood-density quality priors over a
+    crawl graph."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    cnt = docs.agg(F.count(F.lit(1)).alias("_c"))
+    ks = spark.range(4).select(F.col("id").alias("k"))
+    edges = (
+        docs.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            F.col("doc_id").alias("src"),
+            (
+                md5_prefix_long(
+                    F.concat(
+                        F.lit("tri"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("|"),
+                        F.col("k").cast("string"),
+                    )
+                )
+                % F.col("_c")
+            ).alias("dst"),
+        )
+    )
+    return graph.triangle_counts(edges)
+
+
 # =========================================================================
 # End-to-end reference pipelines (SURVEY.md §3) over seeded TCGA-shaped
 # fixtures — rows-only driver checks (iterative GLM / composed DAGs are

@@ -394,3 +394,119 @@ def pagerank(
     base.unpersist()
     e.unpersist()
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation and local clustering coefficient
+    over an undirected simple graph — the community-structure /
+    spam-farm signal of a link-graph quality pipeline (dense local
+    clustering separates organic neighborhoods from link farms, and the
+    global transitivity ratio is the standard graph-health summary).
+
+    Returns ``(node BIGINT, degree BIGINT, triangles BIGINT,
+    clustering DOUBLE)`` — one row per node appearing in ``edges``;
+    ``clustering = round(2·T / (d·(d−1)), 6)``, NULL when ``d < 2``
+    (undefined: no possible wedge). Direction, duplicate edges, and
+    self-loops are dropped (simple-graph semantics, same normalization
+    as :func:`pagerank` / :func:`connected_components`).
+
+    Degree-ordered orientation (Suri & Vassilvitskii, "Counting
+    Triangles and the Curse of the Last Reducer", WWW 2011): each
+    undirected edge is oriented from its endpoint with the smaller
+    ``(degree, node)`` to the larger — a total order, so every
+    triangle has exactly ONE pivot vertex with two out-edges and is
+    generated exactly once. The wedge self-join fans out per node as
+    out-degree², and orientation bounds out-degree by O(√m) on ANY
+    graph — a degree-10⁷ hub that would generate 10¹⁴ wedges under
+    naive neighbor-pairing generates at most m ≈ 10⁷·√m here. This is
+    the difference between "works on the web graph" and "the last
+    reducer runs for a week" (the paper's title).
+
+    Dataflow (three relational shuffles on the EDGE list — node/edge
+    scale; no windows, no Python, no driver state):
+
+    1. canonicalize + distinct → degrees (one groupBy);
+    2. orient (two degree joins), wedge self-join on the pivot;
+    3. close wedges against the canonical edge list (equi-join on the
+       ``(min_id, max_id)`` pair — wedge endpoints are already emitted
+       in id order, matching the canonical form), then one explode +
+       groupBy to attribute each triangle to its three vertices.
+
+    Reference analog: none (no graph step in the reference); serves
+    the link-graph quality surface alongside :func:`pagerank`.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("a"),
+            F.col(dst).cast("long").alias("b"),
+        )
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    # no persist: the canonical edge list recurs in degree/wedge/closing
+    # subtrees, but the recurrences are IDENTICAL subplans ending in the
+    # distinct's exchange, which AQE dedupes via ReusedExchange — and a
+    # lazy function-scope persist with no unpersist would leak executor
+    # memory (the round-6 dd_index_dedup lesson, in cache form)
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("_db"))
+    # orient low-(degree, id) -> high; (degree, id) is a TOTAL order so
+    # the orientation is acyclic and every triangle has one pivot
+    a_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    e1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    # x < y by id: each out-neighbor pair of the pivot appears once,
+    # and (x, y) is already the canonical (min_id, max_id) form the
+    # closing-edge lookup needs
+    wedges = e1.join(e2, "u").filter(F.col("x") < F.col("y"))
+    tri = wedges.join(
+        e, (F.col("x") == F.col("a")) & (F.col("y") == F.col("b"))
+    ).select("u", "x", "y")
+    tn = (
+        tri.select(
+            F.explode(F.array("u", "x", "y")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(tn, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias(
+                "triangles"
+            ),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce(F.col("triangles"), F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            ).alias("clustering"),
+        )
+    )

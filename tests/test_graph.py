@@ -278,3 +278,88 @@ def test_pagerank_matches_numpy_power_iteration(
     for node, rank in want.items():
         assert got[node] == pytest.approx(rank, abs=1e-12), node
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# triangle_counts
+# ---------------------------------------------------------------------------
+
+
+def _brute_triangles(edges):
+    """Dict node -> (degree, triangles, clustering) by enumeration."""
+    import itertools
+
+    und = {(min(s, t), max(s, t)) for s, t in edges if s != t}
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for n, nbrs in adj.items():
+        t = sum(
+            1
+            for x, y in itertools.combinations(sorted(nbrs), 2)
+            if (min(x, y), max(x, y)) in und
+        )
+        d = len(nbrs)
+        cc = round(2.0 * t / (d * (d - 1)), 6) if d >= 2 else None
+        out[n] = (d, t, cc)
+    return out
+
+
+def _tri_dict(spark, edges):
+    from tcga_query_project_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: (r["degree"], r["triangles"], r["clustering"])
+        for r in triangle_counts(df).collect()
+    }
+
+
+def test_triangles_k4_golden(spark):
+    """K4: every node has degree 3, sits in 3 triangles, clustering 1."""
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = _tri_dict(spark, k4)
+    assert got == {n: (3, 3, 1.0) for n in range(4)}
+
+
+def test_triangles_path_has_none_and_degree1_clustering_is_null(spark):
+    got = _tri_dict(spark, [(0, 1), (1, 2), (2, 3)])
+    assert got[0] == (1, 0, None)  # d<2: clustering undefined, not 0.0
+    assert got[1] == (2, 0, 0.0)
+    assert got[3] == (1, 0, None)
+
+
+def test_triangles_empty(spark):
+    from tcga_query_project_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame([], "src long, dst long")
+    assert triangle_counts(df).count() == 0
+
+
+@pytest.mark.parametrize("seed,n,m", [(7, 30, 120), (13, 25, 60), (29, 40, 200)])
+def test_triangles_match_brute_force(spark, seed, n, m):
+    """Differential vs pairwise enumeration on random multigraphs with
+    duplicate / reversed / self-loop edges (all dropped by contract) —
+    including heavy degree ties, the case the (degree, id) orientation
+    tiebreak must keep acyclic."""
+    rng = random.Random(seed)
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    edges += [(b, a) for a, b in edges[:10]]  # reversed duplicates
+    edges.append((5, 5))  # self-loop
+    assert _tri_dict(spark, edges) == _brute_triangles(edges)
+
+
+def test_triangles_hub_with_rim(spark):
+    """Wheel graph: hub connected to an 8-cycle rim. The hub is the
+    high-degree endpoint of every spoke, so orientation points every
+    spoke AT it — its wedge fan-out is zero even though its degree is
+    max (the Suri-Vassilvitskii property), yet its triangle count (8,
+    one per rim edge) still lands via the closing-edge attribution."""
+    rim = [(i, i % 8 + 1) for i in range(1, 9)]  # 1-2, 2-3, ..., 8-1
+    spokes = [(0, i) for i in range(1, 9)]
+    got = _tri_dict(spark, rim + spokes)
+    assert got[0] == (8, 8, round(16 / 56, 6))
+    for i in range(1, 9):  # 2 rim neighbors + hub; 2 triangles each
+        assert got[i] == (3, 2, round(2 / 3, 6))
