@@ -154,6 +154,8 @@ HEADLINE = [
     "tj_funnel",
     # cohort retention: two user-keyed aggs + cohort-size broadcast
     "tj_retention",
+    # markov transitions: one user-keyed window + one pair-count agg
+    "tj_markov",
     # a6_poisson_wald is deliberately NOT benched: the GLM family has
     # never been in the headline set (per-gene grouped-map fits price
     # by group count, not data size — a correctness vehicle, verified

@@ -4266,6 +4266,44 @@ def tj_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_bench_only(
+    "tj_markov",
+    """
+    WITH seq AS (
+      SELECT event_type AS f,
+             LEAD(event_type) OVER w AS t,
+             LEAD(TRUE) OVER w AS h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY epoch_us(ts) ASC NULLS FIRST, event_id ASC)
+    ),
+    m AS (
+      SELECT f AS from_type, t AS to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE h GROUP BY f, t
+    )
+    SELECT from_type, to_type, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM m
+    """,
+    tags=("markov", "event-analytics"),
+)
+def tj_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix
+    (operators/temporal.transition_matrix): per-user event sequences in
+    (ts, event_id) total order — the unique tiebreak makes transition
+    pairs deterministic under the testdata's timestamp collisions —
+    counted into a row-normalized (from, to) matrix. One user-keyed
+    window + one pair-count shuffle; the normalizing window runs on the
+    |states|²-row matrix, never the corpus. Sequence end is not a
+    state (lead(TRUE) distinguishes no-next-row from NULL-typed next).
+    The oracle replays the identical window + normalization."""
+    ev = _t(spark, sf_dir, "events")
+    return temporal.transition_matrix(
+        ev, "user_id", "ts", "event_type", "event_id"
+    )
+
+
+@register_bench_only(
     "tj_incremental_agg",
     """
     WITH patched AS (

@@ -688,3 +688,60 @@ def retention(
             "retention"
         ),
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the path-analysis primitive behind "what do users do
+    after X" sankeys, next-step prediction baselines, and bot detection
+    (a scripted client's transition rows are near-deterministic while
+    organic traffic is diffuse).
+
+    Each user's events are ordered by ``(ts, tiebreak)`` — the caller
+    must supply a UNIQUE tiebreak column (event_id) because transition
+    pairs under timestamp collisions are otherwise engine-dependent
+    (same total-order discipline as every window in this engine).
+    Consecutive pairs ``(from_type, to_type)`` are counted across the
+    corpus and row-normalized:
+
+    Output: ``(from_type, to_type, n BIGINT, p DOUBLE)`` with
+    ``p = round(n / Σ_to n, 6)`` — each from-state's row sums to ~1.
+    A NULL event type is a real state (groups as its own row, both
+    engines); the sequence END is not a state — last events emit no
+    pair (detected via ``lead(TRUE)``, which distinguishes
+    "no next row" from "next row's type is NULL").
+
+    Shape: one user-keyed window (high-cardinality partition — sorts
+    parallelize across users; within-user state never exceeds that
+    user's events) feeding one partial-aggregated ``(from, to)``
+    count. The normalizing window runs on the AGGREGATED matrix —
+    |states|² rows regardless of corpus size. Nothing else shuffles.
+    Reference analog: none (event-analytics surface beside
+    funnel/retention/sessionize).
+    """
+    w = Window.partitionBy(F.col(user_col)).orderBy(
+        F.col(ts_col).asc_nulls_first(), F.col(tiebreak_col).asc()
+    )
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(F.col(type_col)).over(w).alias("to_type"),
+            F.lead(F.lit(True)).over(w).alias("_has_next"),
+        )
+        .filter(F.col("_has_next"))
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_row = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_row), 6).alias("p"),
+    )

@@ -371,6 +371,10 @@ EVENT_FUZZ_QUERIES = [
     "tj_funnel",
     # retention: integer period bucketing + sparse-matrix semantics
     "tj_retention",
+    # markov transitions: the colliding-ts grid is exactly what the
+    # event_id tiebreak must make deterministic; single-event users
+    # and 5-state row normalization are pure semantics checks
+    "tj_markov",
 ]
 
 _ETYPES = ["signup", "click", "error", "view", "purchase"]

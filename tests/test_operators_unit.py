@@ -2609,3 +2609,66 @@ def test_quantile_strata_null_partition_key_is_its_own_group(spark):
     from collections import Counter
 
     assert Counter(by_g[None]) == Counter(by_g["a"])
+
+
+# =====================================================================
+# transition_matrix (first-order Markov over per-user sequences)
+# =====================================================================
+
+
+def test_transition_matrix_hand_crafted(spark):
+    from datetime import datetime as dt
+
+    from tcga_query_project_spark.operators import temporal
+
+    def t(m):
+        return dt(2000, 1, 1, 0, m)
+
+    rows = [
+        # u1: a -> b -> a  (pairs: a->b, b->a)
+        (1, 1, t(0), "a"), (2, 1, t(1), "b"), (3, 1, t(2), "a"),
+        # u2: a -> b       (pair: a->b); last event emits nothing
+        (4, 2, t(0), "a"), (5, 2, t(1), "b"),
+        # u3: ts COLLISION at t(0) -> event_id tiebreak orders c before a
+        (7, 3, t(0), "a"), (6, 3, t(0), "c"),
+        # u4: single event -> no pairs at all
+        (8, 4, t(0), "b"),
+        # u5: NULL type is a real state: a -> NULL -> b
+        (9, 5, t(0), "a"), (10, 5, t(1), None), (11, 5, t(2), "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in temporal.transition_matrix(
+            df, "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, round(2 / 3, 6)),  # from-a row: 2 of 3
+        ("a", None): (1, round(1 / 3, 6)),
+        ("b", "a"): (1, 1.0),
+        ("c", "a"): (1, 1.0),  # collision resolved by event_id
+        (None, "b"): (1, 1.0),  # NULL is a from-state too
+    }
+    # row-normalization: each from-state's probabilities sum to 1
+    sums: dict = {}
+    for (f, _), (_, p) in got.items():
+        sums[f] = sums.get(f, 0.0) + p
+    for f, s in sums.items():
+        assert abs(s - 1.0) < 1e-6, (f, s)
+
+
+def test_transition_matrix_empty(spark):
+    from tcga_query_project_spark.operators import temporal
+
+    df = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    assert (
+        temporal.transition_matrix(
+            df, "user_id", "ts", "event_type", "event_id"
+        ).count()
+        == 0
+    )
