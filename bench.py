@@ -156,6 +156,8 @@ HEADLINE = [
     "tj_retention",
     # markov transitions: one user-keyed window + one pair-count agg
     "tj_markov",
+    # per-group OLS trend: grouped min + broadcast join + regr_* agg
+    "a14_group_trend",
     # a6_poisson_wald is deliberately NOT benched: the GLM family has
     # never been in the headline set (per-gene grouped-map fits price
     # by group count, not data size — a correctness vehicle, verified

@@ -3820,6 +3820,80 @@ def a11_group_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_bench_only(
+    "a14_group_trend",
+    """
+    WITH b AS (
+      SELECT event_type, epoch_us(ts) // 1000000 AS sec, value FROM events
+    ),
+    t0 AS (SELECT event_type, MIN(sec) AS t0 FROM b GROUP BY event_type)
+    SELECT b.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(regr_slope(value, CAST(b.sec - t0.t0 AS DOUBLE))
+                 * 86400, 6) AS slope_per_day,
+           ROUND(regr_intercept(value, CAST(b.sec - t0.t0 AS DOUBLE)), 4)
+             AS level_at_start,
+           ROUND(regr_r2(value, CAST(b.sec - t0.t0 AS DOUBLE)), 6) AS r2
+    FROM b JOIN t0 ON b.event_type IS NOT DISTINCT FROM t0.event_type
+    GROUP BY b.event_type
+    """,
+    tags=("A14", "trend"),
+)
+def a14_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend of value against time — the metric-drift /
+    trend-detection query of an observability pipeline ("is this
+    event type's value creeping up, and does time explain it"):
+    least-squares slope (reported per DAY), fitted level at the
+    group's FIRST event, and R². All JVM-side ``regr_*`` built-ins
+    (SQL:2023 linear-regression aggregates — single-pass streaming-
+    covariance state, partial-agg mergeable, so the shuffle carries 6
+    doubles per group), identical NULL conventions in both engines
+    (var(x)=0 or n<2 → NULL slope; constant y over varying x → slope
+    0, R² 1; pairs with a NULL side skipped — edge shapes pinned by
+    the fuzz suite).
+
+    The regression abscissa is anchored per group: ``x = sec −
+    min(sec)`` via an exact-integer grouped min joined back (null-
+    safe, so a NULL event type stays a group — the quantile_strata
+    lesson). Anchoring is not cosmetic: the intercept at raw epoch-
+    seconds is the extrapolation to 1970 — |x̄| ≈ 8·10⁸ multiplies
+    last-ulp engine differences in the streaming co-moments into
+    1e-3-scale intercept divergence (caught by this suite's own fuzz
+    before first commit), while the anchored intercept is the level
+    at data start: well-conditioned AND the number a drift monitor
+    actually wants. The grouped-min side is group-cardinality, hence
+    broadcast. The moments sibling of ``a11_group_moments``'s corr."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 1000000").alias("_sec"),
+        "value",
+    )
+    t0 = (
+        base.groupBy("event_type")
+        .agg(F.min("_sec").alias("_t0"))
+        .withColumnRenamed("event_type", "_g")
+    )
+    x = (F.col("_sec") - F.col("_t0")).cast("double")
+    return (
+        base.join(
+            F.broadcast(t0),
+            F.col("event_type").eqNullSafe(F.col("_g")),
+        )
+        .drop("_g")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.regr_slope(F.col("value"), x) * 86400, 6).alias(
+                "slope_per_day"
+            ),
+            F.round(F.regr_intercept(F.col("value"), x), 4).alias(
+                "level_at_start"
+            ),
+            F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
+        )
+    )
+
+
 @register(
     "mm_binary_meta",
     """

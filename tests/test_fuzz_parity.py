@@ -375,6 +375,10 @@ EVENT_FUZZ_QUERIES = [
     # event_id tiebreak must make deterministic; single-event users
     # and 5-state row normalization are pure semantics checks
     "tj_markov",
+    # OLS trend: the colliding-ts grid produces var(x)=0 groups,
+    # single-row groups, and constant-y-over-varying-x groups — the
+    # regr_* NULL/R²=1 conventions both engines must share
+    "a14_group_trend",
 ]
 
 _ETYPES = ["signup", "click", "error", "view", "purchase"]

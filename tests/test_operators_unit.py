@@ -2672,3 +2672,52 @@ def test_transition_matrix_empty(spark):
         ).count()
         == 0
     )
+
+
+# =====================================================================
+# a14_group_trend (per-group OLS via SQL:2023 regr_* aggregates)
+# =====================================================================
+
+
+def test_group_trend_matches_numpy_polyfit(spark):
+    """The catalog's regr_slope/intercept/r2 columns must equal the
+    dense least-squares reference (numpy polyfit + residual R²) on a
+    multi-group dataset with noise, including a constant-y group
+    (slope 0, R² 1 by the SQL convention) and a var(x)=0 group (all
+    three NULL)."""
+    import random as _r
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = _r.Random(42)
+    rows = []
+    for g, (a, b) in {"up": (0.5, 2.0), "down": (-1.25, 40.0)}.items():
+        for i in range(50):
+            x = float(rng.randrange(0, 1000))
+            y = a * x + b + rng.uniform(-5, 5)
+            rows.append((g, x, y))
+    rows += [("flat", float(i), 7.5) for i in range(10)]   # const y
+    rows += [("pile", 3.0, float(i)) for i in range(5)]    # var(x)=0
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {
+        r["g"]: (r["slope"], r["icpt"], r["r2"])
+        for r in df.groupBy("g")
+        .agg(
+            F.regr_slope("y", "x").alias("slope"),
+            F.regr_intercept("y", "x").alias("icpt"),
+            F.regr_r2("y", "x").alias("r2"),
+        )
+        .collect()
+    }
+    for g in ("up", "down"):
+        xs = np.array([x for gg, x, _ in rows if gg == g])
+        ys = np.array([y for gg, _, y in rows if gg == g])
+        slope, icpt = np.polyfit(xs, ys, 1)
+        pred = slope * xs + icpt
+        r2 = 1.0 - ((ys - pred) ** 2).sum() / ((ys - ys.mean()) ** 2).sum()
+        assert got[g][0] == pytest.approx(slope, rel=1e-9), g
+        assert got[g][1] == pytest.approx(icpt, rel=1e-9), g
+        assert got[g][2] == pytest.approx(r2, rel=1e-9), g
+    assert got["flat"] == (0.0, 7.5, 1.0)
+    assert got["pile"] == (None, None, None)
