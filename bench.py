@@ -158,6 +158,8 @@ HEADLINE = [
     "tj_markov",
     # per-group OLS trend: grouped min + broadcast join + regr_* agg
     "a14_group_trend",
+    # weighted PPS sample: two-level prefix sum + zero-shuffle grid test
+    "pp_weighted_sample",
     # a6_poisson_wald is deliberately NOT benched: the GLM family has
     # never been in the headline set (per-gene grouped-map fits price
     # by group count, not data size — a correctness vehicle, verified

@@ -6110,3 +6110,59 @@ def pp_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partitioning.stratified_cap_scaled(
         docs, ["lang"], cap=40, tiebreak="doc_id", salt="cap"
     )
+
+
+@register_bench_only(
+    "pp_weighted_sample",
+    """
+    WITH w AS (
+      SELECT o_orderkey,
+             GREATEST(COALESCE(CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                               0), 0) AS wt
+      FROM orders WHERE o_orderkey IS NOT NULL
+    ),
+    c AS (
+      SELECT o_orderkey, wt,
+             CAST(SUM(wt) OVER (ORDER BY o_orderkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS cum
+      FROM w
+    ),
+    t AS (SELECT CAST(SUM(wt) AS BIGINT) AS total FROM w),
+    r AS (SELECT ('0x' || substring(md5('pps7'), 1, 8))::BIGINT % total
+               AS rr, total
+          FROM t WHERE total > 0)
+    SELECT o_orderkey, wt AS weight, cum AS cum_weight,
+           CAST((cum * 100 + rr) // total
+                - ((cum - wt) * 100 + rr) // total AS BIGINT) AS n_hits
+    FROM c CROSS JOIN r
+    WHERE (cum * 100 + rr) // total
+          - ((cum - wt) * 100 + rr) // total > 0
+    """,
+    tags=("sampling", "pps"),
+)
+def pp_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (PPS) systematic sample of orders ∝ price
+    (operators/sampling.pps_systematic_sample): exactly k=100 grid
+    slots dropped on the cumulative-weight line in o_orderkey order,
+    rotated by a deterministic md5 offset — all-BIGINT arithmetic, so
+    the sample is bit-identical across engines (the float-key
+    Efraimidis-Spirakis form is NOT oracle-portable: pow/log last-ulp
+    noise reorders the top-k boundary, which is why weighted sampling
+    was deliberately absent until this integer design). Weights are
+    exact integer cents. The Spark side computes the global cumsum via
+    pack_shards' two-level distributed prefix sum — never a one-task
+    global window; the oracle affords the naive window. ``n_hits``
+    carries multiplicity for rows heavier than the grid spacing, so
+    Σ n_hits = k exactly."""
+    from tcga_query_project_spark.operators import sampling
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("_cents"),
+    )
+    return sampling.pps_systematic_sample(
+        orders, "o_orderkey", "_cents", 100, salt="pps7"
+    )

@@ -267,3 +267,115 @@ def temperature_weights(
     return {
         d: round(budget * (p / z) / counts[d], 6) for d, p in powered.items()
     }
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    salt: str = "pps",
+    carry_cols: tuple[str, ...] = (),
+    block_size: int = 1 << 20,
+    superblock_factor: int = 1 << 12,
+) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling: draw
+    exactly ``k`` slots from the corpus with per-row inclusion
+    probability ∝ integer ``weight_col`` — the weighted analog of
+    :func:`hash_fraction` splits, used to build quality- or
+    importance-weighted training subsets (sample documents ∝ quality
+    score, users ∝ activity) with ZERO randomness state: the only
+    entropy is a deterministic md5 rotation of the sampling grid, so
+    membership is stable across runs, engines, partitionings, and
+    data order, exactly like every other sampling primitive here.
+
+    Construction (all BIGINT arithmetic — no float thresholds, hence
+    exactly oracle-portable where the classic Efraimidis-Spirakis
+    u^(1/w) keys are not: pow/log last-ulp noise reorders the top-k
+    boundary across engines): rows are laid on a line in ``key_col``
+    order at their cumulative weights; a grid of ``k`` equally-spaced
+    points (spacing total/k, rotated by ``r = md5(salt) mod total``)
+    is dropped on the line; a row is hit once per grid point inside
+    its weight segment:
+
+        n_hits(row) = ⌊(cum·k + r)/total⌋ − ⌊((cum−w)·k + r)/total⌋
+
+    Σ n_hits = k exactly (r < total); a row with w > total/k can take
+    several hits (its multiplicity — classic PPS-with-replacement
+    accounting; emit ``n_hits`` so downstream repetition-weighting is
+    exact); w = 0 rows are never hit. This is Madow's systematic PPS
+    (1949) — the standard "exactly k, ∝ weight, one pass" design.
+
+    Contract: ``key_col`` unique non-negative BIGINT (it is the total
+    order AND the block key); NULL keys are dropped; weights are
+    clamped to ≥ 0 and NULL → 0; ``total·k`` must fit in int64 — the
+    expression guards this in-plan (raise_error) rather than silently
+    wrapping; coarsen weight units (e.g. cents → dollars) or shrink
+    ``k`` if hit.
+
+    Scale shape: the global cumulative weight reuses
+    :func:`pack_shards`'s two-level distributed prefix sum (per-block
+    totals → superblock driver roll-up → broadcast offsets +
+    block-partitioned windows) — NOT a single-task global window; the
+    grid test itself is a zero-shuffle projection; ``total`` is a
+    1-row aggregate broadcast-cross-joined in-plan.
+
+    Returns ``(key_col, *carry_cols, weight, cum_weight, n_hits)``
+    filtered to sampled rows (``n_hits ≥ 1``).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from tcga_query_project_spark.functions.scalar import md5_prefix_long
+
+    wt = F.greatest(
+        F.coalesce(F.col(weight_col).cast("long"), F.lit(0)), F.lit(0)
+    )
+    base = df.filter(F.col(key_col).isNotNull()).select(
+        F.col(key_col), *[F.col(c) for c in carry_cols], wt.alias("_w")
+    )
+    cum = pack_shards(
+        base,
+        key_col,
+        "_w",
+        budget=1 << 62,  # shard column unused; one bin
+        block_size=block_size,
+        carry_cols=carry_cols,
+        superblock_factor=superblock_factor,
+    ).select(
+        key_col,
+        *carry_cols,
+        F.col("n_tokens").alias("weight"),
+        F.col("cum_tokens").alias("cum_weight"),
+    )
+    total = base.agg(F.sum("_w").alias("_total"))
+    # int64 guard rides the rotation expression, so it cannot be pruned
+    max_total = (2**63 - 1) // (k + 1)
+    rot = F.when(
+        F.col("_total") > F.lit(max_total),
+        F.raise_error(
+            F.lit(
+                f"pps_systematic_sample: total weight exceeds {max_total}"
+                f" — total*k would overflow int64; coarsen weight units"
+                f" or reduce k={k}"
+            )
+        ).cast("long"),
+    ).otherwise(
+        md5_prefix_long(F.lit(salt)) % F.col("_total")
+    )
+    # `div`, not `/`: Spark's `/` on BIGINT is DOUBLE true-division,
+    # which loses integer exactness past 2^53 — `div` is the integral
+    # form (truncating; operands are non-negative here, so == floor,
+    # matching DuckDB's `//`)
+    hits = F.expr(
+        f"(cum_weight * {int(k)} + _r) div _total"
+        f" - ((cum_weight - weight) * {int(k)} + _r) div _total"
+    ).cast("long")
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .filter(F.col("_total") > 0)
+        .withColumn("_r", rot)
+        .withColumn("n_hits", hits)
+        .filter(F.col("n_hits") > 0)
+        .drop("_total", "_r")
+    )

@@ -78,6 +78,10 @@ FUZZ_QUERIES = [
     # under duplicates/empty part table)
     "qa_psi_drift",
     "er_fuzzy_name_pairs",
+    # weighted PPS sampling: all-BIGINT grid rule — empty orders,
+    # all-zero-price shapes (total=0 -> empty sample, no div-by-zero),
+    # and quarter-money weights exercise exactness end-to-end
+    "pp_weighted_sample",
     # round-7 widening: remaining relational shapes with exact-money
     # aggregates and unique-key windows
     "a11_group_moments",

@@ -293,3 +293,126 @@ def test_temperature_weights_rebalance(spark):
     }
     for lang, n_in in (("en", 800), ("fr", 150), ("sw", 50)):
         assert abs(got[lang] - w3[lang] * n_in) <= 0.2 * max(w3[lang] * n_in, 10)
+
+
+# ---------------------------------------------------------------------------
+# pps_systematic_sample (integer-grid weighted sampling)
+# ---------------------------------------------------------------------------
+
+
+def _pps_local(rows, k, r):
+    """Pure-python replay of the grid rule on (key, w) rows."""
+    rows = sorted((key, max(w or 0, 0)) for key, w in rows if key is not None)
+    total = sum(w for _, w in rows)
+    out = {}
+    cum = 0
+    for key, w in rows:
+        prev = cum
+        cum += w
+        hits = (cum * k + r) // total - (prev * k + r) // total
+        if hits > 0:
+            out[key] = (w, cum, hits)
+    return out
+
+
+def test_pps_exactly_k_slots_and_local_replay(spark):
+    """Σ n_hits == k exactly for any weight shape, and every row's
+    (weight, cum, hits) matches the pure-python grid replay."""
+    import random
+
+    from tcga_query_project_spark.functions.scalar import md5_prefix_long
+    from tcga_query_project_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(0, 50)) for i in range(1, 401)]
+    df = spark.createDataFrame(rows, "key long, w long")
+    got = {
+        r["key"]: (r["weight"], r["cum_weight"], r["n_hits"])
+        for r in pps_systematic_sample(
+            df, "key", "w", 37, salt="s1"
+        ).collect()
+    }
+    total = sum(w for _, w in rows)
+    r_off = (
+        spark.range(1)
+        .select((md5_prefix_long(F.lit("s1")) % total).alias("r"))
+        .collect()[0]["r"]
+    )
+    want = _pps_local(rows, 37, r_off)
+    assert got == want
+    assert sum(h for _, _, h in got.values()) == 37
+
+
+def test_pps_inclusion_tracks_weight(spark):
+    """Expected hits per row = k*w/total; the systematic grid realizes
+    floor/ceil of that — check every sampled row is within 1 of its
+    expectation and heavy rows carry multiplicity."""
+    from tcga_query_project_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    rows = [(1, 500), (2, 250), (3, 125), (4, 125)] + [
+        (i, 0) for i in range(5, 20)
+    ]
+    df = spark.createDataFrame(rows, "key long, w long")
+    got = {
+        r["key"]: r["n_hits"]
+        for r in pps_systematic_sample(df, "key", "w", 8, salt="x").collect()
+    }
+    assert sum(got.values()) == 8
+    assert set(got) <= {1, 2, 3, 4}  # zero-weight rows never sampled
+    for key, w in rows[:4]:
+        exp = 8 * w / 1000
+        assert abs(got.get(key, 0) - exp) <= 1, (key, got)
+
+
+def test_pps_null_and_negative_weights_and_keys(spark):
+    from tcga_query_project_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    rows = [(1, 10), (2, None), (3, -5), (None, 100), (4, 10)]
+    df = spark.createDataFrame(rows, "key long, w long")
+    got = {
+        r["key"]: r["n_hits"]
+        for r in pps_systematic_sample(df, "key", "w", 4, salt="n").collect()
+    }
+    # NULL key dropped entirely; NULL/negative weights clamp to 0
+    assert set(got) <= {1, 4} and sum(got.values()) == 4
+
+
+def test_pps_two_level_prefix_sum_block_invariance(spark):
+    """The sample must be IDENTICAL under an adversarially small block
+    size (every row its own block, superblocks of 2 — maximal stress on
+    the distributed prefix-sum path) vs the default layout."""
+    import random
+
+    from tcga_query_project_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, rng.randint(1, 9)) for i in range(1, 200)]
+    df = spark.createDataFrame(rows, "key long, w long")
+    a = pps_systematic_sample(df, "key", "w", 21, salt="b").collect()
+    b = pps_systematic_sample(
+        df, "key", "w", 21, salt="b", block_size=1, superblock_factor=2
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pps_overflow_guard_raises_in_plan(spark):
+    import pytest
+
+    from tcga_query_project_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    df = spark.createDataFrame([(1, 2**60), (2, 2**60)], "key long, w long")
+    with pytest.raises(Exception, match="overflow|coarsen"):
+        pps_systematic_sample(df, "key", "w", 100).collect()
+
+    with pytest.raises(ValueError, match="k must be"):
+        pps_systematic_sample(df, "key", "w", 0)
