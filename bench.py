@@ -160,6 +160,8 @@ HEADLINE = [
     "a14_group_trend",
     # weighted PPS sample: two-level prefix sum + zero-shuffle grid test
     "pp_weighted_sample",
+    # column profiler: one (column,value) count shuffle + roll-up
+    "qa_column_profile",
     # a6_poisson_wald is deliberately NOT benched: the GLM family has
     # never been in the headline set (per-gene grouped-map fits price
     # by group count, not data size — a correctness vehicle, verified

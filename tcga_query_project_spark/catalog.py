@@ -4159,6 +4159,87 @@ def qa_orders_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_bench_only(
+    "qa_column_profile",
+    """
+    WITH pairs AS (
+      SELECT 'event_id' AS "column", CAST(event_id AS VARCHAR) AS v
+      FROM events
+      UNION ALL
+      SELECT 'ts_us', CAST(epoch_us(ts) AS VARCHAR) FROM events
+      UNION ALL
+      SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+      UNION ALL
+      SELECT 'event_type', event_type FROM events
+      UNION ALL
+      SELECT 'value_cents',
+             CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR)
+      FROM events
+      UNION ALL
+      SELECT 'props', props FROM events
+    ),
+    counted AS (
+      SELECT "column", v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pairs GROUP BY "column", v
+    ),
+    stats AS (
+      SELECT "column",
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(c) FILTER (WHERE v IS NULL), 0) AS BIGINT)
+               AS n_null,
+             CAST(COUNT(v) AS BIGINT) AS n_distinct,
+             CAST(COALESCE(SUM(c) FILTER (WHERE v IS NOT NULL), 0)
+                  AS BIGINT) AS nn,
+             SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+               FILTER (WHERE v IS NOT NULL) AS slnc,
+             MAX(c) FILTER (WHERE v IS NOT NULL) AS maxc
+      FROM counted GROUP BY "column"
+    ),
+    mode AS (
+      SELECT c."column", MIN(c.v) AS top_value
+      FROM counted c JOIN stats s ON c."column" = s."column"
+      WHERE c.v IS NOT NULL AND c.c = s.maxc
+      GROUP BY c."column"
+    )
+    SELECT s."column", s.n, s.n_null, s.n_distinct,
+           CASE WHEN s.nn > 0
+                THEN ROUND(ln(CAST(s.nn AS DOUBLE)) - s.slnc / s.nn, 6)
+           END AS entropy,
+           m.top_value,
+           CASE WHEN s.nn > 0
+                THEN ROUND(CAST(s.maxc AS DOUBLE) / s.nn, 6)
+           END AS top_share
+    FROM stats s LEFT JOIN mode m ON s."column" = m."column"
+    """,
+    tags=("profiling", "quality"),
+)
+def qa_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profile (operators/quality_audit.
+    column_profile) of events: per column, row/null/distinct counts,
+    value-distribution Shannon entropy (via the single-pass
+    ``H = ln N − Σ c·ln c / N`` identity), and the modal value + share
+    (ties → smallest value — an explicit rule, never max_by's
+    engine-dependent winner). Every column reaches the profiler in an
+    engine-portable string rendering (integers / epoch micros / exact
+    cents); one (column, value) count shuffle + a per-column roll-up +
+    a |cols|-row broadcast mode resolution — no per-column window over
+    the distribution (the W1 low-cardinality-partition defect)."""
+    from tcga_query_project_spark.operators import quality_audit as qa
+
+    ev = _t(spark, sf_dir, "events")
+    return qa.column_profile(
+        ev,
+        {
+            "event_id": F.col("event_id"),
+            "ts_us": F.unix_micros(F.col("ts")),
+            "user_id": F.col("user_id"),
+            "event_type": F.col("event_type"),
+            "value_cents": F.round(F.col("value") * 100).cast("long"),
+            "props": F.col("props"),
+        },
+    )
+
+
 def _poisson_case_sql(slice8: str) -> str:
     """The Poisson(1) inverse-CDF CASE chain over the SAME hex-string
     threshold literals the Spark expression uses

@@ -318,3 +318,106 @@ def psi_drift(
         )
         .withColumn("drifted", F.col("psi") > F.lit(threshold))
     )
+
+
+def column_profile(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
+    """Whole-table column profiler — the "what is actually in this
+    batch" report a pipeline runs before writing schema-dependent
+    jobs against new data: per column, row/null/distinct counts, the
+    Shannon entropy of the value distribution (the
+    uniformity/degeneracy signal: ~0 ⇒ near-constant column, ~ln(n)
+    ⇒ key-like), and the modal value with its share (the
+    "is this column 99% one default?" check).
+
+    ``cols`` maps output column names to already-CANONICALIZED string
+    expressions — the caller chooses an engine-portable rendering
+    (integers/epoch-micros/rounded-cents cast to string), because raw
+    float→string formatting differs across engines. NULLs survive the
+    cast and are profiled as nulls, never as a value: distinct,
+    entropy, and the mode are over non-null values only.
+
+    Output: ``(column, n, n_null, n_distinct, entropy, top_value,
+    top_share)``; entropy/top columns NULL for an all-null column.
+
+    Shape (three relational shuffles, no windows, no Python):
+
+    1. explode each row into |cols| ``(column, value)`` pairs — a
+       narrow map-side multiply (profiles are one-shot; the ×|cols|
+       blow-up buys single-framework uniformity), then ONE
+       ``(column, value)`` count shuffle — the only corpus-sized
+       exchange, partial-aggregated map-side;
+    2. per-column roll-up of the counted distribution (rows =
+       Σ per-column distinct values). Entropy folds into this same
+       aggregate via ``H = ln(N) − Σ c·ln(c)/N`` — no second pass
+       needs the total first;
+    3. the mode resolves against the |cols|-row stats broadcast
+       (count == max, ties → smallest value — an explicit total rule,
+       NOT max_by, whose tie winner is engine-dependent).
+
+    A per-COLUMN window over the counted table would funnel each
+    column's whole value distribution through one task (the W1
+    low-cardinality-partition defect); the broadcast-back form keeps
+    every stage parallel. Reference analog: none (pipeline-hygiene
+    surface beside the audit gate above).
+    """
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("column"),
+                        expr.cast("string").alias("_v"),
+                    )
+                    for name, expr in cols.items()
+                ]
+            )
+        ).alias("_p")
+    ).select(F.col("_p.column").alias("column"), F.col("_p._v").alias("_v"))
+    counted = pairs.groupBy("column", "_v").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    nn = F.when(F.col("_v").isNotNull(), F.col("_c"))
+    stats = counted.groupBy("column").agg(
+        F.sum("_c").cast("long").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("_v").isNull(), F.col("_c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_null"),
+        F.count(nn).cast("long").alias("n_distinct"),
+        F.sum(nn).cast("long").alias("_nn"),
+        F.sum(nn.cast("double") * F.log(nn.cast("double"))).alias("_slnc"),
+        F.max(nn).alias("_maxc"),
+    )
+    mode = (
+        counted.filter(F.col("_v").isNotNull())
+        .join(
+            F.broadcast(stats.select("column", "_maxc")),
+            ["column"],
+        )
+        .filter(F.col("_c") == F.col("_maxc"))
+        .groupBy("column")
+        .agg(F.min("_v").alias("top_value"))
+    )
+    return (
+        stats.join(F.broadcast(mode), ["column"], "left")
+        .select(
+            "column",
+            "n",
+            "n_null",
+            "n_distinct",
+            F.when(
+                F.col("_nn") > 0,
+                F.round(
+                    F.log(F.col("_nn").cast("double"))
+                    - F.col("_slnc") / F.col("_nn"),
+                    6,
+                ),
+            ).alias("entropy"),
+            "top_value",
+            F.when(
+                F.col("_nn") > 0,
+                F.round(F.col("_maxc") / F.col("_nn"), 6),
+            ).alias("top_share"),
+        )
+    )

@@ -383,6 +383,10 @@ EVENT_FUZZ_QUERIES = [
     # single-row groups, and constant-y-over-varying-x groups — the
     # regr_* NULL/R²=1 conventions both engines must share
     "a14_group_trend",
+    # column profiler: NULL-heavy props, mode ties under the coarse
+    # value grid (ties -> smallest value, the explicit cross-engine
+    # rule), all-null and empty-table shapes
+    "qa_column_profile",
 ]
 
 _ETYPES = ["signup", "click", "error", "view", "purchase"]

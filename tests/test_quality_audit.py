@@ -354,3 +354,89 @@ def test_streaming_drift_monitor_per_batch_psi(spark, tmp_path):
         .first()["psi"]
     )
     assert by_drift[True]["psi"] == batch_psi
+
+
+# ---------------------------------------------------------------------------
+# column_profile
+# ---------------------------------------------------------------------------
+
+
+def test_column_profile_hand_worked(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tcga_query_project_spark.operators.quality_audit import (
+        column_profile,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, None),
+            ("a", 2, None),
+            ("b", 2, None),
+            ("b", None, None),
+            (None, 3, None),
+        ],
+        "s string, i long, z string",
+    )
+    got = {
+        r["column"]: r
+        for r in column_profile(
+            df, {"s": F.col("s"), "i": F.col("i"), "z": F.col("z")}
+        ).collect()
+    }
+    # s: 4 non-null of 5; dist a:2 b:2 -> entropy ln2; mode tie a/b ->
+    # smallest wins
+    s = got["s"]
+    assert (s["n"], s["n_null"], s["n_distinct"]) == (5, 1, 2)
+    assert s["entropy"] == round(math.log(2), 6)
+    assert (s["top_value"], s["top_share"]) == ("a", 0.5)
+    # i: dist 1:1 2:2 3:1 -> H = ln4 - (2 ln 2)/4
+    i = got["i"]
+    assert (i["n"], i["n_null"], i["n_distinct"]) == (5, 1, 3)
+    assert i["entropy"] == round(math.log(4) - 2 * math.log(2) / 4, 6)
+    assert (i["top_value"], i["top_share"]) == ("2", 0.5)
+    # z: all null -> entropy/top undefined, not 0
+    z = got["z"]
+    assert (z["n"], z["n_null"], z["n_distinct"]) == (5, 5, 0)
+    assert z["entropy"] is None and z["top_value"] is None
+    assert z["top_share"] is None
+
+
+def test_column_profile_constant_and_key_columns(spark):
+    """Degeneracy signal: a constant column has entropy 0 and
+    top_share 1; a unique key column has entropy ln(n)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tcga_query_project_spark.operators.quality_audit import (
+        column_profile,
+    )
+
+    n = 64
+    df = spark.range(n).select(
+        F.col("id"), F.lit("k").alias("c")
+    )
+    got = {
+        r["column"]: r
+        for r in column_profile(
+            df, {"id": F.col("id"), "c": F.col("c")}
+        ).collect()
+    }
+    assert got["c"]["entropy"] == 0.0
+    assert got["c"]["top_share"] == 1.0
+    assert got["id"]["entropy"] == round(math.log(n), 6)
+    assert got["id"]["n_distinct"] == n
+
+
+def test_column_profile_empty(spark):
+    from pyspark.sql import functions as F
+
+    from tcga_query_project_spark.operators.quality_audit import (
+        column_profile,
+    )
+
+    df = spark.createDataFrame([], "s string")
+    assert column_profile(df, {"s": F.col("s")}).count() == 0
