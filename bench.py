@@ -162,6 +162,8 @@ HEADLINE = [
     "pp_weighted_sample",
     # column profiler: one (column,value) count shuffle + roll-up
     "qa_column_profile",
+    # resample + gap-fill: bucket agg + sequence explode + fill window
+    "tj_resample",
     # a6_poisson_wald is deliberately NOT benched: the GLM family has
     # never been in the headline set (per-gene grouped-map fits price
     # by group count, not data size — a correctness vehicle, verified

@@ -4459,6 +4459,59 @@ def tj_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_bench_only(
+    "tj_resample",
+    """
+    WITH base AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS b,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    agg AS (
+      SELECT user_id, b, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS t
+      FROM base GROUP BY user_id, b
+    ),
+    rng AS (SELECT user_id, MIN(b) AS mn, MAX(b) AS mx
+            FROM agg GROUP BY user_id),
+    dense AS (SELECT user_id, UNNEST(generate_series(mn, mx)) AS b
+              FROM rng)
+    SELECT d.user_id, d.b AS period,
+           COALESCE(a.n, 0) AS n,
+           COALESCE(a.t, 0) AS total,
+           last_value(a.t IGNORE NULLS)
+             OVER (PARTITION BY d.user_id ORDER BY d.b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS carried
+    FROM dense d
+    LEFT JOIN agg a ON d.user_id = a.user_id AND d.b = a.b
+    """,
+    tags=("resample", "event-analytics"),
+)
+def tj_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily resampling with gap-fill
+    (operators/temporal.resample_periods): integer epoch-day buckets,
+    densified over each user's [first, last] active day — gap days
+    become explicit (n=0, total=0) rows with the last observed day's
+    value-sum carried forward (exact integer cents, so the fill is
+    FP-portable). One (user, day) count shuffle, a user-cardinality
+    range roll-up, a per-user sequence explode (in-plan span guard),
+    a co-partitioned gap join, and a per-user forward-fill window.
+    The oracle replays the identical densify + IGNORE NULLS fill."""
+    ev = _t(spark, sf_dir, "events")
+    return temporal.resample_periods(
+        ev.select(
+            "user_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("long").alias("_cents"),
+        ),
+        "user_id",
+        "ts",
+        "_cents",
+        86_400_000_000,
+    )
+
+
+@register_bench_only(
     "tj_incremental_agg",
     """
     WITH patched AS (

@@ -745,3 +745,93 @@ def transition_matrix(
         "n",
         F.round(F.col("n") / F.sum("n").over(w_row), 6).alias("p"),
     )
+
+
+def resample_periods(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period_us: int,
+    *,
+    max_periods_per_key: int = 1 << 20,
+) -> DataFrame:
+    """Per-key time-series regularization (resample + gap-fill): bucket
+    events into fixed integer periods, then DENSIFY each key's series
+    over its own [first, last] bucket range — the step every
+    feature/training pipeline runs before windowed models, because
+    "no events that day" must become an explicit zero row (counts) and
+    a carried-forward level (gauges), not a silently missing row.
+
+    Integer epoch-bucket arithmetic (``unix_micros div period_us``) —
+    the same calendar-free convention as :func:`retention`; pre-1970
+    timestamps are out of contract (trunc-vs-floor division would
+    disagree across engines there). Rows with a NULL key or NULL
+    timestamp are dropped (resampling an unidentified entity/time is
+    meaningless — mirror the filter when comparing engines).
+
+    Output, one row per (key, period) in the dense range:
+    ``n`` / ``total`` — events and value-sum in the bucket (0 for gap
+    rows); ``carried`` — the last OBSERVED bucket's total
+    (forward-fill; never NULL, since each key's range starts at its
+    first observed bucket). ``value_col`` should be an exact-integer
+    unit column (cents, tokens) when cross-engine stability of sums
+    matters — same contract as ``pack_shards`` tokens.
+
+    Shape: one (key, bucket) partial-aggregated count shuffle; one
+    key-cardinality roll-up for the ranges; the densification is a
+    per-key ``sequence()`` explode — generation is embarrassingly
+    parallel across keys, but ONE key's whole range materializes in
+    one task, so a pathological span/period ratio is a skew bomb:
+    ``max_periods_per_key`` (default ~1M) guards in-plan
+    (raise_error) rather than letting a mis-set period silently
+    produce a corpus-dwarfing dense table. The gap join is a
+    co-partitioned (key, bucket) equi-join; the forward fill is a
+    per-key window (high-cardinality partitions).
+
+    Reference analog: none (event-analytics surface beside
+    retention/funnel/transition_matrix).
+    """
+    b = F.expr(f"unix_micros({ts_col}) div {int(period_us)}")
+    base = events.filter(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(F.col(key_col), b.alias("_b"), F.col(value_col).alias("_v"))
+    agg = base.groupBy(key_col, "_b").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_v").alias("_t")
+    )
+    span = F.col("_max") - F.col("_min")
+    rng = (
+        agg.groupBy(key_col)
+        .agg(F.min("_b").alias("_min"), F.max("_b").alias("_max"))
+        .select(
+            key_col,
+            F.when(
+                span >= int(max_periods_per_key),
+                F.raise_error(
+                    F.lit(
+                        "resample_periods: a key spans more than "
+                        f"{int(max_periods_per_key)} periods — raise "
+                        "period_us or max_periods_per_key"
+                    )
+                ).cast("array<bigint>"),
+            )
+            .otherwise(F.sequence(F.col("_min"), F.col("_max")))
+            .alias("_bs"),
+        )
+    )
+    dense = rng.select(key_col, F.explode("_bs").alias("_b"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        dense.join(agg, [key_col, "_b"], "left")
+        .select(
+            F.col(key_col),
+            F.col("_b").alias("period"),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n"),
+            F.coalesce(F.col("_t"), F.lit(0)).alias("total"),
+            F.last("_t", ignorenulls=True).over(w).alias("carried"),
+        )
+    )

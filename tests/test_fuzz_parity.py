@@ -387,6 +387,10 @@ EVENT_FUZZ_QUERIES = [
     # value grid (ties -> smallest value, the explicit cross-engine
     # rule), all-null and empty-table shapes
     "qa_column_profile",
+    # resampling: single-bucket keys, gap runs, exact-cents carry
+    # (day buckets over the 30-minute grid collapse to one bucket;
+    # the fuzz value is the degenerate-range + empty shapes)
+    "tj_resample",
 ]
 
 _ETYPES = ["signup", "click", "error", "view", "purchase"]

@@ -2721,3 +2721,66 @@ def test_group_trend_matches_numpy_polyfit(spark):
         assert got[g][2] == pytest.approx(r2, rel=1e-9), g
     assert got["flat"] == (0.0, 7.5, 1.0)
     assert got["pile"] == (None, None, None)
+
+
+# =====================================================================
+# resample_periods (bucket + densify + forward fill)
+# =====================================================================
+
+
+def test_resample_hand_crafted_gaps_and_carry(spark):
+    from datetime import datetime as dt, timedelta
+
+    from tcga_query_project_spark.operators import temporal
+
+    def d(day, h=0):
+        return dt(2024, 1, 1 + day, h)
+
+    day_us = 86_400_000_000
+    rows = [
+        # u1: days 0 (two events), 1 (one), GAP 2-3, 4 (one)
+        (1, d(0), 10), (1, d(0, 5), 5), (1, d(1), 7), (1, d(4), 2),
+        # u2: a single day -> dense range is one row, no gaps
+        (2, d(3), 9),
+        # NULL key / NULL ts rows: dropped by contract
+        (None, d(0), 99), (3, None, 99),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, v long")
+    got = {
+        (r["u"], r["period"]): (r["n"], r["total"], r["carried"])
+        for r in temporal.resample_periods(
+            df, "u", "ts", "v", day_us
+        ).collect()
+    }
+    base = dt(2024, 1, 1).timestamp() * 1_000_000 // day_us
+    p = lambda day: int(base + day)  # noqa: E731
+    assert got == {
+        (1, p(0)): (2, 15, 15),
+        (1, p(1)): (1, 7, 7),
+        (1, p(2)): (0, 0, 7),   # gap: zero bucket, carried level
+        (1, p(3)): (0, 0, 7),
+        (1, p(4)): (1, 2, 2),
+        (2, p(3)): (1, 9, 9),
+    }
+
+
+def test_resample_span_guard_raises(spark):
+    from datetime import datetime as dt
+
+    import pytest
+
+    from tcga_query_project_spark.operators import temporal
+
+    df = spark.createDataFrame(
+        [(1, dt(2024, 1, 1), 1), (1, dt(2024, 3, 1), 1)],
+        "u long, ts timestamp, v long",
+    )
+    with pytest.raises(Exception, match="spans more than"):
+        temporal.resample_periods(
+            df, "u", "ts", "v", 86_400_000_000, max_periods_per_key=30
+        ).collect()
+    # same data under a sufficient cap densifies fine
+    n = temporal.resample_periods(
+        df, "u", "ts", "v", 86_400_000_000, max_periods_per_key=100
+    ).count()
+    assert n == 61
