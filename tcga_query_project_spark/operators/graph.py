@@ -449,11 +449,18 @@ def triangle_counts(
         )
         .distinct()
     )
-    # no persist: the canonical edge list recurs in degree/wedge/closing
-    # subtrees, but the recurrences are IDENTICAL subplans ending in the
-    # distinct's exchange, which AQE dedupes via ReusedExchange — and a
-    # lazy function-scope persist with no unpersist would leak executor
-    # memory (the round-6 dd_index_dedup lesson, in cache form)
+    # the canonical edge list recurs in FOUR subtrees (degree, two
+    # orientation joins, closing-edge lookup); without lineage
+    # truncation the static plan replicates the whole derive-edges
+    # subplan per consumer (13 source scans / 19 exchanges in the
+    # audit) and correctness of the dedupe is left to runtime
+    # ReusedExchange. An eager localCheckpoint materializes the
+    # (long, long) edge list ONCE — same lineage discipline as
+    # pagerank/connected_components (reliable checkpoint() on a real
+    # cluster); a lazy function-scope persist would leak executor
+    # memory with no unpersist point (the round-6 dd_index_dedup
+    # lesson, in cache form)
+    e = e.localCheckpoint(eager=True)
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
