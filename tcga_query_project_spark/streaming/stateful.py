@@ -20,10 +20,12 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -315,4 +317,93 @@ def cusum_drift_tws(
         outputStructType=CUSUM_SCHEMA,
         outputMode="Update",
         timeMode="None",
+    )
+
+
+TRANSITION_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("from_type", StringType()),
+        StructField("to_type", StringType()),
+    ]
+)
+
+_LAST_EVENT_STATE = StructType(
+    [
+        StructField("ts_us", LongType()),
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+    ]
+)
+
+
+def _emit_transitions(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Chain this micro-batch's events (in (ts_us, event_id) order)
+    onto the key's carried last event; emit one (from, to) pair per
+    adjacency and carry the new last event forward."""
+    pdf = pd.concat(list(batches), ignore_index=True)
+    pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+    types = pdf["event_type"].tolist()
+    if state.exists:
+        _, _, last_type = state.get
+        froms = [last_type] + types[:-1]
+        tos = types
+    else:
+        froms = types[:-1]
+        tos = types[1:]
+    tail = pdf.iloc[-1]
+    state.update((int(tail["ts_us"]), int(tail["event_id"]), tail["event_type"]))
+    if froms:
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(froms),
+                "from_type": froms,
+                "to_type": tos,
+            }
+        )
+
+
+def transition_pairs(
+    stream: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Streaming maintenance of the Markov transition-pair stream — the
+    unbounded-input form of ``temporal.transition_matrix``'s pair
+    extraction: per-user state carries only the LAST seen event
+    (16 bytes + a type string per user, forever), and each micro-batch
+    emits the newly-closed (from_type, to_type) adjacencies, so a
+    downstream (windowed or foreachBatch) count keeps the matrix
+    current without ever re-reading history. A lag/lead window cannot
+    do this on a stream — the "previous row" may be any number of
+    micro-batches in the past.
+
+    Ordering contract: rows are chained in ``(ts, tiebreak)`` order
+    WITHIN each micro-batch and appended to the carried last event in
+    ARRIVAL order across batches — the operator does not reorder
+    history that is already chained (no retraction). Feed it an
+    event-time-ordered source (or accept arrival-order semantics, the
+    standard trade of single-pass transition tracking); with ordered
+    input the emitted pair multiset equals the batch operator's —
+    pinned by the stream==batch test.
+
+    Emits ``(key, from_type, to_type)`` in append mode; NULL event
+    types are real states, exactly as in the batch form.
+    """
+    renamed = stream.select(
+        stream[user_col].cast("long").alias("key"),
+        F.unix_micros(stream[ts_col]).alias("ts_us"),
+        stream[tiebreak_col].cast("long").alias("event_id"),
+        stream[type_col].cast("string").alias("event_type"),
+    )
+    return renamed.groupBy("key").applyInPandasWithState(
+        _emit_transitions,
+        outputStructType=TRANSITION_SCHEMA,
+        stateStructType=_LAST_EVENT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -748,3 +748,67 @@ def test_near_dup_stream_null_text_passes_through(spark, tmp_path):
     )
     ids = {r["doc_id"] for r in out.collect()}
     assert ids == {1, 2, 3}  # NULL and empty text pass through
+
+
+def test_transition_pairs_stream_equals_batch(spark, tmp_path):
+    """Stateful transition tracking: the carried last event must chain
+    across micro-batches (u1's last event of file 1 pairs with its
+    first of file 2), and on event-time-ordered input the emitted pair
+    multiset equals temporal.transition_matrix's counts on the union."""
+    from datetime import datetime as dt
+
+    from tcga_query_project_spark.operators import temporal
+    from tcga_query_project_spark.streaming.stateful import transition_pairs
+
+    def t(m):
+        return dt(2024, 1, 1, 0, m)
+
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    # COLLIDING timestamps inside a batch (tiebreak by event_id) and a
+    # NULL type (a real state)
+    half1 = [
+        (1, 1, t(0), "a"), (2, 1, t(0), "b"), (3, 2, t(1), "a"),
+        (4, 3, t(1), None),
+    ]
+    half2 = [
+        (5, 1, t(2), "a"), (6, 2, t(3), "b"), (7, 3, t(3), "c"),
+        (8, 1, t(4), "b"),
+    ]
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(half1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(half2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = transition_pairs(stream, "user_id", "ts", "event_type", "event_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_transitions")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {}
+    for r in spark.sql("SELECT * FROM t_transitions").collect():
+        k = (r["from_type"], r["to_type"])
+        got[k] = got.get(k, 0) + 1
+    batch = spark.createDataFrame(half1 + half2, schema)
+    want = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in temporal.transition_matrix(
+            batch, "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    assert got == want
+    # the cross-batch chain specifically: u1 file1-tail 'b' -> file2
+    # head 'a' exists only if state crossed the trigger boundary
+    assert got[("b", "a")] >= 1

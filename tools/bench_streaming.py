@@ -190,6 +190,14 @@ def main() -> None:
             ),
             n_events,
         ),
+        "transition_pairs": (
+            # per-user last-event state; emits newly-closed Markov
+            # adjacencies per micro-batch (append mode)
+            lambda: stateful.transition_pairs(
+                ev_stream(), "user_id", "ts", "event_type", "event_id"
+            ),
+            n_events,
+        ),
         "neardup_bands": (
             lambda: sneardup.near_dup_dedup_stream(
                 doc_stream(), "doc_id", "text", "ts", "10 minutes"
