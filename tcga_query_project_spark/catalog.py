@@ -4429,7 +4429,8 @@ def tj_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
              LEAD(TRUE) OVER w AS h
       FROM events
       WINDOW w AS (PARTITION BY user_id
-                   ORDER BY epoch_us(ts) ASC NULLS FIRST, event_id ASC)
+                   ORDER BY epoch_us(ts) ASC NULLS FIRST,
+                            event_id ASC NULLS FIRST)
     ),
     m AS (
       SELECT f AS from_type, t AS to_type, CAST(COUNT(*) AS BIGINT) AS n

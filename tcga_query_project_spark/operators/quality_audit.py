@@ -360,6 +360,11 @@ def column_profile(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     every stage parallel. Reference analog: none (pipeline-hygiene
     surface beside the audit gate above).
     """
+    if not cols:
+        raise ValueError(
+            "column_profile: empty cols mapping — a misbuilt column map "
+            "would otherwise read as 'profile ran clean'"
+        )
     pairs = df.select(
         F.explode(
             F.array(
@@ -376,6 +381,14 @@ def column_profile(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     counted = pairs.groupBy("column", "_v").agg(
         F.count(F.lit(1)).alias("_c")
     )
+    # counted feeds BOTH the stats roll-up and the mode branch; without
+    # lineage truncation the static plan replicates the corpus-sized
+    # explode+count subtree per consumer (3 source scans in the plan
+    # audit) and the one-scan claim below holds only if runtime
+    # exchange reuse fires. Materialize the distribution ONCE — the
+    # triangle_counts lineage discipline; distribution-sized, not
+    # corpus-sized (reliable checkpoint() on a real cluster).
+    counted = counted.localCheckpoint(eager=True)
     nn = F.when(F.col("_v").isNotNull(), F.col("_c"))
     stats = counted.groupBy("column").agg(
         F.sum("_c").cast("long").alias("n"),

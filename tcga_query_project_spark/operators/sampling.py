@@ -105,6 +105,7 @@ def pack_shards(
     order_cols: tuple[str, ...] = (),
     carry_cols: tuple[str, ...] = (),
     superblock_factor: int = 1 << 12,
+    return_total: bool = False,
 ) -> DataFrame:
     """Assign each row to a training SHARD so that consecutive rows (in
     total ``(key_col, *order_cols)`` order) fill ~``budget`` tokens per
@@ -146,6 +147,11 @@ def pack_shards(
     Output: key (+order cols), ``n_tokens``, ``cum_tokens`` (inclusive
     global running total, BIGINT) and ``shard`` (BIGINT, 0-based);
     ``carry_cols`` pass through untouched (payload text, labels).
+    With ``return_total=True`` returns ``(df, grand_total)`` — the
+    exact corpus token total falls out of the superblock roll-up this
+    function ALREADY collects, so callers that need it (the PPS
+    sampler's grid spacing) don't pay a second corpus scan to
+    recompute it.
     """
     order = [key_col, *order_cols]
     base = df.select(
@@ -211,7 +217,7 @@ def pack_shards(
         F.coalesce(F.col("_offset"), F.lit(0))
         + F.sum("n_tokens").over(w)
     ).cast("long")
-    return (
+    out = (
         base.join(F.broadcast(off_df), "_block", "left")
         .select(
             *order,
@@ -223,6 +229,9 @@ def pack_shards(
             .alias("shard"),
         )
     )
+    if return_total:
+        return out, int(run)
+    return out
 
 
 def temperature_weights(
@@ -309,24 +318,25 @@ def pps_systematic_sample(
 
     Contract: ``key_col`` unique non-negative BIGINT (it is the total
     order AND the block key); NULL keys are dropped; weights are
-    clamped to ≥ 0 and NULL → 0; ``total·k`` must fit in int64 — the
-    expression guards this in-plan (raise_error) rather than silently
-    wrapping; coarsen weight units (e.g. cents → dollars) or shrink
-    ``k`` if hit.
+    clamped to ≥ 0 and NULL → 0; ``total·k`` must fit in int64 —
+    guarded with a driver-side ValueError (the total is known at build
+    time) rather than silently wrapping; coarsen weight units (e.g.
+    cents → dollars) or shrink ``k`` if hit.
 
     Scale shape: the global cumulative weight reuses
     :func:`pack_shards`'s two-level distributed prefix sum (per-block
     totals → superblock driver roll-up → broadcast offsets +
     block-partitioned windows) — NOT a single-task global window; the
-    grid test itself is a zero-shuffle projection; ``total`` is a
-    1-row aggregate broadcast-cross-joined in-plan.
+    grid test itself is a zero-shuffle projection over literals: the
+    grand total falls out of the prefix-sum roll-up pack_shards
+    already collects (``return_total``), so no second corpus scan and
+    no cross-join — total and rotation are plan literals.
 
     Returns ``(key_col, *carry_cols, weight, cum_weight, n_hits)``
     filtered to sampled rows (``n_hits ≥ 1``).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    from tcga_query_project_spark.functions.scalar import md5_prefix_long
 
     wt = F.greatest(
         F.coalesce(F.col(weight_col).cast("long"), F.lit(0)), F.lit(0)
@@ -334,7 +344,7 @@ def pps_systematic_sample(
     base = df.filter(F.col(key_col).isNotNull()).select(
         F.col(key_col), *[F.col(c) for c in carry_cols], wt.alias("_w")
     )
-    cum = pack_shards(
+    packed, total = pack_shards(
         base,
         key_col,
         "_w",
@@ -342,40 +352,41 @@ def pps_systematic_sample(
         block_size=block_size,
         carry_cols=carry_cols,
         superblock_factor=superblock_factor,
-    ).select(
+        return_total=True,  # grand total falls out of the roll-up —
+        # a separate agg would rescan the whole input (review finding)
+    )
+    cum = packed.select(
         key_col,
         *carry_cols,
         F.col("n_tokens").alias("weight"),
         F.col("cum_tokens").alias("cum_weight"),
     )
-    total = base.agg(F.sum("_w").alias("_total"))
-    # int64 guard rides the rotation expression, so it cannot be pruned
-    max_total = (2**63 - 1) // (k + 1)
-    rot = F.when(
-        F.col("_total") > F.lit(max_total),
-        F.raise_error(
-            F.lit(
-                f"pps_systematic_sample: total weight exceeds {max_total}"
-                f" — total*k would overflow int64; coarsen weight units"
-                f" or reduce k={k}"
-            )
-        ).cast("long"),
-    ).otherwise(
-        md5_prefix_long(F.lit(salt)) % F.col("_total")
+    empty = cum.withColumn("n_hits", F.lit(0).cast("long")).filter(
+        F.lit(False)
     )
+    if total <= 0:
+        return empty  # no mass: nothing can be sampled (schema kept)
+    max_total = (2**63 - 1) // (k + 1)
+    if total > max_total:
+        raise ValueError(
+            f"pps_systematic_sample: total weight {total} exceeds "
+            f"{max_total} — total*k would overflow int64; coarsen "
+            f"weight units or reduce k={k}"
+        )
+    # the rotation is a pure function of the salt — same md5-prefix
+    # integer the SQL mirror computes, evaluated driver-side
+    import hashlib
+
+    rot = int(hashlib.md5(salt.encode()).hexdigest()[:8], 16) % total
     # `div`, not `/`: Spark's `/` on BIGINT is DOUBLE true-division,
     # which loses integer exactness past 2^53 — `div` is the integral
     # form (truncating; operands are non-negative here, so == floor,
     # matching DuckDB's `//`)
     hits = F.expr(
-        f"(cum_weight * {int(k)} + _r) div _total"
-        f" - ((cum_weight - weight) * {int(k)} + _r) div _total"
+        f"(cum_weight * {int(k)} + {rot}) div {total}"
+        f" - ((cum_weight - weight) * {int(k)} + {rot}) div {total}"
     ).cast("long")
     return (
-        cum.crossJoin(F.broadcast(total))
-        .filter(F.col("_total") > 0)
-        .withColumn("_r", rot)
-        .withColumn("n_hits", hits)
+        cum.withColumn("n_hits", hits)
         .filter(F.col("n_hits") > 0)
-        .drop("_total", "_r")
     )

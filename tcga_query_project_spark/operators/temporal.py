@@ -772,11 +772,16 @@ def resample_periods(
 
     Output, one row per (key, period) in the dense range:
     ``n`` / ``total`` — events and value-sum in the bucket (0 for gap
-    rows); ``carried`` — the last OBSERVED bucket's total
-    (forward-fill; never NULL, since each key's range starts at its
-    first observed bucket). ``value_col`` should be an exact-integer
-    unit column (cents, tokens) when cross-engine stability of sums
-    matters — same contract as ``pack_shards`` tokens.
+    rows); ``carried`` — the last observed bucket's value-sum,
+    forward-filled. A bucket whose events ALL have a NULL value sums
+    to NULL and carries nothing, so ``carried`` IS NULL until the
+    key's first non-NULL-valued bucket (both engines agree; don't
+    assume non-NULL unless the value column is) — with a non-null
+    value column it is never NULL, since each key's range starts at
+    its first observed bucket. ``value_col`` should be an
+    exact-integer unit column (cents, tokens) when cross-engine
+    stability of sums matters — same contract as ``pack_shards``
+    tokens.
 
     Shape: one (key, bucket) partial-aggregated count shuffle; one
     key-cardinality roll-up for the ranges; the densification is a

@@ -328,33 +328,37 @@ TRANSITION_SCHEMA = StructType(
     ]
 )
 
-_LAST_EVENT_STATE = StructType(
-    [
-        StructField("ts_us", LongType()),
-        StructField("event_id", LongType()),
-        StructField("event_type", StringType()),
-    ]
-)
+#: only the TYPE is carried — the ordering contract is arrival-order
+#: across batches, so a stored timestamp/id would never gate anything:
+#: dead per-user state-store bytes (and an int() NaN crash site for
+#: NULL timestamps, both flagged in review)
+_LAST_EVENT_STATE = StructType([StructField("event_type", StringType())])
 
 
 def _emit_transitions(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Chain this micro-batch's events (in (ts_us, event_id) order)
-    onto the key's carried last event; emit one (from, to) pair per
-    adjacency and carry the new last event forward."""
+    """Chain this micro-batch's events (in (ts_us, event_id) order,
+    NULLs FIRST — matching the batch operator's asc_nulls_first) onto
+    the key's carried last event type; emit one (from, to) pair per
+    adjacency and carry the new last type forward."""
     pdf = pd.concat(list(batches), ignore_index=True)
-    pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
-    types = pdf["event_type"].tolist()
+    # na_position="first": unix_micros(NULL) arrives as NaN, and the
+    # batch family orders NULL timestamps first; pandas' default
+    # (NaN last) would both diverge from batch and make the NaN row
+    # the carried tail
+    pdf = pdf.sort_values(
+        ["ts_us", "event_id"], kind="mergesort", na_position="first"
+    )
+    types = [None if t is None or t != t else t for t in pdf["event_type"]]
     if state.exists:
-        _, _, last_type = state.get
+        (last_type,) = state.get
         froms = [last_type] + types[:-1]
         tos = types
     else:
         froms = types[:-1]
         tos = types[1:]
-    tail = pdf.iloc[-1]
-    state.update((int(tail["ts_us"]), int(tail["event_id"]), tail["event_type"]))
+    state.update((types[-1],))
     if froms:
         yield pd.DataFrame(
             {

@@ -2784,3 +2784,75 @@ def test_resample_span_guard_raises(spark):
         df, "u", "ts", "v", 86_400_000_000, max_periods_per_key=100
     ).count()
     assert n == 61
+
+
+def test_transition_matrix_null_tiebreak_matches_oracle(spark, tmp_path):
+    """Review regression: the oracle's tiebreak needs an explicit
+    NULLS FIRST (DuckDB windows default NULLS LAST ASC; Spark .asc()
+    is nulls-first) — pinned with a NULL event_id colliding on ts."""
+    import datetime as dt
+
+    from tcga_query_project_spark.catalog import BENCH_ONLY
+    from tests.oracle_harness import compare, run_oracle
+    from tests.test_fuzz_parity import _write_dir
+
+    t0 = dt.datetime(2024, 1, 1)
+    tables = {"events": {
+        "event_id": [None, 2, 3, None],
+        "ts": [t0, t0, t0 + dt.timedelta(minutes=1), t0],
+        "user_id": [1, 1, 1, 2],
+        "event_type": ["a", "b", "c", "d"],
+        "value": [1.0, 2.0, 3.0, 4.0],
+        "props": [None] * 4,
+    }}
+    d = str(tmp_path / "nulltie")
+    _write_dir(tables, d)
+    spec = BENCH_ONLY["tj_markov"]
+    got = spec.build(spark, d).toPandas()
+    want = run_oracle(spec.oracle, d)
+    assert not compare(got, want), compare(got, want)
+    # NULL id sorts before id=2 at the same instant in BOTH engines
+    pairs = {(r["from_type"], r["to_type"]) for _, r in got.iterrows()}
+    assert ("a", "b") in pairs and ("b", "c") in pairs
+
+
+def test_column_profile_empty_cols_raises(spark):
+    import pytest
+
+    from tcga_query_project_spark.operators.quality_audit import (
+        column_profile,
+    )
+
+    df = spark.createDataFrame([("x",)], "s string")
+    with pytest.raises(ValueError, match="empty cols"):
+        column_profile(df, {})
+
+
+def test_resample_all_null_value_bucket_carries_null(spark):
+    """Documented contract: a bucket whose events all have NULL value
+    sums to NULL and carries nothing — carried stays NULL until the
+    first non-NULL-valued bucket."""
+    from datetime import datetime as dt
+
+    from tcga_query_project_spark.operators import temporal
+
+    day = 86_400_000_000
+    rows = [
+        (1, dt(2024, 1, 1), None),
+        (1, dt(2024, 1, 3), 5),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, v long")
+    got = sorted(
+        (
+            (r["period"], r["n"], r["total"], r["carried"])
+            for r in temporal.resample_periods(
+                df, "u", "ts", "v", day
+            ).collect()
+        )
+    )
+    periods = [p for p, *_ in got]
+    assert got == [
+        (periods[0], 1, 0, None),   # all-NULL bucket: nothing to carry
+        (periods[1], 0, 0, None),   # gap inherits the nothing
+        (periods[2], 1, 5, 5),
+    ]

@@ -812,3 +812,49 @@ def test_transition_pairs_stream_equals_batch(spark, tmp_path):
     # the cross-batch chain specifically: u1 file1-tail 'b' -> file2
     # head 'a' exists only if state crossed the trigger boundary
     assert got[("b", "a")] >= 1
+
+
+def test_transition_pairs_null_timestamp_does_not_crash(spark, tmp_path):
+    """Review regression: a NULL timestamp (NaN after unix_micros in
+    pandas) must sort FIRST like the batch operator's asc_nulls_first —
+    not become the carried tail and crash int() conversion."""
+    from datetime import datetime as dt
+
+    from tcga_query_project_spark.operators import temporal
+    from tcga_query_project_spark.streaming.stateful import transition_pairs
+
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    rows = [
+        (2, 1, dt(2024, 1, 1, 0, 1), "b"),
+        (1, 1, None, "a"),  # NULL ts: sorts first, 'a' -> 'b'
+        (3, 2, None, "c"),  # lone NULL-ts event: state must store it
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = transition_pairs(stream, "user_id", "ts", "event_type", "event_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_null_ts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["from_type"], r["to_type"])
+        for r in spark.sql("SELECT * FROM t_null_ts").collect()
+    }
+    batch = spark.createDataFrame(rows, schema)
+    want = {
+        (r["from_type"], r["to_type"])
+        for r in temporal.transition_matrix(
+            batch, "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    assert got == want == {("a", "b")}
