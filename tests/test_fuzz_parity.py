@@ -506,6 +506,10 @@ DOC_FUZZ_QUERIES = [
     # corpora (empty edge list, all-self-loop single node, modulo
     # domain = doc count)
     "gq_pagerank",
+    # triangles over the same graph family: empty/self-loop-only
+    # graphs, degree ties everywhere (the (degree, id) orientation
+    # tiebreak), nodes with no closing edge
+    "gq_triangles",
     # round-7 widening: line/shingle/token boundary semantics across
     # the text-dedup family, the recursive-CTE cluster oracle, and the
     # full corpus-prep composition on junk-heavy corpora
