@@ -323,6 +323,27 @@ def test_headline_shuffle_budgets(spark):
         # re-join → supplier distinct; all four carry aggregates,
         # never raw fact rows
         "q20_dominant_suppliers": 4,
+        # session-3 additions. Triangles: degree agg + 2 orientation
+        # joins + wedge self-join + closing join + per-node count over
+        # the CHECKPOINTED edge list — 6; a 7th means lineage
+        # truncation regressed and a consumer re-derives edges
+        "gq_triangles": 6,
+        # user-keyed lead window + pair-count agg + the matrix-sized
+        # normalization exchange
+        "tj_markov": 3,
+        # grouped-min anchor (broadcast back) + the regr_* agg
+        "a14_group_trend": 2,
+        # block agg + superblock window + block window over the
+        # checkpoint-free prefix-sum path; a 4th exchange means the
+        # grand total stopped riding pack_shards' roll-up
+        "pp_weighted_sample": 3,
+        # post-checkpoint: stats roll-up + mode agg + final join over
+        # the materialized distribution; more means the counted
+        # subtree is being re-derived per consumer again
+        "qa_column_profile": 3,
+        # (key, bucket) agg + range roll-up; the gap join and fill
+        # window reuse the bucket partitioning
+        "tj_resample": 2,
     }
     from tcga_query_project_spark.catalog import BENCH_ONLY
 

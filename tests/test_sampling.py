@@ -416,3 +416,21 @@ def test_pps_overflow_guard_raises_in_plan(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         pps_systematic_sample(df, "key", "w", 0)
+
+
+def test_pack_shards_return_total_equals_sum(spark):
+    """return_total exposes the grand total the superblock roll-up
+    already computed — must equal the exact weight sum (and 0 on empty
+    input) without any extra scan of the input."""
+    rows = [(i, i % 7) for i in range(1, 100)]
+    df = spark.createDataFrame(rows, "key long, w long")
+    out, total = sampling.pack_shards(
+        df, "key", "w", budget=50, return_total=True
+    )
+    assert total == sum(w for _, w in rows)
+    assert out.agg(F.max("cum_tokens")).collect()[0][0] == total
+    _, zero = sampling.pack_shards(
+        spark.createDataFrame([], "key long, w long"),
+        "key", "w", budget=50, return_total=True,
+    )
+    assert zero == 0
