@@ -4266,6 +4266,7 @@ def _poisson_case_sql(slice8: str) -> str:
       FROM events
       CROSS JOIN (SELECT UNNEST(range(25)) AS g) g
       CROSS JOIN (SELECT UNNEST(range(4)) AS s) s
+      WHERE value IS NOT NULL
     ),
     wt AS (
       SELECT event_type, b, x,
@@ -4285,10 +4286,10 @@ def _poisson_case_sql(slice8: str) -> str:
     ),
     est AS (
       SELECT event_type, ROUND(AVG(value), 6) AS est
-      FROM events GROUP BY event_type
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
     )
     SELECT e.event_type, e.est, c.lo, c.hi, CAST(100 AS BIGINT) AS n_boot
-    FROM est e JOIN ci c USING (event_type)
+    FROM est e JOIN ci c ON e.event_type IS NOT DISTINCT FROM c.event_type
     """,
     tags=("stats-bootstrap",),
 )
@@ -4478,7 +4479,7 @@ def tj_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM rng)
     SELECT d.user_id, d.b AS period,
            COALESCE(a.n, 0) AS n,
-           COALESCE(a.t, 0) AS total,
+           CASE WHEN a.n IS NULL THEN 0 ELSE a.t END AS total,
            last_value(a.t IGNORE NULLS)
              OVER (PARTITION BY d.user_id ORDER BY d.b
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

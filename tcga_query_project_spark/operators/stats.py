@@ -532,7 +532,10 @@ def bootstrap_ci(
     6). Replicates where a group draws zero total weight (possible
     only for tiny groups) yield a NULL replicate mean, which the
     percentile skips — the standard small-group caveat of the Poisson
-    bootstrap.
+    bootstrap. Rows with a NULL ``value_col`` are excluded before
+    resampling (they would otherwise inflate replicate denominators
+    without contributing to the numerator); NULL-keyed groups survive
+    via a null-safe struct-key final join.
 
     Scale: the explode is ``n_boot`` PER ROW but map-side — partial
     aggregation collapses it before the shuffle, so the exchange
@@ -546,6 +549,14 @@ def bootstrap_ci(
         raise ValueError("level must be in (0, 1)")
     alpha = (1.0 - level) / 2.0
     n_groups = (n_boot + 3) // 4
+    # NULL values are excluded up front: a NULL-valued row would add
+    # its Poisson weight to the replicate denominator SUM(_w) while
+    # contributing nothing to SUM(_w*_x), biasing every replicate mean
+    # low relative to est (whose AVG skips NULLs). Filtering first
+    # makes replicates and est agree on the population; a group whose
+    # values are ALL NULL drops out entirely (matching est = NULL
+    # having nothing to pair with).
+    df = df.filter(F.col(value_col).isNotNull())
     dig = F.md5(
         F.concat(
             F.lit(salt),
@@ -600,8 +611,22 @@ def bootstrap_ci(
     est = df.groupBy(*group_cols).agg(
         F.round(F.avg(value_col), 6).alias("est")
     )
+    # struct-key join so a NULL-keyed group (kept by both groupBys)
+    # survives the merge instead of being dropped by NULL = NULL
+    est_k = est.select(
+        F.struct(*[F.col(g) for g in group_cols]).alias("_k"), "est"
+    )
+    ci_k = ci.select(
+        F.struct(*[F.col(g) for g in group_cols]).alias("_k"), "lo", "hi"
+    )
     return (
-        est.join(ci, group_cols)
+        est_k.join(ci_k, "_k")
         .withColumn("n_boot", F.lit(n_boot).cast("bigint"))
-        .select(*group_cols, "est", "lo", "hi", "n_boot")
+        .select(
+            *[F.col("_k")[g].alias(g) for g in group_cols],
+            "est",
+            "lo",
+            "hi",
+            "n_boot",
+        )
     )

@@ -528,8 +528,24 @@ def maintain_grouped_agg(
             F.sum("_dx").alias("_dsum"),
         )
     )
-    merged = base_agg.join(delta, group_cols, "full_outer").select(
-        *group_cols,
+    # NULL-safe merge: a full_outer join on bare group_cols would never
+    # match a NULL-keyed base row to its delta row (NULL = NULL is NULL),
+    # leaving two rows for that group — stale base counts plus a
+    # delta-only row. Joining on a single struct key instead uses struct
+    # equality, which treats NULL fields as equal (the same pattern
+    # quantile_strata uses), so NULL-keyed groups merge correctly.
+    base_k = base_agg.select(
+        F.struct(*[F.col(g) for g in group_cols]).alias("_k"),
+        "cnt",
+        "sum_x",
+    )
+    delta_k = delta.select(
+        F.struct(*[F.col(g) for g in group_cols]).alias("_k"),
+        "_dcnt",
+        "_dsum",
+    )
+    merged = base_k.join(delta_k, "_k", "full_outer").select(
+        *[F.col("_k")[g].alias(g) for g in group_cols],
         (
             F.coalesce(F.col("cnt"), F.lit(0))
             + F.coalesce(F.col("_dcnt"), F.lit(0))
@@ -772,7 +788,9 @@ def resample_periods(
 
     Output, one row per (key, period) in the dense range:
     ``n`` / ``total`` — events and value-sum in the bucket (0 for gap
-    rows); ``carried`` — the last observed bucket's value-sum,
+    rows; a bucket whose events all carry NULL values keeps ``total``
+    NULL, so it stays distinguishable from a zero-sum bucket);
+    ``carried`` — the last observed bucket's value-sum,
     forward-filled. A bucket whose events ALL have a NULL value sums
     to NULL and carries nothing, so ``carried`` IS NULL until the
     key's first non-NULL-valued bucket (both engines agree; don't
@@ -836,7 +854,13 @@ def resample_periods(
             F.col(key_col),
             F.col("_b").alias("period"),
             F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n"),
-            F.coalesce(F.col("_t"), F.lit(0)).alias("total"),
+            # coalesce only TRUE gap rows (no events: _n IS NULL) to 0;
+            # a bucket whose events all carry NULL values keeps total
+            # NULL — distinguishable from a genuine zero-sum bucket,
+            # matching the documented ``carried`` NULL semantics
+            F.when(F.col("_n").isNull(), F.lit(0))
+            .otherwise(F.col("_t"))
+            .alias("total"),
             F.last("_t", ignorenulls=True).over(w).alias("carried"),
         )
     )

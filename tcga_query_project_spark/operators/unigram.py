@@ -252,6 +252,16 @@ def unigram_train(
         for r in word_histogram(df, text_col, max_words, min_freq).collect()
     ]
     lp = _seed_vocab(hist, seed_size, max_piece_len)
+    spark = df.sparkSession
+    if not lp:
+        # degenerate corpus (empty, or all-empty/whitespace texts):
+        # the histogram and seed vocab are empty, so the EM loop would
+        # exit with lp == {} and log(sum exp) would hit log(0). Return
+        # an empty model instead — the operator is total on degenerate
+        # inputs, like the other operators.
+        return spark.createDataFrame(
+            [], schema="piece string, logprob double"
+        )
     singles = {p for p in lp if len(p) == 1}
     target = max(vocab_size, len(singles))
     while True:
@@ -272,7 +282,6 @@ def unigram_train(
     # renormalize the surviving pieces' probabilities
     logtot = math.log(sum(math.exp(v) for v in lp.values()))
     rows = sorted((p, v - logtot) for p, v in lp.items())
-    spark = df.sparkSession
     return spark.createDataFrame(
         rows, schema="piece string, logprob double"
     )

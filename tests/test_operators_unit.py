@@ -2331,6 +2331,41 @@ def test_bootstrap_ci_tiny_group_null_replicates_skipped(spark):
     assert row["lo"] == 42.0 and row["hi"] == 42.0
 
 
+def test_bootstrap_ci_null_values_and_null_group(spark):
+    """Advisor r7: NULL values must be excluded BEFORE resampling —
+    they previously inflated the replicate denominator SUM(w) without
+    contributing to SUM(w*x), biasing lo/hi low vs est — and a
+    NULL-keyed group must survive the final est/ci join."""
+    rows = [("a", i, float(i % 21)) for i in range(400)]
+    with_nulls = rows + [("a", 9_000 + i, None) for i in range(200)]
+    df_clean = spark.createDataFrame(
+        rows, "grp string, id bigint, value double"
+    )
+    df_nulls = spark.createDataFrame(
+        with_nulls, "grp string, id bigint, value double"
+    )
+    got_clean = stats.bootstrap_ci(
+        df_clean, ["grp"], "value", "id", n_boot=40
+    ).first()
+    got_nulls = stats.bootstrap_ci(
+        df_nulls, ["grp"], "value", "id", n_boot=40
+    ).first()
+    # identical ids + values once NULLs are dropped -> identical digest
+    # draws -> bitwise-identical CI
+    assert got_clean == got_nulls
+    assert got_nulls["lo"] <= got_nulls["est"] <= got_nulls["hi"]
+    # NULL-keyed group: kept by both groupBys, must survive the join
+    df_nullkey = spark.createDataFrame(
+        [(None, i, 5.0 + (i % 3)) for i in range(100)],
+        "grp string, id bigint, value double",
+    )
+    out = stats.bootstrap_ci(
+        df_nullkey, ["grp"], "value", "id", n_boot=40
+    ).collect()
+    assert len(out) == 1 and out[0]["grp"] is None
+    assert out[0]["lo"] <= out[0]["est"] <= out[0]["hi"]
+
+
 def test_poisson_hex_weight_equals_double_form(spark):
     """The hex-string comparison draw must equal the double-uniform
     draw on the same 32-bit value, for every threshold boundary."""
@@ -2445,6 +2480,62 @@ def test_maintain_agg_random_logs_equal_recompute(spark):
     }
     want = _recompute(list(current.values()))
     assert got == want  # exact: quarter-valued sums are FP-exact
+
+
+def test_maintain_agg_null_keyed_group_merges(spark):
+    """Advisor r7 (medium): the base/delta merge must be NULL-safe on
+    the group key — a NULL-keyed base row and its delta row previously
+    never matched (NULL = NULL), yielding TWO rows for that group.
+    Repro from the advisory: base {(NULL, cnt=2, sum=3)} + insert
+    (NULL, 5.0) must yield ONE row with cnt=3, sum=8."""
+    from tcga_query_project_spark.operators import temporal
+
+    base = spark.createDataFrame(
+        [(None, 2, 3.0)], "g string, cnt long, sum_x double"
+    )
+    log = spark.createDataFrame(
+        [("I", None, None, None, 5.0)],
+        "op string, before_g string, before_x double, "
+        "after_g string, after_x double",
+    )
+    out = temporal.maintain_grouped_agg(base, log, ["g"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["g"] is None
+    assert (r["cnt"], r["sum_x"], r["avg_x"]) == (3, 8.0, 8.0 / 3)
+    # and a delete emptying the NULL group drops the row entirely
+    log_d = spark.createDataFrame(
+        [("D", None, 1.0, None, None), ("D", None, 2.0, None, None)],
+        "op string, before_g string, before_x double, "
+        "after_g string, after_x double",
+    )
+    assert temporal.maintain_grouped_agg(base, log_d, ["g"]).count() == 0
+
+
+def test_resample_all_null_value_bucket_keeps_total_null(spark):
+    """Advisor r7: a bucket whose events ALL carry NULL values must
+    keep total NULL (n>0) — only TRUE gap rows (n=0) coalesce to 0 —
+    so a no-data bucket stays distinguishable from a zero-sum one."""
+    from tcga_query_project_spark.operators import temporal
+
+    us = 1_000_000
+    df = spark.createDataFrame(
+        [
+            ("k", 0, 10),  # bucket 0: value 10
+            ("k", 1 * us, None),  # bucket 1: all-NULL values
+            # bucket 2: gap (no events)
+            ("k", 3 * us, 0),  # bucket 3: genuine zero sum
+        ],
+        "k string, t long, v long",
+    ).select("k", F.timestamp_micros(F.col("t")).alias("ts"), "v")
+    out = {
+        r["period"]: (r["n"], r["total"], r["carried"])
+        for r in temporal.resample_periods(df, "k", "ts", "v", us).collect()
+    }
+    assert out[0] == (1, 10, 10)
+    assert out[1] == (1, None, 10)  # NULL total, NOT 0; carried holds
+    assert out[2] == (0, 0, 10)  # true gap -> 0
+    assert out[3] == (1, 0, 0)  # genuine zero sum
 
 
 def test_compression_ratio_orders_redundancy(spark):
@@ -2852,7 +2943,9 @@ def test_resample_all_null_value_bucket_carries_null(spark):
     )
     periods = [p for p, *_ in got]
     assert got == [
-        (periods[0], 1, 0, None),   # all-NULL bucket: nothing to carry
-        (periods[1], 0, 0, None),   # gap inherits the nothing
+        # all-NULL bucket: total stays NULL (advisor r7 — coalescing
+        # it to 0 made it indistinguishable from a zero-sum bucket)
+        (periods[0], 1, None, None),
+        (periods[1], 0, 0, None),   # true gap row: 0, nothing carried
         (periods[2], 1, 5, 5),
     ]

@@ -119,6 +119,23 @@ def test_train_encode_decode_round_trip(spark):
         assert dec[doc_id] == text  # single-space corpus round-trips
 
 
+def test_train_total_on_degenerate_corpus(spark):
+    """Advisor r7: an empty or all-empty-text corpus must return an
+    empty model, not crash with math domain error on log(0)."""
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert unigram.unigram_train(empty, "text", vocab_size=40).count() == 0
+    blank = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None)], "doc_id bigint, text string"
+    )
+    model = unigram.unigram_train(blank, "text", vocab_size=40)
+    assert model.columns == ["piece", "logprob"]
+    assert model.count() == 0
+    # and encoding under the empty model is still total (UNK fallback)
+    probe = spark.createDataFrame([(9, "ab")], "doc_id bigint, text string")
+    row = unigram.unigram_encode(probe, model, "doc_id", "text").first()
+    assert row["n_pieces"] > 0
+
+
 def test_encode_totality_on_unseen_chars(spark):
     df = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
     model = unigram.unigram_train(df, "text", vocab_size=40, seed_size=100)
