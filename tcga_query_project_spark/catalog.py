@@ -1620,7 +1620,31 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate detection: word-3-gram shingles → 8
     portable-md5 minhashes → bands of 2 → candidate equi-join → exact
     Jaccard verification ≥ 0.2. The oracle replays the identical hash
-    pipeline (md5 ordering is engine-independent)."""
+    pipeline (md5 ordering is engine-independent).
+
+    Scale-segment diagnosis (round 8, closing the round-7 watch item —
+    the 10x→30x exec ratio of 3.59x on 3x data): instrumented candidate
+    pairs and band-bucket occupancy at all three points. Root cause was
+    the CURVE'S CORPUS MIX, not the plan: the 10x point was then built
+    in ``suffix`` mode (the documented planted-high-duplication regime:
+    416,359 candidate pairs = 214x on 10x docs BY CONSTRUCTION) while
+    the 30x point used the fair ``interleave`` mode (905,825 pairs), so
+    the segment compared a near-saturated verify stage against a
+    3x-larger corpus with a different pair regime. Measured
+    like-for-like (both points ``interleave``, the construction sf1 now
+    uses): 210,370 → 905,825 candidates and 2.75s → 7.03s exec —
+    **2.56x time on 3x data, sublinear**; per-candidate verify work is
+    flat. The residual superlinear CANDIDATE growth on interleave data
+    (0.39/doc at sf0.1 → 4.2/doc at 10x) is a property of the
+    testdata's closed 31-token vocabulary — the word-3-shingle space is
+    ≤31³, so unrelated-doc Jaccard is bounded away from 0 and chance
+    band collisions grow ~n² — not of the engine: on the native
+    Heaps/Zipf corpus (``tools/gen_native_corpus.py``), whose
+    vocabulary grows with corpus size as real text does, candidates per
+    doc stay near the planted near-dup rate at every scale
+    (BENCH_SCALE_NATIVE.json). Bucket skew is not a factor at any
+    point (max occupancy 212 → ≤45k join rows from the worst bucket,
+    thousands of buckets per band)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.near_duplicates(
         docs, "doc_id", "text", k=3, num_hashes=8, band_size=2, threshold=0.2
