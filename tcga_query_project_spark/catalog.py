@@ -1638,13 +1638,21 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (0.39/doc at sf0.1 → 4.2/doc at 10x) is a property of the
     testdata's closed 31-token vocabulary — the word-3-shingle space is
     ≤31³, so unrelated-doc Jaccard is bounded away from 0 and chance
-    band collisions grow ~n² — not of the engine: on the native
-    Heaps/Zipf corpus (``tools/gen_native_corpus.py``), whose
-    vocabulary grows with corpus size as real text does, candidates per
-    doc stay near the planted near-dup rate at every scale
-    (BENCH_SCALE_NATIVE.json). Bucket skew is not a factor at any
-    point (max occupancy 212 → ≤45k join rows from the worst bucket,
-    thousands of buckets per band)."""
+    band collisions grow ~n² — amplified, not created, by vocabulary:
+    ANY corpus accrues chance candidates as n²·P(band collision), with
+    P ≈ b·J^r for band width r. Measured on the native Heaps/Zipf
+    corpus (``tools/gen_native_corpus.py``, 6% planted dups): 0.067 →
+    0.25 → 0.68 candidates/doc at 1×/10×/30× under this query's
+    pinned (8 hashes, r=2); widening to (16, r=4) cuts the chance mass
+    3× (0.038/0.085/0.21). Candidate VOLUME is therefore a
+    corpus+parameter property tuned via ``band_size`` (production
+    corpora run r=4–8 precisely so n²·J^r stays below the planted-dup
+    line); what the engine owes — and what the curve shows — is
+    per-candidate cost that stays flat (the verify stage is one
+    equi-join + grouped intersection, linear in candidates, sublinear
+    segment above) and recall on planted dups unaffected by r. Bucket
+    skew is not a factor at any point (max occupancy 212 → ≤45k join
+    rows from the worst bucket, thousands of buckets per band)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.near_duplicates(
         docs, "doc_id", "text", k=3, num_hashes=8, band_size=2, threshold=0.2

@@ -157,8 +157,14 @@ def _em_round(
         for piece, c in counts.items():
             agg[piece] += freq * c
     total = sum(agg.values())
+    # log(count) - log(total), NOT log(count/total): an expected count
+    # can be a subnormal (a piece reachable only through a ~e^-745
+    # posterior path — seen on a 72k-word Heaps-vocab corpus), and the
+    # ratio then underflows to exactly 0.0 even though count > 0,
+    # crashing math.log. log() of a subnormal itself is finite (~-744).
+    log_total = math.log(total) if total > 0 else 0.0
     new = {
-        p: math.log(agg[p] / total) if agg.get(p, 0.0) > 0 else -1e9
+        p: math.log(agg[p]) - log_total if agg.get(p, 0.0) > 0 else -1e9
         for p in lp
     }
     return new, loglik

@@ -91,6 +91,23 @@ def test_em_loglik_is_monotone():
         last = ll
 
 
+def test_em_round_survives_subnormal_expected_counts():
+    # regression (round 8, found by the native Heaps-vocab benchmark
+    # corpus): a piece reachable only through a ~e^-745 posterior path
+    # gets a SUBNORMAL expected count — count > 0 but count/total
+    # underflows to exactly 0.0, and the old log(count/total) form
+    # crashed with a math domain error. The log(count)-log(total) form
+    # is total; the starved piece lands at (or below) the -1e9 floor
+    # magnitude rather than raising.
+    m = unigram.MARKER
+    lp = {m + "ab": -0.01, m + "a": -372.25, "b": -372.25, m + "cd": -0.01}
+    hist = [("ab", 1), ("cd", 3)]
+    new, _ll = unigram._em_round(hist, lp, max_len=8)
+    assert set(new) == set(lp)
+    assert all(math.isfinite(v) for v in new.values())
+    assert new[m + "a"] <= math.log(5e-324) - math.log(1.0)  # starved
+
+
 CORPUS = [
     (1, "the data spark pipeline runs the data"),
     (2, "spark pipeline data quality"),
