@@ -130,6 +130,145 @@ def _band_sigs_expr(shingles: Column, num_hashes: int, band_size: int) -> Column
         F.array().cast("array<struct<band:bigint,band_sig:string>>")
     )
 
+#: characters Java's ``String.trim`` strips (every codepoint <= U+0020)
+#: — the Python mirror of ``F.trim`` for the kernel below.
+_JAVA_TRIM_CHARS = "".join(chr(c) for c in range(0x21))
+
+
+def _banded_rows_map_in_pandas(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ts_col: str,
+    k: int,
+    num_hashes: int,
+    band_size: int,
+) -> DataFrame:
+    """Exploded ``(id, text, ts, _band, _band_sig)`` rows via ONE
+    Arrow-batched ``mapInPandas`` kernel — the streaming-safe fast path
+    for the band projection.
+
+    Why a Python boundary here when the batch module hashes JVM-side:
+    Spark evaluates higher-order-function lambdas INTERPRETED, and the
+    per-shingle md5 fold of :func:`_band_sigs_expr` measured ~70% of
+    the whole streaming pipeline's wall time (tools/bench_streaming.py:
+    8.7s of 12.5s was the stateless projection; both stateful ops
+    together under 3s). The batch engine escapes interpretation by
+    exploding shingles into a codegen'd aggregation — but a streaming
+    groupBy is itself a THIRD stateful operator (state-store traffic,
+    output-mode coupling), which costs more than it saves at
+    micro-batch sizes. An Arrow-batched kernel is the remaining door:
+    vectorized numpy permutations + C-speed hashlib md5, no state, no
+    extra shuffle. Values are bit-identical to the expression family on
+    the engine's (ASCII) corpus — pinned by
+    ``test_streaming_banded_kernel_matches_expr`` — with the Java
+    semantics mirrored explicitly: trim strips codepoints <= U+0020,
+    tokenization splits on Java ``\\s`` = ``[ \\t\\n\\x0b\\f\\r]``
+    (NOT unicode-aware like Python's default ``\\s``).
+
+    Scale shape: map-only (no shuffle), batch-local memory = band
+    fan-out x Arrow batch size.
+    """
+    import re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    in_schema = df.schema
+    out_schema = StructType(
+        [
+            in_schema[id_col],
+            in_schema[text_col],
+            in_schema[ts_col],
+            StructField("_band", LongType(), False),
+            StructField("_band_sig", StringType(), False),
+        ]
+    )
+    n_bands = -(-num_hashes // band_size)
+    prime = MINHASH_PRIME
+    split_re = re.compile(r"[ \t\n\x0b\f\r]+")
+    # permutation family: seed i (1-based) -> (2i+1)*v + i*1000003 mod P
+    mults = np.array(
+        [2 * i + 1 for i in range(1, num_hashes + 1)], dtype=np.int64
+    )
+    adds = np.array(
+        [i * 1000003 for i in range(1, num_hashes + 1)], dtype=np.int64
+    )
+
+    def kernel(batches):
+        import hashlib
+
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids, texts, tss = pdf[id_col], pdf[text_col], pdf[ts_col]
+            keep_idx: list[int] = []
+            flat_hashes: list[int] = []
+            starts: list[int] = []
+            for pos, text in enumerate(texts):
+                if text is None or (isinstance(text, float)):
+                    continue
+                toks = split_re.split(
+                    text.lower().strip(_JAVA_TRIM_CHARS)
+                )
+                if len(toks) < k or toks == [""]:
+                    continue
+                shingles = {
+                    " ".join(toks[j:j + k])
+                    for j in range(len(toks) - k + 1)
+                }
+                starts.append(len(flat_hashes))
+                flat_hashes.extend(
+                    int(md5(s.encode("utf-8")).hexdigest()[:8], 16)
+                    for s in shingles
+                )
+                keep_idx.append(pos)
+            if not keep_idx:
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series(dtype=ids.dtype),
+                        text_col: pd.Series(dtype=object),
+                        ts_col: pd.Series(dtype=tss.dtype),
+                        "_band": pd.Series(dtype="int64"),
+                        "_band_sig": pd.Series(dtype=object),
+                    }
+                )
+                continue
+            h = np.asarray(flat_hashes, dtype=np.int64)
+            st = np.asarray(starts, dtype=np.int64)
+            # all seeds over the flat shingle-hash array, min per doc
+            mins = np.empty((len(keep_idx), num_hashes), dtype=np.int64)
+            for i in range(num_hashes):
+                mins[:, i] = np.minimum.reduceat(
+                    (mults[i] * h + adds[i]) % prime, st
+                )
+            sig_rows = [
+                [
+                    "_".join(
+                        str(v) for v in row[j * band_size:(j + 1) * band_size]
+                    )
+                    for j in range(n_bands)
+                ]
+                for row in mins
+            ]
+            keep = np.asarray(keep_idx)
+            rep = np.repeat(keep, n_bands)
+            out = pd.DataFrame(
+                {
+                    id_col: ids.iloc[rep].values,
+                    text_col: texts.iloc[rep].values,
+                    ts_col: tss.iloc[rep].values,
+                    "_band": np.tile(
+                        np.arange(n_bands, dtype=np.int64), len(keep)
+                    ),
+                    "_band_sig": [s for sigs in sig_rows for s in sigs],
+                }
+            )
+            yield out
+
+    return df.mapInPandas(kernel, out_schema)
+
+
 def near_dup_dedup_stream(
     df: DataFrame,
     id_col: str,
@@ -165,12 +304,9 @@ def near_dup_dedup_stream(
     ``dropDuplicates`` semantics via the whole-input scope.
     """
     n_bands = -(-num_hashes // band_size)  # ceil
-    sh = _shingle_expr(F.col(text_col), k)
     # branch on the CHEAP shortness test (token count < k ⟺ empty
-    # shingles ⟺ empty bands): the short branch never evaluates the
-    # md5 fold at all, and the band branch evaluates it exactly once —
-    # filtering both branches on size(_bands) would run the hot hash
-    # expression over every document in BOTH branch scans
+    # shingles ⟺ empty bands): the short branch never reaches the
+    # hashing kernel at all, and the band branch pays it exactly once
     # coalesce(-1): size(tokens(NULL)) is NULL under ANSI, and a NULL
     # predicate lands a NULL-text document in NEITHER branch — it
     # would silently vanish from the stream instead of passing through
@@ -186,17 +322,13 @@ def near_dup_dedup_stream(
         F.col(id_col),
         F.col(text_col),
     )
-    bands = df.filter(n_toks >= k).select(
-        F.col(id_col),
-        F.col(text_col),
-        F.col(ts_col),
-        F.explode(
-            _band_sigs_expr(sh, num_hashes, band_size)
-        ).alias("_b"),
-    ).select(
-        id_col, text_col, ts_col,
-        F.col("_b.band").alias("_band"),
-        F.col("_b.band_sig").alias("_band_sig"),
+    # band projection runs through the Arrow-batched kernel, NOT the
+    # interpreted HOF expression — see _banded_rows_map_in_pandas for
+    # the measured justification (the expression form stays available
+    # as _band_sigs_expr and value-pinned against the kernel)
+    bands = _banded_rows_map_in_pandas(
+        df.filter(n_toks >= k).select(id_col, text_col, ts_col),
+        id_col, text_col, ts_col, k, num_hashes, band_size,
     )
     if df.isStreaming:
         bands = bands.withWatermark(ts_col, delay)

@@ -668,6 +668,46 @@ def test_streaming_minhash_values_match_batch_family(spark):
     assert batch == stream_side
 
 
+def test_streaming_banded_kernel_matches_expr(spark):
+    """The Arrow-batched band kernel (the streaming hot path since
+    round 8) must produce exactly the rows of the interpreted
+    HOF-expression form — same shingling (Java trim/split semantics),
+    same md5 parse, same permutation mins, same band grouping — across
+    tabs/newlines, repeated shingles, short docs, and NULL text."""
+    from tcga_query_project_spark.streaming.neardup import (
+        _band_sigs_expr,
+        _banded_rows_map_in_pandas,
+        _shingle_expr,
+    )
+
+    docs = [
+        (1, "the quick\tbrown fox\n jumps  over the lazy dog today", 10),
+        (2, "  entirely different words describing other topics  ", 20),
+        (3, "too short", 30),  # < k tokens: no band rows
+        (4, None, 40),  # NULL text: no band rows
+        (5, "a a a a a a", 50),  # one distinct shingle
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, ts_s long") \
+        .select("doc_id", "text", F.timestamp_seconds("ts_s").alias("ts"))
+    expr_rows = sorted(
+        (r["doc_id"], r["_b"]["band"], r["_b"]["band_sig"])
+        for r in df.select(
+            "doc_id",
+            F.explode(
+                _band_sigs_expr(_shingle_expr(F.col("text"), 3), 8, 2)
+            ).alias("_b"),
+        ).collect()
+    )
+    kernel_rows = sorted(
+        (r["doc_id"], r["_band"], r["_band_sig"])
+        for r in _banded_rows_map_in_pandas(
+            df, "doc_id", "text", "ts", 3, 8, 2
+        ).collect()
+    )
+    assert kernel_rows == expr_rows
+    assert {t[0] for t in kernel_rows} == {1, 2, 5}
+
+
 def test_enrich_with_scd2_event_time_versions(spark, tmp_path):
     """Point-in-time dimension enrichment: each event joins the SCD2
     version valid at ITS OWN timestamp (late replays included), the

@@ -116,6 +116,40 @@ def main() -> None:
     docs.repartition(N_DOC_FILES).write.parquet(doc_dir)
     n_events = events.count()
     n_docs = docs.count()
+    # a 10x documents corpus whose per-micro-batch row count MATCHES the
+    # event pipelines' (6250 vs 625 at sf0.1): the round-7 neardup_bands
+    # outlier (409 rows/s) was per-micro-batch FIXED cost — two stateful
+    # commits + trigger overhead, ~0.6 s/batch at 8 shards — divided by
+    # tiny batches, not operator cost. Replicas get distinct ids and an
+    # interleaved replica token every 3rd word (same construction as
+    # tools/gen_scale_sf.py interleave mode) so band signatures differ
+    # across replicas and state traffic stays realistic.
+    doc10_dir = os.path.join(work, "docs10")
+    docs10 = (
+        docs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("_r"),
+            "doc_id", "text", "ts",
+        )
+        .select(
+            (F.col("doc_id") + F.col("_r") * 10_000_000).alias("doc_id"),
+            F.when(F.col("_r") == 0, F.col("text")).otherwise(
+                F.regexp_replace(
+                    F.col("text"), F.lit(r"(\S+ \S+ \S+) "),
+                    F.concat(
+                        F.lit("$1 rep"),
+                        F.col("_r").cast("string"),
+                        F.lit(" "),
+                    ),
+                )
+            ).alias("text"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000)
+                + F.col("doc_id") + F.col("_r") * 10_000_000
+            ).alias("ts"),
+        )
+    )
+    docs10.repartition(N_DOC_FILES).write.parquet(doc10_dir)
+    n_docs10 = docs10.count()
 
     ev_schema = spark.read.parquet(ev_dir).schema
     doc_schema = spark.read.parquet(doc_dir).schema
@@ -132,6 +166,15 @@ def main() -> None:
             spark.readStream.schema(doc_schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(doc_dir)
+        )
+
+    doc10_schema = spark.read.parquet(doc10_dir).schema
+
+    def doc10_stream():
+        return (
+            spark.readStream.schema(doc10_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(doc10_dir)
         )
 
     # a small SCD2 user dimension: two versions per user over the
@@ -203,6 +246,16 @@ def main() -> None:
                 doc_stream(), "doc_id", "text", "ts", "10 minutes"
             ),
             n_docs,
+        ),
+        # matched-batch-size figure: same pipeline, 10x corpus, so each
+        # micro-batch carries as many docs as the event pipelines carry
+        # events — the operator's amortized throughput, vs the tiny-batch
+        # row above which is dominated by per-trigger fixed cost
+        "neardup_bands_10x": (
+            lambda: sneardup.near_dup_dedup_stream(
+                doc10_stream(), "doc_id", "text", "ts", "10 minutes"
+            ),
+            n_docs10,
         ),
     }
 
