@@ -164,6 +164,11 @@ HEADLINE = [
     "qa_column_profile",
     # resample + gap-fill: bucket agg + sequence explode + fill window
     "tj_resample",
+    # round-8: sign-LSH embedding near-dup — the benchmarked scale-safe
+    # form of the embedding-dedup family (the exact all-pairs
+    # dd_embedding_neardup stays benched as the declared-quadratic
+    # baseline, annotated expected in BENCH_SCALE.json)
+    "dd_embedding_lsh_pairs",
     # a6_poisson_wald is deliberately NOT benched: the GLM family has
     # never been in the headline set (per-gene grouped-map fits price
     # by group count, not data size — a correctness vehicle, verified

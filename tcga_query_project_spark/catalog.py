@@ -1659,6 +1659,78 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_bench_only(
+    "dd_embedding_lsh_pairs",
+    """
+    WITH prm AS (
+      SELECT GREATEST(4, LEAST(16,
+               CAST(CEIL(LOG2(GREATEST(COUNT(*), 1) / 16.0)) AS BIGINT)))
+               AS bits
+      FROM embeddings
+    ),
+    tbls AS (SELECT UNNEST(range(4)) AS tbl),
+    buckets AS (
+      SELECT e.vec_id, t.tbl,
+             list_sum([
+               CASE WHEN e.embedding[CAST(t.tbl * p.bits + s AS INT)] > 0
+                    THEN CAST(POWER(2, p.bits - s) AS BIGINT) ELSE 0 END
+               FOR s IN generate_series(1, CAST(p.bits AS INT))
+             ]) AS bkt
+      FROM embeddings e CROSS JOIN tbls t CROSS JOIN prm p
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+      FROM buckets a JOIN buckets b
+        ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+    ),
+    norms AS (
+      SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+      GROUP BY vec_id
+    ),
+    px AS (
+      SELECT c.ia, c.ib, unnest(a.embedding) AS xa, unnest(b.embedding) AS xb
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.ia
+      JOIN embeddings b ON b.vec_id = c.ib
+    ),
+    dots AS (
+      SELECT ia, ib, SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) AS dot
+      FROM px GROUP BY ia, ib
+    )
+    SELECT d.ia AS id_a, d.ib AS id_b,
+           ROUND(d.dot / (na.nrm * nb.nrm), 4) AS cosine
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.ia
+    JOIN norms nb ON nb.vec_id = d.ib
+    WHERE ROUND(d.dot / (na.nrm * nb.nrm), 4) >= 0.35
+    """,
+    tags=("dedup-embedding-lsh",),
+)
+def dd_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH embedding near-dup with CORPUS-TUNED bucket width — THE
+    BENCHMARKED SCALE-SAFE FORM of the embedding-dedup family since
+    round 8 (the w1 precedent: the exact form keeps its slot as the
+    semantics pin, the scale-safe form carries the scale evidence).
+    ``dd_embedding_neardup`` is the DECLARED exact all-pairs baseline,
+    O(n²·d) compute by definition; on the full-set scale curve its
+    10×→30× segment reads 8.9× ≈ 3² — the algorithm's own curve once
+    fixed overheads amortize, annotated as expected-quadratic in
+    BENCH_SCALE.json rather than flagged. Fixed-bits sign-LSH is only a
+    constant-factor reduction of that quadratic (bits=4 measured 4.0×
+    on the 3× segment), so this query runs
+    ``dedup.embedding_near_dup_auto``: bits =
+    clamp(4..16, ceil(log2(n/16))) derived from an in-plan broadcast
+    count, holding expected bucket occupancy ≈ 16 at any corpus size —
+    verify work ≈ n·occupancy·tables, linear. The oracle replays the
+    identical rule (count → bits → big-endian sign fold → exact cosine
+    verify within buckets → cross-table distinct)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_auto(
+        emb, "vec_id", "embedding", 0.35, n_tables=4
+    )
+
+
 @register(
     "dd_dup_clusters",
     "WITH RECURSIVE "

@@ -542,6 +542,21 @@ def embedding_near_dup(
     )
 
     def kernel(pdf):
+        # an OFF-diagonal cell whose partner block holds no vectors
+        # arrives as an all-'a' group — indistinguishable from a
+        # diagonal block by roles alone, and the homogeneous branch
+        # would re-score the whole block once per empty partner
+        # (round-8 embeddings fuzz: 4 vectors sharing block 3 with
+        # blocks 4/6/7 empty emitted the (3,4) pair four times). The
+        # grouping keys disambiguate: only bi == bj may self-score.
+        if (
+            len(pdf)
+            and pdf["bi"].iat[0] != pdf["bj"].iat[0]
+            and not (pdf["_role"] == "b").any()
+        ):
+            import pandas as pd
+
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         return _pair_kernel_pdf(pdf, id_col, vec_col, threshold)
 
     return both.groupBy("bi", "bj").applyInPandas(kernel, _PAIR_SCHEMA)
@@ -606,6 +621,108 @@ def embedding_near_dup_bucketed(
     scored = rows.groupBy("_tbl", "_bkt").applyInPandas(kernel, _PAIR_SCHEMA)
     # a pair found in several tables carries the same rounded cosine in
     # each — plain distinct dedups across tables.
+    return scored.distinct()
+
+
+def embedding_near_dup_auto(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_tables: int = 4,
+    target_occupancy: int = 16,
+    min_bits: int = 4,
+    max_bits: int = 16,
+) -> DataFrame:
+    """Sign-LSH embedding near-dup with the bucket width TUNED TO THE
+    CORPUS, in-plan — the genuinely scale-safe member of the family.
+
+    :func:`embedding_near_dup_bucketed` at FIXED ``bits`` is a
+    constant-factor reduction of quadratic (Σ bucket² ≈ n²·T/2^bits):
+    measured on the round-8 scale curve, bits=4 reads 4.0× time on the
+    3× 10×→30× segment — the quadratic term surfacing. Production
+    systems re-tune bits as the corpus grows; this operator encodes
+    that rule in the plan itself:
+
+        bits = clamp(min_bits, max_bits,
+                     ceil(log2(n / target_occupancy)))
+
+    so expected bucket occupancy stays ≈ ``target_occupancy`` at ANY
+    corpus size and verify work is ≈ n·occupancy·T — linear. The
+    corpus count enters as a broadcast one-row aggregate (cross-join
+    scalar, the q22/tfidf pattern — no driver job, no eager build), and
+    the bucket fold runs over a dynamic ``sequence(1, bits)`` (big-
+    endian fold ``acc·2 + sign-bit``; bucket ids are opaque — grouping,
+    not values, is the contract). Everything stays engine-portable:
+    the DuckDB oracle replays count → bits → buckets → exact verify
+    with the identical rule (log2/ceil agree cross-engine — the only
+    boundary-exact inputs are powers of two, where both are IEEE-
+    exact).
+
+    Recall concentrates on genuine near-dups as bits grows (per-table
+    match prob p^bits for per-component sign agreement p ≈ 1 − θ/π):
+    at bits=12, cosine-0.99 planted dups retain ≈ 0.57/table ≈ 0.97
+    over 4 tables, while unrelated pairs are excluded almost surely —
+    the near-dup-gate trade, property-tested on planted perturbation
+    corpora. A tuned width that reads past the vector dimension
+    degrades gracefully (out-of-bounds components contribute bit 0 on
+    both engines — null-safe ``F.get`` ↔ SQL list indexing); callers
+    wanting every slice informative keep dim ≥ n_tables·max_bits.
+    """
+    # clamp the count to >= 1 BEFORE log2: log2(0) is NULL in Spark but
+    # an error in DuckDB, and NULL propagation through GREATEST/LEAST
+    # differs across engines (Spark skips NULLs, DuckDB returns NULL) —
+    # keeping the argument strictly positive sidesteps both divergences
+    # on an empty corpus (where no rows flow anyway).
+    cnt = df.agg(
+        F.greatest(F.count(F.lit(1)), F.lit(1)).cast("double").alias("_n")
+    )
+    bits_col = F.greatest(
+        F.lit(min_bits).cast("long"),
+        F.least(
+            F.lit(max_bits).cast("long"),
+            F.ceil(F.log2(F.col("_n") / F.lit(float(target_occupancy)))),
+        ),
+    )
+    vec = F.col(vec_col)
+    tables = F.transform(
+        F.sequence(F.lit(0), F.lit(n_tables - 1)),
+        lambda t: F.struct(
+            t.cast("long").alias("tbl"),
+            F.aggregate(
+                F.sequence(F.lit(1), F.col("_bits")),
+                F.lit(0).cast("long"),
+                # F.get, not element_at: a tuned width past the vector
+                # dimension reads NULL (→ bit 0) instead of throwing
+                # under ANSI — same as SQL list indexing out of bounds
+                lambda acc, p: acc * 2
+                + F.when(
+                    F.get(
+                        vec, (t * F.col("_bits") + p - 1).cast("int")
+                    ).cast("double")
+                    > 0,
+                    F.lit(1),
+                ).otherwise(F.lit(0)).cast("long"),
+            ).alias("bkt"),
+        ),
+    )
+    rows = (
+        fan_out(df.select(F.col(id_col), vec), id_col)
+        .crossJoin(F.broadcast(cnt.select(bits_col.alias("_bits"))))
+        .select(F.col(id_col), vec, F.explode(tables).alias("_tb"))
+        .select(
+            F.col(id_col),
+            vec,
+            F.col("_tb.tbl").alias("_tbl"),
+            F.col("_tb.bkt").alias("_bkt"),
+            F.lit("a").alias("_role"),
+        )
+    )
+
+    def kernel(pdf):
+        return _pair_kernel_pdf(pdf, id_col, vec_col, threshold)
+
+    scored = rows.groupBy("_tbl", "_bkt").applyInPandas(kernel, _PAIR_SCHEMA)
     return scored.distinct()
 
 

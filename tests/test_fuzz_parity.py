@@ -555,6 +555,60 @@ def documents_micro(draw):
     }
 
 
+#: embedding near-dup pair family (round 8): degenerate geometries the
+#: SF-pinned parity runs never produce — empty corpora (the tuned-bits
+#: log2 clamp), dim-0 and all-zero vectors (0/0 cosine conventions),
+#: a tuned width far past the vector dimension (null-safe component
+#:  reads), saturated sign ties (every value from {-1, 0, 1})
+EMB_FUZZ_QUERIES = [
+    "dd_embedding_neardup",
+    "dd_embedding_lsh_pairs",
+]
+
+
+@st.composite
+def embeddings_micro(draw):
+    n = draw(st.integers(0, 12))
+    dim = draw(st.integers(0, 4))
+    vecs = [
+        [
+            float(draw(st.sampled_from([-1, 0, 1])))
+            for _ in range(dim)
+        ]
+        for _ in range(n)
+    ]
+    return {
+        "embeddings": {
+            "vec_id": list(range(1, n + 1)),
+            "embedding": vecs,
+            "label": [i % 3 for i in range(n)],
+        }
+    }
+
+
+@pytest.mark.parametrize("name", EMB_FUZZ_QUERIES)
+@settings(
+    max_examples=FUZZ_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+    derandomize=FUZZ_DERANDOMIZE,
+)
+@given(tables=embeddings_micro())
+def test_fuzz_embeddings_query_matches_oracle(
+    spark, tmp_path_factory, name, tables
+):
+    from tcga_query_project_spark.catalog import BENCH_ONLY, REGISTRY
+
+    lookup = {**REGISTRY, **BENCH_ONLY}
+    d = str(tmp_path_factory.mktemp("fuzz_emb"))
+    _write_dir(tables, d)
+    spec = lookup[name]
+    got = spec.build(spark, d).toPandas()
+    want = run_oracle(spec.oracle, d)
+    problems = compare(got, want)
+    assert not problems, (name, problems)
+
+
 @pytest.mark.parametrize("name", DOC_FUZZ_QUERIES)
 @settings(
     max_examples=FUZZ_EXAMPLES,

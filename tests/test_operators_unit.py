@@ -798,6 +798,71 @@ def test_embedding_near_dup_bucketed_subset_with_high_recall(spark):
     assert len(ids) == len(set(ids))
 
 
+def test_embedding_near_dup_empty_partner_blocks_no_duplicates(spark):
+    """Regression (round-8 embeddings fuzz): vectors sharing one hash
+    block, with that block's off-diagonal partner cells all EMPTY,
+    produced duplicate pairs — the all-'a' group was mistaken for a
+    diagonal block and self-scored once per empty partner. Four
+    identical vectors must yield exactly the 6 unordered pairs, at
+    every block count."""
+    from tcga_query_project_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, [-1.0]) for i in range(1, 5)],
+        "vec_id long, embedding array<double>",
+    )
+    for n_blocks in (1, 8, 64):
+        rows = dedup.embedding_near_dup(
+            df, "vec_id", "embedding", 0.35, n_blocks=n_blocks
+        ).collect()
+        pairs = sorted((r["id_a"], r["id_b"]) for r in rows)
+        assert pairs == [
+            (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)
+        ], f"n_blocks={n_blocks}"
+
+
+def test_embedding_near_dup_auto_tunes_bits_and_stays_subset(spark):
+    """The corpus-tuned sign-LSH form (round 8): (a) when the clamp
+    rule resolves to the same width as a fixed-bits run, the pair set
+    is identical (big- vs little-endian bucket ids are a bijection —
+    grouping, not values, is the contract); (b) output is always a
+    subset of the exact all-pairs result; (c) planted near-identical
+    pairs keep high recall through the tuned width."""
+    from tcga_query_project_spark.operators import dedup
+
+    rows = _neardup_fixture()  # 72 vectors, dim 16
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # n=72 -> ceil(log2(72/18)) = 2 -> clamps to min_bits=4: identical
+    # grouping to the fixed bits=4 run
+    auto = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in dedup.embedding_near_dup_auto(
+            df, "vec_id", "embedding", 0.95,
+            n_tables=4, target_occupancy=18, min_bits=4, max_bits=4,
+        ).collect()
+    }
+    fixed = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in dedup.embedding_near_dup_bucketed(
+            df, "vec_id", "embedding", 0.95, bits=4, n_tables=4
+        ).collect()
+    }
+    assert auto == fixed
+    # tuned-up width on the same corpus (force bits=8 via tiny target):
+    # still a subset of exact, planted pairs still found (sign patterns
+    # of near-identical vectors agree on almost every component)
+    expect = _brute_force_pairs(rows, 0.95)
+    tuned = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in dedup.embedding_near_dup_auto(
+            df, "vec_id", "embedding", 0.95,
+            n_tables=2, target_occupancy=1, min_bits=4, max_bits=8,
+        ).collect()
+    }
+    assert tuned <= expect
+    assert len(tuned) >= 7  # 10 planted pairs, recall stays high
+
+
 def test_batch_kernels_match_expression_math(spark):
     """The Arrow-batched scoring kernels (_dot_batch/_norm_batch) must
     agree with the higher-order-function expressions they replaced —

@@ -27,6 +27,21 @@ import os
 import sys
 
 
+#: queries whose DECLARED algorithm is superlinear in data size — the
+#: flag lists exist to catch plans that scale worse than their
+#: semantics require, and these semantics REQUIRE quadratic compute.
+#: Explicit and annotated (house style: GLOBAL_WINDOW_ALLOWED, the
+#: eager-build allowlist); anything not listed here still flags.
+EXPECTED_SUPERLINEAR = {
+    "dd_embedding_neardup": (
+        "declared exact all-pairs cosine baseline, O(n^2 d) compute by "
+        "definition — its 10x->30x segment tracks 3^2 once fixed "
+        "overheads amortize; the benchmarked sub-quadratic form is "
+        "dd_embedding_lsh_pairs"
+    ),
+}
+
+
 def load(path: str) -> dict:
     with open(path) as fh:
         lines = [ln for ln in fh.read().splitlines() if ln.strip()]
@@ -86,6 +101,12 @@ def main() -> None:
             # signal we want is a clear super-data-ratio trend
             if b > 0.2 and e / b > 1.25 * extra_ratio / data_ratio:
                 accelerating.append(name)
+    expected = {
+        n: reason for n, reason in EXPECTED_SUPERLINEAR.items()
+        if n in accelerating
+        or (rows.get(n, {}).get("ratio") or 0) > data_ratio
+    }
+    accelerating = [n for n in accelerating if n not in EXPECTED_SUPERLINEAR]
 
     out = {
         "sf_small": small.get("sf"),
@@ -93,6 +114,7 @@ def main() -> None:
         "data_ratio": data_ratio,
         "extra_data_ratio": extra_ratio if extra is not None else None,
         "flagged_accelerating": accelerating,
+        "superlinear_expected": expected,
         "total_small": round(sum(qs.values()), 3),
         "total_big": round(sum(qb.values()), 3),
         "total_ratio": round(sum(qb.values()) / sum(qs.values()), 2),
@@ -101,6 +123,7 @@ def main() -> None:
             n for n, r in rows.items()
             if r["ratio"] is not None and r["ratio"] > data_ratio
             and r["big_sec"] > 0.5  # sub-second pairs are all overhead
+            and n not in EXPECTED_SUPERLINEAR
         ),
         # build-inclusive wall flags: a query whose WALL ratio exceeds
         # the data ratio even though its exec ratio does not is hiding
