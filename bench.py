@@ -321,10 +321,14 @@ def main() -> None:
         # structurally in tests/test_plans.py::test_eager_build_allowlist.
         "queries_build": times_build,
         "value_build": round(sum(times_build.values()), 3),
+        # ratio from the PHASE minima (times_build + times_exec), not
+        # min-wall over min-exec: the two wall/exec minima can come
+        # from different reps, under- or over-stating the build share
+        # near the 2.0 boundary (round-8 review)
         "flagged_build_heavy": sorted(
             n for n in times
-            if times[n] > 0.5 and times_exec[n] > 0
-            and times[n] / times_exec[n] > 2.0
+            if times_build[n] + times_exec[n] > 0.5 and times_exec[n] > 0
+            and (times_build[n] + times_exec[n]) / times_exec[n] > 2.0
         ),
         "sf": sf,
         "cpus": CPUS,

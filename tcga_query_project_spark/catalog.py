@@ -1663,9 +1663,13 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dd_embedding_lsh_pairs",
     """
     WITH prm AS (
+      -- COUNT(embedding), not COUNT(*): the operator filters NULL
+      -- vectors before counting (they can never clear the threshold
+      -- and would crash the numpy kernel), so bits derive from the
+      -- non-NULL corpus on both sides
       SELECT GREATEST(4, LEAST(16,
-               CAST(CEIL(LOG2(GREATEST(COUNT(*), 1) / 16.0)) AS BIGINT)))
-               AS bits
+               CAST(CEIL(LOG2(GREATEST(COUNT(embedding), 1) / 16.0))
+                    AS BIGINT))) AS bits
       FROM embeddings
     ),
     tbls AS (SELECT UNNEST(range(4)) AS tbl),

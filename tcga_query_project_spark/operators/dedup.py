@@ -509,6 +509,11 @@ def embedding_near_dup(
     # three extra stages for identical output.) The guard on b = 0
     # matters: Spark's sequence(0, -1) yields a DESCENDING [0, -1], not
     # an empty array.
+    # a NULL vector can never clear a positive cosine threshold, and it
+    # would crash the numpy kernel (inhomogeneous array); the SQL
+    # convention drops it via the norms join — mirror that up front.
+    # Same guard in the bucketed/auto variants.
+    df = df.filter(F.col(vec_col).isNotNull())
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
     a_cells = F.transform(
         F.sequence(F.col("_blk"), F.lit(n_blocks - 1)),
@@ -584,6 +589,7 @@ def embedding_near_dup_bucketed(
     Σ bucket² ≈ n²·T/2^bits per-table work — the dial a training-data
     dedup pipeline tunes. Requires dim ≥ bits·n_tables.
     """
+    df = df.filter(F.col(vec_col).isNotNull())  # see embedding_near_dup
     tables = F.array(
         *[
             F.struct(
@@ -605,7 +611,25 @@ def embedding_near_dup_bucketed(
             for t in range(n_tables)
         ]
     )
-    rows = fan_out(df.select(F.col(id_col), F.col(vec_col)), id_col).select(
+    return _sign_lsh_pairs(
+        fan_out(df.select(F.col(id_col), F.col(vec_col)), id_col),
+        id_col, vec_col, threshold, tables,
+    )
+
+
+def _sign_lsh_pairs(
+    prepared: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    tables: Column,
+) -> DataFrame:
+    """Shared sign-LSH tail: explode the per-table ``(tbl, bkt)``
+    structs, score each bucket with the exact matmul kernel, dedup
+    pairs found in several tables (same rounded cosine everywhere, so
+    plain distinct suffices). Bucketed (fixed bits) and auto (tuned
+    bits) differ only in how ``tables`` is built."""
+    rows = prepared.select(
         F.col(id_col), F.col(vec_col), F.explode(tables).alias("_tb")
     ).select(
         F.col(id_col),
@@ -619,8 +643,6 @@ def embedding_near_dup_bucketed(
         return _pair_kernel_pdf(pdf, id_col, vec_col, threshold)
 
     scored = rows.groupBy("_tbl", "_bkt").applyInPandas(kernel, _PAIR_SCHEMA)
-    # a pair found in several tables carries the same rounded cosine in
-    # each — plain distinct dedups across tables.
     return scored.distinct()
 
 
@@ -674,6 +696,7 @@ def embedding_near_dup_auto(
     # differs across engines (Spark skips NULLs, DuckDB returns NULL) —
     # keeping the argument strictly positive sidesteps both divergences
     # on an empty corpus (where no rows flow anyway).
+    df = df.filter(F.col(vec_col).isNotNull())  # see embedding_near_dup
     cnt = df.agg(
         F.greatest(F.count(F.lit(1)), F.lit(1)).cast("double").alias("_n")
     )
@@ -706,24 +729,10 @@ def embedding_near_dup_auto(
             ).alias("bkt"),
         ),
     )
-    rows = (
-        fan_out(df.select(F.col(id_col), vec), id_col)
-        .crossJoin(F.broadcast(cnt.select(bits_col.alias("_bits"))))
-        .select(F.col(id_col), vec, F.explode(tables).alias("_tb"))
-        .select(
-            F.col(id_col),
-            vec,
-            F.col("_tb.tbl").alias("_tbl"),
-            F.col("_tb.bkt").alias("_bkt"),
-            F.lit("a").alias("_role"),
-        )
+    prepared = fan_out(df.select(F.col(id_col), vec), id_col).crossJoin(
+        F.broadcast(cnt.select(bits_col.alias("_bits")))
     )
-
-    def kernel(pdf):
-        return _pair_kernel_pdf(pdf, id_col, vec_col, threshold)
-
-    scored = rows.groupBy("_tbl", "_bkt").applyInPandas(kernel, _PAIR_SCHEMA)
-    return scored.distinct()
+    return _sign_lsh_pairs(prepared, id_col, vec_col, threshold, tables)
 
 
 # --- SimHash --------------------------------------------------------------

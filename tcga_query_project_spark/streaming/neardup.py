@@ -130,9 +130,23 @@ def _band_sigs_expr(shingles: Column, num_hashes: int, band_size: int) -> Column
         F.array().cast("array<struct<band:bigint,band_sig:string>>")
     )
 
-#: characters Java's ``String.trim`` strips (every codepoint <= U+0020)
-#: — the Python mirror of ``F.trim`` for the kernel below.
-_JAVA_TRIM_CHARS = "".join(chr(c) for c in range(0x21))
+#: Python mirror of Spark's ``split(trim(lower(trim(text))), '\\s+')``
+#: tokenization — three semantics that are easy to get wrong:
+#: SQL ``trim`` strips ONLY U+0020 (not Java String.trim's <= 0x20),
+#: Java regex ``\s`` is the ASCII class [ \t\n\x0B\f\r] (not Python's
+#: unicode-aware \s), and Java ``split`` with limit -1 KEEPS leading
+#: and trailing empty tokens ('foo bar\n' -> ['foo','bar','']). The
+#: round-8 review caught a kernel that Java-trimmed and dropped
+#: boundary empties: a doc with trailing non-space whitespace then
+#: counted fewer tokens than the plan-level routing gate and could
+#: vanish from the stream entirely.
+_JAVA_WS_SPLIT = r"[ \t\n\x0b\f\r]+"
+
+
+def _spark_tokens(text: str) -> list[str]:
+    import re
+
+    return re.split(_JAVA_WS_SPLIT, text.strip(" ").lower().strip(" "))
 
 
 def _banded_rows_map_in_pandas(
@@ -161,16 +175,13 @@ def _banded_rows_map_in_pandas(
     vectorized numpy permutations + C-speed hashlib md5, no state, no
     extra shuffle. Values are bit-identical to the expression family on
     the engine's (ASCII) corpus — pinned by
-    ``test_streaming_banded_kernel_matches_expr`` — with the Java
-    semantics mirrored explicitly: trim strips codepoints <= U+0020,
-    tokenization splits on Java ``\\s`` = ``[ \\t\\n\\x0b\\f\\r]``
-    (NOT unicode-aware like Python's default ``\\s``).
+    ``test_streaming_banded_kernel_matches_expr`` — tokenizing via
+    :func:`_spark_tokens` (the exact SQL trim/Java-regex-split mirror;
+    see its constant's comment for the three semantics it pins).
 
     Scale shape: map-only (no shuffle), batch-local memory = band
     fan-out x Arrow batch size.
     """
-    import re
-
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -187,7 +198,6 @@ def _banded_rows_map_in_pandas(
     )
     n_bands = -(-num_hashes // band_size)
     prime = MINHASH_PRIME
-    split_re = re.compile(r"[ \t\n\x0b\f\r]+")
     # permutation family: seed i (1-based) -> (2i+1)*v + i*1000003 mod P
     mults = np.array(
         [2 * i + 1 for i in range(1, num_hashes + 1)], dtype=np.int64
@@ -208,10 +218,8 @@ def _banded_rows_map_in_pandas(
             for pos, text in enumerate(texts):
                 if text is None or (isinstance(text, float)):
                     continue
-                toks = split_re.split(
-                    text.lower().strip(_JAVA_TRIM_CHARS)
-                )
-                if len(toks) < k or toks == [""]:
+                toks = _spark_tokens(text)
+                if len(toks) < k:
                     continue
                 shingles = {
                     " ".join(toks[j:j + k])

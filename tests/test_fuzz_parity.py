@@ -557,9 +557,14 @@ def documents_micro(draw):
 
 #: embedding near-dup pair family (round 8): degenerate geometries the
 #: SF-pinned parity runs never produce — empty corpora (the tuned-bits
-#: log2 clamp), dim-0 and all-zero vectors (0/0 cosine conventions),
-#: a tuned width far past the vector dimension (null-safe component
-#:  reads), saturated sign ties (every value from {-1, 0, 1})
+#: log2 clamp), NULL vectors (kernel must drop them like the SQL norms
+#: join does), dim-0 and all-zero vectors (0/0 cosine conventions), a
+#: tuned width far past the vector dimension (null-safe component
+#: reads), saturated sign ties (every value from {-1, 0, 1}). Micro
+#: corpora always clamp to min_bits=4; the tuned widths ABOVE the
+#: clamp are cross-engine-checked by the parity suite's fixed SFs
+#: (500 vectors -> bits=5 at sf0.001/sf0.01, 2000 -> bits=7 at sf0.1,
+#: recorded in ORACLE_PARITY_SF001.txt).
 EMB_FUZZ_QUERIES = [
     "dd_embedding_neardup",
     "dd_embedding_lsh_pairs",
@@ -571,7 +576,9 @@ def embeddings_micro(draw):
     n = draw(st.integers(0, 12))
     dim = draw(st.integers(0, 4))
     vecs = [
-        [
+        None
+        if draw(st.booleans()) and draw(st.booleans())  # ~25% NULL rows
+        else [
             float(draw(st.sampled_from([-1, 0, 1])))
             for _ in range(dim)
         ]

@@ -686,6 +686,14 @@ def test_streaming_banded_kernel_matches_expr(spark):
         (3, "too short", 30),  # < k tokens: no band rows
         (4, None, 40),  # NULL text: no band rows
         (5, "a a a a a a", 50),  # one distinct shingle
+        # boundary empty tokens (round-8 review): SQL trim strips ONLY
+        # U+0020, and Java split keeps leading/trailing empties — these
+        # docs tokenize as ['foo','bar',''] / ['','lead','tab'], i.e.
+        # 3 tokens with an EMPTY boundary token that must flow into the
+        # shingles, exactly like the expression form
+        (6, "foo bar\n", 60),
+        (7, "\tlead tab", 70),
+        (8, "two toks\t", 80),  # ['two','toks',''] -> 3 tokens, bands
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string, ts_s long") \
         .select("doc_id", "text", F.timestamp_seconds("ts_s").alias("ts"))
@@ -705,7 +713,7 @@ def test_streaming_banded_kernel_matches_expr(spark):
         ).collect()
     )
     assert kernel_rows == expr_rows
-    assert {t[0] for t in kernel_rows} == {1, 2, 5}
+    assert {t[0] for t in kernel_rows} == {1, 2, 5, 6, 7, 8}
 
 
 def test_enrich_with_scd2_event_time_versions(spark, tmp_path):

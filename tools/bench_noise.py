@@ -92,6 +92,11 @@ def build(paths: list[str]) -> None:
 
 
 def compare(path: str) -> None:
+    if not os.path.exists(OUT):
+        raise SystemExit(
+            f"{OUT} not found — build the envelope first: "
+            "python tools/bench_noise.py <detail_a.json> <detail_b.json> ..."
+        )
     noise = _load(OUT)
     other = _load(path)
     head = noise.get("spread_p95") or 1.3
@@ -111,6 +116,11 @@ def compare(path: str) -> None:
 
 
 def main() -> None:
+    if len(sys.argv) < 2 or (sys.argv[1] == "--compare" and len(sys.argv) < 3):
+        raise SystemExit(
+            "usage: bench_noise.py <detail_a.json> <detail_b.json> ...\n"
+            "       bench_noise.py --compare <detail.json>"
+        )
     if sys.argv[1] == "--compare":
         compare(sys.argv[2])
     else:

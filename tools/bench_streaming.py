@@ -104,7 +104,16 @@ def main() -> None:
     events = read_events(spark, sf_dir)
     # one file per micro-batch; repartition by nothing specific — the
     # file split IS the trigger boundary
-    events.repartition(N_EVENT_FILES).write.parquet(ev_dir)
+    # TIME-ORDERED micro-batches (round-8 review): a random file split
+    # puts the whole time range in EVERY file, so after batch 1 the
+    # watermark sits 10 minutes behind the global max and batches 2..N
+    # arrive almost entirely below it — the watermarked operators then
+    # measure late-row DROP throughput, not state traffic. Range-
+    # partitioning by event time makes each file a consecutive time
+    # slice (how a real ingest source delivers), the watermark advances
+    # between batches, and state sees the whole input. Part-file names
+    # are range-ordered, which is the file source's processing order.
+    events.repartitionByRange(N_EVENT_FILES, "ts").write.parquet(ev_dir)
     docs = (
         spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         # documents carry no timestamp; synthesize an arrival time so
@@ -113,7 +122,7 @@ def main() -> None:
             "ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id"))
         )
     )
-    docs.repartition(N_DOC_FILES).write.parquet(doc_dir)
+    docs.repartitionByRange(N_DOC_FILES, "ts").write.parquet(doc_dir)
     n_events = events.count()
     n_docs = docs.count()
     # a 10x documents corpus whose per-micro-batch row count MATCHES the
@@ -142,13 +151,18 @@ def main() -> None:
                     ),
                 )
             ).alias("text"),
+            # dense arrival clock (1 doc/second across the WHOLE 10x
+            # corpus): replica r follows replica r-1 contiguously. The
+            # first cut reused the key offset (r * 10^7 seconds ≈ 115
+            # days between replicas), which combined with the random
+            # file split to land most rows below the watermark.
             F.timestamp_seconds(
                 F.lit(1_700_000_000)
-                + F.col("doc_id") + F.col("_r") * 10_000_000
+                + F.col("doc_id") + F.col("_r") * 5_000
             ).alias("ts"),
         )
     )
-    docs10.repartition(N_DOC_FILES).write.parquet(doc10_dir)
+    docs10.repartitionByRange(N_DOC_FILES, "ts").write.parquet(doc10_dir)
     n_docs10 = docs10.count()
 
     ev_schema = spark.read.parquet(ev_dir).schema
@@ -307,7 +321,13 @@ def main() -> None:
         "note": (
             "availableNow + maxFilesPerTrigger=1: full input as N "
             "micro-batches to a noop sink; best-of-2 after a warm run; "
-            "single-node round-over-round figures"
+            "single-node round-over-round figures. Since round 8 the "
+            "input files are TIME-ORDERED slices (repartitionByRange "
+            "on event time) so the watermark advances between batches "
+            "and the stateful operators see the whole input — earlier "
+            "rounds' random file split dropped most post-batch-1 rows "
+            "as late, so pre-round-8 figures measured a lighter state "
+            "load and are not directly comparable"
         ),
         "pipelines": results,
     }

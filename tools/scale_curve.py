@@ -133,6 +133,7 @@ def main() -> None:
             if r.get("wall_ratio") is not None
             and r["wall_ratio"] > data_ratio
             and r["big_wall_sec"] > 0.5
+            and n not in EXPECTED_SUPERLINEAR
         ),
     }
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
