@@ -169,6 +169,10 @@ HEADLINE = [
     # dd_embedding_neardup stays benched as the declared-quadratic
     # baseline, annotated expected in BENCH_SCALE.json)
     "dd_embedding_lsh_pairs",
+    # round-8: two-sample KS drift gate — one bounded-grid count
+    # shuffle + per-type cumulative windows (the edge-free complement
+    # to qa_psi_drift)
+    "qa_ks_drift",
     # a6_poisson_wald is deliberately NOT benched: the GLM family has
     # never been in the headline set (per-gene grouped-map fits price
     # by group count, not data size — a correctness vehicle, verified

@@ -4859,6 +4859,92 @@ def qa_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: epoch micros of 2024-01-16 00:00:00 UTC — the KS reference/current
+#: split over the events table's 30-day span (integer literal on both
+#: engines; calendar functions are the cross-engine trap)
+_KS_CUTOFF_US = 1_705_363_200_000_000
+
+
+@register_bench_only(
+    "qa_ks_drift",
+    f"""
+    WITH src AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(ts) < {_KS_CUTOFF_US} THEN 1 ELSE 0 END
+               AS is_ref,
+             CAST(FLOOR("value") AS BIGINT) AS g
+      FROM events WHERE "value" IS NOT NULL
+    ),
+    counts AS (
+      SELECT event_type, g,
+             CAST(SUM(is_ref) AS BIGINT) AS ref_n,
+             CAST(SUM(1 - is_ref) AS BIGINT) AS cur_n
+      FROM src GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type,
+             CAST(SUM(ref_n) AS BIGINT) AS n_ref,
+             CAST(SUM(cur_n) AS BIGINT) AS n_cur
+      FROM counts GROUP BY 1
+    ),
+    cum AS (
+      SELECT event_type, g,
+             CAST(SUM(ref_n) OVER (PARTITION BY event_type ORDER BY g
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cref,
+             CAST(SUM(cur_n) OVER (PARTITION BY event_type ORDER BY g
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS ccur
+      FROM counts
+    ),
+    d AS (
+      SELECT c.event_type,
+             MAX(ABS(CAST(c.cref AS DOUBLE) / t.n_ref
+                   - CAST(c.ccur AS DOUBLE) / t.n_cur)) AS d_raw
+      FROM cum c JOIN tot t USING (event_type)
+      WHERE t.n_ref > 0 AND t.n_cur > 0
+      GROUP BY 1
+    )
+    SELECT d.event_type, t.n_ref, t.n_cur,
+           ROUND(d.d_raw, 6) AS d_stat,
+           ROUND(CAST(1.358 AS DOUBLE)
+                 * SQRT((t.n_ref + t.n_cur) / (t.n_ref * t.n_cur)), 6)
+             AS d_crit,
+           ROUND(d.d_raw, 6) >
+             ROUND(CAST(1.358 AS DOUBLE)
+                   * SQRT((t.n_ref + t.n_cur) / (t.n_ref * t.n_cur)), 6)
+             AS drifted
+    FROM d JOIN tot t USING (event_type)
+    """,
+    tags=("quality-drift", "ks"),
+)
+def qa_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift gate
+    (operators/quality_audit.ks_drift, round 8): per event type, the
+    sup-norm distance between the value ECDFs of the first and second
+    half of the events window, with the large-sample alpha=0.05
+    rejection bound — the edge-free complement to qa_psi_drift (PSI
+    needs hand-picked bins and measures aggregate share movement; KS
+    catches a location shift anywhere in the distribution). Binned-KS
+    on the integer floor(value) grid: grid cardinality is bounded by
+    the VALUE DOMAIN, not the data size, ECDF cumsums are
+    integer-exact, and the verdict compares ROUNDED statistic to
+    ROUNDED critical value so the boolean is engine-portable. The
+    oracle replays grid, cumulative ECDFs, D and the bound in SQL."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "value", F.unix_micros(F.col("ts")).alias("_ts_us")
+    )
+    from tcga_query_project_spark.operators import quality_audit as qa
+
+    ref = ev.filter(F.col("_ts_us") < _KS_CUTOFF_US)
+    # NULL-ts rows land in the CURRENT side (the oracle's CASE ELSE 0
+    # branch — same convention as qa_psi_drift's NULL orderdate)
+    cur = ev.filter(
+        F.col("_ts_us").isNull() | (F.col("_ts_us") >= _KS_CUTOFF_US)
+    )
+    return qa.ks_drift(ref, cur, "value", ["event_type"])
+
+
 @register_bench_only(
     "tj_scd2_lookup",
     """

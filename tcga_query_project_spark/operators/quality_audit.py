@@ -434,3 +434,114 @@ def column_profile(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
             ).alias("top_share"),
         )
     )
+
+
+def ks_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    *,
+    c_alpha: float = 1.358,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift gate between two snapshots,
+    per group — the sup-norm ECDF complement to :func:`psi_drift`
+    (round 8): PSI measures aggregate bin-share movement and needs
+    hand-picked edges; KS is edge-free and maximally sensitive to a
+    LOCATION shift anywhere in the distribution (a quality-score or
+    doc-length distribution sliding sideways moves D long before any
+    coarse bin share budges).
+
+    Statistic: D = sup_v |F_ref(v) - F_cur(v)| over the INTEGER value
+    grid ``floor(value)`` — binned-KS, the engine-portable form: the
+    grid is bounded by the value domain (scale-INdependent), floor is
+    exact on doubles in every engine, and the ECDF cumulative sums are
+    integer-exact, so the only float ops are one division and one abs
+    per grid row (deterministic IEEE, no accumulation-order
+    sensitivity). Verdict: ``ROUND(D) > ROUND(c_alpha *
+    sqrt((n1+n2)/(n1*n2)))`` — the large-sample rejection bound
+    (c = 1.358 at alpha = 0.05), both sides rounded BEFORE comparing
+    so the boolean cannot diverge cross-engine.
+
+    Contract: NULL values are excluded (an ECDF is over observed
+    values; route NULL-share drift through :func:`psi_drift`'s
+    ``'__null__'`` bin); groups with EITHER side empty are dropped
+    (no ECDF to compare — deterministic on both engines).
+
+    Scale shape: one (group, grid-value) count shuffle whose output is
+    grid-cardinality-sized, per-group cumulative windows over that
+    bounded grid (PARTITIONED windows — never a global window over
+    row-scaled data), a group-sized total join, and a group-sized
+    final max. Two scans (ref + cur), nothing corpus-sized is held
+    anywhere — the same 100 TB two-scans-one-tiny-shuffle shape as
+    psi_drift.
+    """
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    v = F.col(value_col)
+
+    def tagged(df: DataFrame, flag: int) -> DataFrame:
+        return df.filter(v.isNotNull()).select(
+            *[F.col(c) for c in gcols],
+            F.floor(v).cast("long").alias("_g"),
+            F.lit(flag).alias("_is_ref"),
+        )
+
+    counts = (
+        tagged(ref, 1)
+        .unionByName(tagged(cur, 0))
+        .groupBy(*gcols, "_g")
+        .agg(
+            F.sum("_is_ref").cast("long").alias("_ref_n"),
+            F.sum(1 - F.col("_is_ref")).cast("long").alias("_cur_n"),
+        )
+    )
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy(F.col("_g").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.select(
+        *gcols,
+        F.sum("_ref_n").over(w).alias("_cref"),
+        F.sum("_cur_n").over(w).alias("_ccur"),
+    )
+    tot = counts.groupBy(*gcols).agg(
+        F.sum("_ref_n").cast("long").alias("n_ref"),
+        F.sum("_cur_n").cast("long").alias("n_cur"),
+    )
+    d = (
+        cum.join(F.broadcast(tot), gcols)
+        # drop one-sided groups BEFORE the division (no transient
+        # Inf/NaN rows; both engines drop the same groups)
+        .filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+        .groupBy(*gcols)
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("_cref").cast("double") / F.col("n_ref")
+                    - F.col("_ccur").cast("double") / F.col("n_cur")
+                )
+            ).alias("_d")
+        )
+    )
+    crit = F.lit(c_alpha) * F.sqrt(
+        (F.col("n_ref") + F.col("n_cur"))
+        / (F.col("n_ref") * F.col("n_cur"))
+    )
+    return (
+        d.join(F.broadcast(tot), gcols)
+        .select(
+            *gcols,
+            "n_ref",
+            "n_cur",
+            F.round(F.col("_d"), round_to).alias("d_stat"),
+            F.round(crit, round_to).alias("d_crit"),
+            (
+                F.round(F.col("_d"), round_to)
+                > F.round(crit, round_to)
+            ).alias("drifted"),
+        )
+    )

@@ -555,6 +555,65 @@ def documents_micro(draw):
     }
 
 
+#: round-8 KS drift gate: its own strategy because the generic event
+#: grid (epoch 1995) falls entirely BEFORE the query's 2024 reference/
+#: current cutoff — the generic domain would only ever exercise the
+#: one-sided-drop path. This grid straddles the cutoff and adds NULL
+#: ts (routes to the current side) and NULL values (excluded from the
+#: ECDF), colliding grid values (floor ties), one-sided types, and
+#: single-value ECDFs (D = 0).
+_KS_EPOCH = dt.datetime(2024, 1, 16)  # == catalog._KS_CUTOFF_US
+
+
+@st.composite
+def events_ks_micro(draw):
+    n = draw(st.integers(0, 40))
+    minutes = draw(
+        st.lists(st.integers(-30, 30), min_size=n, max_size=n)
+    )
+    ts = [
+        None if draw(st.booleans()) and draw(st.booleans())
+        else _KS_EPOCH + dt.timedelta(minutes=m)
+        for m in minutes
+    ]
+    return {
+        "events": {
+            "event_id": list(range(1, n + 1)),
+            "ts": ts,
+            "user_id": draw(
+                st.lists(st.integers(1, 4), min_size=n, max_size=n)
+            ),
+            "event_type": draw(
+                st.lists(st.sampled_from(_ETYPES), min_size=n, max_size=n)
+            ),
+            "value": draw(
+                st.lists(st.one_of(st.none(), money),
+                         min_size=n, max_size=n)
+            ),
+            "props": [None] * n,
+        }
+    }
+
+
+@settings(
+    max_examples=FUZZ_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+    derandomize=FUZZ_DERANDOMIZE,
+)
+@given(tables=events_ks_micro())
+def test_fuzz_ks_drift_matches_oracle(spark, tmp_path_factory, tables):
+    from tcga_query_project_spark.catalog import BENCH_ONLY
+
+    d = str(tmp_path_factory.mktemp("fuzz_ks"))
+    _write_dir(tables, d)
+    spec = BENCH_ONLY["qa_ks_drift"]
+    got = spec.build(spark, d).toPandas()
+    want = run_oracle(spec.oracle, d)
+    problems = compare(got, want)
+    assert not problems, problems
+
+
 #: embedding near-dup pair family (round 8): degenerate geometries the
 #: SF-pinned parity runs never produce — empty corpora (the tuned-bits
 #: log2 clamp), NULL vectors (kernel must drop them like the SQL norms

@@ -440,3 +440,66 @@ def test_column_profile_empty(spark):
 
     df = spark.createDataFrame([], "s string")
     assert column_profile(df, {"s": F.col("s")}).count() == 0
+
+
+def test_ks_drift_matches_numpy_ecdf(spark):
+    """Differential: the distributed binned-KS statistic equals a
+    numpy brute-force ECDF sup-distance over the same integer grid,
+    for a planted location shift (fires) and an identical pair (does
+    not); one-sided groups are dropped."""
+    import numpy as np
+
+    from tcga_query_project_spark.operators.quality_audit import ks_drift
+
+    rng = np.random.default_rng(8)
+    shifted_ref = np.round(rng.normal(50, 10, 400), 2)
+    shifted_cur = np.round(rng.normal(58, 10, 400), 2)  # location shift
+    same_ref = np.round(rng.normal(20, 5, 300), 2)
+    same_cur = np.round(rng.normal(20, 5, 300), 2)
+
+    def rows(vals, grp):
+        return [(grp, float(v)) for v in vals]
+
+    ref = spark.createDataFrame(
+        rows(shifted_ref, "shift") + rows(same_ref, "same")
+        + [("only_ref", 1.0)],
+        "g string, value double",
+    )
+    cur = spark.createDataFrame(
+        rows(shifted_cur, "shift") + rows(same_cur, "same"),
+        "g string, value double",
+    )
+    got = {r["g"]: r for r in ks_drift(ref, cur, "value", ["g"]).collect()}
+    assert set(got) == {"shift", "same"}  # one-sided group dropped
+
+    def brute(a, b):
+        ga, gb = np.floor(a), np.floor(b)
+        grid = np.unique(np.concatenate([ga, gb]))
+        fa = np.searchsorted(np.sort(ga), grid, side="right") / len(ga)
+        fb = np.searchsorted(np.sort(gb), grid, side="right") / len(gb)
+        return np.abs(fa - fb).max()
+
+    for grp, a, b in [("shift", shifted_ref, shifted_cur),
+                      ("same", same_ref, same_cur)]:
+        d = brute(a, b)
+        crit = 1.358 * np.sqrt((len(a) + len(b)) / (len(a) * len(b)))
+        assert got[grp]["d_stat"] == round(float(d), 6), grp
+        assert got[grp]["d_crit"] == round(float(crit), 6), grp
+        assert got[grp]["drifted"] == (round(d, 6) > round(crit, 6)), grp
+    assert got["shift"]["drifted"] is True
+    assert got["same"]["drifted"] is False
+    assert got["shift"]["n_ref"] == 400 and got["shift"]["n_cur"] == 400
+
+
+def test_ks_drift_null_values_excluded(spark):
+    from tcga_query_project_spark.operators.quality_audit import ks_drift
+
+    ref = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 2.0)], "g string, value double"
+    )
+    cur = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", None)], "g string, value double"
+    )
+    row = ks_drift(ref, cur, "value", ["g"]).collect()[0]
+    assert row["n_ref"] == 2 and row["n_cur"] == 2
+    assert row["d_stat"] == 0.0 and row["drifted"] is False
