@@ -677,9 +677,14 @@ def embedding_near_dup_auto(
     endian fold ``acc·2 + sign-bit``; bucket ids are opaque — grouping,
     not values, is the contract). Everything stays engine-portable:
     the DuckDB oracle replays count → bits → buckets → exact verify
-    with the identical rule (log2/ceil agree cross-engine — the only
-    boundary-exact inputs are powers of two, where both are IEEE-
-    exact).
+    with the identical rule. Cross-engine safety of ceil(log2(x)) is a
+    CLAMP argument, not an exactness one: Spark computes log2 as
+    ln(x)/ln(2), which overshoots some exact powers of two (first at
+    2^29, where ln(2^29)/ln(2) = 29.000000000000004 so ceil gives 30
+    while DuckDB's std::log2 gives exactly 29) — but every input whose
+    ceil could diverge lies far above the max_bits=16 clamp, where both
+    engines saturate to the same value. Raising max_bits past ~29 must
+    re-examine this boundary (round-8 advisor finding).
 
     Recall concentrates on genuine near-dups as bits grows (per-table
     match prob p^bits for per-component sign agreement p ≈ 1 − θ/π):

@@ -130,23 +130,35 @@ def _band_sigs_expr(shingles: Column, num_hashes: int, band_size: int) -> Column
         F.array().cast("array<struct<band:bigint,band_sig:string>>")
     )
 
-#: Python mirror of Spark's ``split(trim(lower(trim(text))), '\\s+')``
-#: tokenization — three semantics that are easy to get wrong:
-#: SQL ``trim`` strips ONLY U+0020 (not Java String.trim's <= 0x20),
-#: Java regex ``\s`` is the ASCII class [ \t\n\x0B\f\r] (not Python's
-#: unicode-aware \s), and Java ``split`` with limit -1 KEEPS leading
-#: and trailing empty tokens ('foo bar\n' -> ['foo','bar','']). The
-#: round-8 review caught a kernel that Java-trimmed and dropped
-#: boundary empties: a doc with trailing non-space whitespace then
-#: counted fewer tokens than the plan-level routing gate and could
-#: vanish from the stream entirely.
+#: Python mirror of Spark's ``split(x, '\\s+')`` over an ALREADY
+#: JVM-normalized string (``trim(lower(trim(text)))`` is pre-projected
+#: into the kernel's input frame, so case mapping never happens in
+#: Python — Python str.lower() and Spark lower() can diverge on
+#: non-ASCII code points across Unicode versions, the round-8 advisor
+#: finding). Two Java-split semantics remain mirrored here and are
+#: easy to get wrong: Java regex ``\s`` is the ASCII class
+#: [ \t\n\x0B\f\r] (not Python's unicode-aware \s), and Java ``split``
+#: with limit -1 KEEPS leading and trailing empty tokens
+#: ('foo bar\n' -> ['foo','bar','']). The round-8 review caught a
+#: kernel that Java-trimmed and dropped boundary empties: a doc with
+#: trailing non-space whitespace then counted fewer tokens than the
+#: plan-level routing gate and could vanish from the stream entirely.
 _JAVA_WS_SPLIT = r"[ \t\n\x0b\f\r]+"
 
 
-def _spark_tokens(text: str) -> list[str]:
+def _spark_tokens(norm_text: str) -> list[str]:
+    """Java ``split('\\s+', -1)`` mirror over pre-normalized text.
+
+    The caller must pass ``trim(lower(trim(text)))`` computed JVM-SIDE
+    (see ``_banded_rows_map_in_pandas``'s ``_norm`` projection): this
+    function intentionally performs no trimming or case mapping, so
+    the only cross-language surfaces are the ASCII ``\\s`` class and
+    boundary-empty-token retention pinned above (plus md5, which is
+    byte-identical everywhere).
+    """
     import re
 
-    return re.split(_JAVA_WS_SPLIT, text.strip(" ").lower().strip(" "))
+    return re.split(_JAVA_WS_SPLIT, norm_text)
 
 
 def _banded_rows_map_in_pandas(
@@ -173,11 +185,13 @@ def _banded_rows_map_in_pandas(
     output-mode coupling), which costs more than it saves at
     micro-batch sizes. An Arrow-batched kernel is the remaining door:
     vectorized numpy permutations + C-speed hashlib md5, no state, no
-    extra shuffle. Values are bit-identical to the expression family on
-    the engine's (ASCII) corpus — pinned by
-    ``test_streaming_banded_kernel_matches_expr`` — tokenizing via
-    :func:`_spark_tokens` (the exact SQL trim/Java-regex-split mirror;
-    see its constant's comment for the three semantics it pins).
+    extra shuffle. Values are bit-identical to the expression family —
+    pinned by ``test_streaming_banded_kernel_matches_expr``. The
+    trim/lowercase normalization runs JVM-SIDE (a ``_norm`` column
+    projected into the kernel's input, so Spark's own ``lower()`` does
+    the case mapping on every code point — Python's str.lower() could
+    diverge on non-ASCII); Python mirrors only Java's ``\\s+`` split
+    (:func:`_spark_tokens`) and md5, both byte-exact.
 
     Scale shape: map-only (no shuffle), batch-local memory = band
     fan-out x Arrow batch size.
@@ -212,13 +226,14 @@ def _banded_rows_map_in_pandas(
         md5 = hashlib.md5
         for pdf in batches:
             ids, texts, tss = pdf[id_col], pdf[text_col], pdf[ts_col]
+            norms = pdf["_norm"]
             keep_idx: list[int] = []
             flat_hashes: list[int] = []
             starts: list[int] = []
-            for pos, text in enumerate(texts):
-                if text is None or (isinstance(text, float)):
+            for pos, norm in enumerate(norms):
+                if norm is None or (isinstance(norm, float)):
                     continue
-                toks = _spark_tokens(text)
+                toks = _spark_tokens(norm)
                 if len(toks) < k:
                     continue
                 shingles = {
@@ -274,7 +289,13 @@ def _banded_rows_map_in_pandas(
             )
             yield out
 
-    return df.mapInPandas(kernel, out_schema)
+    # case-map and trim JVM-side so the kernel never lowercases: only
+    # Java's \s+ split and md5 are mirrored in Python (both byte-exact;
+    # str.lower() is the one mirror that could drift on non-ASCII)
+    normed = df.withColumn(
+        "_norm", F.trim(F.lower(F.trim(F.col(text_col))))
+    )
+    return normed.mapInPandas(kernel, out_schema)
 
 
 def near_dup_dedup_stream(

@@ -100,19 +100,34 @@ def compare(path: str) -> None:
     noise = _load(OUT)
     other = _load(path)
     head = noise.get("spread_p95") or 1.3
-    drift = []
+    # A regression (above envelope) and an improvement (below) are
+    # different events — label them apart (round-8 advisor finding).
+    # Small-time queries (both sides under 0.3s) are exempt from the
+    # absolute test but still flag on a >=3x relative move, so a
+    # 0.05s -> 0.29s (5.8x) regression no longer passes silently.
+    drift, improved, floored = [], [], 0
     for n, q in noise["queries"].items():
         t = (other.get("queries_exec_only") or {}).get(n)
         if t is None:
             continue
         lo, hi = q["exec_min"] / head, q["exec_max"] * head
-        if not (lo <= t <= hi) and max(t, q["exec_max"]) > 0.3:
-            drift.append((n, q["exec_min"], q["exec_max"], t))
-    if not drift:
+        if t > hi and (t > 0.3 or t > 3 * q["exec_max"]):
+            drift.append((n, lo, hi, t))
+        elif t < lo and (q["exec_min"] > 0.3 or 3 * t < q["exec_min"]):
+            improved.append((n, lo, hi, t))
+        elif not (lo <= t <= hi):
+            floored += 1  # outside envelope but under both size gates
+    if not drift and not improved:
         print(f"all shared queries inside the noise envelope "
               f"(headroom {head}x)")
     for n, lo, hi, t in sorted(drift, key=lambda x: -x[3]):
         print(f"DRIFT {n}: {t:.3f}s vs envelope [{lo:.3f}, {hi:.3f}]")
+    for n, lo, hi, t in sorted(improved, key=lambda x: x[3]):
+        print(f"IMPROVED {n}: {t:.3f}s vs envelope [{lo:.3f}, {hi:.3f}]")
+    if floored:
+        print(f"({floored} sub-0.3s quer{'y' if floored == 1 else 'ies'} "
+              f"outside the envelope but under the size gates — "
+              f"not classified)")
 
 
 def main() -> None:
