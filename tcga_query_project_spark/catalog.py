@@ -3003,8 +3003,10 @@ def w6_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(PERCENT_RANK() OVER wt, 6) AS prank,
            ROUND(CUME_DIST() OVER wt, 6) AS cdist
     FROM events
-    WINDOW wu AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
-           wt AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+    WINDOW wu AS (PARTITION BY user_id
+                  ORDER BY ts ASC NULLS FIRST, event_id ASC),
+           wt AS (PARTITION BY event_type
+                  ORDER BY value ASC NULLS FIRST, event_id ASC)
     """,
     tags=("W7", "W8", "lag-lead", "rank-suite"),
 )
@@ -3093,9 +3095,15 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tx_boilerplate",
     """
     WITH raw AS (
+      -- COALESCE each nullable column explicitly: DuckDB concat skips
+      -- NULL args but KEEPS the chr(10) separators around them while
+      -- Spark concat_ws drops the separator too — the two produce
+      -- different LINE STRUCTURES for NULL source/lang unless both
+      -- sides pin NULL -> '' (round-9 NULL-key fuzz finding)
       SELECT doc_id,
-             concat(COALESCE(text, ''), chr(10), 'footer ' || source,
-                    chr(10), lang) AS text
+             concat(COALESCE(text, ''), chr(10),
+                    'footer ' || COALESCE(source, ''),
+                    chr(10), COALESCE(lang, '')) AS text
       FROM documents
     ),
     l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM raw),
@@ -3134,11 +3142,16 @@ def tx_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays split -> count-distinct -> filter -> string_agg."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
+        # coalesce source/lang explicitly: concat_ws would silently
+        # DROP a NULL line (separator included), changing the line
+        # structure vs the oracle's concat (round-9 fuzz finding)
         F.concat_ws(
             "\n",
             F.coalesce(F.col("text"), F.lit("")),
-            F.concat(F.lit("footer "), F.col("source")),
-            F.col("lang"),
+            F.concat(
+                F.lit("footer "), F.coalesce(F.col("source"), F.lit(""))
+            ),
+            F.coalesce(F.col("lang"), F.lit("")),
         ).alias("text"),
     )
     return text.remove_boilerplate_lines(docs, "doc_id", "text", min_docs=3)

@@ -82,7 +82,15 @@ def asof_join(
     l_tagged = left.withColumn("_side", F.lit(1)).withColumn(
         "_ets", F.col(left_ts)
     )
-    r_tagged = right.select(
+    # SQL equi-join key semantics: a NULL key matches NOTHING. The
+    # union-tag window groups NULL keys into one partition (window
+    # partitioning treats NULL as a value), so without this filter a
+    # NULL-key left row would as-of-match a NULL-key right row — which
+    # no JOIN ... ON l.k = r.k (incl. DuckDB/pandas ASOF) ever
+    # produces. Dropping NULL-key RIGHT rows makes the NULL-key
+    # partition all-left: those rows emit with NULL payloads, exactly
+    # the left-join convention (round-9 NULL-group fuzz finding).
+    r_tagged = right.filter(F.col(on).isNotNull()).select(
         F.col(on),
         F.col(right_ts).alias("_ets"),
         *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
@@ -489,19 +497,27 @@ def maintain_grouped_agg(
 
     Contract:
 
-    - ``base_agg``: ``(group_cols..., cnt BIGINT, sum_x DOUBLE)`` —
-      the previously materialized aggregate (as produced by
-      :func:`grouped_agg_snapshot` or any equivalent groupBy).
+    - ``base_agg``: ``(group_cols..., cnt BIGINT, cnt_x BIGINT,
+      sum_x DOUBLE)`` — the previously materialized aggregate (as
+      produced by :func:`grouped_agg_snapshot` or any equivalent
+      groupBy). ``cnt_x`` counts NON-NULL values: without it the
+      maintained SUM cannot distinguish "all values NULL" (SQL SUM =
+      NULL) from "values cancel to zero" (SUM = 0.0) — the round-9
+      NULL-value fuzz finding (a group whose x column is entirely
+      NULL must report sum_x NULL, exactly like a recompute).
     - ``log``: Debezium-shaped rows with before/after images:
       ``op`` in {'I','U','D'}, ``before_<group>``/``before_x`` (valid
       for U/D), ``after_<group>``/``after_x`` (valid for I/U). An
       update contributes -1/-x at its BEFORE group and +1/+x at its
       AFTER group, so group-moving updates maintain correctly.
-    - Output: the new ``(group_cols..., cnt, sum_x, avg_x)`` with
-      zero-count groups dropped — bitwise the aggregate a full
-      recompute over the patched fact would produce (the catalog
-      oracle IS that recompute, so the hash match is a cross-engine
-      proof of incremental == recompute on integer-exact sums).
+    - Output: the new ``(group_cols..., cnt, cnt_x, sum_x, avg_x)``
+      with zero-count groups dropped (``cnt_x``/``sum_x``/``avg_x``
+      NULL-consistent with SQL aggregates over the patched fact) —
+      bitwise the aggregate a full recompute would produce (the
+      catalog oracle IS that recompute, so the hash match is a
+      cross-engine proof of incremental == recompute on integer-exact
+      sums). The output is itself a valid ``base_agg`` for the next
+      delta.
 
     Shape: two narrow projections of the log (retractions, additions)
     -> one union -> one groupBy(group) delta aggregate -> one
@@ -513,11 +529,15 @@ def maintain_grouped_agg(
             F.col(before_prefix + g).alias(g) for g in group_cols
         ],
         F.lit(-1).cast("long").alias("_dc"),
+        (-F.col(before_prefix + value_col)
+         .isNotNull().cast("long")).alias("_dcx"),
         (-F.col(before_prefix + value_col)).alias("_dx"),
     )
     add = log.filter(F.col(op_col).isin("I", "U")).select(
         *[F.col(after_prefix + g).alias(g) for g in group_cols],
         F.lit(1).cast("long").alias("_dc"),
+        F.col(after_prefix + value_col)
+        .isNotNull().cast("long").alias("_dcx"),
         F.col(after_prefix + value_col).alias("_dx"),
     )
     delta = (
@@ -525,6 +545,7 @@ def maintain_grouped_agg(
         .groupBy(*group_cols)
         .agg(
             F.sum("_dc").alias("_dcnt"),
+            F.sum("_dcx").alias("_dcntx"),
             F.sum("_dx").alias("_dsum"),
         )
     )
@@ -537,12 +558,18 @@ def maintain_grouped_agg(
     base_k = base_agg.select(
         F.struct(*[F.col(g) for g in group_cols]).alias("_k"),
         "cnt",
+        "cnt_x",
         "sum_x",
     )
     delta_k = delta.select(
         F.struct(*[F.col(g) for g in group_cols]).alias("_k"),
         "_dcnt",
+        "_dcntx",
         "_dsum",
+    )
+    new_cnt_x = (
+        F.coalesce(F.col("cnt_x"), F.lit(0))
+        + F.coalesce(F.col("_dcntx"), F.lit(0))
     )
     merged = base_k.join(delta_k, "_k", "full_outer").select(
         *[F.col("_k")[g].alias(g) for g in group_cols],
@@ -550,9 +577,14 @@ def maintain_grouped_agg(
             F.coalesce(F.col("cnt"), F.lit(0))
             + F.coalesce(F.col("_dcnt"), F.lit(0))
         ).alias("cnt"),
-        (
+        new_cnt_x.alias("cnt_x"),
+        # SQL SUM over zero non-NULL values is NULL, not 0.0 — gate
+        # the coalesced arithmetic on the maintained non-null count so
+        # an all-NULL-x group reports sum_x NULL like a recompute
+        F.when(
+            new_cnt_x > 0,
             F.coalesce(F.col("sum_x"), F.lit(0.0))
-            + F.coalesce(F.col("_dsum"), F.lit(0.0))
+            + F.coalesce(F.col("_dsum"), F.lit(0.0)),
         ).alias("sum_x"),
     )
     return merged.filter(F.col("cnt") > 0).withColumn(
@@ -568,6 +600,7 @@ def grouped_agg_snapshot(
     fact, then maintain from logs forever."""
     return fact.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.count(F.col(value_col)).cast("long").alias("cnt_x"),
         F.sum(F.col(value_col)).alias("sum_x"),
     )
 

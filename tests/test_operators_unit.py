@@ -2556,7 +2556,8 @@ def test_maintain_agg_null_keyed_group_merges(spark):
     from tcga_query_project_spark.operators import temporal
 
     base = spark.createDataFrame(
-        [(None, 2, 3.0)], "g string, cnt long, sum_x double"
+        [(None, 2, 2, 3.0)],
+        "g string, cnt long, cnt_x long, sum_x double",
     )
     log = spark.createDataFrame(
         [("I", None, None, None, 5.0)],
@@ -2575,6 +2576,37 @@ def test_maintain_agg_null_keyed_group_merges(spark):
         "after_g string, after_x double",
     )
     assert temporal.maintain_grouped_agg(base, log_d, ["g"]).count() == 0
+
+
+def test_maintain_agg_all_null_values_keep_sum_null(spark):
+    """Round-9 NULL-value fuzz finding: SQL SUM over zero non-NULL
+    values is NULL, not 0.0 — the maintained aggregate must agree with
+    a recompute on (a) groups that START all-NULL, (b) groups whose
+    last non-NULL value is DELETED, and (c) NULL-x inserts into an
+    all-NULL group. cnt_x (non-null count) is what makes (b) decidable
+    without a rescan."""
+    from tcga_query_project_spark.operators import temporal
+
+    fact = [("a", None), ("a", None), ("b", 2.0), ("b", None)]
+    df = spark.createDataFrame(fact, "g string, x double")
+    base = temporal.grouped_agg_snapshot(df, ["g"], "x")
+    snap = {r["g"]: (r["cnt"], r["cnt_x"], r["sum_x"])
+            for r in base.collect()}
+    assert snap == {"a": (2, 0, None), "b": (2, 1, 2.0)}
+    # delete b's only non-NULL value; insert another NULL into a
+    log = spark.createDataFrame(
+        [("D", "b", 2.0, None, None), ("I", None, None, "a", None)],
+        "op string, before_g string, before_x double, "
+        "after_g string, after_x double",
+    )
+    got = {
+        r["g"]: (r["cnt"], r["cnt_x"], r["sum_x"], r["avg_x"])
+        for r in temporal.maintain_grouped_agg(base, log, ["g"]).collect()
+    }
+    assert got == {
+        "a": (3, 0, None, None),  # still no observed values
+        "b": (1, 0, None, None),  # last value deleted -> SUM is NULL
+    }
 
 
 def test_resample_all_null_value_bucket_keeps_total_null(spark):
