@@ -20,12 +20,16 @@ def get_spark(
     app_name: str = "tcga-query-project-spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) the engine's SparkSession.
 
     ``spark.sql.shuffle.partitions`` defaults to the core count: at test
     scale anything larger just adds scheduling overhead, and at cluster
     scale AQE coalesces post-shuffle partitions anyway.
+
+    ``extra_conf``: per-tool overrides applied last (e.g. bench_stress
+    enables the UI to scrape stage spill metrics).
     """
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or cpus
@@ -49,4 +53,6 @@ def get_spark(
         # bench until the cache was sized to the workload).
         .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -116,6 +116,16 @@ def running_totals_tws(
     Runtime dependency: transformWithState's Python state server speaks
     protobuf (``google.protobuf``) — environments without it can build
     the plan but the query fails at start; the timer test skips there.
+
+    Throughput bound (round-9 profile, STREAM_BENCH.json ``profile``):
+    like transition_pairs, wall time is dominated by the per-(key,
+    micro-batch) Python invocation plus transformWithState's
+    state-server round-trips (timers + value state over protobuf), not
+    by the kernel body — a do-nothing applyInPandasWithState kernel
+    already costs ~65% of this pipeline's wall on the same input. The
+    matched-batch ``running_totals_tws_10x`` row is the amortized
+    figure; RocksDB is required by the API here (one column family per
+    named state), not a tuning choice.
     """
     import re as _re
 
@@ -341,16 +351,40 @@ def _emit_transitions(
     """Chain this micro-batch's events (in (ts_us, event_id) order,
     NULLs FIRST — matching the batch operator's asc_nulls_first) onto
     the key's carried last event type; emit one (from, to) pair per
-    adjacency and carry the new last type forward."""
-    pdf = pd.concat(list(batches), ignore_index=True)
-    # na_position="first": unix_micros(NULL) arrives as NaN, and the
-    # batch family orders NULL timestamps first; pandas' default
-    # (NaN last) would both diverge from batch and make the NaN row
-    # the carried tail
-    pdf = pdf.sort_values(
-        ["ts_us", "event_id"], kind="mergesort", na_position="first"
+    adjacency and carry the new last type forward.
+
+    Per-call constants matter more than asymptotics here: this kernel
+    runs once per (key, micro-batch) — 24k invocations for 1.5k users
+    over 16 triggers — on typically single-digit-row frames, and the
+    round-9 profile (STREAM_BENCH.json ``profile`` note) showed the
+    pandas ops (concat + mergesort + Series iteration) were ~5s of the
+    15.7s pipeline. numpy lexsort over raw arrays and a skipped concat
+    for the common single-frame case cut the per-call cost; the
+    remaining floor is the applyInPandasWithState invocation boundary
+    itself (a DO-NOTHING kernel measures 10.2s on the same input).
+    """
+    import numpy as np
+
+    frames = list(batches)
+    pdf = (
+        frames[0]
+        if len(frames) == 1
+        else pd.concat(frames, ignore_index=True)
     )
-    types = [None if t is None or t != t else t for t in pdf["event_type"]]
+    # NULLS FIRST on both sort keys (the batch family's
+    # asc_nulls_first): unix_micros(NULL) arrives as NaN; lexsort
+    # would put NaN LAST, so pin it below every real value. -inf is
+    # unreachable for epoch micros, and float64 is integer-exact to
+    # 2^53 (> any epoch-micros or event_id here), so the cast cannot
+    # reorder real keys. lexsort is stable, matching mergesort +
+    # na_position='first' on ties.
+    ts = pdf["ts_us"].to_numpy(dtype="float64", copy=False)
+    eid = pdf["event_id"].to_numpy(dtype="float64", copy=False)
+    order = np.lexsort(
+        (np.nan_to_num(eid, nan=-np.inf), np.nan_to_num(ts, nan=-np.inf))
+    )
+    tp = pdf["event_type"].to_numpy(dtype=object)[order]
+    types = [None if t is None or t != t else t for t in tp]
     if state.exists:
         (last_type,) = state.get
         froms = [last_type] + types[:-1]
@@ -397,6 +431,17 @@ def transition_pairs(
 
     Emits ``(key, from_type, to_type)`` in append mode; NULL event
     types are real states, exactly as in the batch form.
+
+    Throughput bound (round-9 profile, STREAM_BENCH.json ``profile``):
+    the pipeline is bounded by applyInPandasWithState's per-(key,
+    micro-batch) Python invocation (~0.3 ms each), not by state-store
+    traffic (~5% of wall; RocksDB measured SLOWER at this state size).
+    Small micro-batches therefore measure the invocation boundary —
+    the matched-batch ``transition_pairs_10x`` row reports the
+    amortized operator throughput. At cluster scale the same bound
+    argues for sizing triggers so each key sees FEW large batches, and
+    for JVM-native operators (windowed agg, dropDuplicates) wherever
+    the state transition doesn't need Python.
     """
     renamed = stream.select(
         stream[user_col].cast("long").alias("key"),

@@ -165,6 +165,36 @@ def main() -> None:
     docs10.repartitionByRange(N_DOC_FILES, "ts").write.parquet(doc10_dir)
     n_docs10 = docs10.count()
 
+    # a 10x events replica with the SAME user base (more history per
+    # user, not more users): the round-9 profile showed the Python
+    # stateful pipelines are bounded by per-(key, micro-batch)
+    # invocations (1500 users x 16 triggers), a cost independent of
+    # batch size — so their amortized throughput needs a matched-batch
+    # figure exactly like neardup_bands_10x. Replicas keep user_id
+    # (state/key count unchanged), offset event_id for uniqueness, and
+    # get a dense per-replica time shift so range partitioning still
+    # yields 16 consecutive slices.
+    ev10_dir = os.path.join(work, "events10")
+    span_us = events.agg(
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("d")
+    ).collect()[0]["d"] or 0
+    ev10 = events.select(
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("_r"),
+        *[c for c in events.columns],
+    ).select(
+        (F.col("event_id") + F.col("_r") * 10_000_000).alias("event_id"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts"))
+            + F.col("_r").cast("long") * (span_us + 1_000_000)
+        ).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    ev10.repartitionByRange(N_EVENT_FILES, "ts").write.parquet(ev10_dir)
+    n_events10 = ev10.count()
+
     ev_schema = spark.read.parquet(ev_dir).schema
     doc_schema = spark.read.parquet(doc_dir).schema
 
@@ -189,6 +219,15 @@ def main() -> None:
             spark.readStream.schema(doc10_schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(doc10_dir)
+        )
+
+    ev10_schema = spark.read.parquet(ev10_dir).schema
+
+    def ev10_stream():
+        return (
+            spark.readStream.schema(ev10_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ev10_dir)
         )
 
     # a small SCD2 user dimension: two versions per user over the
@@ -255,6 +294,25 @@ def main() -> None:
             ),
             n_events,
         ),
+        # matched-batch figures (round-9 profile): the Python stateful
+        # pipelines pay ~0.3 ms per (key, micro-batch) invocation — a
+        # DO-NOTHING applyInPandasWithState kernel measures 10.2s on
+        # the 100k/16-batch input vs a 3.0s JVM stateless floor — so
+        # tiny batches measure the invocation boundary, not the
+        # operator. Same user base, 10x history: invocation count is
+        # UNCHANGED while rows grow 10x.
+        "transition_pairs_10x": (
+            lambda: stateful.transition_pairs(
+                ev10_stream(), "user_id", "ts", "event_type", "event_id"
+            ),
+            n_events10,
+        ),
+        "running_totals_tws_10x": (
+            lambda: stateful.running_totals_tws(
+                ev10_stream(), key="user_id", value="value", ts="ts",
+            ),
+            n_events10,
+        ),
         "neardup_bands": (
             lambda: sneardup.near_dup_dedup_stream(
                 doc_stream(), "doc_id", "text", "ts", "10 minutes"
@@ -276,17 +334,16 @@ def main() -> None:
     # transformWithState needs the RocksDB provider (one column family
     # per named state variable; the HDFS-backed store has exactly one)
     # and emits running rows, i.e. update mode
-    special = {
-        "running_totals_tws": {
-            "mode": "update",
-            "conf": {
-                "spark.sql.streaming.stateStore.providerClass": (
-                    "org.apache.spark.sql.execution.streaming.state."
-                    "RocksDBStateStoreProvider"
-                )
-            },
-        }
+    _tws = {
+        "mode": "update",
+        "conf": {
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            )
+        },
     }
+    special = {"running_totals_tws": _tws, "running_totals_tws_10x": _tws}
 
     results: dict[str, dict] = {}
     for name, (build, rows) in pipelines.items():
@@ -328,6 +385,21 @@ def main() -> None:
             "rounds' random file split dropped most post-batch-1 rows "
             "as late, so pre-round-8 figures measured a lighter state "
             "load and are not directly comparable"
+        ),
+        "profile": (
+            "round-9 decomposition on the 100k/16-batch input at 8 "
+            "shards: JVM stateless floor 3.0s; DO-NOTHING "
+            "applyInPandasWithState kernel 10.2s (the per-(key, "
+            "micro-batch) Python invocation boundary - 1500 users x 16 "
+            "triggers); +state get/update 10.8s (state-store traffic "
+            "is ~5% of wall, NOT the bottleneck); RocksDB provider "
+            "13.3s (SLOWER at this state size - per-batch-per-shard "
+            "provider commit overhead, worth it only for state that "
+            "outgrows memory); transition_pairs full kernel 15.7s. "
+            "The invocation boundary is the API's inherent per-call "
+            "cost; the _10x matched-batch rows show the amortized "
+            "throughput when batches carry 10x rows over the SAME "
+            "keys (invocation count unchanged)"
         ),
         "pipelines": results,
     }
