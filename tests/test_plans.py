@@ -10,12 +10,14 @@ import pytest
 from pyspark.sql import functions as F
 
 from tcga_query_project_spark import plans
-from tcga_query_project_spark.catalog import REGISTRY
+from tcga_query_project_spark.catalog import BENCH_ONLY, REGISTRY
 from tests.conftest import SF_SMALL
 
 
 def _run(spark, name):
-    df = REGISTRY[name].build(spark, SF_SMALL)
+    # merged lookup: plan pins outlive driver-slot rotation (round 9
+    # moved several pinned queries to BENCH_ONLY)
+    df = {**BENCH_ONLY, **REGISTRY}[name].build(spark, SF_SMALL)
     df.write.format("noop").mode("overwrite").save()
     return df
 
