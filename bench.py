@@ -173,6 +173,10 @@ HEADLINE = [
     # shuffle + per-type cumulative windows (the edge-free complement
     # to qa_psi_drift)
     "qa_ks_drift",
+    # round-9: CCNet-style unigram-LM perplexity quality filter —
+    # postings build + per-term window counts + doc aggregate
+    # (3 exchanges at any corpus size)
+    "tx_perplexity",
     # a6_poisson_wald is deliberately NOT benched: the GLM family has
     # never been in the headline set (per-gene grouped-map fits price
     # by group count, not data size — a correctness vehicle, verified

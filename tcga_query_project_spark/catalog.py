@@ -3201,6 +3201,40 @@ def tx_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_bench_only(
+    "tx_perplexity",
+    "WITH "
+    + _SQL_TF_CTE
+    + """,
+    t AS (SELECT SUM(tf) AS total FROM tf),
+    s AS (
+      SELECT doc_id, tf,
+             -LN(SUM(tf) OVER (PARTITION BY term)
+                 / (SELECT total FROM t)) AS neg_logp
+      FROM tf
+    )
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           ROUND(SUM(tf * neg_logp) / SUM(tf), 6) AS avg_neg_logp,
+           ROUND(EXP(ROUND(SUM(tf * neg_logp) / SUM(tf), 6)), 4) AS ppl
+    FROM s GROUP BY doc_id
+    """,
+    tags=("quality-filter", "perplexity", "ccnet"),
+)
+def tx_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score (text.unigram_perplexity, round 9):
+    per-document perplexity under the corpus unigram LM — the
+    perplexity-filter tier of the LLM data pipeline (Wenzek et al.
+    2020 use a KenLM 5-gram; the unigram form is the same dataflow
+    with an in-corpus model). Three exchanges at any corpus size:
+    postings build, per-term window counts on the same table, doc
+    aggregate; corpus total rides a broadcast scalar. The oracle
+    replays tokenize → window term counts → −ln p → per-doc average;
+    ppl is exp OF THE ROUNDED average on both sides so the published
+    float cannot diverge."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.unigram_perplexity(docs, "doc_id", "text")
+
+
+@register_bench_only(
     "tx_bm25",
     "WITH "
     + _SQL_TF_CTE

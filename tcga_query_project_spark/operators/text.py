@@ -355,6 +355,71 @@ def term_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def unigram_perplexity(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document perplexity under the CORPUS unigram LM — the
+    CCNet/RedPajama-style LM quality filter (Wenzek et al. 2020 score
+    documents with a KenLM 5-gram; the unigram form is the same
+    dataflow with an in-corpus model, and the standard first tier):
+    gibberish, boilerplate, and wrong-language documents score HIGH
+    perplexity against the corpus distribution, natural text scores
+    low. Downstream: ``ppl <= threshold`` is the keep gate, or feed
+    ``ppl`` to pp_mixture_shards as a quality stratum.
+
+    Model: p(t) = count(t) / total_tokens over the whole corpus
+    (tokenization identical to :func:`term_frequencies`); score(d) =
+    −(1/|d|)·Σ_t∈d ln p(t); ``ppl = exp(score)``. Every token is
+    in-vocabulary by construction (the corpus IS the model), so no
+    smoothing constant enters the cross-engine contract.
+
+    Output: ``(id, n_tokens BIGINT, avg_neg_logp, ppl)`` — one row per
+    document with ≥1 token (an empty/NULL-text document has no tokens
+    to score; route those through tx_doc_metrics' length gates).
+    Floats are engine-portable by the house rounding rule:
+    ``avg_neg_logp`` rounds to 6, and ``ppl`` is exp OF THE ROUNDED
+    average, rounded to 4 — so the two engines exponentiate the same
+    number and the published perplexity cannot diverge in the last
+    ulp (ln/exp are correctly-rounded to ~1 ulp in both engines;
+    per-doc sums keep the error far below 1e-6).
+
+    Scale shape: the (doc, term) postings build is the ONLY stage that
+    touches full text (one exchange); per-term corpus counts are a
+    WINDOW over the term partition of that same table (no second
+    aggregate + join back); the corpus total attaches as a broadcast
+    one-row scalar (the q22/tfidf pattern); one final doc-keyed
+    aggregate. Three exchanges total at any corpus size, nothing
+    driver-sized, no UDF.
+    """
+    from pyspark.sql import Window
+
+    tf = term_frequencies(df, id_col, text_col)
+    total = tf.agg(F.sum("tf").alias("_total"))
+    w_term = Window.partitionBy("term")
+    scored = (
+        tf.withColumn("_term_n", F.sum("tf").over(w_term))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "_neg_logp", -F.log(F.col("_term_n") / F.col("_total"))
+        )
+    )
+    return (
+        scored.groupBy(F.col(id_col))
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (
+                F.sum(F.col("tf") * F.col("_neg_logp")) / F.sum("tf")
+            ).alias("_avg"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.round(F.col("_avg"), 6).alias("avg_neg_logp"),
+            F.round(F.exp(F.round(F.col("_avg"), 6)), 4).alias("ppl"),
+        )
+    )
+
+
 def tfidf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """TF-IDF weights per (doc, term): ``tf · ln((N+1)/(df+1)) + 1``
     (smoothed idf, sklearn's convention).

@@ -538,6 +538,10 @@ DOC_FUZZ_QUERIES = [
     "tx_boilerplate",
     "tx_tfidf",
     "tx_bm25",
+    # round-9: corpus-LM perplexity — empty/NULL-text docs (no tokens
+    # -> absent from output), single-doc corpora (every token p=tf/N),
+    # duplicate texts (identical ppl), junk-only corpora
+    "tx_perplexity",
     "tx_repeated_spans",
     "dd_decontaminate",
     "dd_dup_clusters",

@@ -1060,6 +1060,46 @@ def test_tfidf_hand_worked(spark):
     assert (2, "sat") not in out  # absent terms produce no rows
 
 
+def test_unigram_perplexity_matches_numpy(spark):
+    """Perplexity vs a direct numpy recompute on a corpus with
+    duplicate texts, an empty doc and a NULL doc (both absent from the
+    output), and the p=1 degenerate single-token-vocab subcase."""
+    import math
+    from collections import Counter
+
+    from tcga_query_project_spark.operators import text
+
+    docs = [
+        (1, "a b a c"),
+        (2, "a a"),
+        (3, ""),
+        (4, None),
+        (5, "b c d"),
+        (6, "a b a c"),  # exact duplicate of doc 1 -> identical ppl
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, body string")
+    out = {
+        r["doc_id"]: r
+        for r in text.unigram_perplexity(df, "doc_id", "body").collect()
+    }
+    toks = {i: b.split() for i, b in docs if b}
+    corpus = Counter(t for ts in toks.values() for t in ts)
+    total = sum(corpus.values())
+    for i, ts in toks.items():
+        avg = sum(-math.log(corpus[t] / total) for t in ts) / len(ts)
+        assert out[i]["n_tokens"] == len(ts)
+        assert out[i]["avg_neg_logp"] == round(avg, 6)
+        assert out[i]["ppl"] == round(math.exp(round(avg, 6)), 4)
+    assert 3 not in out and 4 not in out  # no tokens -> no score
+    assert out[1]["ppl"] == out[6]["ppl"]  # duplicate text, same score
+    # uniform corpus: every doc's ppl equals the vocabulary size
+    uni = spark.createDataFrame(
+        [(1, "x y"), (2, "y x")], "doc_id long, body string"
+    )
+    for r in text.unigram_perplexity(uni, "doc_id", "body").collect():
+        assert r["ppl"] == 2.0
+
+
 def test_bm25_ranks_relevant_docs_first(spark):
     """BM25: a doc saturated with the query term outranks one mention,
     which outranks none; rare terms outweigh common ones; hand-worked
