@@ -259,6 +259,65 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert back.count() == expected
 
 
+def test_aqe_skew_join_split_engages(spark):
+    """Plan evidence that the AQE skew-join path WORKS (round-9 skew
+    bench, BENCH_SKEW.json: at bench volume no shuffle-join partition
+    crosses the default 256MB threshold, so aqe_skew_splits is 0
+    everywhere — this test lowers the thresholds and plants a 95%-hot
+    key so the mechanism must actually fire, proving the session-wide
+    `spark.sql.adaptive.skewJoin.enabled` setting is not a dead
+    config). A sort-merge join (broadcast disabled) over a key where
+    one value owns ~95% of fact rows must show `skew=true` in the
+    final adaptive plan."""
+    from pyspark.sql import functions as F
+
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        # coalescing can merge everything into one partition at this
+        # tiny volume, which hides the skew detection
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0))
+            .otherwise(F.col("id") % 97)
+            .alias("k"),
+            # pad rows so the hot partition clears the byte threshold
+            F.repeat(F.lit("x"), 64).alias("pad"),
+        )
+        dim = spark.range(97).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+        # keyless aggregate downstream: OptimizeSkewedJoin BACKS OFF
+        # when splitting the skewed partition would break a required
+        # downstream partitioning (e.g. a groupBy on the join key —
+        # the split would force an extra shuffle). A partial-agg
+        # consumer imposes no distribution, so the rule can fire.
+        # That back-off is itself a fact the engine's query shapes
+        # rely on: a join feeding a same-key groupBy gets NO skew
+        # split without spark.sql.adaptive.forceOptimizeSkewedJoin.
+        joined = fact.join(dim, "k").agg(F.count(F.lit(1)).alias("n"))
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, (
+            "AQE skew-join split did not engage on a 95%-hot key with "
+            "16KB threshold — plan:\n" + plan[:2000]
+        )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_registry_within_driver_cap():
     """The correctness driver checks at most 48 queries (alphabetical
     prefix) — a 49th entry would silently go unverified."""
