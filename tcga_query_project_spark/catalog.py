@@ -3235,6 +3235,64 @@ def tx_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_bench_only(
+    "tx_bigram_backoff",
+    f"""
+    WITH docs AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks,
+             {HASH_SPLIT_BUCKET_SQL.format(key="doc_id")} < 50 AS is_model
+      FROM documents WHERE text IS NOT NULL
+    ),
+    mtok AS (SELECT unnest(toks) AS w FROM docs WHERE is_model),
+    uni AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS uc
+            FROM mtok WHERE w != '' GROUP BY w),
+    tot AS (SELECT GREATEST(COALESCE(SUM(uc), 0.0), 1.0) AS n FROM uni),
+    trans AS (
+      SELECT doc_id, is_model,
+             unnest(toks[1:len(toks)-1]) AS wp,
+             unnest(toks[2:len(toks)]) AS w
+      FROM docs WHERE len(toks) >= 2
+    ),
+    bigc AS (SELECT wp, w, CAST(COUNT(*) AS DOUBLE) AS bc
+             FROM trans WHERE is_model GROUP BY wp, w),
+    s AS (
+      SELECT t.doc_id,
+             CASE WHEN b.bc IS NOT NULL THEN b.bc / up.uc
+                  WHEN u.uc IS NOT NULL THEN 0.4 * u.uc / tt.n
+                  ELSE 0.4 / tt.n END AS sc
+      FROM trans t
+      LEFT JOIN bigc b ON b.wp = t.wp AND b.w = t.w
+      LEFT JOIN uni up ON up.w = t.wp
+      LEFT JOIN uni u ON u.w = t.w
+      CROSS JOIN tot tt
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           ROUND(AVG(-LN(sc)), 6) AS avg_neg_logs,
+           ROUND(EXP(ROUND(AVG(-LN(sc)), 6)), 4) AS backoff_ppl
+    FROM s GROUP BY doc_id
+    """,
+    tags=("quality-filter", "stupid-backoff", "lm-score"),
+)
+def tx_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-Backoff bigram LM quality score (text.bigram_backoff_score,
+    Brants et al. 2007): every document scored against a bigram model
+    counted from the deterministic md5 half-split of the corpus
+    (hash_split_bucket(doc_id) < 50 — the held-out half genuinely
+    exercises both backoff tiers, unlike an in-corpus model where every
+    bigram is seen). Transitions come from slice+arrays_zip — a codegen
+    projection, no doc-keyed window shuffle; model unigram/bigram
+    counts are vocabulary-sized broadcasts; N rides a one-row scalar
+    derived from the unigram table. The oracle replays the identical
+    split/slice-zip/backoff-CASE algebra; backoff_ppl is exp OF THE
+    ROUNDED per-doc average on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    from tcga_query_project_spark.functions.scalar import hash_split_bucket
+
+    marked = docs.withColumn("_m", hash_split_bucket(F.col("doc_id")) < 50)
+    return text.bigram_backoff_score(marked, "doc_id", "text", "_m")
+
+
+@register_bench_only(
     "tx_bm25",
     "WITH "
     + _SQL_TF_CTE

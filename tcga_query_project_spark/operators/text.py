@@ -420,6 +420,127 @@ def unigram_perplexity(
     )
 
 
+def bigram_backoff_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model_col: str,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document Stupid-Backoff bigram LM score (Brants et al. 2007,
+    "Large Language Models in Machine Translation" §4) — the second LM
+    tier of the quality-filter ladder above :func:`unigram_perplexity`:
+    a bigram model catches word-salad documents whose unigram mix looks
+    natural but whose TRANSITIONS never occur in clean text.
+
+    ``model_col`` is a boolean column marking the documents the LM is
+    counted from (the CCNet pattern: score the whole corpus against a
+    model built on a trusted slice — here a deterministic hash split or
+    a metadata predicate; NULL counts as false). Per transition
+    (w', w), with counts from the model slice only::
+
+        S(w | w') = count(w' w) / count(w')          if count(w' w) > 0
+                  = alpha * count(w) / N             elif count(w) > 0
+                  = alpha * 1 / max(N, 1)            otherwise (OOV)
+
+    — Brants' relative frequencies with backoff factor alpha = 0.4, no
+    normalization (scores, not probabilities: "stupid" is the paper's
+    own name for dropping the Katz discount at corpus scale). The OOV
+    floor is a pseudo-count of 1, and ``max(N, 1)`` makes the empty-
+    model corner total (every transition then scores alpha).
+
+    Output: ``(id, n_transitions BIGINT, avg_neg_logs, backoff_ppl)``
+    — one row per document with >= 2 tokens (lowercased whitespace
+    tokens, exactly :func:`term_frequencies`' tokenization); NULL /
+    empty / single-token docs have no transitions and are absent.
+    House float contract: ``avg_neg_logs`` rounds to 6 and
+    ``backoff_ppl`` is exp OF THE ROUNDED average rounded to 4, so both
+    engines exponentiate the same number (ln/exp are ~1-ulp in both;
+    the per-doc mean keeps accumulated error far below the 1e-6 grid).
+
+    Scale shape: transitions come from ``slice+arrays_zip+explode`` —
+    a pure codegen projection, NO per-doc window (the order lives in
+    the array, not in row order, so no doc-keyed sort-shuffle exists
+    anywhere). Model unigram/bigram counts are vocabulary-sized
+    aggregates that BROADCAST back onto the transition stream; N rides
+    a one-row broadcast scalar derived from the unigram table (never a
+    second corpus scan). Exchanges at any corpus size: two model-count
+    aggregates + the final doc-keyed aggregate. In production the
+    model tables are precomputed dimensions (Brants et al. serve them
+    as a distributed service); the in-corpus build here just makes the
+    operator self-contained.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size("_toks")
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(F.col(model_col), F.lit(False)).alias("_is_model"),
+        toks.alias("_toks"),
+    )
+    # (w_prev, w) pairs via array slice-zip: adjacency is positional in
+    # the token ARRAY, so no window/shuffle is needed to recover it.
+    trans = (
+        base.filter(n >= 2)
+        .select(
+            id_col,
+            "_is_model",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("_toks", 1, n - 1), F.slice("_toks", 2, n - 1)
+                )
+            ).alias("_bg"),
+        )
+        .select(
+            id_col,
+            "_is_model",
+            F.col("_bg")["0"].alias("_wp"),
+            F.col("_bg")["1"].alias("_w"),
+        )
+    )
+    uni = (
+        base.filter("_is_model")
+        .select(F.explode("_toks").alias("_w"))
+        .filter(F.col("_w") != "")
+        .groupBy("_w")
+        .agg(F.count("*").cast("double").alias("_uc"))
+    )
+    # N from the (vocabulary-sized) unigram table, not a corpus rescan
+    total = uni.agg(
+        F.greatest(F.coalesce(F.sum("_uc"), F.lit(0.0)), F.lit(1.0)).alias("_N")
+    )
+    big = (
+        trans.filter("_is_model")
+        .groupBy("_wp", "_w")
+        .agg(F.count("*").cast("double").alias("_bc"))
+    )
+    uni_prev = uni.select(
+        F.col("_w").alias("_wp"), F.col("_uc").alias("_ucp")
+    )
+    a = F.lit(float(alpha))
+    scored = (
+        trans.join(F.broadcast(big), ["_wp", "_w"], "left")
+        .join(F.broadcast(uni_prev), "_wp", "left")
+        .join(F.broadcast(uni), "_w", "left")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "_S",
+            F.when(F.col("_bc").isNotNull(), F.col("_bc") / F.col("_ucp"))
+            .when(F.col("_uc").isNotNull(), a * F.col("_uc") / F.col("_N"))
+            .otherwise(a / F.col("_N")),
+        )
+    )
+    return (
+        scored.groupBy(F.col(id_col))
+        .agg(
+            F.count("*").cast("long").alias("n_transitions"),
+            F.round(-F.avg(F.log("_S")), 6).alias("avg_neg_logs"),
+        )
+        .withColumn(
+            "backoff_ppl", F.round(F.exp(F.col("avg_neg_logs")), 4)
+        )
+    )
+
+
 def tfidf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """TF-IDF weights per (doc, term): ``tf · ln((N+1)/(df+1)) + 1``
     (smoothed idf, sklearn's convention).

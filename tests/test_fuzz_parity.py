@@ -542,6 +542,10 @@ DOC_FUZZ_QUERIES = [
     # -> absent from output), single-doc corpora (every token p=tf/N),
     # duplicate texts (identical ppl), junk-only corpora
     "tx_perplexity",
+    # round-9 late: Stupid-Backoff bigram LM — hash-half-split model
+    # slices that can be EMPTY (alpha-floor tier), sub-2-token and
+    # NULL-text docs (absent), duplicate texts, OOV-heavy junk corpora
+    "tx_bigram_backoff",
     "tx_repeated_spans",
     "dd_decontaminate",
     "dd_dup_clusters",

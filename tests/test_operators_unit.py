@@ -1100,6 +1100,69 @@ def test_unigram_perplexity_matches_numpy(spark):
         assert r["ppl"] == 2.0
 
 
+def test_bigram_backoff_matches_python(spark):
+    """Stupid-Backoff score vs a direct python recompute: all three
+    tiers exercised (seen bigram, unigram backoff, OOV floor), NULL /
+    empty / single-token docs absent, duplicate texts score identically,
+    and non-model docs score against the model slice only."""
+    import math
+    from collections import Counter
+
+    from tcga_query_project_spark.operators import text
+
+    docs = [
+        (1, "a b a c", True),
+        (2, "a a", True),
+        (3, "", True),
+        (4, None, False),
+        (5, "b c d z", False),  # 'z' OOV; 'c d' unseen bigram
+        (6, "a b a c", False),  # duplicate of model doc 1
+        (7, "only", True),  # single token -> no transitions
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, body string, is_m boolean")
+    out = {
+        r["doc_id"]: r
+        for r in text.bigram_backoff_score(
+            df, "doc_id", "body", "is_m"
+        ).collect()
+    }
+    model = [b.split() for _, b, m in docs if m and b]
+    uni = Counter(t for ts in model for t in ts)
+    n_total = max(sum(uni.values()), 1)
+    big = Counter(
+        (ts[i], ts[i + 1]) for ts in model for i in range(len(ts) - 1)
+    )
+
+    def s(wp, w):
+        if big[(wp, w)] > 0:
+            return big[(wp, w)] / uni[wp]
+        if uni[w] > 0:
+            return 0.4 * uni[w] / n_total
+        return 0.4 / n_total
+
+    for i, b, _ in docs:
+        ts = b.split() if b else []
+        if len(ts) < 2:
+            assert i not in out
+            continue
+        sc = [s(ts[k], ts[k + 1]) for k in range(len(ts) - 1)]
+        avg = round(sum(-math.log(x) for x in sc) / len(sc), 6)
+        assert out[i]["n_transitions"] == len(sc)
+        assert out[i]["avg_neg_logs"] == avg
+        assert out[i]["backoff_ppl"] == round(math.exp(avg), 4)
+    assert out[1]["backoff_ppl"] == out[6]["backoff_ppl"]
+    # in-model transitions are likelier than held-out word salad
+    assert out[1]["avg_neg_logs"] < out[5]["avg_neg_logs"]
+    # empty model slice: every transition scores the alpha floor
+    nomodel = spark.createDataFrame(
+        [(1, "x y z", False)], "doc_id long, body string, is_m boolean"
+    )
+    row = text.bigram_backoff_score(
+        nomodel, "doc_id", "body", "is_m"
+    ).collect()[0]
+    assert row["avg_neg_logs"] == round(-math.log(0.4), 6)
+
+
 def test_bm25_ranks_relevant_docs_first(spark):
     """BM25: a doc saturated with the query term outranks one mention,
     which outranks none; rare terms outweigh common ones; hand-worked
