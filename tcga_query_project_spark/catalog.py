@@ -6617,3 +6617,80 @@ def pp_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.pps_systematic_sample(
         orders, "o_orderkey", "_cents", 100, salt="pps7"
     )
+
+
+@register_bench_only(
+    "pp_dsir_select",
+    """
+    WITH docs AS (
+      SELECT doc_id, COALESCE(lang = 'en', FALSE) AS is_t,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    uni AS (
+      SELECT doc_id, is_t, feat FROM (
+        SELECT doc_id, is_t, unnest(toks) AS feat FROM docs)
+      WHERE feat != ''
+    ),
+    bi AS (
+      SELECT doc_id, is_t, wp || ' ' || w AS feat FROM (
+        SELECT doc_id, is_t,
+               unnest(toks[1:len(toks)-1]) AS wp,
+               unnest(toks[2:len(toks)]) AS w
+        FROM docs WHERE len(toks) >= 2)
+    ),
+    feats AS (
+      SELECT doc_id, is_t,
+             ('0x' || substring(md5(feat), 1, 8))::BIGINT % 1024 AS b
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+    ),
+    bt AS (
+      SELECT b, CAST(COUNT(*) AS DOUBLE) AS rawc,
+             CAST(COALESCE(SUM(CASE WHEN is_t THEN 1 END), 0) AS DOUBLE)
+               AS tgtc
+      FROM feats GROUP BY b
+    ),
+    tt AS (SELECT SUM(rawc) AS r, SUM(tgtc) AS t FROM bt),
+    lrt AS (
+      SELECT b, LN(((2 * tgtc + 1) * (2 * tt.r + 1024))
+                   / ((2 * rawc + 1) * (2 * tt.t + 1024))) AS lr
+      FROM bt CROSS JOIN tt
+    ),
+    sc AS (
+      SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+             ROUND(SUM(l.lr), 6) AS log_weight
+      FROM feats f JOIN lrt l ON l.b = f.b GROUP BY f.doc_id
+    ),
+    g AS (
+      SELECT doc_id, n_feats, log_weight,
+             ROUND(log_weight
+                   + ROUND(-LN(-LN(
+                       ((('0x' || substring(md5('dsir'
+                             || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+                        + 0.5) / 4294967296.0)), 6), 6) AS sel_key
+      FROM sc
+    )
+    SELECT doc_id, n_feats, log_weight, sel_key,
+           doc_id IN (SELECT doc_id FROM g
+                      ORDER BY sel_key DESC, doc_id LIMIT 100) AS selected
+    FROM g
+    """,
+    tags=("sampling", "dsir", "importance-resampling", "training-mix"),
+)
+def pp_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (sampling.dsir_select, Xie et al. 2023):
+    hashed unigram+bigram features (md5-prefix mod 1024), smoothed
+    log-likelihood ratio of the lang='en' target slice vs the raw
+    corpus, Gumbel-top-k (k=100) resampling with md5-deterministic
+    noise. The feature stream is the only corpus-sized data; the
+    bucket table builds raw+target counts in ONE conditional aggregate
+    and broadcasts back; the top-k is TakeOrderedAndProject feeding a
+    k-row broadcast semi-join — two real exchanges at any corpus size.
+    The oracle replays hashing, the integer-ratio ln, the rounded
+    Gumbel key, and the LIMIT-k membership; every float is rounded
+    before publication on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    marked = docs.withColumn("_t", F.col("lang") == "en")
+    return sampling.dsir_select(
+        marked, "doc_id", "text", "_t", k=100, n_buckets=1024
+    )

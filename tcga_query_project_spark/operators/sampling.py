@@ -390,3 +390,146 @@ def pps_systematic_sample(
         cum.withColumn("n_hits", hits)
         .filter(F.col("n_hits") > 0)
     )
+
+
+def dsir_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    k: int,
+    n_buckets: int = 1024,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    NeurIPS — DSIR): score every document by how much more likely its
+    hashed-n-gram bag is under a TARGET distribution (e.g. trusted /
+    in-domain docs) than under the raw-corpus distribution, then draw
+    ``k`` documents by Gumbel-top-k — sampling WITHOUT replacement
+    proportionally to the importance weights, the paper's exact
+    selection rule. This is the principled replacement for a hard
+    classifier threshold when composing a pre-training mixture.
+
+    ``target_col`` is a boolean column marking the target slice (NULL
+    counts as false). Features are the paper's: unigrams AND bigrams of
+    the lowercased whitespace tokenization, hashed into ``n_buckets``
+    buckets by the house md5-prefix hash (portable to the SQL mirror).
+    With bucket counts t_b (target) / r_b (raw = everyone), totals
+    T / R, and Laplace smoothing 0.5 per bucket::
+
+        log w(d) = sum_b n_b(d) * ln( ((2*t_b+1) * (2R+B))
+                                    / ((2*r_b+1) * (2T+B)) )
+
+    — the smoothed log-likelihood ratio, algebraically rearranged so
+    the ln argument is ONE ratio of exact integers (both engines round
+    identically to ~1 ulp; no intermediate ln subtraction whose
+    association could differ). A zero-target corpus degrades to the
+    uniform distribution (ratio well-defined), so no guard is needed.
+
+    Gumbel-top-k: ``key = round(log_w, 6) + round(g, 6)`` re-rounded to
+    6, with ``g = -ln(-ln(u))`` and ``u = (md5_prefix(salt||id) + 0.5)
+    / 2^32`` — u is an EXACT dyadic rational on both engines, so the
+    only cross-engine noise is 1-ulp ln, absorbed by the rounding
+    grid. ``selected`` marks the top ``k`` keys (doc_id tiebreak).
+
+    Output: ``(id, n_feats BIGINT, log_weight, sel_key, selected)``;
+    docs with no tokens (NULL/empty text) have no features and are
+    absent — route them through length gates first.
+
+    Scale shape: the feature stream (unigram explode + slice-zip bigram
+    explode, both codegen projections) is the only corpus-sized data;
+    the bucket table is B rows — ONE conditional aggregate builds raw
+    and target counts in the same pass, then broadcasts back; totals
+    derive from the B-row table, never a rescan. The top-k is
+    TakeOrderedAndProject (k rows to the driver plan, never a global
+    sort) feeding a k-row broadcast semi-join. Exchanges at any corpus
+    size: bucket agg + doc agg.
+    """
+    from tcga_query_project_spark.functions.scalar import md5_prefix_long
+
+    b_lit = int(n_buckets)
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size("_toks")
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(F.col(target_col), F.lit(False)).alias("_is_t"),
+        toks.alias("_toks"),
+    )
+    unigrams = (
+        base.select(id_col, "_is_t", F.explode("_toks").alias("_feat"))
+        .filter(F.col("_feat") != "")
+    )
+    bigrams = (
+        base.filter(n >= 2)
+        .select(
+            id_col,
+            "_is_t",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("_toks", 1, n - 1), F.slice("_toks", 2, n - 1)
+                )
+            ).alias("_bg"),
+        )
+        .select(
+            F.col(id_col),
+            "_is_t",
+            F.concat_ws(" ", F.col("_bg")["0"], F.col("_bg")["1"]).alias(
+                "_feat"
+            ),
+        )
+    )
+    feats = unigrams.unionByName(bigrams).select(
+        id_col, "_is_t", (md5_prefix_long(F.col("_feat")) % b_lit).alias("_b")
+    )
+    # ONE pass builds raw and target bucket counts together
+    buckets = feats.groupBy("_b").agg(
+        F.count("*").cast("double").alias("_raw"),
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0))
+        .cast("double")
+        .alias("_tgt"),
+    )
+    totals = buckets.agg(
+        F.sum("_raw").alias("_R"), F.sum("_tgt").alias("_T")
+    )
+    lr = (
+        buckets.crossJoin(F.broadcast(totals))
+        .select(
+            "_b",
+            F.log(
+                ((2.0 * F.col("_tgt") + 1.0) * (2.0 * F.col("_R") + b_lit))
+                / ((2.0 * F.col("_raw") + 1.0) * (2.0 * F.col("_T") + b_lit))
+            ).alias("_lr"),
+        )
+    )
+    scored = (
+        feats.join(F.broadcast(lr), "_b")
+        .groupBy(F.col(id_col))
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.round(F.sum("_lr"), 6).alias("log_weight"),
+        )
+    )
+    u = (
+        md5_prefix_long(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+        .cast("double")
+        + 0.5
+    ) / float(1 << 32)
+    keyed = scored.withColumn(
+        "sel_key",
+        F.round(F.col("log_weight") + F.round(-F.log(-F.log(u)), 6), 6),
+    )
+    top = (
+        keyed.orderBy(F.desc("sel_key"), F.asc(id_col))
+        .limit(int(k))
+        .select(F.col(id_col), F.lit(True).alias("_sel"))
+    )
+    return (
+        keyed.join(F.broadcast(top), id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_feats",
+            "log_weight",
+            "sel_key",
+            F.coalesce(F.col("_sel"), F.lit(False)).alias("selected"),
+        )
+    )

@@ -546,6 +546,10 @@ DOC_FUZZ_QUERIES = [
     # slices that can be EMPTY (alpha-floor tier), sub-2-token and
     # NULL-text docs (absent), duplicate texts, OOV-heavy junk corpora
     "tx_bigram_backoff",
+    # round-9 late: DSIR — NULL-lang targets (not target), empty or
+    # zero-target corpora (uniform fallback), junk-only docs (no
+    # features -> absent), k larger than the corpus
+    "pp_dsir_select",
     "tx_repeated_spans",
     "dd_decontaminate",
     "dd_dup_clusters",

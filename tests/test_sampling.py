@@ -434,3 +434,88 @@ def test_pack_shards_return_total_equals_sum(spark):
         "key", "w", budget=50, return_total=True,
     )
     assert zero == 0
+
+
+def test_dsir_select_matches_python(spark):
+    """DSIR importance weights + Gumbel-top-k vs a direct python
+    recompute: hashed uni+bigram features, the integer-ratio smoothed
+    LLR, md5-deterministic Gumbel keys, exact top-k membership with
+    doc_id tiebreak; no-token docs absent from the output."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    docs = [
+        (1, "the cat sat on the mat", True),
+        (2, "stock market crash data", False),
+        (3, "the dog sat on the rug", True),
+        (4, "cat cat cat", False),
+        (5, "", True),
+        (6, None, False),
+        (7, "the cat sat", False),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, body string, is_t boolean")
+    out = {
+        r["doc_id"]: r
+        for r in sampling.dsir_select(
+            df, "doc_id", "body", "is_t", k=2, n_buckets=64
+        ).collect()
+    }
+    assert 5 not in out and 6 not in out
+
+    B = 64
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def feats(t):
+        ts = [x for x in t.lower().strip().split() if x]
+        return [
+            h(f) % B
+            for f in ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+        ]
+
+    raw, tgt = Counter(), Counter()
+    for _, t, m in docs:
+        if not t:
+            continue
+        for b in feats(t):
+            raw[b] += 1
+            if m:
+                tgt[b] += 1
+    r_tot, t_tot = sum(raw.values()), sum(tgt.values())
+    keys = {}
+    for i, t, _ in docs:
+        if not t:
+            continue
+        fs = feats(t)
+        lw = round(
+            sum(
+                math.log(
+                    ((2 * tgt[b] + 1) * (2 * r_tot + B))
+                    / ((2 * raw[b] + 1) * (2 * t_tot + B))
+                )
+                for b in fs
+            ),
+            6,
+        )
+        u = (h("dsir" + str(i)) + 0.5) / 2**32
+        keys[i] = round(lw + round(-math.log(-math.log(u)), 6), 6)
+        assert out[i]["n_feats"] == len(fs)
+        assert out[i]["log_weight"] == lw
+        assert out[i]["sel_key"] == keys[i]
+    want_sel = {
+        i for _, i in sorted(((-k_, i) for i, k_ in keys.items()))[:2]
+    }
+    assert {i for i in out if out[i]["selected"]} == want_sel
+    # target docs score higher than the anti-target outlier
+    assert out[1]["log_weight"] > out[2]["log_weight"]
+    # zero-target corpus: ratio degrades to uniform, weights ~0, total
+    notgt = spark.createDataFrame(
+        [(1, "a b c", False), (2, "d e f", False)],
+        "doc_id long, body string, is_t boolean",
+    )
+    rows = sampling.dsir_select(
+        notgt, "doc_id", "body", "is_t", k=1, n_buckets=16
+    ).collect()
+    assert len(rows) == 2 and sum(r["selected"] for r in rows) == 1
