@@ -1621,6 +1621,51 @@ _MINHASH_PAIRS_CTES = (
 )
 
 
+@register_bench_only(
+    "dd_jaccard_prefix_join",
+    f"""
+    WITH docs AS (SELECT doc_id, {_SQL_TOKS_NORM} AS toks
+                  FROM documents),
+    sh0 AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(generate_series(1, len(toks) - 2),
+                      i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+               ELSE [] END) AS s
+      FROM docs
+    ),
+    d2 AS (SELECT doc_id, s, len(s) AS n FROM sh0 WHERE len(s) > 0),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS i,
+             CAST(a.n + b.n AS DOUBLE) AS nn
+      FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, ROUND(i / (nn - i), 6) AS jaccard
+    FROM p WHERE i / (nn - i) >= 0.6
+    """,
+    tags=("dedup-exact-join", "prefix-filter", "ppjoin"),
+)
+def dd_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-shingle-set similarity self-join at Jaccard >= 0.6
+    (dedup.jaccard_prefix_join — AllPairs/PPJoin prefix filtering,
+    Bayardo et al. 2007): the no-false-negative complement to
+    dd_minhash_lsh, on the SAME shingle universe that pipeline
+    verifies (token sets would be degenerate here: the templated
+    corpus shares vocabulary across most documents, making 59% of ALL
+    pairs >= 0.6 on bare token sets — an inherently quadratic output
+    no candidate rule can save). The ORACLE is deliberately the
+    brute-force all-pairs join (quadratic is fine at oracle scale):
+    the comparison is adversarial rather than a replay — ANY candidate
+    the rarest-first prefix rule misses surfaces as a missing row, and
+    any length-filter overreach as an extra one. The Spark side never
+    goes all-pairs: candidates come from an equi-join on prefix
+    shingles (frequency broadcast, doc-keyed sorted-key aggregate)
+    with the O(1) length filter, then an id-keyed array verify."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.jaccard_prefix_join(docs, "doc_id", "text", 0.6, shingle_k=3)
+
+
 @register(
     "dd_minhash_lsh",
     "WITH "

@@ -347,6 +347,147 @@ def near_duplicates(
     )
 
 
+def jaccard_prefix_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    shingle_k: int | None = None,
+) -> DataFrame:
+    """EXACT token-set similarity join via prefix filtering (the
+    AllPairs/PPJoin candidate rule — Bayardo et al. 2007, Xiao et al.
+    2008): every pair of documents whose distinct-token Jaccard is
+    >= ``threshold``, with NO false negatives — the deterministic
+    complement to :func:`near_duplicates` (MinHash-LSH misses a pair
+    with probability (1-s^r)^b; dedup audits and contracts sometimes
+    need the exact answer).
+
+    Prefix-filter theorem: order the universe of tokens globally and
+    sort each document's token set by that order; if two sets X, Y have
+    Jaccard >= t they must share at least one token within each set's
+    first ``|X| - ceil(t*|X|) + 1`` tokens. Candidates therefore come
+    from an equi-join on PREFIX tokens only, followed by the length
+    filter ``least(|X|,|Y|) >= t*greatest(|X|,|Y|)`` and an exact
+    verify. The canonical order is rarest-first (ascending corpus
+    frequency, token tiebreak), which lands candidate generation on the
+    RAREST tokens — the hottest token can only appear in a prefix when
+    a document has almost nothing rarer, so posting lists in the join
+    stay short exactly where the data is hottest.
+
+    Output: ``(doc_a, doc_b, jaccard)`` with doc_a < doc_b, jaccard
+    rounded 6 (threshold compared on the RAW ratio; inputs are exact
+    integers so the ratio is engine-identical). Docs with no tokens
+    never pair. ASCII-ordering note: the global token order is the
+    bytewise sort of ``lpad(count)||token`` strings, identical across
+    engines for ASCII corpora (the fuzz grid's domain); non-ASCII
+    tokens could order differently between UTF-16 (Spark) and UTF-8
+    (DuckDB) comparisons — same caveat as the streaming near-dup
+    kernel, and only the ORDER is affected, never set membership.
+
+    Scale shape: the element-frequency table joins element-keyed (AQE
+    broadcasts it while it fits — for word tokens it is vocabulary-
+    sized; for shingles it grows with the corpus, so no broadcast is
+    forced); per-doc sorted key arrays are one doc-keyed aggregate;
+    the candidate join is equi on prefix token with an O(1) length
+    filter; the verify joins the two token ARRAYS by doc id (linear,
+    id-keyed) and computes intersection in-array (no re-explode).
+    ceil uses a -1e-9 guard so a binary-rounded-UP threshold (e.g.
+    0.7) cannot shorten the prefix and drop a true pair; the guard
+    direction only ever ADDS candidates.
+
+    ``shingle_k``: None joins on distinct lowercased TOKEN sets (the
+    classic PPJoin universe — right for short records like titles or
+    URLs); an integer joins on distinct word k-SHINGLE sets (the
+    near-dup universe :func:`near_duplicates` uses — order-sensitive,
+    so template-heavy corpora whose documents share vocabulary but not
+    phrasing don't collapse into one giant quadratic output cluster).
+    """
+    from tcga_query_project_spark.operators.caching import materialize_shared
+
+    t = float(threshold)
+    if shingle_k is None:
+        raw = F.array_remove(
+            F.array_distinct(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ),
+            "",
+        )
+        sets_ = df.select(
+            F.col(id_col).alias("_id"), raw.alias("_toks")
+        ).filter(F.size("_toks") > 0)
+    else:
+        sets_ = shingle_array(df, id_col, text_col, int(shingle_k)).select(
+            F.col(id_col).alias("_id"), F.col("shingles").alias("_toks")
+        ).filter(F.size("_toks") > 0)
+    # the set table feeds FOUR branches (frequency agg, key-sort agg,
+    # both verify sides) and the prefix table feeds both sides of the
+    # candidate self-join — Spark re-executes a shared edge per
+    # consumer, so persist both (the near_duplicates contract; at
+    # cluster scale these are the pipeline's parquet checkpoints)
+    sets_ = materialize_shared(sets_, eager=False)
+    post = sets_.select("_id", F.explode("_toks").alias("_tok"))
+    # rarest-first global order as a sortable string key: zero-padded
+    # corpus count + the token itself (fixed 12-digit count field)
+    rk = (
+        post.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(
+            "_tok",
+            F.concat(
+                F.lpad(F.col("_c").cast("string"), 12, "0"), F.col("_tok")
+            ).alias("_rkey"),
+        )
+    )
+    # no forced broadcast: the element-frequency table scales with the
+    # DISTINCT-element universe (for shingles that grows with the
+    # corpus, unlike a word vocabulary) — AQE broadcasts it while it
+    # fits and falls back to an element-keyed shuffle join beyond
+    keyed = (
+        post.join(rk, "_tok")
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_list("_rkey")).alias("_keys"))
+    )
+    s = F.size("_keys")
+    p_len = s - F.ceil(F.lit(t) * s - F.lit(1e-9)).cast("int") + 1
+    pre = materialize_shared(
+        keyed.select(
+            "_id",
+            s.alias("_s"),
+            F.explode(F.slice("_keys", 1, p_len)).alias("_rkey"),
+        ),
+        eager=False,
+    )
+    a = pre.select(
+        F.col("_id").alias("doc_a"), F.col("_s").alias("_sa"), "_rkey"
+    )
+    b = pre.select(
+        F.col("_id").alias("doc_b"), F.col("_s").alias("_sb"), "_rkey"
+    )
+    cand = (
+        a.join(b, "_rkey")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.least("_sa", "_sb")
+            >= F.lit(t) * F.greatest("_sa", "_sb")
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = sets_.select(F.col("_id").alias("doc_a"), F.col("_toks").alias("_ta"))
+    tb = sets_.select(F.col("_id").alias("doc_b"), F.col("_toks").alias("_tb"))
+    inter = F.size(F.array_intersect("_ta", "_tb")).cast("double")
+    union = (
+        F.size("_ta").cast("double") + F.size("_tb").cast("double") - inter
+    )
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("_j", inter / union)
+        .filter(F.col("_j") >= t)
+        .select("doc_a", "doc_b", F.round("_j", 6).alias("jaccard"))
+    )
+
+
 def band_firstseen_gate(
     df: DataFrame,
     id_col: str,

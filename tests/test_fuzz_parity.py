@@ -550,6 +550,10 @@ DOC_FUZZ_QUERIES = [
     # zero-target corpora (uniform fallback), junk-only docs (no
     # features -> absent), k larger than the corpus
     "pp_dsir_select",
+    # round-9 late: exact PPJoin vs the brute-force all-pairs oracle —
+    # the adversarial shape: ANY prefix-rule miss on duplicate/junk/
+    # short-doc corpora shows as a missing row
+    "dd_jaccard_prefix_join",
     "tx_repeated_spans",
     "dd_decontaminate",
     "dd_dup_clusters",

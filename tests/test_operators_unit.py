@@ -3149,3 +3149,64 @@ def test_resample_all_null_value_bucket_carries_null(spark):
         (periods[1], 0, 0, None),   # true gap row: 0, nothing carried
         (periods[2], 1, 5, 5),
     ]
+
+
+def test_jaccard_prefix_join_matches_brute_force(spark):
+    """PPJoin prefix filtering vs brute force on both element
+    universes (token sets and 3-shingle sets): exact same pair set —
+    the no-false-negative guarantee LSH cannot make — plus empty/NULL
+    docs never pairing and the doc_a < doc_b canonical order."""
+    import itertools
+
+    from tcga_query_project_spark.operators import dedup
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over a lazy dog"),
+        (3, "completely different text about spark joins"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+        (5, ""),
+        (6, None),
+        (7, "spark joins text about different completely"),
+        (8, "one"),
+        (9, "one"),
+        (10, "x y z w v u t s r q p o n m l k"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def brute(sets, t):
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            A, B = sets[a], sets[b]
+            if not A or not B:
+                continue
+            j = len(A & B) / len(A | B)
+            if j >= t:
+                want[(a, b)] = round(j, 6)
+        return want
+
+    # token-set universe
+    tok_sets = {
+        i: set(t.lower().strip().split()) - {""} for i, t in docs if t
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_prefix_join(df, "doc_id", "text", 0.6).collect()
+    }
+    assert got == brute(tok_sets, 0.6)
+    assert all(a < b for a, b in got)
+
+    # 3-shingle universe at a threshold whose binary form rounds UP
+    # (0.7): the ceil guard must not shorten the prefix
+    def shingles(t):
+        ts = t.lower().strip().split()
+        return {" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)}
+
+    sh_sets = {i: shingles(t) for i, t in docs if t}
+    got_sh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_prefix_join(
+            df, "doc_id", "text", 0.7, shingle_k=3
+        ).collect()
+    }
+    assert got_sh == brute(sh_sets, 0.7)
