@@ -3338,6 +3338,47 @@ def tx_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_bench_only(
+    "tx_ctfidf_labels",
+    """
+    WITH tf0 AS (
+      SELECT lang, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM (SELECT lang,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                     AS term
+            FROM documents)
+      WHERE term != '' GROUP BY lang, term
+    ),
+    a AS (SELECT SUM(tf) / CAST(COUNT(DISTINCT COALESCE(lang, '__null__'))
+                                AS DOUBLE) AS av
+          FROM tf0),
+    s AS (SELECT lang, term,
+                 ROUND(tf * LN(1 + a.av / SUM(tf) OVER (PARTITION BY term)),
+                       6) AS ctfidf
+          FROM tf0 CROSS JOIN a)
+    SELECT lang, term, ctfidf, rank FROM (
+      SELECT lang, term, ctfidf,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY ctfidf DESC, term ASC) AS rank
+      FROM s) WHERE rank <= 10
+    """,
+    tags=("ctfidf", "cluster-labeling", "topic-terms"),
+)
+def tx_ctfidf_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c-TF-IDF distinctive terms per language slice
+    (text.ctfidf_top_terms, Grootendorst 2022's class-based TF-IDF —
+    the standard cluster/topic labeling op): tf inside the class times
+    ln(1 + A/f_t) penalizes cross-class-common terms. One inverted-
+    index shuffle touches text; f_t is a window over the term
+    partition of the SAME dimension-sized (class, term) table; A rides
+    a broadcast scalar; the top-10 rank windows over per-class vocab
+    (dimension-sized by contract). Rank cuts on the ROUNDED score with
+    a term tiebreak so the cut is engine-portable; the oracle replays
+    the identical algebra."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.ctfidf_top_terms(docs, "lang", "text", top_n=10)
+
+
+@register_bench_only(
     "tx_bm25",
     "WITH "
     + _SQL_TF_CTE

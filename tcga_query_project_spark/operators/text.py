@@ -541,6 +541,83 @@ def bigram_backoff_score(
     )
 
 
+def ctfidf_top_terms(
+    df: DataFrame,
+    class_col: str,
+    text_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Class-based TF-IDF (the c-TF-IDF of BERTopic, Grootendorst
+    2022): the most DISTINCTIVE terms per class — the standard way to
+    label document clusters, sources, or language slices ("what words
+    characterize this crawl / this dup-cluster / this topic?") after
+    any grouping stage (semantic dedup clusters, source buckets,
+    lang slices)::
+
+        ctfidf(t, c) = tf_{t,c} * ln(1 + A / f_t)
+
+    with tf_{t,c} the term count inside class c, f_t the term's count
+    across ALL classes, and A the average token count per class — a
+    term scores high when frequent in the class and rare elsewhere.
+    NULL class is a class like any other (groupBy semantics).
+
+    Output: ``(class_col, term, ctfidf, rank)`` — the ``top_n`` ranked
+    terms per class, rank by (ROUNDED score DESC, term ASC) so the
+    cut is engine-portable; ``ctfidf`` rounded 6.
+
+    Scale shape: one explode + (class, term) count — the only stage
+    touching full text (the inverted-index shuffle); f_t comes from a
+    WINDOW over the term partition of that same dimension-sized table
+    (no second aggregate + join back); A attaches as a broadcast
+    one-row scalar; the top-n rank windows over the per-class VOCAB —
+    dimension-sized by contract, same as tx_vocab's post-limit window,
+    never row-scaled data.
+    """
+    from pyspark.sql.window import Window
+
+    tf = (
+        df.select(
+            F.col(class_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy(class_col, "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("_tf"))
+    )
+    w_term = Window.partitionBy("term")
+    # COUNT(DISTINCT) skips NULL in both engines, but NULL class IS a
+    # class here — count it through a sentinel so A's denominator
+    # matches the group count
+    avg_class = tf.agg(
+        (
+            F.sum("_tf")
+            / F.countDistinct(
+                F.coalesce(
+                    F.col(class_col).cast("string"), F.lit("__null__")
+                )
+            ).cast("double")
+        ).alias("_A")
+    )
+    scored = (
+        tf.withColumn("_ft", F.sum("_tf").over(w_term))
+        .crossJoin(F.broadcast(avg_class))
+        .withColumn(
+            "ctfidf",
+            F.round(
+                F.col("_tf") * F.log(1.0 + F.col("_A") / F.col("_ft")), 6
+            ),
+        )
+    )
+    w_rank = Window.partitionBy(class_col).orderBy(
+        F.desc("ctfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= int(top_n))
+        .select(class_col, "term", "ctfidf", "rank")
+    )
+
+
 def tfidf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """TF-IDF weights per (doc, term): ``tf · ln((N+1)/(df+1)) + 1``
     (smoothed idf, sklearn's convention).

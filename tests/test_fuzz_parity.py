@@ -554,6 +554,10 @@ DOC_FUZZ_QUERIES = [
     # the adversarial shape: ANY prefix-rule miss on duplicate/junk/
     # short-doc corpora shows as a missing row
     "dd_jaccard_prefix_join",
+    # round-9 late: c-TF-IDF labeling — NULL lang as its own class,
+    # single-class corpora (A == total, every term shared), junk-only
+    # and empty corpora, heavy score ties (the rounded-score tiebreak)
+    "tx_ctfidf_labels",
     "tx_repeated_spans",
     "dd_decontaminate",
     "dd_dup_clusters",

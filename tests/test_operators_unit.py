@@ -3210,3 +3210,53 @@ def test_jaccard_prefix_join_matches_brute_force(spark):
         ).collect()
     }
     assert got_sh == brute(sh_sets, 0.7)
+
+
+def test_ctfidf_top_terms_matches_python(spark):
+    """c-TF-IDF vs a python recompute: class-exclusive terms outrank
+    shared ones, NULL class is a class of its own, rank cuts on the
+    rounded score with term tiebreak."""
+    import math
+    from collections import Counter
+
+    from tcga_query_project_spark.operators import text
+
+    docs = [
+        (1, "en", "alpha alpha shared"),
+        (2, "en", "alpha shared"),
+        (3, "de", "beta beta shared shared"),
+        (4, None, "gamma gamma gamma"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, body string")
+    out = [
+        (r["lang"], r["term"], r["ctfidf"], r["rank"])
+        for r in text.ctfidf_top_terms(df, "lang", "body", top_n=2).collect()
+    ]
+    tf = Counter()
+    for _, lang, body in docs:
+        for t in body.split():
+            tf[(lang, t)] += 1
+    ft = Counter()
+    for (lang, t), c in tf.items():
+        ft[t] += c
+    total = sum(tf.values())
+    n_classes = len({lang for _, lang, _ in docs})
+    avg = total / n_classes
+    want = {}
+    for (lang, t), c in tf.items():
+        want[(lang, t)] = round(c * math.log(1 + avg / ft[t]), 6)
+    got = {(lang, t): v for lang, t, v, _ in out}
+    assert got.items() <= want.items()
+    by_class = {}
+    for lang, t, v, rank in out:
+        by_class.setdefault(lang, []).append((rank, t, v))
+    for lang, rows in by_class.items():
+        rows.sort()
+        assert [r for r, _, _ in rows] == list(range(1, len(rows) + 1))
+        # rank order == (score desc, term asc)
+        keys = [(-v, t) for _, t, v in rows]
+        assert keys == sorted(keys)
+    # class-exclusive terms outrank the cross-class 'shared'
+    assert by_class["en"][0][1] == "alpha"
+    assert by_class["de"][0][1] == "beta"
+    assert by_class[None][0][1] == "gamma"
