@@ -6780,3 +6780,102 @@ def pp_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.dsir_select(
         marked, "doc_id", "text", "_t", k=100, n_buckets=1024
     )
+
+
+_PSI_VALUE_BIN_SQL = """CASE WHEN value IS NULL THEN '__null__'
+             ELSE 'b' || CAST((CASE WHEN value >= 0 THEN 1 ELSE 0 END)
+                           + (CASE WHEN value >= 50 THEN 1 ELSE 0 END)
+                           + (CASE WHEN value >= 200 THEN 1 ELSE 0 END)
+                           AS VARCHAR) END"""
+
+
+@register_bench_only(
+    "qa_windowed_psi",
+    f"""
+    WITH ev AS (SELECT ts, event_type, value FROM events
+                WHERE ts IS NOT NULL),
+    ref AS (SELECT * FROM ev WHERE epoch_us(ts) < {_KS_CUTOFF_US}),
+    cur AS (SELECT * FROM ev WHERE epoch_us(ts) >= {_KS_CUTOFF_US}),
+    refb AS (
+      SELECT feature, bin, CAST(COUNT(*) AS DOUBLE) AS ref_n FROM (
+        SELECT 'value' AS feature, {_PSI_VALUE_BIN_SQL} AS bin FROM ref
+        UNION ALL
+        SELECT 'event_type', COALESCE(event_type, '__null__') FROM ref
+      ) GROUP BY feature, bin),
+    curb AS (
+      SELECT w, feature, bin, CAST(COUNT(*) AS DOUBLE) AS cur_n FROM (
+        SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS w,
+               'value' AS feature, {_PSI_VALUE_BIN_SQL} AS bin FROM cur
+        UNION ALL
+        SELECT epoch_us(ts) - epoch_us(ts) % 86400000000,
+               'event_type', COALESCE(event_type, '__null__') FROM cur
+      ) GROUP BY w, feature, bin),
+    wins AS (SELECT DISTINCT w FROM curb),
+    refx AS (SELECT wins.w AS w, refb.feature, refb.bin, refb.ref_n
+             FROM wins CROSS JOIN refb),
+    merged AS (
+      SELECT COALESCE(c.w, r.w) AS w,
+             COALESCE(c.feature, r.feature) AS feature,
+             COALESCE(c.bin, r.bin) AS bin,
+             COALESCE(r.ref_n, 0) AS ref_n,
+             COALESCE(c.cur_n, 0) AS cur_n
+      FROM curb c FULL OUTER JOIN refx r
+        ON r.w = c.w AND r.feature = c.feature AND r.bin = c.bin),
+    tot AS (SELECT w, feature, SUM(ref_n) AS rt, SUM(cur_n) AS ct
+            FROM merged GROUP BY w, feature),
+    terms AS (
+      SELECT m.w, m.feature,
+        GREATEST(CASE WHEN t.rt > 0 THEN m.ref_n / t.rt ELSE 0 END,
+                 1e-6) AS p,
+        GREATEST(CASE WHEN t.ct > 0 THEN m.cur_n / t.ct ELSE 0 END,
+                 1e-6) AS q
+      FROM merged m JOIN tot t ON t.w = m.w AND t.feature = m.feature)
+    SELECT w AS window_start_us, feature,
+           ROUND(SUM((p - q) * LN(p / q)), 6) AS psi,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           ROUND(SUM((p - q) * LN(p / q)), 6) > 0.2 AS drifted
+    FROM terms GROUP BY w, feature
+    """,
+    tags=("quality-gate", "psi", "windowed-drift", "streaming-batch-form"),
+)
+def qa_windowed_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed PSI drift report — the BATCH FORM of the streaming
+    monitor (streaming/quality.start_windowed_psi), composed from the
+    same three shared pieces it runs per micro-batch: binned_features
+    projection, a 1-day event-time window count, baseline_counts on
+    the pre-cutoff slice, psi_report_for_batch's outer-merge +
+    psi_from_counts algebra (stream == batch by shared code —
+    tests/test_streaming.py::test_windowed_psi_stream_equals_batch).
+    Reference = events before the Jan-16 cutoff (qa_ks_drift's), cur =
+    daily windows after; features: event_type (categorical), value
+    (edges 0/50/200). NULL ts has no window and drops from both sides;
+    NULL values/types bin as '__null__'. One row-scaled shuffle (the
+    window count); everything after is bin-cardinality-sized."""
+    from tcga_query_project_spark.operators.quality_audit import (
+        binned_features,
+    )
+    from tcga_query_project_spark.streaming import quality as sq
+
+    feats = dict(
+        numeric={"value": [0.0, 50.0, 200.0]}, categorical=["event_type"]
+    )
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    ref = ev.filter(us < _KS_CUTOFF_US)
+    cur = ev.filter(us >= _KS_CUTOFF_US)
+    batch_counts = (
+        binned_features(
+            cur, feats["numeric"], feats["categorical"], extra_cols=["ts"]
+        )
+        .groupBy(F.window(F.col("ts"), "1 day"), "feature", "bin")
+        .agg(F.count(F.lit(1)).cast("double").alias("cur_n"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "feature",
+            "bin",
+            "cur_n",
+        )
+    )
+    return sq.psi_report_for_batch(
+        batch_counts, sq.baseline_counts(ref, **feats)
+    )

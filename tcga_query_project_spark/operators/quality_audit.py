@@ -256,45 +256,81 @@ def psi_drift(
     if not numeric and not categorical:
         raise ValueError("psi_drift needs at least one feature")
 
-    def binned(df: DataFrame, is_ref: int) -> DataFrame:
-        pairs = []
-        for col, edges in numeric.items():
-            pairs.append(
-                F.struct(
-                    F.lit(col).alias("feature"),
-                    _bin_label(col, edges).alias("bin"),
-                )
-            )
-        for col in categorical:
-            pairs.append(
-                F.struct(
-                    F.lit(col).alias("feature"),
-                    F.coalesce(
-                        F.col(col).cast("string"), F.lit("__null__")
-                    ).alias("bin"),
-                )
-            )
-        return df.select(
-            F.lit(is_ref).alias("_is_ref"),
-            F.explode(F.array(*pairs)).alias("fb"),
-        ).select("_is_ref", "fb.feature", "fb.bin")
-
     counts = (
-        binned(ref, 1)
-        .unionByName(binned(cur, 0))
+        binned_features(ref, numeric, categorical).select(
+            F.lit(1).alias("_is_ref"), "feature", "bin"
+        )
+        .unionByName(
+            binned_features(cur, numeric, categorical).select(
+                F.lit(0).alias("_is_ref"), "feature", "bin"
+            )
+        )
         .groupBy("feature", "bin")
         .agg(
             F.sum("_is_ref").cast("double").alias("ref_n"),
             F.sum(1 - F.col("_is_ref")).cast("double").alias("cur_n"),
         )
     )
-    totals = counts.groupBy("feature").agg(
+    return psi_from_counts(counts, epsilon=epsilon, threshold=threshold)
+
+
+def binned_features(
+    df: DataFrame,
+    numeric: dict[str, Sequence[float]] | None = None,
+    categorical: Sequence[str] | None = None,
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Project a table into the long ``(*extra_cols, feature, bin)``
+    form :func:`psi_drift` aggregates — public so the STREAMING PSI
+    monitor bins with the identical expressions (numeric by
+    data-independent ascending edges, categorical by value, NULL its
+    own ``'__null__'`` bin). One explode per row (rows x n_features),
+    still a zero-shuffle map-side pass."""
+    pairs = []
+    for col, edges in (numeric or {}).items():
+        pairs.append(
+            F.struct(
+                F.lit(col).alias("feature"),
+                _bin_label(col, edges).alias("bin"),
+            )
+        )
+    for col in categorical or []:
+        pairs.append(
+            F.struct(
+                F.lit(col).alias("feature"),
+                F.coalesce(
+                    F.col(col).cast("string"), F.lit("__null__")
+                ).alias("bin"),
+            )
+        )
+    return df.select(
+        *[F.col(c) for c in extra_cols],
+        F.explode(F.array(*pairs)).alias("fb"),
+    ).select(*extra_cols, "fb.feature", "fb.bin")
+
+
+def psi_from_counts(
+    counts: DataFrame,
+    *,
+    epsilon: float = 1e-6,
+    threshold: float = 0.2,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """PSI from pre-aggregated bin counts ``(*group_cols, feature,
+    bin, ref_n, cur_n)`` → one row per (*group_cols, feature):
+    ``(psi [rounded 6], n_bins, drifted)``. Public so the batch gate
+    and the streaming windowed monitor share ONE algebra (stream ==
+    batch by construction, not by parallel implementation).
+
+    An EMPTY side (no reference rows / no current rows) must not
+    0/0-NaN the shares: its every bin share floors to epsilon, so
+    PSI degenerates to "everything changed" — large and drifted,
+    the sensible verdict — identically in both engines.
+    """
+    gcols = [*group_cols, "feature"]
+    totals = counts.groupBy(*gcols).agg(
         F.sum("ref_n").alias("_rt"), F.sum("cur_n").alias("_ct")
     )
-    # An EMPTY side (no reference rows / no current rows) must not
-    # 0/0-NaN the shares: its every bin share floors to epsilon, so
-    # PSI degenerates to "everything changed" — large and drifted,
-    # the sensible verdict — identically in both engines.
     p = F.greatest(
         F.when(F.col("_rt") > 0, F.col("ref_n") / F.col("_rt")).otherwise(
             F.lit(0.0)
@@ -310,8 +346,8 @@ def psi_drift(
     term = (p - q) * F.log(p / q)
     psi = F.round(F.sum(term), 6)
     return (
-        counts.join(F.broadcast(totals), "feature")
-        .groupBy("feature")
+        counts.join(F.broadcast(totals), gcols)
+        .groupBy(*gcols)
         .agg(
             psi.alias("psi"),
             F.count(F.lit(1)).cast("bigint").alias("n_bins"),

@@ -671,6 +671,29 @@ def test_fuzz_ks_drift_matches_oracle(spark, tmp_path_factory, tables):
     assert not problems, problems
 
 
+# round-9 late: the windowed-PSI batch form shares the cutoff-
+# straddling grid — NULL ts (dropped both sides), NULL event_type /
+# value ('__null__' bins), empty reference side (every p floors to
+# epsilon), one-sided windows, colliding values on bin edges
+@settings(
+    max_examples=FUZZ_EXAMPLES,
+    derandomize=FUZZ_DERANDOMIZE,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(tables=events_ks_micro())
+def test_fuzz_windowed_psi_matches_oracle(spark, tmp_path_factory, tables):
+    from tcga_query_project_spark.catalog import BENCH_ONLY
+
+    d = str(tmp_path_factory.mktemp("fuzz_wpsi"))
+    _write_dir(tables, d)
+    spec = BENCH_ONLY["qa_windowed_psi"]
+    got = spec.build(spark, d).toPandas()
+    want = run_oracle(spec.oracle, d)
+    problems = compare(got, want)
+    assert not problems, problems
+
+
 #: embedding near-dup pair family (round 8): degenerate geometries the
 #: SF-pinned parity runs never produce — empty corpora (the tuned-bits
 #: log2 clamp), NULL vectors (kernel must drop them like the SQL norms

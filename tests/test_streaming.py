@@ -906,3 +906,101 @@ def test_transition_pairs_null_timestamp_does_not_crash(spark, tmp_path):
         ).collect()
     }
     assert got == want == {("a", "b")}
+
+
+def test_windowed_psi_stream_equals_batch(spark, tmp_path):
+    """Streaming windowed PSI vs a batch recompute THROUGH THE SAME
+    shared algebra (psi_from_counts): per closed window the report
+    must match exactly; the planted-skew window must flag drifted and
+    the baseline-shaped window must not."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from tcga_query_project_spark.operators.quality_audit import (
+        binned_features,
+    )
+    from tcga_query_project_spark.streaming import quality as sq
+
+    def t(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    # baseline: balanced types, small values
+    base_rows = [(et, 5.0) for et in ("a", "b") for _ in range(10)]
+    baseline = spark.createDataFrame(
+        base_rows, "event_type string, value double"
+    )
+    feats = dict(
+        categorical=["event_type"], numeric={"value": [0.0, 10.0]}
+    )
+
+    # window 10:00 mirrors the baseline; window 11:00 is all-'b' with
+    # large values (drift); 23:00 tail closes both under a 10m watermark
+    rows = (
+        [(t(10, i), "a", 5.0) for i in range(5)]
+        + [(t(10, 30 + i), "b", 5.0) for i in range(5)]
+        + [(t(11, i), "b", 50.0) for i in range(10)]
+        + [(t(23, 0), "a", 5.0)]
+    )
+    schema = "ts timestamp, event_type string, value double"
+    src = str(tmp_path / "psi_src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    report_path = str(tmp_path / "psi_report")
+    q = sq.start_windowed_psi(
+        stream,
+        "ts",
+        baseline,
+        report_path,
+        str(tmp_path / "psi_ckpt"),
+        window="1 hour",
+        watermark="10 minutes",
+        **feats,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start_us"], r["feature"]): (
+            r["psi"],
+            r["n_bins"],
+            r["drifted"],
+        )
+        for r in spark.read.parquet(report_path).collect()
+    }
+
+    # batch recompute: same binning + same shared PSI algebra
+    batch = spark.createDataFrame(rows, schema)
+    batch_counts = (
+        binned_features(batch, feats["numeric"], feats["categorical"],
+                        extra_cols=["ts"])
+        .groupBy(F.window("ts", "1 hour"), "feature", "bin")
+        .agg(F.count(F.lit(1)).cast("double").alias("cur_n"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "feature", "bin", "cur_n",
+        )
+    )
+    ref = sq.baseline_counts(baseline, **feats)
+    want_all = {
+        (r["window_start_us"], r["feature"]): (
+            r["psi"],
+            r["n_bins"],
+            r["drifted"],
+        )
+        for r in sq.psi_report_for_batch(batch_counts, ref).collect()
+    }
+    closed = {k: v for k, v in want_all.items() if k in got}
+    # both 10:00 and 11:00 closed (23:00 itself cannot, by design)
+    us = lambda h: int(
+        dt.datetime(2024, 1, 1, h, tzinfo=dt.timezone.utc).timestamp()
+    ) * 1_000_000
+    assert {w for w, _ in got} == {us(10), us(11)}
+    assert got == closed
+    # semantics: the skewed window drifts on both features, the
+    # baseline-shaped window on neither
+    assert got[(us(11), "event_type")][2] and got[(us(11), "value")][2]
+    assert not got[(us(10), "event_type")][2]
+    assert not got[(us(10), "value")][2]
