@@ -177,6 +177,22 @@ HEADLINE = [
     # postings build + per-term window counts + doc aggregate
     # (3 exchanges at any corpus size)
     "tx_perplexity",
+    # round-9 late: Stupid-Backoff bigram LM — slice-zip transitions
+    # (no doc window), vocabulary-sized model broadcasts
+    "tx_bigram_backoff",
+    # round-9 late: DSIR importance resampling — one conditional
+    # bucket agg + doc agg, TakeOrdered k-row semi-join
+    "pp_dsir_select",
+    # round-9 late: exact PPJoin at jaccard>=0.6 on 3-shingle sets —
+    # rarest-first prefix equi-join, persisted shared subtrees
+    "dd_jaccard_prefix_join",
+    # round-9 late: c-TF-IDF labels — inverted-index shuffle +
+    # term-partition window + per-class-vocab rank
+    "tx_ctfidf_labels",
+    # round-9 late: event-time windowed PSI (batch form of the
+    # streaming monitor) — one windowed bin-count shuffle, the rest
+    # bin-cardinality-sized
+    "qa_windowed_psi",
     # a6_poisson_wald is deliberately NOT benched: the GLM family has
     # never been in the headline set (per-gene grouped-map fits price
     # by group count, not data size — a correctness vehicle, verified

@@ -384,16 +384,26 @@ def jaccard_prefix_join(
     (DuckDB) comparisons — same caveat as the streaming near-dup
     kernel, and only the ORDER is affected, never set membership.
 
-    Scale shape: the element-frequency table joins element-keyed (AQE
-    broadcasts it while it fits — for word tokens it is vocabulary-
-    sized; for shingles it grows with the corpus, so no broadcast is
-    forced); per-doc sorted key arrays are one doc-keyed aggregate;
-    the candidate join is equi on prefix token with an O(1) length
-    filter; the verify joins the two token ARRAYS by doc id (linear,
-    id-keyed) and computes intersection in-array (no re-explode).
-    ceil uses a -1e-9 guard so a binary-rounded-UP threshold (e.g.
-    0.7) cannot shorten the prefix and drop a true pair; the guard
-    direction only ever ADDS candidates.
+    Scale shape — ALL FLAT TABLES, nothing nested is ever persisted
+    (Spark's in-memory columnar cache handles array<string> columns
+    ~5x slower than the equivalent flat rows — measured 5.6s vs 1.2s
+    just to populate the shingle-array cache at sf0.1 — so the
+    postings table, not the set arrays, is the shared spine): the
+    element-frequency table joins element-keyed (AQE broadcasts it
+    while it fits — for word tokens it is vocabulary-sized; for
+    shingles it grows with the corpus, so no broadcast is forced);
+    per-doc sorted key arrays are built in one doc-keyed aggregate
+    and consumed ONCE (never cached); the candidate join is equi on
+    prefix element with the O(1) length filter and PPJoin's
+    positional filter (the matched prefix POSITION bounds the
+    attainable overlap: ``1 + min(|A|-i-1, |B|-j-1) >= t/(1+t) *
+    (|A|+|B|)`` — measured 193k -> 54k candidates on the bench
+    corpus); the exact verify counts intersections through a
+    candidate-keyed postings join (the :func:`jaccard_pairs` shape),
+    reusing the cached postings. The persisted spine (postings +
+    prefix rows) is flat strings/ints only; both guards (-1e-9 on
+    ceil and on the positional bound) only ever ADD candidates, so a
+    binary-rounded-UP threshold cannot drop a true pair.
 
     ``shingle_k``: None joins on distinct lowercased TOKEN sets (the
     classic PPJoin universe — right for short records like titles or
@@ -402,6 +412,8 @@ def jaccard_prefix_join(
     so template-heavy corpora whose documents share vocabulary but not
     phrasing don't collapse into one giant quadratic output cluster).
     """
+    from pyspark.sql.window import Window
+
     from tcga_query_project_spark.operators.caching import materialize_shared
 
     t = float(threshold)
@@ -412,22 +424,47 @@ def jaccard_prefix_join(
             ),
             "",
         )
-        sets_ = df.select(
-            F.col(id_col).alias("_id"), raw.alias("_toks")
-        ).filter(F.size("_toks") > 0)
+        post0 = (
+            df.select(F.col(id_col).alias("_id"), raw.alias("_toks"))
+            .filter(F.size("_toks") > 0)
+            .select("_id", F.explode("_toks").alias("_tok"))
+        )
     else:
-        sets_ = shingle_array(df, id_col, text_col, int(shingle_k)).select(
-            F.col(id_col).alias("_id"), F.col("shingles").alias("_toks")
-        ).filter(F.size("_toks") > 0)
-    # the set table feeds FOUR branches (frequency agg, key-sort agg,
-    # both verify sides) and the prefix table feeds both sides of the
-    # candidate self-join — Spark re-executes a shared edge per
-    # consumer, so persist both (the near_duplicates contract; at
-    # cluster scale these are the pipeline's parquet checkpoints)
-    sets_ = materialize_shared(sets_, eager=False)
-    post = sets_.select("_id", F.explode("_toks").alias("_tok"))
+        # k-shingles via posexplode + lead window — the codegen gram
+        # path (text.py's repeated-spans pattern), NOT shingle_array's
+        # transform(array_join(slice)) lambda: Spark evaluates HOF
+        # lambdas interpreted, ~38 us per shingle — measured ~10s just
+        # to materialize sf0.1's 260k shingle strings, vs ~1s for
+        # explode + lead + concat, all inside whole-stage codegen
+        # (one doc-keyed window shuffle)
+        k = int(shingle_k)
+        seq = fan_out(df, id_col).select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(
+                tokens(normalized_text(F.col(text_col)))
+            ).alias("_p", "_w"),
+        )
+        w = Window.partitionBy("_id").orderBy("_p")
+        leads = [F.lead("_w", i).over(w) for i in range(1, k)]
+        # gram AND its completeness guard in ONE projection: a window
+        # expression placed after a filter would re-evaluate over the
+        # filtered frame and shift every tail gram
+        post0 = (
+            seq.select(
+                "_id",
+                F.concat_ws(" ", F.col("_w"), *leads).alias("_tok"),
+                leads[-1].alias("_last"),
+            )
+            .filter(F.col("_last").isNotNull())
+            .select("_id", "_tok")
+            .distinct()
+        )
+    # the FLAT postings spine: feeds the frequency agg, the key-sort
+    # agg, and BOTH verify sides — persist it (eagerly: the branches
+    # race on a cold cache, caching.py sharp edge #1)
+    post = materialize_shared(post0)
     # rarest-first global order as a sortable string key: zero-padded
-    # corpus count + the token itself (fixed 12-digit count field)
+    # corpus count + the element itself (fixed 12-digit count field)
     rk = (
         post.groupBy("_tok")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -453,36 +490,59 @@ def jaccard_prefix_join(
         keyed.select(
             "_id",
             s.alias("_s"),
-            F.explode(F.slice("_keys", 1, p_len)).alias("_rkey"),
-        ),
-        eager=False,
+            F.posexplode(F.slice("_keys", 1, p_len)).alias("_pos", "_rkey"),
+        )
     )
     a = pre.select(
-        F.col("_id").alias("doc_a"), F.col("_s").alias("_sa"), "_rkey"
+        F.col("_id").alias("doc_a"),
+        F.col("_s").alias("_sa"),
+        F.col("_pos").alias("_pa"),
+        "_rkey",
     )
     b = pre.select(
-        F.col("_id").alias("doc_b"), F.col("_s").alias("_sb"), "_rkey"
+        F.col("_id").alias("doc_b"),
+        F.col("_s").alias("_sb"),
+        F.col("_pos").alias("_pb"),
+        "_rkey",
     )
+    # length filter + PPJoin positional filter on the FIRST shared
+    # prefix element (min positions over the pair's matches); both
+    # prune only — the exact verify below decides membership
     cand = (
         a.join(b, "_rkey")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(
-            F.least("_sa", "_sb")
-            >= F.lit(t) * F.greatest("_sa", "_sb")
+            F.least("_sa", "_sb") >= F.lit(t) * F.greatest("_sa", "_sb")
         )
-        .select("doc_a", "doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b", "_sa", "_sb")
+        .agg(F.min("_pa").alias("_ia"), F.min("_pb").alias("_ib"))
+        .filter(
+            1.0
+            + F.least(
+                F.col("_sa") - F.col("_ia") - 1,
+                F.col("_sb") - F.col("_ib") - 1,
+            )
+            >= F.lit(t / (1.0 + t)) * (F.col("_sa") + F.col("_sb"))
+            - F.lit(1e-9)
+        )
     )
-    ta = sets_.select(F.col("_id").alias("doc_a"), F.col("_toks").alias("_ta"))
-    tb = sets_.select(F.col("_id").alias("doc_b"), F.col("_toks").alias("_tb"))
-    inter = F.size(F.array_intersect("_ta", "_tb")).cast("double")
-    union = (
-        F.size("_ta").cast("double") + F.size("_tb").cast("double") - inter
+    # exact verify: intersection via a candidate-keyed postings join
+    # (the jaccard_pairs shape) against the cached FLAT postings
+    pa = post.select(F.col("_id").alias("doc_a"), "_tok")
+    pb = post.select(F.col("_id").alias("doc_b"), "_tok")
+    inter = (
+        cand.select("doc_a", "doc_b")
+        .join(pa, "doc_a")
+        .join(pb, ["doc_b", "_tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("_inter"))
+    )
+    jac = F.col("_inter") / (
+        F.col("_sa") + F.col("_sb") - F.col("_inter")
     )
     return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .withColumn("_j", inter / union)
+        cand.join(inter, ["doc_a", "doc_b"])
+        .withColumn("_j", jac)
         .filter(F.col("_j") >= t)
         .select("doc_a", "doc_b", F.round("_j", 6).alias("jaccard"))
     )
