@@ -193,6 +193,9 @@ HEADLINE = [
     # streaming monitor) — one windowed bin-count shuffle, the rest
     # bin-cardinality-sized
     "qa_windowed_psi",
+    # round-9 late: CUPED A/B readout — user-keyed conditional agg +
+    # one single-row power-sum reduction
+    "ab_cuped",
     # a6_poisson_wald is deliberately NOT benched: the GLM family has
     # never been in the headline set (per-gene grouped-map fits price
     # by group count, not data size — a correctness vehicle, verified

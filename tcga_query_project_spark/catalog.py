@@ -6879,3 +6879,106 @@ def qa_windowed_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq.psi_report_for_batch(
         batch_counts, sq.baseline_counts(ref, **feats)
     )
+
+
+@register_bench_only(
+    "ab_cuped",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             COALESCE(SUM(CASE WHEN epoch_us(ts) < {_KS_CUTOFF_US}
+                               THEN value END), 0.0) AS x,
+             COALESCE(SUM(CASE WHEN epoch_us(ts) >= {_KS_CUTOFF_US}
+                               THEN value END), 0.0) AS y,
+             CASE WHEN {HASH_SPLIT_BUCKET_SQL.format(key="user_id")} < 50
+                  THEN 1.0 ELSE 0.0 END AS a
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    s AS (
+      SELECT SUM(a) AS na, SUM(1-a) AS nb, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*x) AS sxx, SUM(x*y) AS sxy,
+             SUM(a*x) AS sxa, SUM((1-a)*x) AS sxb,
+             SUM(a*y) AS sya, SUM((1-a)*y) AS syb,
+             SUM(a*y*y) AS syya, SUM((1-a)*y*y) AS syyb,
+             SUM(a*x*x) AS sxxa, SUM((1-a)*x*x) AS sxxb,
+             SUM(a*x*y) AS sxya, SUM((1-a)*x*y) AS sxyb
+      FROM u
+    ),
+    t AS (
+      SELECT s.*,
+             COALESCE((sxy - sx*sy/NULLIF(na+nb, 0))
+                      / NULLIF(sxx - sx*sx/NULLIF(na+nb, 0), 0), 0)
+               AS theta,
+             sx / NULLIF(na+nb, 0) AS xbar
+      FROM s
+    ),
+    m AS (
+      SELECT t.*,
+        sya/NULLIF(na, 0) AS mya, syb/NULLIF(nb, 0) AS myb,
+        sxa/NULLIF(na, 0) AS mxa, sxb/NULLIF(nb, 0) AS mxb,
+        (syya - sya*sya/NULLIF(na, 0))/NULLIF(na-1, 0) AS vya,
+        (syyb - syb*syb/NULLIF(nb, 0))/NULLIF(nb-1, 0) AS vyb,
+        ((syya - sya*sya/NULLIF(na, 0))
+         - 2*theta*(sxya - sxa*sya/NULLIF(na, 0))
+         + theta*theta*(sxxa - sxa*sxa/NULLIF(na, 0)))
+          / NULLIF(na-1, 0) AS vca,
+        ((syyb - syb*syb/NULLIF(nb, 0))
+         - 2*theta*(sxyb - sxb*syb/NULLIF(nb, 0))
+         + theta*theta*(sxxb - sxb*sxb/NULLIF(nb, 0)))
+          / NULLIF(nb-1, 0) AS vcb
+      FROM t
+    ),
+    f AS (
+      SELECT m.*, mya - theta*(mxa - xbar) AS mca,
+                  myb - theta*(mxb - xbar) AS mcb
+      FROM m
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      ROUND(mya, 6) AS mean_a_raw, ROUND(myb, 6) AS mean_b_raw,
+      ROUND(myb - mya, 6) AS lift_raw,
+      ROUND((myb - mya) / NULLIF(SQRT(vya/NULLIF(na, 0)
+                                      + vyb/NULLIF(nb, 0)), 0), 4)
+        AS z_raw,
+      ROUND(theta, 6) AS theta,
+      ROUND(mca, 6) AS mean_a_cuped, ROUND(mcb, 6) AS mean_b_cuped,
+      ROUND(mcb - mca, 6) AS lift_cuped,
+      ROUND((mcb - mca) / NULLIF(SQRT(vca/NULLIF(na, 0)
+                                      + vcb/NULLIF(nb, 0)), 0), 4)
+        AS z_cuped,
+      ROUND(100*(1 - (((na-1)*vca + (nb-1)*vcb)/NULLIF(na+nb-2, 0))
+                     / NULLIF(((na-1)*vya + (nb-1)*vyb)
+                              / NULLIF(na+nb-2, 0), 0)), 4)
+        AS var_reduction_pct
+    FROM f
+    """,
+    tags=("ab-test", "cuped", "variance-reduction", "experimentation"),
+)
+def ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B readout (stats.cuped_ab — Deng, Xu, Kohavi &
+    Walker, WSDM 2013) over events: units are users (NULL user_id
+    dropped), arms from the deterministic md5 half-split, the
+    pre-period covariate x = per-user value sum before the Jan-16
+    cutoff (qa_ks_drift's), the experiment metric y = the sum after;
+    NULL-ts events belong to neither period. Two shuffles at any
+    event volume: the user-keyed conditional aggregate, then ONE
+    single-row power-sum reduction (map-side combined) from which
+    theta, both arms' raw and adjusted means/variances, Welch z-stats,
+    and the pooled-within-arm variance-reduction percentage all derive
+    as expressions. The oracle replays the identical power-sum algebra
+    with NULLIF-guarded divisions; floats round before publication."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    from tcga_query_project_spark.functions.scalar import hash_split_bucket
+
+    us = F.unix_micros(F.col("ts"))
+    unit = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(us < _KS_CUTOFF_US, F.col("value"))), F.lit(0.0)
+        ).alias("x"),
+        F.coalesce(
+            F.sum(F.when(us >= _KS_CUTOFF_US, F.col("value"))), F.lit(0.0)
+        ).alias("y"),
+    ).withColumn(
+        "_arm",
+        F.when(hash_split_bucket(F.col("user_id")) < 50, "A").otherwise("B"),
+    )
+    return stats.cuped_ab(unit, "user_id", "_arm", "x", "y")

@@ -630,3 +630,133 @@ def bootstrap_ci(
             "n_boot",
         )
     )
+
+
+def cuped_ab(
+    df: DataFrame,
+    unit_col: str,
+    arm_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """CUPED-adjusted A/B experiment readout (Deng, Xu, Kohavi &
+    Walker, WSDM 2013): the industry-standard variance-reduction
+    estimator — adjust each unit's experiment-period metric ``y`` by
+    its PRE-period covariate ``x``::
+
+        theta    = cov(x, y) / var(x)        (pooled across arms)
+        y_cuped  = y - theta * (x - mean(x))
+
+    Because assignment is independent of the pre-period, the
+    adjustment is unbiased for the treatment effect while removing the
+    between-unit variance ``x`` explains (variance shrinks by the
+    factor ``1 - corr(x,y)^2``) — the same experiment reaches
+    significance with far fewer units. This is the experiment-analysis
+    tier of the engine, next to the Wilcoxon/bootstrap/KS tests.
+
+    Input: one row per UNIT: ``(unit, arm 'A'|'B', x, y)`` (build it
+    with a user-keyed conditional aggregate; NULL x/y are treated as
+    0.0 — a unit with no pre-period activity has covariate 0).
+
+    Output: ONE row of scalars::
+
+        n_a, n_b,
+        mean_a_raw,  mean_b_raw,  lift_raw  [r6], z_raw  [r4],
+        theta [r6],
+        mean_a_cuped, mean_b_cuped, lift_cuped [r6], z_cuped [r4],
+        var_reduction_pct [r4]
+
+    z-stats are two-sample unpooled (Welch form): ``lift /
+    sqrt(s2_a/n_a + s2_b/n_b)`` with SAMPLE variances; every division
+    is NULLIF-guarded (single-unit arms and zero-variance covariates
+    yield NULL z / theta=0, never an ANSI divide-by-zero). Floats are
+    computed from raw power sums identically in both engines and
+    rounded before publication.
+
+    Scale shape: everything derives from ONE global aggregate of per-
+    arm power sums (n, Σx, Σy, Σx², Σy², Σxy conditioned on arm) —
+    a map-side-combined single-row reduction; no per-unit data ever
+    leaves the exchange. With the unit table itself built by a
+    user-keyed aggregate, the whole readout is two shuffles at any
+    event volume.
+    """
+    a = F.when(F.col(arm_col) == "A", 1.0).otherwise(0.0)
+    b = F.when(F.col(arm_col) == "B", 1.0).otherwise(0.0)
+    x = F.coalesce(F.col(x_col).cast("double"), F.lit(0.0))
+    y = F.coalesce(F.col(y_col).cast("double"), F.lit(0.0))
+    sums = df.agg(
+        F.sum(a).alias("na"),
+        F.sum(b).alias("nb"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(a * x).alias("sxa"),
+        F.sum(b * x).alias("sxb"),
+        F.sum(a * y).alias("sya"),
+        F.sum(b * y).alias("syb"),
+        F.sum(a * y * y).alias("syya"),
+        F.sum(b * y * y).alias("syyb"),
+        F.sum(a * x * x).alias("sxxa"),
+        F.sum(b * x * x).alias("sxxb"),
+        F.sum(a * x * y).alias("sxya"),
+        F.sum(b * x * y).alias("sxyb"),
+    )
+
+    def _div(num, den):
+        return num / F.nullif(den, F.lit(0.0))
+
+    n = F.col("na") + F.col("nb")
+    # pooled theta from centered sums; zero covariate variance -> 0
+    varx = F.col("sxx") - _div(F.col("sx") * F.col("sx"), n)
+    covxy = F.col("sxy") - _div(F.col("sx") * F.col("sy"), n)
+    theta = F.coalesce(_div(covxy, F.nullif(varx, F.lit(0.0))), F.lit(0.0))
+    xbar = _div(F.col("sx"), n)
+
+    def arm(tag):
+        na = F.col(f"n{tag}")
+        my = _div(F.col(f"sy{tag}"), na)
+        mx = _div(F.col(f"sx{tag}"), na)
+        # sample variance of y within the arm
+        vy = _div(
+            F.col(f"syy{tag}") - _div(F.col(f"sy{tag}") ** 2, na),
+            na - 1,
+        )
+        # var(y - theta x) within the arm, from the same power sums
+        vxa = F.col(f"sxx{tag}") - _div(F.col(f"sx{tag}") ** 2, na)
+        cxy = F.col(f"sxy{tag}") - _div(
+            F.col(f"sx{tag}") * F.col(f"sy{tag}"), na
+        )
+        syy = F.col(f"syy{tag}") - _div(F.col(f"sy{tag}") ** 2, na)
+        vc = _div(
+            syy - 2 * F.col("_theta") * cxy + F.col("_theta") ** 2 * vxa,
+            na - 1,
+        )
+        mc = my - F.col("_theta") * (mx - F.col("_xbar"))
+        return na, my, vy, mc, vc
+
+    base = sums.withColumn("_theta", theta).withColumn("_xbar", xbar)
+    na, mya, vya, mca, vca = arm("a")
+    nb, myb, vyb, mcb, vcb = arm("b")
+    z_raw = _div(myb - mya, F.sqrt(_div(vya, na) + _div(vyb, nb)))
+    z_cu = _div(mcb - mca, F.sqrt(_div(vca, na) + _div(vcb, nb)))
+    # pooled variance reduction: 1 - var(cuped)/var(raw), from the
+    # pooled WITHIN-arm variances so the treatment effect itself does
+    # not count as "variance explained"
+    pooled_raw = _div((na - 1) * vya + (nb - 1) * vyb, n - 2)
+    pooled_cu = _div((na - 1) * vca + (nb - 1) * vcb, n - 2)
+    red = 100.0 * (1.0 - _div(pooled_cu, F.nullif(pooled_raw, F.lit(0.0))))
+    return base.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(mya, 6).alias("mean_a_raw"),
+        F.round(myb, 6).alias("mean_b_raw"),
+        F.round(myb - mya, 6).alias("lift_raw"),
+        F.round(z_raw, 4).alias("z_raw"),
+        F.round(F.col("_theta"), 6).alias("theta"),
+        F.round(mca, 6).alias("mean_a_cuped"),
+        F.round(mcb, 6).alias("mean_b_cuped"),
+        F.round(mcb - mca, 6).alias("lift_cuped"),
+        F.round(z_cu, 4).alias("z_cuped"),
+        F.round(red, 4).alias("var_reduction_pct"),
+    )

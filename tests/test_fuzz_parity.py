@@ -694,6 +694,30 @@ def test_fuzz_windowed_psi_matches_oracle(spark, tmp_path_factory, tables):
     assert not problems, problems
 
 
+# round-9 late: CUPED shares the cutoff-straddling grid too — NULL ts
+# (in neither period), NULL values (sum skips; all-NULL -> 0.0 unit),
+# one-sided corpora (empty covariate/metric side), single-unit and
+# empty arms (NULL z via NULLIF, never a divide error), tiny n where
+# the n-1 / n-2 denominators hit zero
+@settings(
+    max_examples=FUZZ_EXAMPLES,
+    derandomize=FUZZ_DERANDOMIZE,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(tables=events_ks_micro())
+def test_fuzz_cuped_matches_oracle(spark, tmp_path_factory, tables):
+    from tcga_query_project_spark.catalog import BENCH_ONLY
+
+    d = str(tmp_path_factory.mktemp("fuzz_cuped"))
+    _write_dir(tables, d)
+    spec = BENCH_ONLY["ab_cuped"]
+    got = spec.build(spark, d).toPandas()
+    want = run_oracle(spec.oracle, d)
+    problems = compare(got, want)
+    assert not problems, problems
+
+
 #: embedding near-dup pair family (round 8): degenerate geometries the
 #: SF-pinned parity runs never produce — empty corpora (the tuned-bits
 #: log2 clamp), NULL vectors (kernel must drop them like the SQL norms
