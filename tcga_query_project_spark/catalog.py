@@ -6928,10 +6928,20 @@ def qa_windowed_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
           / NULLIF(nb-1, 0) AS vcb
       FROM t
     ),
-    f AS (
-      SELECT m.*, mya - theta*(mxa - xbar) AS mca,
-                  myb - theta*(mxb - xbar) AS mcb
+    -- clamp float-cancellation negatives (~-1e-12) at 0 but preserve
+    -- NULL single-unit-arm variances: CASE WHEN NULL<0 falls to ELSE
+    m2 AS (
+      SELECT m.* REPLACE (
+        CASE WHEN vya < 0 THEN 0 ELSE vya END AS vya,
+        CASE WHEN vyb < 0 THEN 0 ELSE vyb END AS vyb,
+        CASE WHEN vca < 0 THEN 0 ELSE vca END AS vca,
+        CASE WHEN vcb < 0 THEN 0 ELSE vcb END AS vcb)
       FROM m
+    ),
+    f AS (
+      SELECT m2.*, mya - theta*(mxa - xbar) AS mca,
+                   myb - theta*(mxb - xbar) AS mcb
+      FROM m2
     )
     SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
       ROUND(mya, 6) AS mean_a_raw, ROUND(myb, 6) AS mean_b_raw,

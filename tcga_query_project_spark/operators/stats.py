@@ -706,6 +706,13 @@ def cuped_ab(
     def _div(num, den):
         return num / F.nullif(den, F.lit(0.0))
 
+    def _clamp0(v):
+        # variances derived from power sums can go ~-1e-12 via float
+        # cancellation (e.g. a constant-metric arm); clamp at 0 but
+        # PRESERVE NULL (single-unit arm) — when(NULL < 0) falls to
+        # otherwise(v)=NULL in both Spark and the DuckDB oracle's CASE
+        return F.when(v < 0, F.lit(0.0)).otherwise(v)
+
     n = F.col("na") + F.col("nb")
     # pooled theta from centered sums; zero covariate variance -> 0
     varx = F.col("sxx") - _div(F.col("sx") * F.col("sx"), n)
@@ -718,9 +725,11 @@ def cuped_ab(
         my = _div(F.col(f"sy{tag}"), na)
         mx = _div(F.col(f"sx{tag}"), na)
         # sample variance of y within the arm
-        vy = _div(
-            F.col(f"syy{tag}") - _div(F.col(f"sy{tag}") ** 2, na),
-            na - 1,
+        vy = _clamp0(
+            _div(
+                F.col(f"syy{tag}") - _div(F.col(f"sy{tag}") ** 2, na),
+                na - 1,
+            )
         )
         # var(y - theta x) within the arm, from the same power sums
         vxa = F.col(f"sxx{tag}") - _div(F.col(f"sx{tag}") ** 2, na)
@@ -728,9 +737,11 @@ def cuped_ab(
             F.col(f"sx{tag}") * F.col(f"sy{tag}"), na
         )
         syy = F.col(f"syy{tag}") - _div(F.col(f"sy{tag}") ** 2, na)
-        vc = _div(
-            syy - 2 * F.col("_theta") * cxy + F.col("_theta") ** 2 * vxa,
-            na - 1,
+        vc = _clamp0(
+            _div(
+                syy - 2 * F.col("_theta") * cxy + F.col("_theta") ** 2 * vxa,
+                na - 1,
+            )
         )
         mc = my - F.col("_theta") * (mx - F.col("_xbar"))
         return na, my, vy, mc, vc

@@ -461,10 +461,12 @@ def bigram_backoff_score(
     Scale shape: transitions come from ``slice+arrays_zip+explode`` —
     a pure codegen projection, NO per-doc window (the order lives in
     the array, not in row order, so no doc-keyed sort-shuffle exists
-    anywhere). Model unigram/bigram counts are vocabulary-sized
-    aggregates that BROADCAST back onto the transition stream; N rides
-    a one-row broadcast scalar derived from the unigram table (never a
-    second corpus scan). Exchanges at any corpus size: two model-count
+    anywhere). The unigram table is vocabulary-sized and BROADCASTS
+    back onto the transition stream; the BIGRAM table grows roughly
+    linearly with corpus tokens, so it gets NO forced hint — AQE
+    broadcasts it when measured small and shuffle-joins it when not.
+    N rides a one-row broadcast scalar derived from the unigram table
+    (never a second corpus scan). Exchanges at any corpus size: two model-count
     aggregates + the final doc-keyed aggregate. In production the
     model tables are precomputed dimensions (Brants et al. serve them
     as a distributed service); the in-corpus build here just makes the
@@ -517,8 +519,13 @@ def bigram_backoff_score(
         F.col("_w").alias("_wp"), F.col("_uc").alias("_ucp")
     )
     a = F.lit(float(alpha))
+    # NO forced broadcast on `big`: distinct bigrams grow roughly
+    # linearly with corpus tokens (Heaps-like), not vocabulary-sized —
+    # a hint would bypass AQE's size check and OOM at scale. AQE still
+    # broadcasts it when it measures small; uni/uni_prev/total ARE
+    # vocabulary-/scalar-sized, so those hints stay.
     scored = (
-        trans.join(F.broadcast(big), ["_wp", "_w"], "left")
+        trans.join(big, ["_wp", "_w"], "left")
         .join(F.broadcast(uni_prev), "_wp", "left")
         .join(F.broadcast(uni), "_w", "left")
         .crossJoin(F.broadcast(total))

@@ -3324,3 +3324,18 @@ def test_cuped_ab_matches_numpy(spark):
     assert r["theta"] == 0.0
     assert r["mean_a_cuped"] == r["mean_a_raw"]
     assert r["z_raw"] is None and r["z_cuped"] is None  # n_b == 1
+
+    # constant-METRIC arms: power-sum variances cancel to ~-1e-18
+    # (0.1 is not float-representable; syy - sy^2/n goes negative for
+    # n=3 per-arm sequential sums), so an unclamped sqrt yields NaN on
+    # the Spark side and crashes DuckDB's SQRT on the oracle side.
+    # With the clamp: variance 0 -> z NULL via the NULLIF guard.
+    const = spark.createDataFrame(
+        [(i, "A" if i < 3 else "B", float(i), 0.1) for i in range(6)],
+        "unit long, arm string, x double, y double",
+    ).coalesce(1)
+    rc = cuped_ab(const, "unit", "arm", "x", "y").collect()[0]
+    for col in ("z_raw", "z_cuped", "var_reduction_pct"):
+        v = rc[col]
+        assert v is None or v == v, (col, v)  # never NaN
+    assert rc["lift_raw"] == 0.0
