@@ -93,6 +93,12 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: oracle through the same comparison as the driver, and displaced
 #: queries keep their unit/plan/fuzz coverage unchanged. Expect the
 #: rotation to continue in future rounds.
+#:
+#: Round 10 rotated the (now driver-attested) round-9 eight back out
+#: in exchange for the eight never-driver-attested oracles the round-9
+#: verdict named: dd_jaccard_prefix_join, tx_perplexity,
+#: tx_bigram_backoff, pp_dsir_select, qa_windowed_psi, ab_cuped,
+#: tj_retention, qa_psi_drift.
 BENCH_ONLY: dict[str, QuerySpec] = {}
 
 
@@ -1621,7 +1627,7 @@ _MINHASH_PAIRS_CTES = (
 )
 
 
-@register_bench_only(
+@register(
     "dd_jaccard_prefix_join",
     f"""
     WITH docs AS (SELECT doc_id, {_SQL_TOKS_NORM} AS toks
@@ -1718,7 +1724,7 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_bench_only(
     "dd_embedding_lsh_pairs",
     """
     WITH prm AS (
@@ -2338,7 +2344,7 @@ def _pagerank_oracle(n_iter: int, damping: float) -> str:
     )
 
 
-@register(
+@register_bench_only(
     "gq_pagerank",
     _pagerank_oracle(n_iter=6, damping=0.85),
     tags=("graph", "quality-prior"),
@@ -3245,7 +3251,7 @@ def tx_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_bench_only(
+@register(
     "tx_perplexity",
     "WITH "
     + _SQL_TF_CTE
@@ -3279,7 +3285,7 @@ def tx_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_perplexity(docs, "doc_id", "text")
 
 
-@register_bench_only(
+@register(
     "tx_bigram_backoff",
     f"""
     WITH docs AS (
@@ -3983,7 +3989,7 @@ def pp_mixture_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_bench_only(
     "tx_repetition",
     f"""
     WITH docs AS (
@@ -4652,7 +4658,7 @@ def er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy.fuzzy_pairs(part, "p_name", max_dist=2)
 
 
-@register(
+@register_bench_only(
     "tj_funnel",
     """
     WITH ev AS (
@@ -4699,7 +4705,7 @@ def tj_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_bench_only(
+@register(
     "tj_retention",
     """
     WITH ev AS (
@@ -4825,7 +4831,7 @@ def tj_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_bench_only(
     "tj_incremental_agg",
     """
     WITH patched AS (
@@ -4897,7 +4903,7 @@ def tj_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_bench_only(
     "er_entity_clusters",
     """
     WITH RECURSIVE names AS (
@@ -4988,7 +4994,7 @@ _PSI_CUTOFF = "1998-01-01 00:00:00"
 _PSI_PRICE_EDGES = (50_000.0, 100_000.0, 200_000.0, 300_000.0, 400_000.0)
 
 
-@register_bench_only(
+@register(
     "qa_psi_drift",
     f"""
     WITH base AS (
@@ -5069,7 +5075,7 @@ def qa_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KS_CUTOFF_US = 1_705_363_200_000_000
 
 
-@register(
+@register_bench_only(
     "qa_ks_drift",
     f"""
     WITH src AS (
@@ -6649,7 +6655,7 @@ def pp_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_bench_only(
     "pp_weighted_sample",
     """
     WITH w AS (
@@ -6705,7 +6711,7 @@ def pp_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_bench_only(
+@register(
     "pp_dsir_select",
     """
     WITH docs AS (
@@ -6789,7 +6795,7 @@ _PSI_VALUE_BIN_SQL = """CASE WHEN value IS NULL THEN '__null__'
                            AS VARCHAR) END"""
 
 
-@register_bench_only(
+@register(
     "qa_windowed_psi",
     f"""
     WITH ev AS (SELECT ts, event_type, value FROM events
@@ -6881,7 +6887,7 @@ def qa_windowed_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_bench_only(
+@register(
     "ab_cuped",
     f"""
     WITH u AS (
