@@ -381,6 +381,243 @@ def bh_adjust_distinct(
     return df.join(F.broadcast(adjusted), [*part, p])
 
 
+def r_lowess(
+    x: list[float],
+    y: list[float],
+    f: float = 2.0 / 3.0,
+    iters: int = 3,
+) -> list[float]:
+    """Cleveland's LOWESS (Cleveland 1979, JASA 74) matching R's
+    ``lowess()`` semantics for the no-delta-skip regime: per point,
+    locally weighted linear regression over the ``ceil(f*n)`` nearest
+    x-neighbors with tricube weights, then ``iters`` robustifying
+    passes reweighting by the bisquare of scaled residuals
+    (``6 * median(|res|)``).
+
+    Inputs must be sorted ascending by x. R's delta speed-up
+    (interpolate across points closer than ``delta = 0.01 * range(x)``)
+    is NOT implemented: for DESeq2's use the grid is 50 evenly spaced
+    thetas, so the spacing is ``range/49 > delta`` and the skip never
+    activates — fitting every point IS R's answer there. Driver-side
+    only: the caller hands in a dimension-sized grid (50 points), never
+    row data.
+    """
+    import math
+
+    n = len(x)
+    if n == 0:
+        return []
+    if n == 1:
+        return [y[0]]
+    ns = max(2, min(n, int(f * n + 1e-7)))
+    rng = x[-1] - x[0]
+    rw = [1.0] * n
+    ys = [0.0] * n
+    for it in range(iters + 1):
+        nleft, nright = 0, ns - 1
+        for i in range(n):
+            # slide the ns-window to center on x[i]
+            while nright < n - 1:
+                if x[i] - x[nleft] <= x[nright + 1] - x[i]:
+                    break
+                nleft += 1
+                nright += 1
+            h = max(x[i] - x[nleft], x[nright] - x[i])
+            h9, h1 = 0.999 * h, 0.001 * h
+            w = [0.0] * n
+            for j in range(nleft, n):
+                r = abs(x[j] - x[i])
+                if r <= h9:
+                    w[j] = 1.0 if r <= h1 else (1.0 - (r / h) ** 3) ** 3
+                    if it > 0:
+                        w[j] *= rw[j]
+                elif x[j] > x[i]:
+                    break
+            tot = sum(w)
+            if tot <= 0.0:
+                # all local robustness weights zero: keep raw y
+                ys[i] = y[i]
+                continue
+            w = [wj / tot for wj in w]
+            if h > 0.0:
+                # weighted linear fit: tilt weights by the slope term
+                a = sum(wj * xj for wj, xj in zip(w, x))
+                b = x[i] - a
+                c = sum(wj * (xj - a) ** 2 for wj, xj in zip(w, x))
+                if math.sqrt(c) > 0.001 * rng:
+                    b /= c
+                    w = [wj * (1.0 + b * (xj - a)) for wj, xj in zip(w, x)]
+            ys[i] = sum(wj * yj for wj, yj in zip(w, y))
+        if it == iters:
+            break
+        res = [abs(yi - fi) for yi, fi in zip(y, ys)]
+        sres = sorted(res)
+        m = (
+            sres[n // 2]
+            if n % 2
+            else 0.5 * (sres[n // 2 - 1] + sres[n // 2])
+        )
+        cmad = 6.0 * m
+        if cmad <= 1e-12:
+            break
+        c9, c1 = 0.999 * cmad, 0.001 * cmad
+        rw = [
+            1.0
+            if r <= c1
+            else (0.0 if r >= c9 else (1.0 - (r / cmad) ** 2) ** 2)
+            for r in res
+        ]
+    return ys
+
+
+def select_filter_theta(
+    num_rej: list[float], alpha_fit: list[float] | None = None
+) -> int:
+    """DESeq2 ``results()`` independent-filtering threshold selection
+    (pvalueAdjustment in DESeq2 results.R; Love et al. 2014 and Bourgon
+    et al. 2010 for why filtering on base mean is p-value-independent
+    under the null): given the rejection count at each candidate theta,
+    lowess-smooth the rejection curve (f=1/5), set ``thresh = max(fit)
+    - sqrt(mean(residual^2))`` over the positive-rejection points, and
+    take the FIRST theta whose raw count exceeds it — the smallest
+    filter that achieves (within noise) the maximum rejections. If no
+    theta rejects more than 10 hypotheses the data cannot support a
+    threshold choice and index 0 (no filtering benefit) is returned.
+
+    Pure driver-side selection over the dimension-sized grid;
+    ``alpha_fit`` injects a precomputed smooth for tests.
+    """
+    n = len(num_rej)
+    if n == 0:
+        return 0
+    if max(num_rej) <= 10:
+        return 0
+    thetas = [i / (n - 1) if n > 1 else 0.0 for i in range(n)]
+    fit = (
+        alpha_fit
+        if alpha_fit is not None
+        else r_lowess(thetas, [float(v) for v in num_rej], f=1.0 / 5.0)
+    )
+    pos = [(v, fv) for v, fv in zip(num_rej, fit) if v > 0]
+    if pos:
+        mse = sum((v - fv) ** 2 for v, fv in pos) / len(pos)
+    else:
+        mse = 0.0
+    thresh = max(fit) - mse**0.5
+    for i, v in enumerate(num_rej):
+        if v > thresh:
+            return i
+    return 0
+
+
+def independent_filter_padj(
+    df: DataFrame,
+    base_mean_col: str,
+    p: str,
+    *,
+    alpha: float = 0.1,
+    n_theta: int = 50,
+    out: str = "padj",
+) -> DataFrame:
+    """DESeq2 ``results()`` independent filtering + BH — the default
+    padj the reference actually reads (vital_status_DESeq.R:89 consumes
+    ``results()``, whose default ``independentFiltering=TRUE`` optimizes
+    the tested gene set by mean-normalized-count before BH; plain
+    :func:`bh_adjust` is the ``independentFiltering=FALSE`` form).
+
+    Algorithm (DESeq2 pvalueAdjustment + genefilter ``filtered_p``):
+
+    1. theta grid: ``n_theta`` points from ``mean(baseMean == 0)`` to
+       0.95; cutoffs are the type-7 quantiles of baseMean at each theta
+       (Spark's exact ``percentile`` interpolates identically to R
+       type 7).
+    2. for each theta: BH over the genes with ``baseMean >= cutoff``
+       and non-NULL p; count rejections at ``alpha``.
+    3. select theta by the lowess rule (:func:`select_filter_theta`).
+    4. final padj: BH over the kept genes at the chosen cutoff; genes
+       filtered out (or with NULL p) get ``padj`` NULL — DESeq2's NA.
+
+    Output: the input rows plus ``padj``, ``filter_theta`` and
+    ``filter_threshold`` (the chosen quantile and baseMean cutoff,
+    constant columns — DESeq2 reports them as result metadata).
+
+    Documented divergence: DESeq2 computes the quantile grid over ALL
+    result rows (including NA-p genes — mostly the all-zero ones its
+    ``lowerQuantile`` then skips); here the grid is over the TESTED
+    (non-NULL p) genes only. BH only ever sees non-NA p in both, so the
+    rejection-maximization semantics are identical — only the reported
+    ``filter_threshold`` can sit at a slightly different quantile of
+    the full table when many Cook's-filtered genes exist.
+
+    EAGER CONTRACT: this runs two Spark jobs at call time (one scalar
+    aggregate for the zero fraction, one ``n_theta``-row rejection-grid
+    collect — both dimension-sized, the same guarded-collect class as
+    the k-group log-rank). The rejection grid itself is distributed: a
+    broadcast of the 50-row cutoff table against the gene table, BH per
+    theta via the distinct-p formulation (no global row window), one
+    grouped count back. The gene-level results table this consumes is
+    bounded by the annotation (~60k genes), so the 50x expansion is
+    ~3M intermediate rows at worst — flat cost at any cohort size,
+    since samples were already aggregated away by the Wald stage.
+    """
+    tested = df.filter(F.col(p).isNotNull())
+    frac0_row = tested.agg(
+        F.coalesce(
+            F.avg(
+                F.when(F.col(base_mean_col) == 0.0, 1.0).otherwise(0.0)
+            ),
+            F.lit(0.0),
+        ).alias("f0")
+    ).collect()[0]
+    lower = float(frac0_row["f0"])
+    upper = 0.95 if lower < 0.95 else 1.0
+    thetas = [
+        lower + (upper - lower) * i / (n_theta - 1) for i in range(n_theta)
+    ]
+    cuts = tested.agg(
+        F.percentile(
+            F.col(base_mean_col), F.array(*[F.lit(t) for t in thetas])
+        ).alias("_cuts")
+    )
+    grid = cuts.select(F.posexplode("_cuts").alias("_ti", "_cut"))
+    expanded = tested.crossJoin(F.broadcast(grid)).filter(
+        F.col(base_mean_col) >= F.col("_cut")
+    )
+    rej = (
+        bh_adjust_distinct(expanded, p, ["_ti"], out="_padj_t")
+        .groupBy("_ti")
+        .agg(
+            F.first("_cut").alias("_cut"),
+            F.sum(
+                F.when(F.col("_padj_t") < alpha, 1).otherwise(0)
+            ).alias("_nrej"),
+        )
+        .orderBy("_ti")
+        .collect()
+    )
+    num_rej = [float(r["_nrej"]) for r in rej]
+    # lowess over the ACTUAL theta spacing (evenly spaced by
+    # construction, so index-based x in select_filter_theta is affine-
+    # equivalent — lowess is invariant to affine x rescaling)
+    j = select_filter_theta(num_rej)
+    cutoff = float(rej[j]["_cut"]) if rej else 0.0
+    kept = bh_adjust_distinct(
+        tested.filter(F.col(base_mean_col) >= cutoff), p, out=out
+    )
+    dropped = tested.filter(F.col(base_mean_col) < cutoff).withColumn(
+        out, F.lit(None).cast("double")
+    )
+    missing = df.filter(F.col(p).isNull()).withColumn(
+        out, F.lit(None).cast("double")
+    )
+    return (
+        kept.unionByName(dropped)
+        .unionByName(missing)
+        .withColumn("filter_theta", F.lit(round(thetas[j], 6)))
+        .withColumn("filter_threshold", F.lit(round(cutoff, 6)))
+    )
+
+
 def robust_outliers(
     df: DataFrame,
     group_cols: list[str],

@@ -84,11 +84,21 @@ def differential_expression(
     level_a: str,
     level_b: str,
     min_total: float = 10.0,
+    independent_filtering: bool = False,
 ) -> DataFrame:
     """DE results for the contrast level_b vs level_a: one row per gene
     with base_mean, log2_fold_change, pvalue, padj, p_signif —
     the ``results()`` + BH + binning chain
-    (vital_status_DESeq.R:89-97)."""
+    (vital_status_DESeq.R:89-97).
+
+    ``independent_filtering=True`` enables DESeq2 ``results()``'s
+    default mean-count padj optimization
+    (:func:`stats.independent_filter_padj` — lowess-selected baseMean
+    quantile cutoff, filtered genes padj=NULL, plus the
+    ``filter_theta``/``filter_threshold`` metadata columns). The pinned
+    driver oracle runs with it OFF (the plain-BH form below), matching
+    the round-9 state; the flag is the ``results()`` default-fidelity
+    path."""
     fact = prepare_cohort(
         expression, samples, group_col, [level_a, level_b], min_total
     )
@@ -96,6 +106,12 @@ def differential_expression(
     de = glm.nb_glm_wald(
         fact, "gene_id", "cond", "count", sf, "barcode", level_a, level_b
     )
+    if independent_filtering:
+        return (
+            stats.independent_filter_padj(de, "base_mean", "pvalue")
+            .withColumn("p_signif", signif_bin(F.col("padj")))
+            .withColumnRenamed("gene", "gene_id")
+        )
     # distinct-p BH form: value-identical to the row-window formulation
     # (equivalence-tested in test_properties) but with no global
     # single-partition window — at 60k genes either works; at billions
