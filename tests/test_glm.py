@@ -119,13 +119,89 @@ def test_wilcoxon_exact_agrees_with_normal_for_large_n(spark):
     assert abs(ex["p_value"] - ap["p_value"]) < 0.02
 
 
-def test_wilcoxon_exact_ties_fall_back(spark):
+def test_wilcoxon_exact_ties_use_tie_permutation(spark):
+    # round-10: tied small samples get the exact midrank-permutation
+    # distribution (coin::wilcox_test(distribution="exact") semantics)
+    # instead of falling back to normal-approx. Hand enumeration for
+    # A={1,2}, B={2,3}: midranks 1, 2.5, 2.5, 4; the C(4,2)=6 subsets
+    # have doubled sums {7,7,10,10,13,13} -> W_A=2*(1+2.5)=7 ->
+    # lower = P(W<=7) = 2/6, upper = P(W>=7) = 6/6 -> p = 2*(2/6) = 2/3
     from tcga_query_project_spark.operators import exact_tests
 
     rows = [("g", "A", 1.0), ("g", "A", 2.0), ("g", "B", 2.0), ("g", "B", 3.0)]
     df = spark.createDataFrame(rows, "gene string, lab string, v double")
     out = exact_tests.wilcoxon_exact(df, "gene", "lab", "v", "A", "B").collect()[0]
-    assert out["method"] == "normal-approx"
+    assert out["method"] == "exact-tie-perm"
+    assert abs(out["p_value"] - 2.0 / 3.0) < 1e-12
+
+
+def test_wilcoxon_tie_perm_matches_brute_force_enumeration(spark):
+    # the DP vs literal enumeration of every C(n, n1) assignment of the
+    # observed midranks — the exact distribution by definition — over
+    # several tied fixtures, including heavy (count-data-like) ties
+    from itertools import combinations
+
+    import numpy as np
+
+    from tcga_query_project_spark.operators import exact_tests
+
+    fixtures = [
+        ([1.0, 2.0, 2.0], [2.0, 3.0]),
+        ([0.0, 0.0, 1.0, 5.0], [0.0, 1.0, 1.0]),
+        ([3.0, 3.0, 3.0], [3.0, 3.0, 3.0]),  # all tied -> p = 1
+        ([1.0, 4.0, 4.0, 7.0, 9.0], [2.0, 4.0, 7.0, 7.0]),
+    ]
+    for ai, (a, b) in enumerate(fixtures):
+        pooled = np.array(a + b)
+        n1, n = len(a), len(pooled)
+        # midranks
+        order = np.argsort(pooled, kind="mergesort")
+        rank_vals = np.arange(1, n + 1, dtype=float)
+        sv = pooled[order]
+        i = 0
+        while i < n:
+            j = i
+            while j + 1 < n and sv[j + 1] == sv[i]:
+                j += 1
+            rank_vals[i : j + 1] = rank_vals[i : j + 1].mean()
+            i = j + 1
+        ranks = np.empty(n)
+        ranks[order] = rank_vals
+        w_obs = ranks[:n1].sum()
+        sums = [sum(ranks[list(c)]) for c in combinations(range(n), n1)]
+        lo = sum(1 for s in sums if s <= w_obs + 1e-9) / len(sums)
+        hi = sum(1 for s in sums if s >= w_obs - 1e-9) / len(sums)
+        want = min(1.0, 2.0 * min(lo, hi))
+        rows = [("g", "A", float(v)) for v in a] + [
+            ("g", "B", float(v)) for v in b
+        ]
+        df = spark.createDataFrame(rows, "gene string, lab string, v double")
+        out = exact_tests.wilcoxon_exact(
+            df, "gene", "lab", "v", "A", "B"
+        ).collect()[0]
+        assert out["method"] == "exact-tie-perm", ai
+        assert abs(out["p_value"] - want) < 1e-12, (ai, out["p_value"], want)
+
+
+def test_wilcoxon_tie_perm_equals_mann_whitney_when_tie_free():
+    # on tie-free data the midrank-permutation distribution IS the
+    # shifted Mann-Whitney null — the two exact paths must agree
+    import numpy as np
+
+    from tcga_query_project_spark.operators.exact_tests import (
+        _exact_p_two_sided,
+        _tie_perm_p_two_sided,
+    )
+
+    rng = np.random.default_rng(3)
+    for n1, n2 in [(3, 3), (4, 6), (5, 5)]:
+        vals = rng.permutation(np.arange(1.0, n1 + n2 + 1.0))
+        ranks = np.empty(n1 + n2)
+        ranks[np.argsort(vals)] = np.arange(1, n1 + n2 + 1, dtype=float)
+        u = ranks[:n1].sum() - n1 * (n1 + 1) / 2.0
+        assert abs(
+            _tie_perm_p_two_sided(ranks, n1) - _exact_p_two_sided(u, n1, n2)
+        ) < 1e-12
 
 
 def test_dispersion_shrinkage_pulls_outliers_toward_trend(spark):
