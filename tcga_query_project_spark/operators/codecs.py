@@ -345,6 +345,11 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray] | None:
             frames = f.readframes(f.getnframes())
     except (wave.Error, EOFError):
         return None
+    if rate <= 0 or n_ch <= 0:
+        return None  # corrupt fmt chunk the stdlib reader let through
+    # a truncated data chunk can end mid-sample: clip to whole samples
+    # instead of letting frombuffer raise on a ragged buffer
+    frames = frames[: (len(frames) // width) * width] if width else b""
     if width == 1:
         x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
     elif width == 2:

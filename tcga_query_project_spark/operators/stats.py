@@ -29,9 +29,21 @@ def size_factors(
     (their log-geomean is -inf in DESeq2). Then per sample:
     ``sf = exp(median(ln(count) - log_geomean))`` over surviving genes.
 
-    Two hash aggregations partitioned by gene then by sample; the
-    gene-level aggregate is tiny (one row per gene) and broadcasts back
-    onto the fact table.
+    Scale shape (reworked round 10 — this was the fattest spill in
+    BENCH_STRESS at 100x data): the gene-level aggregate is the
+    annotation dimension, so it BROADCASTS back onto the fact by
+    explicit hint (letting the planner sort-merge here shuffles the
+    whole fact by gene first — the 2 GB shuffle-write the stress file
+    recorded); the per-sample exact median comes from ONE
+    sample-partitioned window sort + middle-rank pick instead of
+    ``percentile()``, whose per-group value-map buffers were the 4 GB
+    memory-spill (object-hash aggregation holds every distinct ratio
+    per sample in memory; a window sort is Spark's external,
+    sequential-spill path). Interpolation is the identical
+    ``lo + 0.5*(hi - lo)`` percentile formula, so values are unchanged
+    to the last bit. One corpus-sized exchange total (the window's), a
+    filter to <=2 rows per sample, then a dimension-sized aggregate
+    that reuses the window's hash partitioning.
     """
     per_gene = (
         fact.groupBy(gene)
@@ -43,15 +55,29 @@ def size_factors(
         .filter(F.col("_n_pos") == F.col("_n"))  # all-positive genes only
         .select(gene, "_log_geomean")
     )
-    return (
-        fact.join(per_gene, gene)
-        .groupBy(sample)
-        .agg(
-            F.percentile(
-                F.log(F.col(value)) - F.col("_log_geomean"), F.lit(0.5)
-            ).alias("_log_sf")
+    ratios = fact.join(F.broadcast(per_gene), gene).select(
+        F.col(sample),
+        (F.log(F.col(value)) - F.col("_log_geomean")).alias("_lr"),
+    )
+    w_rank = Window.partitionBy(sample).orderBy(F.col("_lr").asc())
+    w_all = Window.partitionBy(sample)
+    mids = (
+        ratios.withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("_cnt", F.count(F.lit(1)).over(w_all))
+        .filter(
+            (F.col("_rn") == F.floor((F.col("_cnt") + 1) / 2))
+            | (F.col("_rn") == F.ceil((F.col("_cnt") + 1) / 2))
         )
-        .select(F.col(sample), F.exp("_log_sf").alias("size_factor"))
+    )
+    return (
+        mids.groupBy(sample)
+        .agg(F.min("_lr").alias("_lo"), F.max("_lr").alias("_hi"))
+        .select(
+            F.col(sample),
+            F.exp(
+                F.col("_lo") + 0.5 * (F.col("_hi") - F.col("_lo"))
+            ).alias("size_factor"),
+        )
     )
 
 
