@@ -211,6 +211,31 @@ ONLY = [
 ]
 
 
+def _split_storms(
+    flagged: list[str], probes: dict[str, float]
+) -> tuple[list[str], list[str]]:
+    """Split regression flags by the noise-probe evidence: a flagged
+    query whose own probe (the fixed tiny job timed immediately before
+    its reps) ran >= 3x the session's median probe was measured during
+    a session storm (GC pause train, broadcast-cleanup churn, external
+    load) — the round-9 ann_cosine_topk shape, which was unresolvable
+    then precisely because the record carried no in-session noise
+    signal. Both lists are published; a storm-suspect flag still names
+    a query that must re-pin quiet, but the record now distinguishes
+    'the engine regressed' from 'the session was loud'."""
+    if not probes:
+        return flagged, []
+    med = sorted(probes.values())[len(probes) // 2]
+    real, storm = [], []
+    for n in flagged:
+        p = probes.get(n)
+        if p is not None and med > 0 and p >= 3.0 * med:
+            storm.append(n)
+        else:
+            real.append(n)
+    return real, storm
+
+
 def _regressions(times_exec: dict[str, float]) -> list[str]:
     """Queries whose best exec-only time sits above the pinned noise
     envelope (``BENCH_NOISE.json``): ``t > exec_max * spread_p95`` and
@@ -302,10 +327,36 @@ def main() -> None:
     times_median: dict[str, float] = {}
     times_exec: dict[str, float] = {}
     times_build: dict[str, float] = {}
+    times_probe: dict[str, float] = {}
+
+    # Fixed noise probe: one tiny shuffle job (range -> mod-97 groupBy)
+    # timed immediately before each query's reps. Its plan never
+    # changes, so its time is a pure session-health signal — if a
+    # query's probe ran 3x the session median, that query's figures
+    # were taken inside a storm and flagged_regressed says so
+    # (round-9's ann_cosine_topk 4.1s flag was unresolvable because
+    # the record had no such signal). ~0.1s per query, outside every
+    # per-query timer.
+    def _probe() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(1 << 21, numPartitions=CPUS)
+            .selectExpr("id % 97 AS k")
+            .groupBy("k")
+            .count()
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.perf_counter() - t0
+
+    _probe()  # warm the probe's own codegen
+
     for name in HEADLINE:
         spec = LOOKUP.get(name)
         if spec is None:
             continue
+        times_probe[name] = round(_probe(), 3)
         reps: list[float] = []
         reps_exec: list[float] = []
         reps_build: list[float] = []
@@ -341,6 +392,13 @@ def main() -> None:
         # 1.2s the same way).
         df = None
         gc.collect()
+        # ...and the JVM side synchronously: gc.collect() only drops
+        # the py4j handles — the ContextCleaner unpersists the
+        # underlying broadcast blocks when JVM weak references get
+        # processed, which System.gc() forces NOW instead of during
+        # some later query's timed rep (round-10: the remaining storm
+        # mechanism after round 8's handle-release fix).
+        spark.sparkContext._jvm.System.gc()
 
     # SPARK_GRAFT_SF labels the run explicitly (the dir-name heuristic
     # misreads names like ntpch_sf01); the label feeds BENCH_SCALE's
@@ -351,6 +409,9 @@ def main() -> None:
     else:
         m = re.search(r"sf([0-9.]+)", SF_DIR)
         sf = float(m.group(1)) if m else None
+    regressed, storm_suspect = _split_storms(
+        _regressions(times_exec), times_probe
+    )
     detail = {
         "metric": "headline_query_wall_time_total",
         "value": round(sum(times.values()), 3),
@@ -397,8 +458,14 @@ def main() -> None:
         # produced (round-8 judge ask #7). Sub-0.3s queries also need
         # a >=3x relative ratio so envelope-floor artifacts on tiny
         # times don't flag (and genuinely large relative moves of
-        # small queries still do).
-        "flagged_regressed": _regressions(times_exec),
+        # small queries still do). Since round 10 the flags are split
+        # by the per-query noise probe: a flag whose probe spiked >=3x
+        # the session median was measured inside a storm and lands in
+        # flagged_regressed_storm_suspect instead (still must re-pin
+        # quiet, but the record itself carries the attribution).
+        "flagged_regressed": regressed,
+        "flagged_regressed_storm_suspect": storm_suspect,
+        "queries_probe": times_probe,
         "sf": sf,
         "cpus": CPUS,
         # headline set size — totals are only comparable across rounds

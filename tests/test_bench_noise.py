@@ -93,6 +93,26 @@ def test_query_missing_from_run_is_skipped():
     assert res["floored"] == 0
 
 
+def test_storm_split_attributes_flags_by_probe():
+    """bench.py's _split_storms: a regression flag whose noise probe
+    spiked >=3x the session median is storm-suspect; a flag with a
+    quiet probe stays a real regression; missing/empty probes never
+    reclassify."""
+    import bench
+
+    probes = {f"q{i}": 0.1 for i in range(20)}
+    probes["stormy"] = 0.45  # 4.5x the 0.1 median
+    probes["quietbad"] = 0.11
+    real, storm = bench._split_storms(["stormy", "quietbad"], probes)
+    assert real == ["quietbad"] and storm == ["stormy"]
+    # no probe data at all -> everything stays a real flag
+    real, storm = bench._split_storms(["a", "b"], {})
+    assert real == ["a", "b"] and storm == []
+    # flag not in the probe dict -> real (no evidence to excuse it)
+    real, storm = bench._split_storms(["ghost"], probes)
+    assert real == ["ghost"] and storm == []
+
+
 def test_classifier_agrees_with_bench_flagged_regressed():
     """bench.py's inline _regressions rule and classify()'s DRIFT class
     implement the same gate — pin that equivalence on a fixture that

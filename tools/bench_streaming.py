@@ -371,6 +371,54 @@ def main() -> None:
                     spark.conf.set(k, val)
         print(name, results[name])
 
+    # windowed-PSI drift monitor (round-10, verdict item 6): owns its
+    # query (foreachBatch writes the report), so it cannot ride _drain's
+    # noop sink — timed through its own start/awaitTermination. Config
+    # matches the driver-attested batch form qa_windowed_psi (value
+    # edges 0/50/200, event_type categorical, 1-day windows); the
+    # baseline is the full events table binned once up front.
+    from tcga_query_project_spark.streaming import quality as squality
+
+    psi_feats = {
+        "numeric": {"value": [0.0, 50.0, 200.0]},
+        "categorical": ["event_type"],
+    }
+    baseline_ev = spark.read.parquet(ev_dir)
+
+    def _run_psi(stream_fn) -> float:
+        run_dir = tempfile.mkdtemp(prefix="psi_bench_")
+        t0 = time.monotonic()
+        q = squality.start_windowed_psi(
+            stream_fn(),
+            "ts",
+            baseline_ev,
+            os.path.join(run_dir, "report"),
+            os.path.join(run_dir, "ckpt"),
+            window="1 day",
+            watermark="30 minutes",
+            **psi_feats,
+        )
+        q.awaitTermination()
+        secs = time.monotonic() - t0
+        shutil.rmtree(run_dir, ignore_errors=True)
+        return secs
+
+    for name, (stream_fn, rows) in {
+        "windowed_psi": (ev_stream, n_events),
+        "windowed_psi_10x": (ev10_stream, n_events10),
+    }.items():
+        try:
+            _run_psi(stream_fn)  # warm
+            secs = min(_run_psi(stream_fn) for _ in range(2))
+            results[name] = {
+                "rows_in": rows,
+                "sec": round(secs, 3),
+                "rows_per_sec": int(rows / secs),
+            }
+        except Exception as e:
+            results[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        print(name, results[name])
+
     out = {
         "sf_dir": sf_dir,
         "n_event_files": N_EVENT_FILES,
