@@ -30,20 +30,23 @@ def size_factors(
     ``sf = exp(median(ln(count) - log_geomean))`` over surviving genes.
 
     Scale shape (reworked round 10 — this was the fattest spill in
-    BENCH_STRESS at 100x data): the gene-level aggregate is the
-    annotation dimension, so it BROADCASTS back onto the fact by
-    explicit hint (letting the planner sort-merge here shuffles the
-    whole fact by gene first — the 2 GB shuffle-write the stress file
-    recorded); the per-sample exact median comes from ONE
-    sample-partitioned window sort + middle-rank pick instead of
+    BENCH_STRESS at 100x data): the per-sample exact median comes from
+    a sample-partitioned window sort + middle-rank pick instead of
     ``percentile()``, whose per-group value-map buffers were the 4 GB
     memory-spill (object-hash aggregation holds every distinct ratio
-    per sample in memory; a window sort is Spark's external,
+    per sample in memory — and its map-side partial phase holds maps
+    for EVERY sample a task sees; a window sort is Spark's external,
     sequential-spill path). Interpolation is the identical
     ``lo + 0.5*(hi - lo)`` percentile formula, so values are unchanged
-    to the last bit. One corpus-sized exchange total (the window's), a
-    filter to <=2 rows per sample, then a dimension-sized aggregate
-    that reuses the window's hash partitioning.
+    to the last bit. The gene-level aggregate carries NO broadcast
+    hint: in the TCGA domain it is the bounded annotation dimension
+    and AQE broadcasts it, but under this operator's generic contract
+    the gene universe can grow with the corpus (the TPC-H stress
+    mapping's partkey does exactly that — a forced hint measured 44 s
+    at 100x vs 18 s letting AQE sort-merge, the same rule the bigram
+    and prefix-join element tables follow). Measured at 100x data,
+    same session, single-shot: 118.9 s / 4.2 GB memory-spill / 254 MB
+    disk-spill (percentile form) -> 18-26 s / ZERO spill (this form).
     """
     per_gene = (
         fact.groupBy(gene)
@@ -55,7 +58,7 @@ def size_factors(
         .filter(F.col("_n_pos") == F.col("_n"))  # all-positive genes only
         .select(gene, "_log_geomean")
     )
-    ratios = fact.join(F.broadcast(per_gene), gene).select(
+    ratios = fact.join(per_gene, gene).select(
         F.col(sample),
         (F.log(F.col(value)) - F.col("_log_geomean")).alias("_lr"),
     )
