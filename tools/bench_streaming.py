@@ -24,6 +24,10 @@ Pipelines:
 - scd2_enrich: stream-static point-in-time dimension join
 - neardup_bands: two chained stateful ops (band dedup -> windowed
   count) over the documents stream
+- windowed_psi (+_10x): event-time windowed PSI drift monitor — one
+  watermarked windowed bin-count agg, then foreachBatch writes the
+  per-window report (the report write is per-trigger fixed cost, so
+  the _10x matched-batch row is the amortized figure)
 
 Usage: python tools/bench_streaming.py [sf_dir] [out_json]
 """
