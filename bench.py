@@ -196,6 +196,10 @@ HEADLINE = [
     # round-9 late: CUPED A/B readout — user-keyed conditional agg +
     # one single-row power-sum reduction
     "ab_cuped",
+    # round-10: independent-filtering rejection grid — one percentile
+    # aggregate + theta-sized broadcast grid + distinct-p BH per theta
+    # (gene-dimension fan-out, flat at any fact size)
+    "a6_filter_grid",
     # a6_poisson_wald is deliberately NOT benched: the GLM family has
     # never been in the headline set (per-gene grouped-map fits price
     # by group count, not data size — a correctness vehicle, verified

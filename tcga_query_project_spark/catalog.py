@@ -1019,6 +1019,122 @@ def bh_adjust_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: independent-filtering theta grid (DESeq2 pvalueAdjustment): 50
+#: evenly spaced quantile levels in [0, 0.95]. Shared verbatim between
+#: the Spark builder and the oracle VALUES list so both engines see the
+#: identical doubles.
+_FILTER_THETAS = [0.95 * i / 49 for i in range(50)]
+
+
+@register_bench_only(
+    "a6_filter_grid",
+    """
+    WITH g AS (
+      SELECT l_partkey AS gene, AVG(l_quantity) AS bm,
+             MIN(l_extendedprice) AS mp
+      FROM lineitem GROUP BY l_partkey
+    ),
+    gp AS (
+      SELECT gene, bm,
+             mp / NULLIF((SELECT MAX(mp) FROM g), 0) AS p
+      FROM g
+      WHERE bm IS NOT NULL
+        AND mp / NULLIF((SELECT MAX(mp) FROM g), 0) IS NOT NULL
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM gp),
+    ranked AS (
+      SELECT bm,
+             CAST(ROW_NUMBER() OVER (ORDER BY bm ASC) - 1 AS DOUBLE) AS idx
+      FROM gp
+    ),
+    thetas(ti, theta) AS (VALUES {theta_values}),
+    posd AS (
+      SELECT t.ti, t.theta, t.theta * (n.n - 1) AS pos
+      FROM thetas t CROSS JOIN n
+    ),
+    -- type-7 interpolated quantile; at integral pos both engines
+    -- return the ranked value exactly (Spark percentile special-cases
+    -- lower==higher), and fractional cutoffs land strictly between
+    -- adjacent bm values, so >= membership is engine-identical
+    cuts AS (
+      SELECT p.ti, p.theta,
+             CASE WHEN lo.bm = hi.bm THEN lo.bm
+                  ELSE lo.bm + (p.pos - FLOOR(p.pos)) * (hi.bm - lo.bm)
+             END AS cut
+      FROM posd p
+      JOIN ranked lo ON lo.idx = FLOOR(p.pos)
+      JOIN ranked hi ON hi.idx = CEIL(p.pos)
+    ),
+    kept AS (
+      SELECT c.ti, c.cut, gp.p FROM cuts c JOIN gp ON gp.bm >= c.cut
+    ),
+    r AS (
+      SELECT ti, cut, p,
+             CAST(ROW_NUMBER() OVER (PARTITION BY ti
+                                     ORDER BY p ASC) AS DOUBLE) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY ti) AS DOUBLE) AS nt
+      FROM kept
+    ),
+    adj AS (
+      SELECT ti, cut,
+             LEAST(1.0, MIN(p * nt / rk) OVER (
+               PARTITION BY ti ORDER BY rk DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS padj
+      FROM r
+    )
+    SELECT CAST(ti AS INT) AS ti, ROUND(MAX(cut), 6) AS cutoff,
+           CAST(SUM(CASE WHEN padj < 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rej
+    FROM adj GROUP BY ti
+    """.format(
+        theta_values=", ".join(
+            f"({i}, {t!r})" for i, t in enumerate(_FILTER_THETAS)
+        )
+    ),
+    tags=("A6-padj", "independent-filtering", "deseq2"),
+)
+def a6_filter_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Independent-filtering rejection grid (the SQL-expressible stage
+    of DESeq2 ``results()``'s padj optimization, genefilter
+    ``filtered_p`` — vital_status_DESeq.R:89 consumes its output;
+    ``stats.independent_filter_padj`` adds the non-SQL lowess threshold
+    selection on top, unit-differential-tested): per theta in the
+    50-point [0, 0.95] grid, the type-7 baseMean quantile cutoff and
+    the BH rejection count at alpha=0.1 over the kept genes. Genes =
+    l_partkey with bm = AVG(l_quantity) (quarter-valued, so the sum is
+    EXACT in binary and order-insensitive) and p = MIN(l_extendedprice)
+    scaled by the global max (min/max are aggregation-order-free) —
+    every float is engine-identical by construction. The oracle
+    replays the quantile interpolation explicitly (ranked join on
+    floor/ceil of theta*(n-1)) and BH as rank/cummin windows per
+    theta. One percentile aggregate + a theta-sized broadcast grid +
+    distinct-p BH partitioned by theta — the fan-out is over the gene
+    DIMENSION, flat at any fact size."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_partkey").alias("gene")).agg(
+        F.avg("l_quantity").alias("bm"),
+        F.min("l_extendedprice").alias("_mp"),
+    )
+    mx = g.agg(F.max("_mp").alias("_mx"))
+    gp = (
+        g.crossJoin(F.broadcast(mx))
+        .select(
+            "gene",
+            "bm",
+            (F.col("_mp") / F.nullif(F.col("_mx"), F.lit(0.0))).alias("p"),
+        )
+        .filter(F.col("bm").isNotNull() & F.col("p").isNotNull())
+    )
+    return (
+        stats.rejection_grid(gp, "bm", "p", _FILTER_THETAS, alpha=0.1)
+        .select(
+            F.col("_ti").cast("int").alias("ti"),
+            F.round("_cut", 6).alias("cutoff"),
+            F.col("_nrej").cast("long").alias("n_rej"),
+        )
+    )
+
+
 @register(
     "w1_ntile_extremes",
     """

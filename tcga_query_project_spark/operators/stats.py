@@ -45,8 +45,10 @@ def size_factors(
     mapping's partkey does exactly that — a forced hint measured 44 s
     at 100x vs 18 s letting AQE sort-merge, the same rule the bigram
     and prefix-join element tables follow). Measured at 100x data,
-    same session, single-shot: 118.9 s / 4.2 GB memory-spill / 254 MB
-    disk-spill (percentile form) -> 18-26 s / ZERO spill (this form).
+    single-query sessions, same conditions: 118.9 s / 4.2 GB
+    memory-spill / 254 MB disk-spill (percentile form) -> 18-26 s /
+    ZERO spill (this form; 56 s inside the full ten-query stress
+    sequence, still zero spill — BENCH_STRESS.json).
     """
     per_gene = (
         fact.groupBy(gene)
@@ -539,6 +541,50 @@ def select_filter_theta(
     return 0
 
 
+def rejection_grid(
+    df: DataFrame,
+    base_mean_col: str,
+    p: str,
+    thetas: list[float],
+    *,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """The SQL-expressible grid stage of independent filtering
+    (genefilter ``filtered_p`` counts): for each theta, the type-7
+    baseMean quantile cutoff and the number of BH rejections at
+    ``alpha`` among genes with ``baseMean >= cutoff``. Returns
+    ``(_ti, _cut, _nrej)`` — one row per theta. NULL-p rows are
+    excluded (they never enter BH).
+
+    Distributed shape: ONE ``percentile`` aggregate produces all
+    cutoffs, the theta-sized grid broadcasts against the gene table,
+    BH runs per theta via the distinct-p formulation (no global row
+    window), one grouped count comes back. The theta-fold expansion is
+    over a gene-DIMENSION table (samples were already aggregated away
+    by the Wald stage), so the cost is flat at any cohort size.
+    """
+    tested = df.filter(F.col(p).isNotNull())
+    cuts = tested.agg(
+        F.percentile(
+            F.col(base_mean_col), F.array(*[F.lit(t) for t in thetas])
+        ).alias("_cuts")
+    )
+    grid = cuts.select(F.posexplode("_cuts").alias("_ti", "_cut"))
+    expanded = tested.crossJoin(F.broadcast(grid)).filter(
+        F.col(base_mean_col) >= F.col("_cut")
+    )
+    return (
+        bh_adjust_distinct(expanded, p, ["_ti"], out="_padj_t")
+        .groupBy("_ti")
+        .agg(
+            F.first("_cut").alias("_cut"),
+            F.sum(
+                F.when(F.col("_padj_t") < alpha, 1).otherwise(0)
+            ).alias("_nrej"),
+        )
+    )
+
+
 def independent_filter_padj(
     df: DataFrame,
     base_mean_col: str,
@@ -603,24 +649,8 @@ def independent_filter_padj(
     thetas = [
         lower + (upper - lower) * i / (n_theta - 1) for i in range(n_theta)
     ]
-    cuts = tested.agg(
-        F.percentile(
-            F.col(base_mean_col), F.array(*[F.lit(t) for t in thetas])
-        ).alias("_cuts")
-    )
-    grid = cuts.select(F.posexplode("_cuts").alias("_ti", "_cut"))
-    expanded = tested.crossJoin(F.broadcast(grid)).filter(
-        F.col(base_mean_col) >= F.col("_cut")
-    )
     rej = (
-        bh_adjust_distinct(expanded, p, ["_ti"], out="_padj_t")
-        .groupBy("_ti")
-        .agg(
-            F.first("_cut").alias("_cut"),
-            F.sum(
-                F.when(F.col("_padj_t") < alpha, 1).otherwise(0)
-            ).alias("_nrej"),
-        )
+        rejection_grid(df, base_mean_col, p, thetas, alpha=alpha)
         .orderBy("_ti")
         .collect()
     )

@@ -88,6 +88,12 @@ FUZZ_QUERIES = [
     "r2_ragged_export",
     "j1_left_join_enrich",
     "p2_rename_dim_join",
+    # round-10: independent-filtering rejection grid — type-7 quantile
+    # interpolation + per-theta BH under empty/all-NULL/all-zero-price
+    # and heavy-tie shapes (bm from exact quarter-valued AVG, p from
+    # order-free MIN/MAX, so floats are engine-identical even on fuzz
+    # degenerate tables)
+    "a6_filter_grid",
 ]
 
 _EPOCH = dt.datetime(1995, 1, 1)
@@ -683,11 +689,13 @@ def test_fuzz_ks_drift_matches_oracle(spark, tmp_path_factory, tables):
 )
 @given(tables=events_ks_micro())
 def test_fuzz_windowed_psi_matches_oracle(spark, tmp_path_factory, tables):
-    from tcga_query_project_spark.catalog import BENCH_ONLY
+    from tcga_query_project_spark.catalog import BENCH_ONLY, REGISTRY
 
     d = str(tmp_path_factory.mktemp("fuzz_wpsi"))
     _write_dir(tables, d)
-    spec = BENCH_ONLY["qa_windowed_psi"]
+    # merged lookup: driver-slot rotation moves specs between the two
+    # dicts round over round (qa_windowed_psi rotated in round 10)
+    spec = {**BENCH_ONLY, **REGISTRY}["qa_windowed_psi"]
     got = spec.build(spark, d).toPandas()
     want = run_oracle(spec.oracle, d)
     problems = compare(got, want)
@@ -707,11 +715,13 @@ def test_fuzz_windowed_psi_matches_oracle(spark, tmp_path_factory, tables):
 )
 @given(tables=events_ks_micro())
 def test_fuzz_cuped_matches_oracle(spark, tmp_path_factory, tables):
-    from tcga_query_project_spark.catalog import BENCH_ONLY
+    from tcga_query_project_spark.catalog import BENCH_ONLY, REGISTRY
 
     d = str(tmp_path_factory.mktemp("fuzz_cuped"))
     _write_dir(tables, d)
-    spec = BENCH_ONLY["ab_cuped"]
+    # merged lookup: rotation-proof (ab_cuped rotated to a driver slot
+    # in round 10)
+    spec = {**BENCH_ONLY, **REGISTRY}["ab_cuped"]
     got = spec.build(spark, d).toPandas()
     want = run_oracle(spec.oracle, d)
     problems = compare(got, want)
