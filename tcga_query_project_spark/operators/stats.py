@@ -660,12 +660,13 @@ def independent_filter_padj(
     # equivalent — lowess is invariant to affine x rescaling)
     j = select_filter_theta(num_rej)
     cutoff = float(rej[j]["_cut"]) if rej else 0.0
-    kept = bh_adjust_distinct(
-        tested.filter(F.col(base_mean_col) >= cutoff), p, out=out
-    )
-    dropped = tested.filter(F.col(base_mean_col) < cutoff).withColumn(
-        out, F.lit(None).cast("double")
-    )
+    kept_cond = F.col(base_mean_col) >= F.lit(cutoff)
+    kept = bh_adjust_distinct(tested.filter(kept_cond), p, out=out)
+    # NULL baseMean must land in the dropped branch, not vanish: a bare
+    # `< cutoff` filter is NULL (false) for it, same as the kept side
+    dropped = tested.filter(
+        ~kept_cond | F.col(base_mean_col).isNull()
+    ).withColumn(out, F.lit(None).cast("double"))
     missing = df.filter(F.col(p).isNull()).withColumn(
         out, F.lit(None).cast("double")
     )

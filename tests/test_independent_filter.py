@@ -238,6 +238,24 @@ def test_independent_filter_no_benefit_degrades_to_plain_bh(spark):
     assert filt == pytest.approx(plain, abs=1e-12)
 
 
+def test_independent_filter_null_base_mean_row_survives(spark):
+    # a NULL baseMean with a non-NULL p must land in the output with
+    # padj NULL (round-10 self-review: a bare `< cutoff` dropped-branch
+    # filter is NULL for it, so the row vanished from both branches)
+    rng = np.random.RandomState(9)
+    rows = [
+        (f"g{i}", float(rng.uniform(1, 100)), float(rng.uniform(0, 1)))
+        for i in range(40)
+    ] + [("g_nullbm", None, 0.001)]
+    df = spark.createDataFrame(
+        rows, "gene string, base_mean double, pvalue double"
+    )
+    out = independent_filter_padj(df, "base_mean", "pvalue").collect()
+    assert len(out) == 41
+    got = {r["gene"]: r["padj"] for r in out}
+    assert got["g_nullbm"] is None
+
+
 def test_independent_filter_empty_and_all_null(spark):
     empty = spark.createDataFrame(
         [], "gene string, base_mean double, pvalue double"
