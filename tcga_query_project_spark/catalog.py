@@ -1108,8 +1108,11 @@ def a6_filter_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the quantile interpolation explicitly (ranked join on
     floor/ceil of theta*(n-1)) and BH as rank/cummin windows per
     theta. One percentile aggregate + a theta-sized broadcast grid +
-    distinct-p BH partitioned by theta — the fan-out is over the gene
-    DIMENSION, flat at any fact size."""
+    the rejection count read straight off the per-theta distinct-p
+    table (BH step-up: the count is the largest max_rank whose own
+    p*m/rank clears alpha — no padj join-back; see
+    stats.rejection_grid) — three dimension-sized exchanges, the
+    fan-out is over the gene DIMENSION, flat at any fact size."""
     li = _t(spark, sf_dir, "lineitem")
     g = li.groupBy(F.col("l_partkey").alias("gene")).agg(
         F.avg("l_quantity").alias("bm"),

@@ -558,8 +558,16 @@ def rejection_grid(
 
     Distributed shape: ONE ``percentile`` aggregate produces all
     cutoffs, the theta-sized grid broadcasts against the gene table,
-    BH runs per theta via the distinct-p formulation (no global row
-    window), one grouped count comes back. The theta-fold expansion is
+    and the rejection count comes straight off the per-theta
+    DISTINCT-p table — no padj is ever joined back onto rows. BH's
+    step-up theorem: ``#{k: padj_(k) < alpha} = max{k: p_(k)*m/k <
+    alpha}``, and within a tie group the largest rank has the smallest
+    ``p*m/k``, so the maximum is always attained at a tie group's
+    ``max_rank`` — exactly the rows of the distinct-p table. (The
+    float expression ``p*m/max_rank`` is the identical term the padj
+    cummin would have minimized over, so the count is bit-equal to
+    counting ``padj < alpha``, which is what the DuckDB oracle does.)
+    Three dimension-sized exchanges total; the theta-fold expansion is
     over a gene-DIMENSION table (samples were already aggregated away
     by the Wald stage), so the cost is flat at any cohort size.
     """
@@ -573,15 +581,32 @@ def rejection_grid(
     expanded = tested.crossJoin(F.broadcast(grid)).filter(
         F.col(base_mean_col) >= F.col("_cut")
     )
-    return (
-        bh_adjust_distinct(expanded, p, ["_ti"], out="_padj_t")
-        .groupBy("_ti")
-        .agg(
-            F.first("_cut").alias("_cut"),
-            F.sum(
-                F.when(F.col("_padj_t") < alpha, 1).otherwise(0)
-            ).alias("_nrej"),
+    per_p = expanded.groupBy("_ti", "_cut", p).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w_cum = (
+        Window.partitionBy("_ti")
+        .orderBy(F.col(p).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_n = Window.partitionBy("_ti")
+    ranked = per_p.withColumn(
+        "_max_rank", F.sum("_c").over(w_cum).cast("double")
+    ).withColumn("_n_tests", F.sum("_c").over(w_n).cast("double"))
+    return ranked.groupBy("_ti").agg(
+        F.first("_cut").alias("_cut"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col(p) * F.col("_n_tests") / F.col("_max_rank")
+                    < F.lit(alpha),
+                    F.col("_max_rank"),
+                )
+            ),
+            F.lit(0.0),
         )
+        .cast("long")
+        .alias("_nrej"),
     )
 
 
