@@ -660,6 +660,11 @@ def independent_filter_padj(
     ~3M intermediate rows at worst — flat cost at any cohort size,
     since samples were already aggregated away by the Wald stage.
     """
+    if n_theta < 2:
+        # grid spacing divides by n_theta-1; a 1-point "grid" cannot
+        # express the lowess selection — fail loudly, not with a
+        # ZeroDivisionError mid-plan (genefilter's default is 50)
+        raise ValueError(f"n_theta must be >= 2, got {n_theta}")
     tested = df.filter(F.col(p).isNotNull())
     frac0_row = tested.agg(
         F.coalesce(

@@ -150,6 +150,12 @@ def test_wilcoxon_tie_perm_matches_brute_force_enumeration(spark):
         ([0.0, 0.0, 1.0, 5.0], [0.0, 1.0, 1.0]),
         ([3.0, 3.0, 3.0], [3.0, 3.0, 3.0]),  # all tied -> p = 1
         ([1.0, 4.0, 4.0, 7.0, 9.0], [2.0, 4.0, 7.0, 7.0]),
+        # n1 < n2: exercises the non-mirrored DP branch (A is the
+        # smaller arm), vs the n1 >= n2 fixtures above which run the
+        # complement-mirror path
+        ([1.0, 2.0], [2.0, 3.0, 3.0, 5.0]),
+        # heavily skewed split: small-arm DP keeps the table at 2 rows
+        ([0.0] * 4 + [1.0] * 5 + [2.0] * 3, [1.0]),
     ]
     for ai, (a, b) in enumerate(fixtures):
         pooled = np.array(a + b)
@@ -202,6 +208,82 @@ def test_wilcoxon_tie_perm_equals_mann_whitney_when_tie_free():
         assert abs(
             _tie_perm_p_two_sided(ranks, n1) - _exact_p_two_sided(u, n1, n2)
         ) < 1e-12
+
+
+def test_wilcoxon_skewed_split_bounded_and_mirror_invariant(spark):
+    # round-10 advice (high): the tie-perm DP must run over the SMALLER
+    # arm so a skewed gate-admitted split (here 60-vs-1, product 60 <=
+    # 2500) allocates a 2-row table, not a 61-row x sum one; and the
+    # mirrored two-sided p must equal the unmirrored one computed by
+    # literal enumeration
+    from itertools import combinations
+
+    import numpy as np
+
+    from tcga_query_project_spark.operators import exact_tests
+
+    rng = np.random.default_rng(17)
+    a = [float(v) for v in rng.integers(0, 5, size=60)]  # heavy ties
+    b = [2.0]
+    rows = [("g", "A", v) for v in a] + [("g", "B", v) for v in b]
+    df = spark.createDataFrame(rows, "gene string, lab string, v double")
+    out = exact_tests.wilcoxon_exact(df, "gene", "lab", "v", "A", "B").collect()[0]
+    assert out["method"] == "exact-tie-perm"
+    # brute force over the 1-element arm: W_B ranges over each midrank;
+    # mirror to A via W_A = T - W_B
+    pooled = np.array(a + b)
+    n = len(pooled)
+    order = np.argsort(pooled, kind="mergesort")
+    rank_vals = np.arange(1, n + 1, dtype=float)
+    sv = pooled[order]
+    i = 0
+    while i < n:
+        j = i
+        while j + 1 < n and sv[j + 1] == sv[i]:
+            j += 1
+        rank_vals[i : j + 1] = rank_vals[i : j + 1].mean()
+        i = j + 1
+    ranks = np.empty(n)
+    ranks[order] = rank_vals
+    w_obs = ranks[:60].sum()
+    sums = [sum(ranks[list(c)]) for c in combinations(range(n), 60)]
+    lo = sum(1 for s in sums if s <= w_obs + 1e-9) / len(sums)
+    hi = sum(1 for s in sums if s >= w_obs - 1e-9) / len(sums)
+    want = min(1.0, 2.0 * min(lo, hi))
+    assert abs(out["p_value"] - want) < 1e-12
+
+
+def test_wilcoxon_total_n_gate_falls_back_to_normal(spark):
+    # product gate passes (200*10=2000 <= 2500) but n=210 > max_exact_n
+    # default 200 -> normal-approx, never the big DP table
+    import numpy as np
+
+    from tcga_query_project_spark.operators import exact_tests
+
+    rng = np.random.default_rng(23)
+    rows = [("g", "A", float(v)) for v in rng.integers(0, 8, size=200)] + [
+        ("g", "B", float(v)) for v in rng.integers(0, 8, size=10)
+    ]
+    df = spark.createDataFrame(rows, "gene string, lab string, v double")
+    out = exact_tests.wilcoxon_exact(df, "gene", "lab", "v", "A", "B").collect()[0]
+    assert out["method"] == "normal-approx"
+    # raising the n gate flips it back to the exact path
+    out2 = exact_tests.wilcoxon_exact(
+        df, "gene", "lab", "v", "A", "B", max_exact_n=250
+    ).collect()[0]
+    assert out2["method"] == "exact-tie-perm"
+
+
+def test_independent_filter_rejects_single_point_grid(spark):
+    import pytest as _pytest
+
+    from tcga_query_project_spark.operators import stats as sqlstats
+
+    df = spark.createDataFrame(
+        [(1.0, 0.01), (2.0, 0.5)], "baseMean double, pvalue double"
+    )
+    with _pytest.raises(ValueError, match="n_theta"):
+        sqlstats.independent_filter_padj(df, "baseMean", "pvalue", n_theta=1)
 
 
 def test_dispersion_shrinkage_pulls_outliers_toward_trend(spark):
