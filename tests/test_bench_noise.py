@@ -22,8 +22,10 @@ _SPEC.loader.exec_module(bench_noise)
 
 
 def _env(**queries):
-    """Synthetic BENCH_NOISE envelope: spread_p95 pinned at 1.2 so the
-    band math is easy to reason about by hand."""
+    """Synthetic BENCH_NOISE envelope with only the legacy min/max
+    fields — classify()'s _ref must derive the median (midpoint) and
+    de-stormed extremes (raw extremes) itself, so these fixtures also
+    pin the old-envelope-file compatibility path."""
     return {
         "spread_p95": 1.2,
         "queries": {
@@ -45,11 +47,28 @@ def test_inside_envelope_is_silent():
 
 
 def test_drift_above_envelope_for_big_query():
-    # 2.0s vs max 1.1*1.2=1.32 band, over the 0.3s absolute gate
+    # 2.0s vs med 1.05: above hi 1.1, above 1.5x med (1.575), delta
+    # 0.95s > 0.1s — all three drift conditions met
     noise = _env(q_big=(1.0, 1.1))
     res = bench_noise.classify(noise, _run(q_big=2.0))
     assert [d[0] for d in res["drift"]] == ["q_big"]
     assert res["improved"] == []
+
+
+def test_planted_2x_regression_on_subsecond_query_flags():
+    """Round-10 verdict item 1 — the planted-regression fixture: a
+    0.33s-median query slowed to 2.07x its envelope max MUST flag.
+    Under the old global-headroom rule (spread_p95=2.07 that round)
+    0.745 was the flag threshold and 0.62 passed silently; the
+    median-anchored rule flags it: 0.62 > hi 0.36, > 1.5*0.30=0.45,
+    delta 0.32 > 0.1."""
+    noise = _env(q_sub=(0.24, 0.36))  # med (midpoint) = 0.30
+    t = 0.62
+    # the old rule's threshold with that round's real headroom:
+    old_threshold = 0.36 * 2.07
+    assert t < old_threshold  # i.e. the old gate was blind to this
+    res = bench_noise.classify(noise, _run(q_sub=t))
+    assert [d[0] for d in res["drift"]] == ["q_sub"]
 
 
 def test_improved_below_envelope_for_big_query():
@@ -61,25 +80,25 @@ def test_improved_below_envelope_for_big_query():
 
 
 def test_tiny_query_jitter_is_floored_not_drift():
-    # 0.05s -> 0.12s: outside the band but under 0.3s absolute AND
-    # under 3x relative (0.12 < 3*0.06) — counted, never labeled
+    # 0.05s -> 0.12s: above hi and above 1.5x med, but the absolute
+    # delta (0.065s) is under the 0.1s slack — counted, never labeled
     noise = _env(q_tiny=(0.05, 0.06))
     res = bench_noise.classify(noise, _run(q_tiny=0.12))
     assert res["drift"] == [] and res["improved"] == []
     assert res["floored"] == 1
 
 
-def test_tiny_query_3x_relative_move_still_flags():
-    # the round-8 advisor case: 0.05s -> 0.29s (5.8x) is under the
-    # 0.3s floor but over 3x exec_max — must flag as DRIFT
+def test_tiny_query_big_relative_move_still_flags():
+    # the round-8 advisor case: 0.05s -> 0.29s (5.8x) clears all three
+    # conditions (hi 0.06, 1.5x med 0.0825, delta 0.235 > 0.1) — DRIFT
     noise = _env(q_tiny=(0.05, 0.06))
     res = bench_noise.classify(noise, _run(q_tiny=0.29))
     assert [d[0] for d in res["drift"]] == ["q_tiny"]
 
 
-def test_tiny_query_3x_relative_improvement_flags_improved():
-    # mirrored gate below: 0.31 -> 0.05 (6x faster) on a query whose
-    # envelope min is above 0.3s — IMPROVED even though t itself is tiny
+def test_tiny_query_big_relative_improvement_flags_improved():
+    # mirrored gate below: med 0.33 -> 0.05 (6x faster) clears all
+    # three mirrored conditions — IMPROVED even though t itself is tiny
     noise = _env(q_mid=(0.31, 0.35))
     res = bench_noise.classify(noise, _run(q_mid=0.05))
     assert [d[0] for d in res["improved"]] == ["q_mid"]
@@ -114,10 +133,11 @@ def test_storm_split_attributes_flags_by_probe():
 
 
 def test_classifier_agrees_with_bench_flagged_regressed():
-    """bench.py's inline _regressions rule and classify()'s DRIFT class
-    implement the same gate — pin that equivalence on a fixture that
-    exercises every branch (inside / above+big / above+tiny-floored /
-    above+tiny-3x)."""
+    """bench.py's _regressions and classify()'s DRIFT class both call
+    bench_noise.is_drift (bench.py imports it via the same module-load
+    path this test uses) — pin the per-query agreement on a fixture
+    that exercises every branch (inside / above+big / above+tiny-
+    floored / above+tiny-big-ratio)."""
     noise = _env(
         a_in=(1.0, 1.1),
         b_big=(1.0, 1.1),
@@ -127,13 +147,42 @@ def test_classifier_agrees_with_bench_flagged_regressed():
     run = _run(a_in=1.05, b_big=2.0, c_tiny=0.12, d_tiny3x=0.29)
     res = bench_noise.classify(noise, run)
     drift_names = sorted(d[0] for d in res["drift"])
-    # replicate bench.py's _regressions on the same fixture
-    head = noise["spread_p95"]
     flagged = sorted(
         n
         for n, t in run["queries_exec_only"].items()
         if (q := noise["queries"].get(n)) is not None
-        and t > q["exec_max"] * head
-        and (t > 0.3 or t > 3 * q["exec_max"])
+        and bench_noise.is_drift(q, t)
     )
     assert drift_names == flagged == ["b_big", "d_tiny3x"]
+
+
+def test_build_destorms_extremes_with_five_runs(tmp_path, monkeypatch):
+    """With >= 5 envelope runs, build() drops the single worst and best
+    observation when recording exec_lo/exec_hi, so one storm during
+    envelope pinning cannot widen the regression gate all round."""
+    import json as _json
+
+    runs = []
+    # five runs: 4 quiet around 0.30, one storm at 0.90; and a second
+    # query with one lucky 0.01 outlier below 4 quiet ~0.5 readings
+    for i, (t1, t2) in enumerate(
+        [(0.29, 0.50), (0.30, 0.49), (0.31, 0.52), (0.30, 0.01), (0.90, 0.51)]
+    ):
+        p = tmp_path / f"detail{i}.json"
+        p.write_text(_json.dumps({
+            "queries_exec_only": {"qa": t1, "qb": t2},
+            "queries": {"qa": t1 + 0.1, "qb": t2 + 0.1},
+            "value_exec_only": t1 + t2,
+            "value": t1 + t2 + 0.2,
+        }))
+        runs.append(str(p))
+    out = tmp_path / "NOISE.json"
+    monkeypatch.setattr(bench_noise, "OUT", str(out))
+    bench_noise.build(runs)
+    env = _json.loads(out.read_text())
+    qa, qb = env["queries"]["qa"], env["queries"]["qb"]
+    assert qa["exec_max"] == 0.90 and qa["exec_hi"] == 0.31
+    assert qb["exec_min"] == 0.01 and qb["exec_lo"] == 0.49
+    # the de-stormed gate now catches a 2x loss the storm would hide:
+    # 0.62 > hi 0.31, > 1.5*med 0.45, delta > 0.1
+    assert bench_noise.is_drift(qa, 0.62)

