@@ -203,7 +203,11 @@ HEADLINE = [
     # a6_poisson_wald is deliberately NOT benched: the GLM family has
     # never been in the headline set (per-gene grouped-map fits price
     # by group count, not data size — a correctness vehicle, verified
-    # through the oracle parity suite, not a throughput query).
+    # through the oracle parity suite, not a throughput query). The
+    # same policy keeps tcga_de_full and tcga_de_filtered (round 11)
+    # out: both are IRLS-dominated fixture-star pipelines; their
+    # throughput-relevant stage (the rejection grid) is benched via
+    # a6_filter_grid above.
 ]
 
 

@@ -1442,7 +1442,7 @@ def test_pii_scrub_oracle_agrees_on_crafted_docs(spark, tmp_path):
     import duckdb
     import pandas as pd
 
-    from tcga_query_project_spark.catalog import BENCH_ONLY
+    from tcga_query_project_spark.catalog import BENCH_ONLY, REGISTRY
     from tcga_query_project_spark.operators import text as t
 
     pdf = pd.DataFrame(
@@ -1465,7 +1465,7 @@ def test_pii_scrub_oracle_agrees_on_crafted_docs(spark, tmp_path):
     con = duckdb.connect()
     con.register("documents", pdf)
     oracle = (
-        con.execute(BENCH_ONLY["tx_pii_scrub"].oracle)
+        con.execute({**BENCH_ONLY, **REGISTRY}["tx_pii_scrub"].oracle)
         .df()
         .sort_values("doc_id")
         .reset_index(drop=True)
@@ -3083,7 +3083,7 @@ def test_transition_matrix_null_tiebreak_matches_oracle(spark, tmp_path):
     is nulls-first) — pinned with a NULL event_id colliding on ts."""
     import datetime as dt
 
-    from tcga_query_project_spark.catalog import BENCH_ONLY
+    from tcga_query_project_spark.catalog import BENCH_ONLY, REGISTRY
     from tests.oracle_harness import compare, run_oracle
     from tests.test_fuzz_parity import _write_dir
 
@@ -3098,7 +3098,7 @@ def test_transition_matrix_null_tiebreak_matches_oracle(spark, tmp_path):
     }}
     d = str(tmp_path / "nulltie")
     _write_dir(tables, d)
-    spec = BENCH_ONLY["tj_markov"]
+    spec = {**BENCH_ONLY, **REGISTRY}["tj_markov"]
     got = spec.build(spark, d).toPandas()
     want = run_oracle(spec.oracle, d)
     assert not compare(got, want), compare(got, want)

@@ -45,6 +45,59 @@ def test_de_pipeline_recovers_planted_signal(spark, tcga):
             assert r["padj"] is None and r["p_signif"] is None
 
 
+def test_de_filtered_default_fidelity(spark, tcga):
+    """DESeq2 ``results()`` default-fidelity variant (round-10 verdict
+    item 4): ``independent_filtering=True`` — the catalog's
+    ``tcga_de_filtered`` BENCH_ONLY query. Goldens on planted signal:
+    the filtering must keep (and still reject) the planted DE genes,
+    report the constant theta/threshold metadata, NULL the padj of
+    filtered-out genes rather than dropping rows, and never reject
+    FEWER genes than plain BH (the lowess rule maximizes rejections
+    over a grid whose low end approximates no filtering)."""
+    kw = dict(group_col="short_letter_code", level_a="NT", level_b="TP")
+    plain = de_pipe.differential_expression(
+        tcga["expression"], tcga["genes"], tcga["samples"], **kw
+    )
+    filt = de_pipe.differential_expression(
+        tcga["expression"], tcga["genes"], tcga["samples"],
+        independent_filtering=True, **kw,
+    )
+    rows = {r["gene_id"]: r for r in filt.collect()}
+    plain_rows = {r["gene_id"]: r for r in plain.collect()}
+    # same gene universe — filtering NULLs padj, never drops rows
+    assert set(rows) == set(plain_rows)
+    # constant metadata columns present and single-valued
+    thetas = {r["filter_theta"] for r in rows.values()}
+    cuts = {r["filter_threshold"] for r in rows.values()}
+    assert len(thetas) == 1 and len(cuts) == 1
+    assert 0.0 <= thetas.pop() <= 0.95
+    # planted signal survives the filter and stays significant
+    up, down = rows["ENSG00000000"], rows["ENSG00000001"]
+    assert up["padj"] is not None and up["padj"] < 0.01
+    assert down["padj"] is not None and down["padj"] < 0.05
+    # rejection count at alpha=0.1 is >= the plain-BH count
+    alpha = 0.1
+    n_rej_f = sum(
+        1 for r in rows.values() if r["padj"] is not None and r["padj"] < alpha
+    )
+    n_rej_p = sum(
+        1
+        for r in plain_rows.values()
+        if r["padj"] is not None and r["padj"] < alpha
+    )
+    assert n_rej_f >= n_rej_p
+    # the kept/dropped split follows the reported threshold (which is
+    # rounded to 6 decimals for presentation — allow that slack): every
+    # kept gene sits at-or-above it, every dropped tested gene below
+    cut = next(iter(cuts)) if cuts else 0.0
+    for r in rows.values():
+        if r["pvalue"] is not None and r["base_mean"] is not None:
+            if r["padj"] is not None:
+                assert r["base_mean"] >= cut - 1e-5
+            else:
+                assert r["base_mean"] <= cut + 1e-5
+
+
 def test_de_pairwise_stacks_contrasts(spark, tcga):
     out = de_pipe.pairwise_de(
         tcga["expression"], tcga["genes"], tcga["samples"],

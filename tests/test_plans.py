@@ -14,6 +14,14 @@ from tcga_query_project_spark.catalog import BENCH_ONLY, REGISTRY
 from tests.conftest import SF_SMALL
 
 
+def _LOOKUP():
+    """Rotation-proof query lookup: driver-slot membership moves between
+    REGISTRY and BENCH_ONLY every round (catalog rotation note) — tests
+    must never hard-code which dict a name lives in (round-10 bite,
+    repeated round-11 on q19/tj_markov)."""
+    return {**BENCH_ONLY, **REGISTRY}
+
+
 def _run(spark, name):
     # merged lookup: plan pins outlive driver-slot rotation (round 9
     # moved several pinned queries to BENCH_ONLY)
@@ -92,6 +100,8 @@ GLOBAL_WINDOW_ALLOWED = {
     # over test rows — the window input is the p-value cardinality.
     "tcga_de_pipeline",
     "tcga_de_full",
+    # same distinct-p BH windows (final padj pass after the theta cut)
+    "tcga_de_filtered",
     # vocab_id assignment runs on the POST-LIMIT frame (<= max_size
     # rows): a vocabulary is dimension-sized by definition — it has to
     # broadcast to every trainer worker anyway (text.build_vocab).
@@ -161,6 +171,10 @@ EAGER_BUILD_ALLOWED = {
     # model IS dimension-sized; documented one-corpus-shuffle contract)
     "tx_bpe_pieces",
     "tx_unigram_pieces",
+    # independent filtering: two dimension-sized collects (zero-fraction
+    # scalar + n_theta-row rejection grid — stats.independent_filter_padj
+    # EAGER CONTRACT) on top of the GLM prior fits
+    "tcga_de_filtered",
 }
 
 
@@ -382,9 +396,7 @@ def test_q17_no_forced_broadcast_of_fact_aggregate(spark):
     broadcast at runtime from *measured* size is fine and expected at
     small SF; a compile-time hint that bypasses the size check is the
     bug."""
-    from tcga_query_project_spark.catalog import BENCH_ONLY
-
-    df = BENCH_ONLY["q17_small_quantity_revenue"].build(spark, SF_SMALL)
+    df = _LOOKUP()["q17_small_quantity_revenue"].build(spark, SF_SMALL)
     logical = df._jdf.queryExecution().optimizedPlan().toString()
     assert "strategy=broadcast" not in logical, (
         "forced broadcast hint found in q17's logical plan:\n" + logical
@@ -550,9 +562,7 @@ def test_q13_outer_join_preserved(spark):
     ride the JOIN condition, so the optimizer must NOT convert the
     left outer join to inner (which a post-join WHERE on the right
     side would license)."""
-    from tcga_query_project_spark.catalog import BENCH_ONLY
-
-    df = BENCH_ONLY["q13_customer_distribution"].build(spark, SF_SMALL)
+    df = _LOOKUP()["q13_customer_distribution"].build(spark, SF_SMALL)
     df.write.format("noop").mode("overwrite").save()
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert "LeftOuter" in optimized, optimized
@@ -566,9 +576,7 @@ def test_q19_disjunction_pushed_to_both_scans(spark):
     parquet scan (brand/size bounds to part, quantity bounds to
     lineitem) — losing this reads the full fact at 100 TB and filters
     post-join."""
-    from tcga_query_project_spark.catalog import BENCH_ONLY
-
-    df = BENCH_ONLY["q19_disjunctive_revenue"].build(spark, SF_SMALL)
+    df = _LOOKUP()["q19_disjunctive_revenue"].build(spark, SF_SMALL)
     df.write.format("noop").mode("overwrite").save()
     plan = plans.formatted_plan(df)
     assert "l_quantity" in " ".join(

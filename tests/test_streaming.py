@@ -358,7 +358,7 @@ def test_rollup_hierarchy_equals_direct_tumbling(spark):
     from tcga_query_project_spark.catalog import REGISTRY
 
     rolled = (
-        REGISTRY["st_rollup_hierarchy"].build(spark, SF_SMALL).toPandas()
+        {**BENCH_ONLY, **REGISTRY}["st_rollup_hierarchy"].build(spark, SF_SMALL).toPandas()
     )
     ev = read_events(spark, SF_SMALL)
     direct = (
