@@ -1167,7 +1167,7 @@ def w1_ntile_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv_analysis_median_exp.R:131-141)."""
     ev = _t(spark, sf_dir, "events")
     return survival.ntile_strata(
-        ev, "value", 4, ["event_type"], F.col("event_id").asc()
+        ev, "value", 4, ["event_type"], F.col("event_id").asc(), strict=True
     ).select("event_id", "event_type", "stratum")
 
 
@@ -1285,7 +1285,7 @@ def _survival_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total_value"),
     )
     return survival.ntile_strata(
-        subj, "total_value", 2, [], F.col("user_id").asc()
+        subj, "total_value", 2, [], F.col("user_id").asc(), strict=True
     ).drop("total_value")
 
 
@@ -3002,9 +3002,11 @@ def tcga_drug_km_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection, cohort-relative median-of-ratios size factors, median
     split, KM + Greenwood + log CIs — is replayed by the DuckDB oracle
     and hash-compared (previously rows-only). Floats round to 6 on
-    both sides; the ntile ordering (normalized, barcode) is total on
-    this data (no duplicate (value, barcode) pairs — asserted in
-    tests/test_pipelines.py), so stratum assignment is engine-stable."""
+    both sides; the ntile ordering (normalized, barcode) is total —
+    enforced at RUNTIME since round 11 (``ntile_strata(strict=True)``
+    raises on any duplicate order key, so engine-stability no longer
+    depends on fixture luck; the fixture assertion in
+    tests/test_pipelines.py remains as the fast signal)."""
     from tcga_query_project_spark import fixtures
     from tcga_query_project_spark.pipelines import survival_analysis as sp
 

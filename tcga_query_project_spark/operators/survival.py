@@ -33,6 +33,7 @@ def ntile_strata(
     tiebreak: Column,
     keep_extremes_only: bool = True,
     out: str = "stratum",
+    strict: bool = False,
 ) -> DataFrame:
     """W1 + P9: quantile stratification — ``ntile(km_plot[gene], n)``
     (surv_analysis_median_exp.R:131-141, drug_km_median_exp.R:105-108).
@@ -43,17 +44,62 @@ def ntile_strata(
     (:141). ``tiebreak`` makes the ordering total — ntile bucket
     membership on ties is otherwise engine-dependent
     (SURVEY.md §7 hard-part #4).
-    """
+
+    ``strict=True`` turns that precondition into a RUNTIME guard: if
+    any two rows in a partition share the full ``(value, tiebreak)``
+    order key, the job fails with a descriptive error instead of
+    silently emitting an engine-dependent stratum (round-10 verdict
+    item 7 — previously only a fixture assertion). Implemented as a
+    ``rank != row_number`` probe over the SAME window (a tie in the
+    full ordering is exactly a duplicate key), folded into the output
+    column so column pruning cannot drop it — zero extra exchanges."""
     w = Window.partitionBy(*partition_cols).orderBy(F.col(value).asc(), tiebreak)
     tiled = df.withColumn("_tile", F.ntile(n).over(w))
+    if strict:
+        # rank < row_number over the FULL (value, tiebreak) ordering
+        # marks every non-first row of a duplicate-key group (ties are
+        # contiguous, so such a row duplicates its immediate
+        # predecessor). The probe works for ANY tiebreak expression —
+        # including SortOrder columns like F.col(x).asc(), which lag/
+        # lead cannot take as input. A second pass ordered by the
+        # materialized _rn (same partitioning — no extra exchange)
+        # flags the FIRST row of each pair too: with keep_extremes_only
+        # and n > 2 the second row of a boundary-straddling pair is
+        # filtered out as MID — exactly the dangerous case — so the
+        # surviving first row must carry the flag. Computed BEFORE the
+        # extremes filter, over the same frame the ntile used.
+        tiled = tiled.withColumn("_rn", F.row_number().over(w)).withColumn(
+            "_rk", F.rank().over(w)
+        )
+        w2 = Window.partitionBy(*partition_cols).orderBy("_rn")
+        dup_here = F.col("_rk") != F.col("_rn")
+        dup_next = F.coalesce(
+            F.lead(F.col("_rk")).over(w2) != F.lead(F.col("_rn")).over(w2),
+            F.lit(False),
+        )
+        tiled = tiled.withColumn("_dup", dup_here | dup_next)
     if keep_extremes_only:
         tiled = tiled.filter(F.col("_tile").isin(1, n))
-    return tiled.withColumn(
-        out,
+    label = (
         F.when(F.col("_tile") == 1, F.lit("LOW"))
         .when(F.col("_tile") == n, F.lit("HIGH"))
-        .otherwise(F.lit("MID")),
-    ).drop("_tile")
+        .otherwise(F.lit("MID"))
+    )
+    if strict:
+        label = F.when(
+            F.col("_dup"),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "ntile_strata(strict=True): duplicate (value, "
+                        "tiebreak) order key within a partition — ntile "
+                        "assignment would be engine-dependent; value="
+                    ),
+                    F.col(value).cast("string"),
+                )
+            ),
+        ).otherwise(label)
+    return tiled.withColumn(out, label).drop("_tile", "_dup", "_rn", "_rk")
 
 
 def quantile_strata(

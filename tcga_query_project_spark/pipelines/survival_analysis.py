@@ -100,6 +100,7 @@ def km_by_median_expression(
         n_tiles,
         [*keys, "gene_name"],
         F.col("barcode").asc(),
+        strict=True,
     )
     curves = survival.km_curve(
         strata, "time", "status", [*keys, "gene_name", "stratum"]
@@ -219,6 +220,7 @@ def drug_km(
         n_tiles,
         ["drug_class", "gene_name"],
         F.col("barcode").asc(),
+        strict=True,
     )
     curves = survival.km_curve(
         strata, "time", "status", ["drug_class", "gene_name", "stratum"]

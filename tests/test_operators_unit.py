@@ -159,6 +159,48 @@ def test_ntile_strata_median_split(spark):
     assert set(labs4) == {0, 1, 2, 8, 9}  # tile sizes 3,3,2,2 → 1st and 4th kept
 
 
+def test_ntile_strata_strict_guards_duplicate_order_keys(spark):
+    """strict=True (round-10 verdict item 7): duplicate (value,
+    tiebreak) order keys must FAIL at runtime — ntile assignment on a
+    non-total order is engine-dependent — while unique keys (even with
+    tied values, disambiguated by the tiebreak) pass unchanged."""
+    import pytest as _pt
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    # tied values but unique tiebreak -> total order -> identical output
+    df = spark.createDataFrame(
+        [(i, float(i // 2)) for i in range(10)], "id int, v double"
+    )
+    loose = survival.ntile_strata(df, "v", 2, [], F.col("id").asc())
+    strict = survival.ntile_strata(
+        df, "v", 2, [], F.col("id").asc(), strict=True
+    )
+    assert sorted(map(tuple, loose.collect())) == sorted(
+        map(tuple, strict.collect())
+    )
+    # duplicate full order key -> raise (even though values tie-broken
+    # elsewhere): rows (1, 5.0) twice
+    dup = spark.createDataFrame(
+        [(1, 5.0), (1, 5.0), (2, 7.0), (3, 9.0)], "id int, v double"
+    )
+    bad = survival.ntile_strata(dup, "v", 2, [], F.col("id").asc(), strict=True)
+    with _pt.raises(SparkRuntimeException, match="duplicate"):
+        bad.collect()
+    # boundary-straddling pair with keep_extremes_only and n=4: the
+    # second row of the pair lands in a dropped MID tile — the
+    # SURVIVING first row must still carry the flag (lead probe)
+    dup2 = spark.createDataFrame(
+        [(0, 0.0), (1, 1.0), (1, 1.0), (3, 3.0), (4, 4.0), (5, 5.0),
+         (6, 6.0), (7, 7.0)],
+        "id int, v double",
+    )
+    bad2 = survival.ntile_strata(
+        dup2, "v", 4, [], F.col("id").asc(), strict=True
+    )
+    with _pt.raises(SparkRuntimeException, match="duplicate"):
+        bad2.collect()
+
+
 def test_asof_join_semantics(spark):
     from tcga_query_project_spark.operators import temporal
 
