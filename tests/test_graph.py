@@ -363,3 +363,92 @@ def test_triangles_hub_with_rim(spark):
     assert got[0] == (8, 8, round(16 / 56, 6))
     for i in range(1, 9):  # 2 rim neighbors + hub; 2 triangles each
         assert got[i] == (3, 2, round(2 / 3, 6))
+
+
+# =========================================================================
+# Round-11 adversarial fuzz grid (round-10 verdict item 5): hypothesis-
+# generated edge lists — long chains (diameter pressure), dense small-id
+# collisions (overlapping cliques), self-loops, duplicate and reversed
+# edges, negative ids — differentially checked against the 20-line
+# union-find ground truth on BOTH execution paths, plus the
+# local_threshold boundary straddle (the gate must be a pure
+# implementation switch, never a semantics switch). Soak dials shared
+# with tests/test_fuzz_parity.py: SPARK_GRAFT_FUZZ_EXAMPLES /
+# SPARK_GRAFT_FUZZ_SOAK.
+# =========================================================================
+
+import os as _os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_FUZZ_EXAMPLES = int(_os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "5"))
+_FUZZ_SETTINGS = dict(
+    max_examples=_FUZZ_EXAMPLES,
+    deadline=None,
+    derandomize=_os.environ.get("SPARK_GRAFT_FUZZ_SOAK", "") == "",
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+#: edge soup: ids from a tiny domain (collision-heavy) UNION a chain
+#: segment (the adversarial diameter case) UNION junk (self-loops,
+#: reversed duplicates, negatives)
+_edge_lists = st.lists(
+    st.one_of(
+        st.tuples(st.integers(-5, 12), st.integers(-5, 12)),
+        # chain fragments: (i, i+1) over a wider id range
+        st.integers(20, 60).map(lambda i: (i, i + 1)),
+    ),
+    min_size=0,
+    max_size=60,
+).map(
+    # plant one guaranteed self-loop and one reversed duplicate when
+    # there is material to mirror
+    lambda es: es + [(3, 3)] + [(b, a) for a, b in es[:2]]
+)
+
+
+@given(edges=_edge_lists)
+@settings(**_FUZZ_SETTINGS)
+def test_fuzz_cc_local_path_matches_union_find(spark, edges):
+    clean = [(u, v) for u, v in edges if u != v]
+    assert _run(spark, edges) == union_find_components(clean)
+
+
+@given(edges=_edge_lists)
+@settings(max_examples=max(2, _FUZZ_EXAMPLES // 2), deadline=None,
+          derandomize=_os.environ.get("SPARK_GRAFT_FUZZ_SOAK", "") == "",
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fuzz_cc_distributed_path_matches_union_find(spark, edges):
+    # local_threshold=0 forces the star alternation (each example costs
+    # several Spark rounds — half the example budget of the local path)
+    clean = [(u, v) for u, v in edges if u != v]
+    assert _run(spark, edges, local_threshold=0) == union_find_components(
+        clean
+    )
+
+
+@given(edges=_edge_lists)
+@settings(max_examples=max(2, _FUZZ_EXAMPLES // 2), deadline=None,
+          derandomize=_os.environ.get("SPARK_GRAFT_FUZZ_SOAK", "") == "",
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fuzz_cc_threshold_boundary_is_pure_implementation(spark, edges):
+    """Straddle the local-fallback gate at its exact boundary: the gate
+    compares the DISTINCT directed self-loop-free edge count, so
+    running with threshold == that count (local union-find) and
+    threshold == count - 1 (distributed alternation) must label every
+    node identically."""
+    distinct_directed = {(u, v) for u, v in edges if u != v}
+    d = len(distinct_directed)
+    if d == 0:
+        # nothing but self-loops: both paths must return zero rows
+        assert _run(spark, edges) == {}
+        return
+    at = _run(spark, edges, local_threshold=d)
+    below = _run(spark, edges, local_threshold=d - 1)
+    assert at == below == union_find_components(sorted(distinct_directed))
+
+
+def test_cc_self_loops_only_is_empty(spark):
+    got = _run(spark, [(4, 4), (7, 7)])
+    assert got == {}

@@ -519,3 +519,104 @@ def test_dsir_select_matches_python(spark):
         notgt, "doc_id", "body", "is_t", k=1, n_buckets=16
     ).collect()
     assert len(rows) == 2 and sum(r["selected"] for r in rows) == 1
+
+
+# =========================================================================
+# Round-11 adversarial fuzz grid (round-10 verdict item 5): hypothesis-
+# generated weight/token shapes through the distributed prefix-sum
+# machinery — zero-weight rows and strata, single-row and empty inputs,
+# heavy skew (one row carrying ~all mass), sparse keys straddling block
+# boundaries, and the superblock_factor=1 edge (every block its own
+# superblock). Soak dials shared with tests/test_fuzz_parity.py.
+# =========================================================================
+
+import os as _os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_FUZZ_EXAMPLES = int(_os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "5"))
+_FUZZ_SETTINGS = dict(
+    max_examples=_FUZZ_EXAMPLES,
+    deadline=None,
+    derandomize=_os.environ.get("SPARK_GRAFT_FUZZ_SOAK", "") == "",
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+#: (key, weight) rows: unique keys spread across block boundaries (keys
+#: up to 3M vs block_size down to 2), weights zero-heavy with one
+#: optional skew spike
+_kw_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3_000_000),
+        st.one_of(
+            st.just(0),
+            st.integers(0, 9),
+            st.integers(10_000, 50_000),  # skew spikes
+        ),
+    ),
+    min_size=0,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=_kw_rows, budget=st.integers(1, 60),
+       block_size=st.sampled_from([2, 64, 1 << 20]),
+       superblock_factor=st.sampled_from([1, 2, 1 << 12]))
+@settings(**_FUZZ_SETTINGS)
+def test_fuzz_pack_shards_matches_python_prefix_sum(
+    spark, rows, budget, block_size, superblock_factor
+):
+    df = spark.createDataFrame(rows or [], "k long, tok long")
+    got = {
+        r["k"]: (r["cum_tokens"], r["shard"])
+        for r in sampling.pack_shards(
+            df, "k", "tok", budget=budget, block_size=block_size,
+            superblock_factor=superblock_factor,
+        ).collect()
+    }
+    cum = 0
+    want = {}
+    for k_, tok in sorted(rows):
+        want[k_] = (cum + tok, (cum) // budget)
+        cum += tok
+    assert got == want
+
+
+@given(rows=_kw_rows, k=st.integers(1, 25),
+       block_size=st.sampled_from([2, 1 << 20]),
+       superblock_factor=st.sampled_from([1, 1 << 12]))
+@settings(**_FUZZ_SETTINGS)
+def test_fuzz_pps_matches_local_replay_and_madow_bounds(
+    spark, rows, k, block_size, superblock_factor
+):
+    """Differential vs the pure-python grid replay, plus the two Madow
+    systematic-PPS contracts on every shape: Σ n_hits == k whenever any
+    mass exists (empty result on zero total), and each row's hit count
+    within the systematic bounds ⌊w·k/total⌋ ≤ n_hits ≤ ⌈w·k/total⌉."""
+    import hashlib
+
+    df = spark.createDataFrame(rows or [], "key long, w long")
+    got = {
+        r["key"]: (r["weight"], r["cum_weight"], r["n_hits"])
+        for r in sampling.pps_systematic_sample(
+            df, "key", "w", k, salt="fz", block_size=block_size,
+            superblock_factor=superblock_factor,
+        ).collect()
+    }
+    total = sum(max(w, 0) for _, w in rows)
+    if total == 0:
+        assert got == {}
+        return
+    r_off = int(hashlib.md5(b"fz").hexdigest()[:8], 16) % total
+    assert got == _pps_local(rows, k, r_off)
+    assert sum(h for _, _, h in got.values()) == k
+    wmap = dict(rows)
+    for key_, (w, _, h) in got.items():
+        assert w == max(wmap[key_], 0)
+        lo = (w * k) // total
+        hi = -((-w * k) // total)  # ceil
+        assert lo <= h <= hi, (key_, w, h, lo, hi)
+    # zero-weight rows are never hit
+    assert all(w > 0 for w, _, _ in got.values())
