@@ -111,7 +111,17 @@ def build(paths: list[str]) -> None:
             spreads.append(spread)
     spreads.sort()
     p95 = spreads[int(0.95 * (len(spreads) - 1))] if spreads else None
+    import subprocess
+
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=REPO,
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except Exception:
+        sha = "unknown"
     out = {
+        "git_sha": sha,
         "n_runs": len(runs),
         "n_queries": len(queries),
         "totals_exec": [r["value_exec_only"] for r in runs],

@@ -44,6 +44,22 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _git_sha() -> str:
+    """Embed the snapshot SHA in the record (round-10 verdict item 2:
+    every round record must carry the commit it was measured at)."""
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=REPO,
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except Exception:
+        return "unknown"
+
+
 sys.path.insert(0, REPO)
 
 QUERIES = [
@@ -173,6 +189,7 @@ def main() -> None:
         mh["sec_per_1k_candidates_skewed"] = round(pc_s, 4)
 
     out = {
+        "git_sha": _git_sha(),
         "uniform_dir": uni,
         "skew_dir": skw,
         "mult_of_sf01": mult,

@@ -44,6 +44,20 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+
+def _git_sha() -> str:
+    """Embed the snapshot SHA in the record (round-10 verdict item 2:
+    every round record must carry the commit it was measured at)."""
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=REPO,
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except Exception:
+        return "unknown"
+
 # transformWithState's state-server protocol needs google.protobuf in
 # the driver and every Python worker — same shim wiring as
 # tests/conftest.py (must precede SparkSession creation).
@@ -66,7 +80,29 @@ N_EVENT_FILES = 16
 N_DOC_FILES = 8
 
 
-def _drain(stream_df, name: str, mode: str = "append") -> float:
+def _state_peak(q) -> dict:
+    """Peak state-store footprint across the run's micro-batches, read
+    from the query's progress telemetry (round-10 verdict item 6): per
+    progress update, SUM the stateOperators' row/byte figures (a
+    pipeline may carry several stateful operators), then take the MAX
+    over updates. RocksDB reports its footprint in customMetrics
+    instead of memoryUsedBytes — fall back to it when larger."""
+    rows_peak = bytes_peak = 0
+    for p in q.recentProgress or []:
+        ops = (p or {}).get("stateOperators") or []
+        rows = sum(int(o.get("numRowsTotal") or 0) for o in ops)
+        byts = 0
+        for o in ops:
+            b = int(o.get("memoryUsedBytes") or 0)
+            cm = o.get("customMetrics") or {}
+            b = max(b, int(cm.get("rocksdbTotalMemoryUsageBytes") or 0))
+            byts += b
+        rows_peak = max(rows_peak, rows)
+        bytes_peak = max(bytes_peak, byts)
+    return {"state_rows_peak": rows_peak, "state_bytes_peak": bytes_peak}
+
+
+def _drain(stream_df, name: str, mode: str = "append") -> tuple[float, dict]:
     t0 = time.monotonic()
     q = (
         stream_df.writeStream.format("noop")
@@ -76,7 +112,8 @@ def _drain(stream_df, name: str, mode: str = "append") -> float:
         .start()
     )
     q.awaitTermination()
-    return time.monotonic() - t0
+    secs = time.monotonic() - t0
+    return secs, _state_peak(q)
 
 
 def main() -> None:
@@ -333,6 +370,44 @@ def main() -> None:
             ),
             n_docs10,
         ),
+        # round-11 (verdict item 6): 10x points for the four JVM
+        # pipelines that lacked them. Same matched-batch rationale —
+        # each micro-batch carries 10x rows, isolating operator
+        # throughput from per-trigger fixed cost. State growth differs
+        # by design and the recorded state_rows/bytes_peak columns show
+        # it: tumbling/session/scd2 keep their key space (same
+        # event_types/users; 10x history per key), exact_dedup's state
+        # grows with distinct event_ids (10x keys — dedup state is
+        # inherently row-shaped until the watermark expires it).
+        "tumbling_agg_10x": (
+            lambda: swin.tumbling_agg(
+                ev10_stream(), "ts", "1 minute", ["event_type"],
+                [F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")],
+            ),
+            n_events10,
+        ),
+        "session_agg_10x": (
+            lambda: swin.session_agg(
+                ev10_stream(), "ts", "5 minutes", ["user_id"],
+                [F.count(F.lit(1)).alias("n")],
+            ),
+            n_events10,
+        ),
+        "exact_dedup_10x": (
+            lambda: sdedup.exact_dedup_stream(
+                ev10_stream(), ["event_id"], "ts", "10 minutes"
+            ),
+            n_events10,
+        ),
+        "scd2_enrich_10x": (
+            # the tier_b dimension version is open-ended (valid_to
+            # NULL), so it covers the replicas' shifted time range —
+            # the join stays point-in-time correct at 10x
+            lambda: sjoins.enrich_with_scd2(
+                ev10_stream(), dim, "user_id", "ts"
+            ),
+            n_events10,
+        ),
     }
 
     # transformWithState needs the RocksDB provider (one column family
@@ -359,11 +434,13 @@ def main() -> None:
             spark.conf.set(k, val)
         try:
             _drain(build(), name, mode)  # warm: codegen + state-store init
-            secs = min(_drain(build(), name, mode) for _ in range(2))
+            runs = [_drain(build(), name, mode) for _ in range(2)]
+            secs, state = min(runs, key=lambda r: r[0])
             results[name] = {
                 "rows_in": rows,
                 "sec": round(secs, 3),
                 "rows_per_sec": int(rows / secs),
+                **state,
             }
         except Exception as e:  # record, don't abort the whole bench
             results[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
@@ -389,7 +466,7 @@ def main() -> None:
     }
     baseline_ev = spark.read.parquet(ev_dir)
 
-    def _run_psi(stream_fn) -> float:
+    def _run_psi(stream_fn) -> tuple[float, dict]:
         run_dir = tempfile.mkdtemp(prefix="psi_bench_")
         t0 = time.monotonic()
         q = squality.start_windowed_psi(
@@ -404,8 +481,9 @@ def main() -> None:
         )
         q.awaitTermination()
         secs = time.monotonic() - t0
+        state = _state_peak(q)
         shutil.rmtree(run_dir, ignore_errors=True)
-        return secs
+        return secs, state
 
     for name, (stream_fn, rows) in {
         "windowed_psi": (ev_stream, n_events),
@@ -413,17 +491,20 @@ def main() -> None:
     }.items():
         try:
             _run_psi(stream_fn)  # warm
-            secs = min(_run_psi(stream_fn) for _ in range(2))
+            runs = [_run_psi(stream_fn) for _ in range(2)]
+            secs, state = min(runs, key=lambda r: r[0])
             results[name] = {
                 "rows_in": rows,
                 "sec": round(secs, 3),
                 "rows_per_sec": int(rows / secs),
+                **state,
             }
         except Exception as e:
             results[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
         print(name, results[name])
 
     out = {
+        "git_sha": _git_sha(),
         "sf_dir": sf_dir,
         "n_event_files": N_EVENT_FILES,
         "n_doc_files": N_DOC_FILES,
@@ -436,7 +517,12 @@ def main() -> None:
             "and the stateful operators see the whole input — earlier "
             "rounds' random file split dropped most post-batch-1 rows "
             "as late, so pre-round-8 figures measured a lighter state "
-            "load and are not directly comparable"
+            "load and are not directly comparable. Since round 11 "
+            "every pipeline records state_rows_peak / state_bytes_peak "
+            "(max over micro-batches of the progress telemetry's "
+            "stateOperators totals; RocksDB reports via "
+            "rocksdbTotalMemoryUsageBytes) and every JVM pipeline has "
+            "a matched-batch _10x row"
         ),
         "profile": (
             "round-9 decomposition on the 100k/16-batch input at 8 "

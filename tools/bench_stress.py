@@ -30,6 +30,22 @@ import time
 import urllib.request
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _git_sha() -> str:
+    """Embed the snapshot SHA in the record (round-10 verdict item 2:
+    every round record must carry the commit it was measured at)."""
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=REPO,
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except Exception:
+        return "unknown"
+
+
 sys.path.insert(0, REPO)
 
 SMALL = "/root/testdata/sf0.1"
@@ -166,6 +182,7 @@ def main() -> None:
         if n in results and (results[n]["ratio_on_100x_data"] or 0) > 200
     ]
     out = {
+        "git_sha": _git_sha(),
         "big_dir": big,
         "data_mult": 100,
         "jvm_peak_rss_mb": _jvm_peak_rss_mb(),

@@ -27,6 +27,23 @@ import os
 import sys
 
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _git_sha() -> str:
+    """Embed the snapshot SHA in the record (round-10 verdict item 2:
+    every round record must carry the commit it was measured at)."""
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=REPO,
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except Exception:
+        return "unknown"
+
+
 #: queries whose DECLARED algorithm is superlinear in data size — the
 #: flag lists exist to catch plans that scale worse than their
 #: semantics require, and these semantics REQUIRE quadratic compute.
@@ -109,6 +126,7 @@ def main() -> None:
     accelerating = [n for n in accelerating if n not in EXPECTED_SUPERLINEAR]
 
     out = {
+        "git_sha": _git_sha(),
         "sf_small": small.get("sf"),
         "sf_big": big.get("sf"),
         "data_ratio": data_ratio,
