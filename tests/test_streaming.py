@@ -355,10 +355,12 @@ def test_rollup_hierarchy_equals_direct_tumbling(spark):
     sound if the re-aggregation is value-identical to aggregating the
     raw events directly into hourly buckets."""
     from tests.conftest import SF_SMALL
-    from tcga_query_project_spark.catalog import REGISTRY
+    from tcga_query_project_spark.catalog import BENCH_ONLY, REGISTRY
 
     rolled = (
-        {**BENCH_ONLY, **REGISTRY}["st_rollup_hierarchy"].build(spark, SF_SMALL).toPandas()
+        {**BENCH_ONLY, **REGISTRY}["st_rollup_hierarchy"]
+        .build(spark, SF_SMALL)
+        .toPandas()
     )
     ev = read_events(spark, SF_SMALL)
     direct = (
