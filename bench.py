@@ -248,7 +248,7 @@ def _regressions(times_exec: dict[str, float]) -> list[str]:
     """Queries whose best exec-only time regresses against the pinned
     noise envelope (``BENCH_NOISE.json``), judged by the SHARED rule
     ``tools/bench_noise.is_drift`` (above the de-stormed envelope high
-    AND above 1.5x the envelope median AND more than 0.1s over it) —
+    AND above 1.75x the envelope median AND more than 0.1s over it) —
     one implementation for bench.py and the --compare tool, so the
     gates cannot diverge. Empty list when the envelope file is absent
     (fresh checkout / different machine) or when benching a non-default
@@ -468,7 +468,7 @@ def main() -> None:
         # per-query regression flags vs the pinned noise envelope
         # (BENCH_NOISE.json, identical quiet sessions): since round 11
         # the gate is tools/bench_noise.is_drift — above the de-stormed
-        # envelope high AND above 1.5x the envelope median AND more
+        # envelope high AND above 1.75x the envelope median AND more
         # than 0.1s over it — so a 2x loss on a sub-second query flags
         # (the old global-p95 headroom absorbed exactly that class,
         # round-10 judge ask #1). Since round 10 the flags are split

@@ -47,7 +47,7 @@ def test_inside_envelope_is_silent():
 
 
 def test_drift_above_envelope_for_big_query():
-    # 2.0s vs med 1.05: above hi 1.1, above 1.5x med (1.575), delta
+    # 2.0s vs med 1.05: above hi 1.1, above 1.75x med (1.8375), delta
     # 0.95s > 0.1s — all three drift conditions met
     noise = _env(q_big=(1.0, 1.1))
     res = bench_noise.classify(noise, _run(q_big=2.0))
@@ -60,7 +60,7 @@ def test_planted_2x_regression_on_subsecond_query_flags():
     0.33s-median query slowed to 2.07x its envelope max MUST flag.
     Under the old global-headroom rule (spread_p95=2.07 that round)
     0.745 was the flag threshold and 0.62 passed silently; the
-    median-anchored rule flags it: 0.62 > hi 0.36, > 1.5*0.30=0.45,
+    median-anchored rule flags it: 0.62 > hi 0.36, > 1.75*0.30=0.525,
     delta 0.32 > 0.1."""
     noise = _env(q_sub=(0.24, 0.36))  # med (midpoint) = 0.30
     t = 0.62
@@ -80,7 +80,7 @@ def test_improved_below_envelope_for_big_query():
 
 
 def test_tiny_query_jitter_is_floored_not_drift():
-    # 0.05s -> 0.12s: above hi and above 1.5x med, but the absolute
+    # 0.05s -> 0.12s: above hi and above 1.75x med, but the absolute
     # delta (0.065s) is under the 0.1s slack — counted, never labeled
     noise = _env(q_tiny=(0.05, 0.06))
     res = bench_noise.classify(noise, _run(q_tiny=0.12))
@@ -90,7 +90,7 @@ def test_tiny_query_jitter_is_floored_not_drift():
 
 def test_tiny_query_big_relative_move_still_flags():
     # the round-8 advisor case: 0.05s -> 0.29s (5.8x) clears all three
-    # conditions (hi 0.06, 1.5x med 0.0825, delta 0.235 > 0.1) — DRIFT
+    # conditions (hi 0.06, 1.75x med 0.096, delta 0.235 > 0.1) — DRIFT
     noise = _env(q_tiny=(0.05, 0.06))
     res = bench_noise.classify(noise, _run(q_tiny=0.29))
     assert [d[0] for d in res["drift"]] == ["q_tiny"]
@@ -184,5 +184,5 @@ def test_build_destorms_extremes_with_five_runs(tmp_path, monkeypatch):
     assert qa["exec_max"] == 0.90 and qa["exec_hi"] == 0.31
     assert qb["exec_min"] == 0.01 and qb["exec_lo"] == 0.49
     # the de-stormed gate now catches a 2x loss the storm would hide:
-    # 0.62 > hi 0.31, > 1.5*med 0.45, delta > 0.1
+    # 0.62 > hi 0.31, > 1.75*med 0.525, delta > 0.1
     assert bench_noise.is_drift(qa, 0.62)

@@ -12,7 +12,7 @@ Usage:
   python tools/bench_noise.py --compare other_detail.json
       -> classifies every query of ``other`` against the recorded
          envelope: a query is DRIFT only if it exceeds its de-stormed
-         envelope high AND 1.5x its envelope median AND sits more than
+         envelope high AND 1.75x its envelope median AND sits more than
          0.1s over that median (is_drift — the same function bench.py's
          flagged_regressed imports), i.e. the delta must clear both the
          machine's own observed variation and a fixed relative+absolute
@@ -38,7 +38,13 @@ OUT = os.path.join(REPO, "BENCH_NOISE.json")
 #: (c) median + ABS seconds. The old rule (global spread_p95 headroom
 #: on exec_max) could not see a 2x loss on a sub-second query once one
 #: noisy envelope query pushed p95 to ~2 — round-10 verdict item 1.
-REL = 1.5
+#: REL calibration: the gate must SEE a genuine 2x loss, so REL < 2;
+#: at 1.5 the seven-run round-11 envelope's own member sessions flag
+#: ~3 false DRIFTs each (this host's quiet-session medians swing up to
+#: ~1.56x), so 1.75 is the tightest setting that classifies the
+#: envelope's own sessions clean while every >=2x move still trips all
+#: three conditions.
+REL = 1.75
 ABS = 0.1
 
 
@@ -133,7 +139,7 @@ def build(paths: list[str]) -> None:
             "per-query best-of-3 exec/wall across identical quiet sf0.1 "
             "sessions; exec_lo/exec_hi are the de-stormed extremes "
             "(single worst+best run dropped when n_runs >= 5); a query "
-            "regresses when t > exec_hi AND t > 1.5*exec_med AND "
+            "regresses when t > exec_hi AND t > 1.75*exec_med AND "
             "t > exec_med + 0.1s (tools/bench_noise.is_drift)"
         ),
         "queries": queries,
@@ -164,7 +170,7 @@ def classify(noise: dict, other: dict) -> dict:
     A regression (above envelope) and an improvement (below) are
     different events — label them apart (round-8 advisor finding).
     The round-11 rework anchors both gates on the per-query MEDIAN
-    with a fixed 1.5x relative + 0.1s absolute slack, replacing the
+    with a fixed REL relative + ABS absolute slack, replacing the
     global spread_p95 headroom that let any sub-second query regress
     up to ~2x invisibly (round-10 verdict item 1); bench.py's
     ``flagged_regressed`` imports :func:`is_drift` so the two gates
