@@ -56,6 +56,20 @@ EXPECTED_SUPERLINEAR = {
         "overheads amortize; the benchmarked sub-quadratic form is "
         "dd_embedding_lsh_pairs"
     ),
+    "dd_jaccard_prefix_join": (
+        "exact AllPairs/PPJoin set-similarity join: candidate cost is "
+        "sum(|postings|^2) over prefix shingles, quadratic whenever "
+        "posting lists densify with corpus growth. The synthetic "
+        "corpus's ~20-word vocabulary SATURATES the 3-shingle space, "
+        "so the interleave replicas share 90% of their distinct "
+        "shingles (measured round 11: replica-1 shares 25,885 of "
+        "28,646 with replica 0) and every posting list grows ~10x on "
+        "10x docs -> candidates ~100x BY DATA CONSTRUCTION, while the "
+        "OUTPUT stays exactly linear (256 -> 2,560 pairs). Real Zipf "
+        "corpora keep prefix (rarest) postings short; the corpus-scale "
+        "near-dup path is dd_minhash_lsh (banded, sublinear) — the "
+        "exact join is the bounded-scope audit tool"
+    ),
 }
 
 
