@@ -173,7 +173,18 @@ def main() -> None:
     # for the dbgen-data curve) so a second curve never clobbers the
     # primary derived-data one.
     out_name = os.environ.get("SCALE_OUT", "BENCH_SCALE.json")
-    with open(os.path.join(repo, out_name), "w") as fh:
+    out_path = os.path.join(repo, out_name)
+    # bench_stress merges its stress_100x section INTO this file; a
+    # curve rebuild must not silently drop it (round-11 footgun)
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as fh:
+                prev = json.load(fh)
+            if "stress_100x" in prev:
+                out["stress_100x"] = prev["stress_100x"]
+        except (json.JSONDecodeError, OSError):
+            pass
+    with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     w = max(len(n) for n in rows)
     print(f"{'query'.ljust(w)}  sf{small.get('sf')}   sf{big.get('sf')}   ratio")
