@@ -106,6 +106,15 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: tx_ctfidf_labels, qa_robust_outliers, tj_markov,
 #: q21_sole_late_supplier, q19_disjunctive_revenue, a13_bootstrap_ci
 #: (the two heaviest TPC-H shapes + the heaviest stable query).
+#:
+#: Round 12 (rotation #5): the round-11 eight (each now driver-attested
+#: in CORRECTNESS_r11.json) swapped back here for the eight the
+#: round-11 verdict named — q9_product_type_profit,
+#: q18_large_volume_customers, q12_priority_lateness, tj_sessionize,
+#: tj_apply_cdc, tx_tfidf, dd_decontaminate, a12_cube_margins
+#: (shape-diverse picks from the 49 never-driver-attested oracles:
+#: three more TPC-H joins/aggs, two temporal, one text, one dedup,
+#: one CUBE).
 BENCH_ONLY: dict[str, QuerySpec] = {}
 
 
@@ -1033,7 +1042,7 @@ def bh_adjust_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FILTER_THETAS = [0.95 * i / 49 for i in range(50)]
 
 
-@register(
+@register_bench_only(
     "a6_filter_grid",
     """
     WITH g AS (
@@ -2018,7 +2027,7 @@ def dd_band_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_bench_only(
+@register(
     "dd_decontaminate",
     "WITH "
     + _MINHASH_CTE
@@ -3378,7 +3387,7 @@ _SQL_TF_CTE = """
 """
 
 
-@register_bench_only(
+@register(
     "tx_tfidf",
     "WITH "
     + _SQL_TF_CTE
@@ -3394,8 +3403,9 @@ _SQL_TF_CTE = """
     tags=("tfidf", "inverted-index"),
 )
 def tx_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF postings (text.tfidf: smoothed sklearn idf), driver-
-    visible since round 7 (judge ask #4). One explode + term shuffle
+    """TF-IDF postings (text.tfidf: smoothed sklearn idf), oracle-
+    visible since round 7 (judge ask #4), driver slot since round 12
+    (rotation #5). One explode + term shuffle
     builds the postings; document frequencies are a dimension-sized
     per-term aggregate broadcast back; N attaches as a broadcast
     scalar. The oracle replays the identical tokenize/count/idf
@@ -3499,7 +3509,7 @@ def tx_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_backoff_score(marked, "doc_id", "text", "_m")
 
 
-@register(
+@register_bench_only(
     "tx_ctfidf_labels",
     """
     WITH tf0 AS (
@@ -3657,7 +3667,7 @@ def tj_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_bench_only(
+@register(
     "tj_apply_cdc",
     """
     WITH snap AS (
@@ -3696,8 +3706,8 @@ def tj_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("cdc-merge", "upsert"),
 )
 def tj_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch CDC MERGE (temporal.apply_cdc), driver-visible since
-    round 7 (judge ask #4): snapshot = even order keys; the change log
+    """Batch CDC MERGE (temporal.apply_cdc), oracle-visible since
+    round 7 (judge ask #4), driver slot since round 12 (rotation #5): snapshot = even order keys; the change log
     carries TWO versions for every 6th key (latest-wins by ts) with
     deletes planted at 15/12-multiples — exercising untouched /
     inserted / updated / deleted and the latest-entry window. Log keys
@@ -3738,7 +3748,7 @@ def tj_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_bench_only(
+@register(
     "tj_sessionize",
     """
     WITH e AS (
@@ -3772,8 +3782,8 @@ def tj_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     session's start time — the row-level form of st_session_sliding's
     aggregate (boundary rule pinned against Spark's session_window in
     unit test). Input pre-aggregated to unique (user, ts) so tied
-    timestamps cannot order differently across engines. BENCH_ONLY
-    (48-slot driver cap); verified by tests/test_oracle_parity.py."""
+    timestamps cannot order differently across engines. Driver slot
+    since round 12 (rotation #5)."""
     ev = _t(spark, sf_dir, "events")
     e = (
         ev.filter(F.col("event_type") == "click")
@@ -3938,7 +3948,7 @@ def pp_training_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_bench_only(
+@register(
     "a12_cube_margins",
     """
     SELECT COALESCE(lang, '(all)') AS lang,
@@ -3958,8 +3968,8 @@ def a12_cube_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cost is one shuffle regardless of how many margins are
     requested (vs 4 self-unioned GROUP BYs re-scanning the corpus).
     grouping_id disambiguates a real NULL group value from a margin
-    row. Complements a10_rollup_totals (ROLLUP). BENCH_ONLY (48-slot
-    driver cap); verified by tests/test_oracle_parity.py."""
+    row. Complements a10_rollup_totals (ROLLUP). Driver slot since
+    round 12 (rotation #5)."""
     docs = _t(spark, sf_dir, "documents")
     return (
         docs.cube("lang", "source")
@@ -4729,7 +4739,7 @@ def _poisson_case_sql(slice8: str) -> str:
     )
 
 
-@register(
+@register_bench_only(
     "a13_bootstrap_ci",
     f"""
     WITH ex AS (
@@ -4895,7 +4905,7 @@ def tj_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.retention(ev, "user_id", "ts", 86_400_000_000)
 
 
-@register(
+@register_bench_only(
     "tj_markov",
     """
     WITH seq AS (
@@ -5103,7 +5113,7 @@ def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy.resolve_entities(part, "p_name", max_dist=2)
 
 
-@register(
+@register_bench_only(
     "qa_robust_outliers",
     """
     WITH med AS (
@@ -5383,7 +5393,7 @@ def tj_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_bench_only(
     "sv_logrank_cohorts",
     """
     WITH base AS (
@@ -5642,7 +5652,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_bench_only(
+@register(
     "q18_large_volume_customers",
     """
     WITH big AS (
@@ -5698,7 +5708,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_bench_only(
     "q21_sole_late_supplier",
     """
     WITH li AS (
@@ -6234,7 +6244,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_bench_only(
+@register(
     "q9_product_type_profit",
     """
     SELECT ns.n_name AS nation,
@@ -6411,7 +6421,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_bench_only(
+@register(
     "q12_priority_lateness",
     """
     SELECT l.l_linestatus,
@@ -6651,7 +6661,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_bench_only(
     "q19_disjunctive_revenue",
     """
     SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
