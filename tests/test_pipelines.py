@@ -360,3 +360,126 @@ def test_km_ntile_ordering_is_total_on_fixtures(spark):
         .filter(F.col("n") > 1)
     )
     assert dup.count() == 0
+
+
+def test_de_full_composition_differential(spark):
+    """Round-11 verdict item 6: ``tcga_de_full``/``tcga_de_filtered``
+    are rows-only while every STAGE has its own oracle — attest the
+    COMPOSITION end-to-end. R/DESeq2 is not in this image, so the
+    golden is an independent driver-side re-composition over the
+    committed fixture parquet: cohort filter, gene floor, DESeq2
+    median-of-ratios size factors and BH are re-derived here in plain
+    pandas/numpy (separate code path from the engine's joins/windows);
+    only the per-gene NB-GLM kernel (``glm._fit_core``) is shared —
+    itself attested by R-golden unit tests (test_glm) and the
+    ``a6_poisson_wald`` closed-form hash oracle. Any mis-wiring of the
+    composition (wrong gene universe after the floor, BH over the
+    wrong test set, size factors from the wrong cohort, NULL
+    propagation, join key drift) diverges here. Compared on pvalue,
+    padj RANK ORDER (tolerance-based) and signif bins per the verdict's
+    'done' criterion."""
+    import numpy as np
+    import pandas as pd
+
+    from tcga_query_project_spark.operators import glm
+
+    t = fixtures.read_fixtures_parquet(spark)
+    expr_pd = t["expression"].toPandas()
+    samples_pd = t["samples"].toPandas()
+    a, b, min_total = "NT", "TP", 10.0
+
+    # ---- independent local re-composition ----------------------------
+    samp = samples_pd[samples_pd["short_letter_code"].isin([a, b])]
+    cond_of = dict(zip(samp["barcode"], samp["short_letter_code"]))
+    fact = expr_pd[expr_pd["barcode"].isin(cond_of)].copy()
+    fact["cond"] = fact["barcode"].map(cond_of)
+    tot = fact.groupby("gene_id")["count"].sum()
+    fact = fact[fact["gene_id"].isin(tot[tot >= min_total].index)]
+
+    # DESeq2 estimateSizeFactors: log-geomean over each all-positive
+    # gene; per-sample exp(median(log count - log geomean))
+    allpos = fact.groupby("gene_id")["count"].agg(lambda s: bool((s > 0).all()))
+    sf_genes = set(allpos[allpos].index)
+    sub = fact[fact["gene_id"].isin(sf_genes)]
+    geo = (
+        np.log(sub["count"].astype(float))
+        .groupby(sub["gene_id"].to_numpy())
+        .mean()
+    )
+    lr = pd.Series(
+        np.log(sub["count"].astype(float).to_numpy())
+        - geo.loc[sub["gene_id"]].to_numpy(),
+        index=sub.index,
+    )
+    sf = np.exp(lr.groupby(sub["barcode"].to_numpy()).median())
+
+    local = {}
+    for gid, gdf in fact.groupby("gene_id"):
+        local[gid] = glm._fit_core(
+            gdf["count"].to_numpy(dtype=np.float64),
+            (gdf["cond"] == b).to_numpy(dtype=np.float64),
+            sf.loc[gdf["barcode"]].to_numpy(dtype=np.float64),
+        )
+    genes = sorted(local)
+    p = np.array([local[g]["pvalue"] for g in genes])
+    mask = np.isfinite(p)
+    m = int(mask.sum())
+    order = np.argsort(p[mask], kind="mergesort")
+    ranked = p[mask][order] * m / (np.arange(m) + 1.0)
+    adj = np.minimum(np.minimum.accumulate(ranked[::-1])[::-1], 1.0)
+    padj_local = np.full(len(genes), np.nan)
+    tmp = np.empty(m)
+    tmp[order] = adj
+    padj_local[mask] = tmp
+
+    def bin_of(x):
+        if not np.isfinite(x):
+            return None
+        for cut, lab in [(0.05, "ns"), (0.01, "*"), (0.001, "**"),
+                         (0.0001, "***")]:
+            if x > cut:
+                return lab
+        return "****"
+
+    # ---- the engine's composed pipelines -----------------------------
+    full = {
+        r["gene_id"]: r
+        for r in de_pipe.differential_expression(
+            t["expression"], t["genes"], t["samples"],
+            "short_letter_code", a, b,
+        ).collect()
+    }
+    filt = {
+        r["gene_id"]: r
+        for r in de_pipe.differential_expression(
+            t["expression"], t["genes"], t["samples"],
+            "short_letter_code", a, b, independent_filtering=True,
+        ).collect()
+    }
+
+    # same gene universe out of the floor stage, both variants
+    assert set(full) == set(genes)
+    assert set(filt) == set(genes)
+    for i, g in enumerate(genes):
+        lp, ep = local[g]["pvalue"], full[g]["pvalue"]
+        fp = filt[g]["pvalue"]
+        if not np.isfinite(lp):
+            assert ep is None and fp is None
+            assert full[g]["padj"] is None and full[g]["p_signif"] is None
+            continue
+        # composition through the Wald stage (cohort+floor+sf+fit):
+        # identical kernel over independently-wired inputs
+        assert ep is not None and abs(ep - lp) <= 1e-6 * max(lp, 1e-12), g
+        assert fp is not None and abs(fp - lp) <= 1e-6 * max(lp, 1e-12), g
+        # BH tail: tolerance-based value match + identical signif bins
+        assert abs(full[g]["padj"] - padj_local[i]) <= 1e-6, g
+        assert full[g]["p_signif"] == bin_of(padj_local[i]), g
+    # padj RANK ORDER: walking genes in local-oracle padj order, the
+    # engine's padj must be non-decreasing (up to fp slack) — the
+    # verdict's rank-order criterion without tie-order brittleness
+    tested = [g for g in genes if np.isfinite(local[g]["pvalue"])]
+    by_local = sorted(
+        tested, key=lambda g: (padj_local[genes.index(g)], g)
+    )
+    eng = [full[g]["padj"] for g in by_local]
+    assert all(eng[i] <= eng[i + 1] + 1e-9 for i in range(len(eng) - 1))
