@@ -469,8 +469,22 @@ def _assemble(sessions: list[dict], sf: float | None,
     times = med["queries"]
     times_exec = med["queries_exec_only"]
     times_build = med["queries_build"]
+    # GATE-INPUT estimator (round-12): per-query median across the
+    # invocation's sessions. Single-session best-of-3 readings spread
+    # 1.75x median across quiet sessions on this host; the 3-session
+    # median spreads ~1.18x, which is what lets the drift gate run at
+    # REL=1.5 without self-flagging (tools/bench_noise.estimator is
+    # the shared definition; this field is what it reads).
+    import statistics as _statistics
+
+    times_est = {
+        n: round(_statistics.median(
+            s["queries_exec_only"][n] for s in sessions
+        ), 3)
+        for n in times_exec
+    }
     regressed, storm_suspect = _split_storms(
-        _regressions(noise, times_exec), med["queries_probe"]
+        _regressions(noise, times_est), med["queries_probe"]
     )
     detail = {
         "metric": "headline_query_wall_time_total",
@@ -496,6 +510,10 @@ def _assemble(sessions: list[dict], sf: float | None,
         # structurally in tests/test_plans.py::test_eager_build_allowlist.
         "queries_build": times_build,
         "value_build": med["value_build"],
+        # the drift-gate estimator (see above): per-query median of
+        # best-of-3 exec across this invocation's sessions
+        "queries_exec_med_sessions": times_est,
+        "value_exec_med_sessions": round(sum(times_est.values()), 3),
         # ratio from the PHASE minima (times_build + times_exec), not
         # min-wall over min-exec: the two wall/exec minima can come
         # from different reps, under- or over-stating the build share
@@ -529,14 +547,17 @@ def _assemble(sessions: list[dict], sf: float | None,
         # the REL blind band that round 11 silently absorbed
         # (tx_bigram_backoff at x1.65 with an elevated probe).
         "above_envelope_hi": (
-            bench_noise._above_hi(noise, med) if noise else []
+            bench_noise._above_hi(noise, {
+                "queries_exec_med_sessions": times_est,
+                "queries_probe": med["queries_probe"],
+            }) if noise else []
         ),
         # round-12 (judge ask #1): total-level drift bound — 97
         # per-query envelopes pass a uniform fleet-wide creep forever,
         # so the session exec-only total over the envelope's query set
         # is gated at TOTAL_REL x the envelope's total median.
         "total_gate": (
-            bench_noise.is_total_drift(noise, times_exec) if noise
+            bench_noise.is_total_drift(noise, times_est) if noise
             else {"applicable": False}
         ),
         "queries_probe": med["queries_probe"],

@@ -405,3 +405,38 @@ def test_bench_assemble_picks_median_session():
     assert detail["queries_exec_only"] == {"qa": 11.0}
     # internally consistent: published queries sum to the published total
     assert detail["value"] == sessions[2]["value"]
+
+
+def test_gate_input_is_cross_session_estimator():
+    """Round-12 estimator rework: single-session best-of-3 readings
+    spread 1.75x median across quiet sessions on this host, so the
+    drift gate classifies the per-invocation MEDIAN across sessions
+    (queries_exec_med_sessions) — one stormy session inside an
+    otherwise-quiet invocation must not flag, while a loss present in
+    the estimator must."""
+    noise = _full_env(qa=(0.50, 0.60))
+    # stormy single session (1.2s) but quiet estimator (0.52): no flag
+    run = {
+        "queries_exec_only": {"qa": 1.2},           # median session's raw
+        "queries_exec_med_sessions": {"qa": 0.52},  # cross-session median
+    }
+    res = bench_noise.classify(noise, run)
+    assert res["drift"] == [] and res["above_hi"] == []
+    # estimator itself regressed 1.6x: flags even at REL=1.5
+    run2 = {
+        "queries_exec_only": {"qa": 0.52},
+        "queries_exec_med_sessions": {"qa": 0.80},
+    }
+    assert [d[0] for d in bench_noise.classify(noise, run2)["drift"]] == ["qa"]
+    # estimator derivation from embedded sessions when the field is
+    # absent (legacy multi-session file)
+    run3 = {
+        "queries_exec_only": {"qa": 1.2},
+        "sessions": [
+            {"queries_exec_only": {"qa": 1.2}},
+            {"queries_exec_only": {"qa": 0.51}},
+            {"queries_exec_only": {"qa": 0.53}},
+        ],
+    }
+    assert bench_noise.estimator(run3) == {"qa": 0.53}
+    assert bench_noise.classify(noise, run3)["drift"] == []
