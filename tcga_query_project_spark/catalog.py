@@ -5751,6 +5751,18 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a TakeOrderedAndProject. Late = shipped > 80 days after the
     order date (adapted to this schema's columns)."""
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # ONE fact exchange (round 12; guide §2.4 "share the exchange"):
+    # the per-(order, supplier) aggregate, the per-order rollup, and
+    # the rollup attachment are ALL keyed by l_orderkey, so the rollup
+    # is computed as a WINDOW over the aggregate's own partitioning
+    # instead of a groupBy + self-join — the old form planned the li
+    # subtree twice (an inferred isnotnull(l_suppkey) on the join
+    # branch made the subtrees differ, defeating exchange reuse: 5
+    # exchanges + 2 fact scans at plan time -> 1 exchange + 1 scan).
+    # Window partitions are per-order (suppliers per order — bounded),
+    # never corpus-sized. Late-flag evaluation moves BEFORE the shuffle
+    # so the exchange carries (key, key, flag) instead of a date
+    # column; same rows, same aggregate values.
     li = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -5758,24 +5770,34 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.withColumnRenamed("o_orderkey", "l_orderkey"),
             "l_orderkey",
         )
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(
-            F.max(
-                (
-                    F.col("l_shipdate")
-                    > F.col("o_orderdate") + F.expr("INTERVAL 80 DAYS")
-                ).cast("int")
-            ).alias("late")
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 80 DAYS")
+            )
+            .cast("int")
+            .alias("_late_row"),
         )
+        # hash(l_orderkey) satisfies BOTH the (l_orderkey, l_suppkey)
+        # aggregate clustering and the per-order window below — one
+        # exchange serves the whole chain (groupBy alone would insert
+        # hash(l_orderkey, l_suppkey), forcing the window to re-shuffle)
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("_late_row").alias("late"))
     )
-    ord_stats = li.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
-    )
+    w_ord = Window.partitionBy("l_orderkey")
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        li.filter(F.col("late") == 1)
-        .join(ord_stats, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        li.withColumn("n_supp", F.count(F.lit(1)).over(w_ord))
+        .withColumn("n_late", F.sum("late").over(w_ord))
+        .filter(
+            (F.col("late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
+        )
         .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))

@@ -88,6 +88,54 @@ def shingle_set(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFr
 MINHASH_PRIME = 4294967311
 
 
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Distinct word k-gram shingles per document as ROWS, built on the
+    whole-stage-codegen gram path: posexplode the token array, lead()
+    over a doc-keyed window, concat, distinct — the
+    :func:`jaccard_prefix_join` shingle machinery as a reusable helper.
+
+    Output is row-for-row the set :func:`shingle_set` /
+    ``explode(shingle_array(...))`` produce (same normalization, same
+    grams, same dedup — equality-tested), but ~30x faster to
+    materialize at sf0.1 (0.26s vs 8.8s): Spark evaluates higher-order-
+    function lambdas INTERPRETED, and an un-persisted
+    ``transform(sequence, slice+array_join)`` additionally re-expands
+    under inferred filters. Use this form whenever the consumer wants
+    shingle rows (MinHash signatures, postings joins); keep
+    :func:`shingle_array` only where the per-doc ARRAY itself is the
+    payload (the array_intersect verify of :func:`near_duplicates`).
+
+    One doc-keyed window exchange; documents with fewer than ``k``
+    tokens emit nothing.
+    """
+    from pyspark.sql.window import Window
+
+    seq = fan_out(df, id_col).select(
+        F.col(id_col),
+        F.posexplode(
+            tokens(normalized_text(F.col(text_col)))
+        ).alias("_p", "_w"),
+    )
+    if k == 1:
+        return seq.select(
+            F.col(id_col), F.col("_w").alias("shingle")
+        ).distinct()
+    w = Window.partitionBy(id_col).orderBy("_p")
+    leads = [F.lead("_w", i).over(w) for i in range(1, k)]
+    return (
+        seq.select(
+            F.col(id_col),
+            F.concat_ws(" ", F.col("_w"), *leads).alias("shingle"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select(id_col, "shingle")
+        .distinct()
+    )
+
+
 def shingle_array(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:
@@ -1293,18 +1341,14 @@ def build_dedup_index(
             f"build_dedup_index: mode={mode!r} unsupported — full "
             "(re)builds only; use append_to_index for deltas"
         )
-    from tcga_query_project_spark.operators.caching import (
-        materialize_shared,
+    # shingle ROWS on the codegen gram path (round 12): the signature
+    # aggregate is this chain's only consumer and wants exploded rows
+    # anyway, so the interpreted shingle-array lambda (and the persist
+    # that guarded its re-expansion) is pure overhead here — see
+    # shingle_rows; same shingle set, same signatures.
+    sig = minhash_signature(
+        shingle_rows(docs, id_col, text_col, k), id_col, num_hashes
     )
-
-    # persist the shingle stage even for this single-consumer chain:
-    # without it, the explode's inferred not-empty filter re-expands
-    # the interpreted shingle lambda under the projection (3 extra
-    # interpreted transforms per row; measured ~3x build cost at sf0.1)
-    sh = materialize_shared(
-        shingle_array(docs, id_col, text_col, k), eager=False
-    )
-    sig = minhash_signature_arrays(sh, id_col, num_hashes)
     seeds = list(range(1, num_hashes + 1))
     # write signatures FIRST, then derive bands by reading them back:
     # the two writes are independent jobs, and without this the second
@@ -1350,14 +1394,16 @@ def dedup_against_index(
 
     sig_i = spark.read.parquet(f"{index_dir}/signatures")
     seeds = sorted(int(c[3:]) for c in sig_i.columns if c.startswith("_mh"))
-    sh_n = materialize_shared(
-        shingle_array(new_docs, id_col, text_col, k), eager=False
-    )
     # the delta signatures feed TWO consumers (band keys + the
     # agreement verify) — persist, or the whole delta hash pipeline
-    # executes twice (near_duplicates contract)
+    # executes twice (near_duplicates contract). The shingle stage
+    # itself runs on the codegen row path (shingle_rows, round 12) —
+    # single consumer, no interpreted array lambda.
     sig_n = materialize_shared(
-        minhash_signature_arrays(sh_n, id_col, len(seeds)), eager=False
+        minhash_signature(
+            shingle_rows(new_docs, id_col, text_col, k), id_col, len(seeds)
+        ),
+        eager=False,
     )
     bands_n = _band_signatures(sig_n, id_col, seeds, band_size).select(
         F.col(id_col), "band", "band_sig"

@@ -892,13 +892,27 @@ def bootstrap_ci(
             F.col("_g").cast("string"),
         )
     )
-    # one digest -> four 8-hex-char slices; computed INSIDE the
-    # posexplode argument so the md5 runs once per (row, digest group),
-    # not once per replicate
-    slices = F.array(
-        *[F.substring(F.col("_dig"), 8 * s + 1, 8) for s in range(4)]
-    )
-    per_rep = (
+    # one digest -> four 8-hex-char slices -> four replicate weights.
+    # The four slices are aggregated as EIGHT sum columns per
+    # (group, digest group) instead of fanning out one row per
+    # replicate (round 12): the old posexplode quadrupled the generate
+    # output (n_rows x n_boot rows through the hash aggregate — the
+    # measured majority of this operator's cost at sf0.1, +1.3s on a
+    # 1.4s md5 pass); the wide aggregate keeps the fan-out at
+    # n_rows x n_groups and replays the identical per-replicate sums —
+    # same addend multisets per (group, b), same partial-aggregation
+    # nondeterminism class, so results are unchanged. The tiny
+    # (groups x n_groups) aggregate output then explodes back to
+    # replicate grain for the percentile.
+    # The slices are MATERIALIZED as columns before the weight chains
+    # run: each chain compares its slice up to 8 times, and a chain
+    # over an inline substring(...) re-slices the digest per branch
+    # (conditional branches sit outside codegen's common-subexpression
+    # elimination — measured +1.0s at sf0.1); a chain over an attribute
+    # compares a ready value. The weights then fuse straight into the
+    # aggregate expressions — no intermediate weight row ever
+    # materializes.
+    per_rep_wide = (
         df.select(
             *group_cols,
             F.col(value_col).alias("_x"),
@@ -912,20 +926,47 @@ def bootstrap_ci(
             *group_cols,
             "_x",
             "_g",
-            F.posexplode(slices).alias("_s", "_slice"),
+            *[
+                F.substring(F.col("_dig"), 8 * s + 1, 8).alias(f"_sl{s}")
+                for s in range(4)
+            ],
         )
-        .withColumn("_b", F.col("_g") * 4 + F.col("_s"))
-        .filter(F.col("_b") < n_boot)
-        .withColumn("_w", poisson1_weight_hex(F.col("_slice")).cast("double"))
-        .groupBy(*group_cols, "_b")
+        .groupBy(*group_cols, "_g")
         .agg(
-            F.sum(F.col("_w") * F.col("_x")).alias("_sw"),
-            F.sum("_w").alias("_n"),
+            *[
+                agg
+                for s in range(4)
+                for agg in (
+                    F.sum(
+                        poisson1_weight_hex(F.col(f"_sl{s}")).cast("double")
+                        * F.col("_x")
+                    ).alias(f"_sw{s}"),
+                    F.sum(
+                        poisson1_weight_hex(F.col(f"_sl{s}")).cast("double")
+                    ).alias(f"_n{s}"),
+                )
+            ]
         )
+    )
+    rep_structs = F.array(
+        *[
+            F.struct(
+                (F.col("_g") * 4 + F.lit(s)).alias("_b"),
+                F.col(f"_sw{s}").alias("_sw"),
+                F.col(f"_n{s}").alias("_n"),
+            )
+            for s in range(4)
+        ]
+    )
+    per_rep = (
+        per_rep_wide.select(
+            *group_cols, F.explode(rep_structs).alias("_r")
+        )
+        .filter(F.col("_r._b") < n_boot)
         .select(
             *group_cols,
             F.when(
-                F.col("_n") > 0, F.col("_sw") / F.col("_n")
+                F.col("_r._n") > 0, F.col("_r._sw") / F.col("_r._n")
             ).alias("_mean_b"),
         )
     )

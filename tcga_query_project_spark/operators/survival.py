@@ -22,7 +22,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from tcga_query_project_spark.functions.scalar import normal_sf_two_sided
+from tcga_query_project_spark.functions.scalar import NORMAL_SF_TWO_SIDED_SQL
 
 
 def ntile_strata(
@@ -238,85 +238,64 @@ def km_curve(
     curve hits 0 and Greenwood variance is undefined (NULL). Computed as
     ``exp(Σ ln(1-d/n))`` with an explicit zero flag rather than ln(0).
     """
+    # Consolidated selectExpr passes (round 12): the expression forest
+    # below used to be built as ~150 individual Column objects, each a
+    # py4j round trip at plan-construction time (~0.5s of driver wall
+    # per build, 3 builds per bench rep). SQL-string expressions parse
+    # JVM-side in one call each and resolve to the IDENTICAL analyzed
+    # plan — semantics, types and null handling unchanged (asserted by
+    # the R-golden unit tests and the w2/w3 oracle parity suite).
+    part = ", ".join(f"`{c}`" for c in strata_cols)
+    tq = f"`{time}`"
     per_time = df.groupBy(*strata_cols, time).agg(
-        F.sum(F.col(status)).cast("double").alias("_d"),
-        F.sum(1 - F.col(status)).cast("double").alias("_c"),
+        F.expr(f"cast(sum(`{status}`) as double)").alias("_d"),
+        F.expr(f"cast(sum(1 - `{status}`) as double)").alias("_c"),
     )
-    w_tot = Window.partitionBy(*strata_cols)
-    w_prev = (
-        Window.partitionBy(*strata_cols)
-        .orderBy(F.col(time).asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
+    over_tot = f"(partition by {part})"
+    over_prev = (
+        f"(partition by {part} order by {tq} asc "
+        "rows between unbounded preceding and 1 preceding)"
     )
-    w_cum = (
-        Window.partitionBy(*strata_cols)
-        .orderBy(F.col(time).asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
+    over_cum = (
+        f"(partition by {part} order by {tq} asc "
+        "rows between unbounded preceding and current row)"
     )
-    at_risk = per_time.withColumn(
-        "_n",
-        F.sum(F.col("_d") + F.col("_c")).over(w_tot)
-        - F.coalesce(F.sum(F.col("_d") + F.col("_c")).over(w_prev), F.lit(0.0)),
-    )
-    factored = at_risk.withColumn("_factor", 1.0 - F.col("_d") / F.col("_n"))
-    surv = (
-        factored.withColumn(
-            "_hit_zero",
-            F.max(F.when(F.col("_factor") <= 0, 1).otherwise(0)).over(w_cum),
-        )
-        .withColumn(
-            "survival",
-            F.when(F.col("_hit_zero") == 1, F.lit(0.0)).otherwise(
-                F.exp(
-                    F.sum(
-                        F.when(F.col("_factor") > 0, F.log("_factor")).otherwise(0.0)
-                    ).over(w_cum)
-                )
-            ),
-        )
-        .withColumn(
-            "_gw_sum",
-            F.sum(
-                F.when(
-                    (F.col("_d") > 0) & (F.col("_n") > F.col("_d")),
-                    F.col("_d") / (F.col("_n") * (F.col("_n") - F.col("_d"))),
-                ).otherwise(0.0)
-            ).over(w_cum),
-        )
-        .withColumn(
-            "greenwood_var",
-            F.when(F.col("survival") <= 0, F.lit(None).cast("double")).otherwise(
-                F.col("survival") * F.col("survival") * F.col("_gw_sum")
-            ),
-        )
+    at_risk = per_time.selectExpr(
+        "*",
+        f"sum(_d + _c) over {over_tot}"
+        f" - coalesce(sum(_d + _c) over {over_prev}, 0.0D) as _n",
+    ).selectExpr("*", "1.0D - _d / _n as _factor")
+    surv = at_risk.selectExpr(
+        "*",
+        f"max(case when _factor <= 0 then 1 else 0 end) over {over_cum}"
+        " as _hit_zero",
+        "sum(case when _factor > 0 then ln(_factor) else 0.0D end)"
+        f" over {over_cum} as _lnsum",
+        "sum(case when _d > 0 and _n > _d then _d / (_n * (_n - _d))"
+        f" else 0.0D end) over {over_cum} as _gw_sum",
+    ).selectExpr(
+        "*",
+        "case when _hit_zero = 1 then 0.0D else exp(_lnsum) end as survival",
     )
     # 95% CI, conf.type="log" (R survfit default): se(log S)^2 is the
     # cumulative Greenwood sum itself, CI = S * exp(±z * se(log S)),
     # upper clamped to 1; undefined once the curve hits 0.
-    z95 = 1.959963984540054
-    se_log = F.sqrt(F.col("_gw_sum"))
-    alive = F.col("survival") > 0
-    surv = surv.withColumn(
-        "ci_lower",
-        F.when(alive, F.col("survival") * F.exp(-z95 * se_log)).otherwise(
-            F.lit(None).cast("double")
-        ),
-    ).withColumn(
-        "ci_upper",
-        F.when(
-            alive, F.least(F.lit(1.0), F.col("survival") * F.exp(z95 * se_log))
-        ).otherwise(F.lit(None).cast("double")),
-    )
-    return surv.select(
-        *strata_cols,
-        F.col(time),
-        F.col("_n").cast("long").alias("n_at_risk"),
-        F.col("_d").cast("long").alias("n_events"),
-        F.col("_c").cast("long").alias("n_censored"),
-        F.col("survival"),
-        F.col("greenwood_var"),
-        F.col("ci_lower"),
-        F.col("ci_upper"),
+    z95 = "1.959963984540054D"
+    return surv.selectExpr(
+        *[f"`{c}`" for c in strata_cols],
+        tq,
+        "cast(_n as long) as n_at_risk",
+        "cast(_d as long) as n_events",
+        "cast(_c as long) as n_censored",
+        "survival",
+        "case when survival <= 0 then cast(null as double)"
+        " else survival * survival * _gw_sum end as greenwood_var",
+        "case when survival > 0"
+        f" then survival * exp(-{z95} * sqrt(_gw_sum))"
+        " else cast(null as double) end as ci_lower",
+        "case when survival > 0"
+        f" then least(1.0D, survival * exp({z95} * sqrt(_gw_sum)))"
+        " else cast(null as double) end as ci_upper",
     )
 
 
@@ -360,11 +339,13 @@ def logrank_test(
     times| × |groups| rows, already reduced from subject level.
     """
     part = list(extra_partition or [])
+    partq = [f"`{c}`" for c in part]
+    tq, gq = f"`{time}`", f"`{group}`"
 
     # Removals (deaths d_g + any-cause exits r_g) per (group, time).
     per_gt = df.groupBy(*part, group, time).agg(
-        F.sum(F.col(status)).cast("double").alias("_d_g"),
-        F.count(F.lit(1)).cast("double").alias("_r_g"),
+        F.expr(f"cast(sum(`{status}`) as double)").alias("_d_g"),
+        F.expr("cast(count(1) as double)").alias("_r_g"),
     )
     # Common time grid: every observed time, for every group.
     times = per_gt.select(*part, time).distinct()
@@ -373,58 +354,48 @@ def logrank_test(
     cells = grid.join(per_gt, [*part, group, time], "left").na.fill(
         {"_d_g": 0.0, "_r_g": 0.0}
     )
-    # n_g(t) = group total − removals strictly before t.
-    w_tot = Window.partitionBy(*part, group)
-    w_prev = (
-        Window.partitionBy(*part, group)
-        .orderBy(F.col(time).asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    at_risk = cells.withColumn(
-        "_n_g",
-        F.sum("_r_g").over(w_tot)
-        - F.coalesce(F.sum("_r_g").over(w_prev), F.lit(0.0)),
-    ).withColumn(
-        # "group 1" = lexicographically first label within the partition
-        "_is_g1",
-        (F.col(group) == F.min(group).over(Window.partitionBy(*part) if part else Window.partitionBy(F.lit(1)))).cast("int"),
+    # n_g(t) = group total − removals strictly before t; "group 1" =
+    # lexicographically first label within the partition. One
+    # selectExpr pass (round 12 — the Column-object forest cost ~0.4s
+    # of py4j chatter per build; identical analyzed plan).
+    pg = ", ".join([*partq, gq])
+    over_p = f"(partition by {', '.join(partq)})" if part else "()"
+    at_risk = cells.selectExpr(
+        "*",
+        f"sum(_r_g) over (partition by {pg})"
+        f" - coalesce(sum(_r_g) over (partition by {pg} order by {tq} asc"
+        " rows between unbounded preceding and 1 preceding), 0.0D)"
+        " as _n_g",
+        f"cast(({gq} = min({gq}) over {over_p}) as int) as _is_g1",
     )
     per_t = (
         at_risk.groupBy(*part, time)
         .agg(
-            F.sum("_n_g").alias("_n"),
-            F.sum("_d_g").alias("_d"),
-            F.sum(F.col("_n_g") * F.col("_is_g1")).alias("_n1"),
-            F.sum(F.col("_d_g") * F.col("_is_g1")).alias("_d1"),
+            F.expr("sum(_n_g)").alias("_n"),
+            F.expr("sum(_d_g)").alias("_d"),
+            F.expr("sum(_n_g * _is_g1)").alias("_n1"),
+            F.expr("sum(_d_g * _is_g1)").alias("_d1"),
         )
         .filter(F.col("_d") > 0)
     )
-    terms = per_t.select(
-        *part,
-        (F.col("_d1") - F.col("_d") * F.col("_n1") / F.col("_n")).alias("_oe"),
-        F.when(
-            F.col("_n") > 1,
-            F.col("_d")
-            * (F.col("_n1") / F.col("_n"))
-            * (1.0 - F.col("_n1") / F.col("_n"))
-            * (F.col("_n") - F.col("_d"))
-            / (F.col("_n") - 1.0),
-        )
-        .otherwise(0.0)
-        .alias("_v"),
+    terms = per_t.selectExpr(
+        *partq,
+        "_d1 - _d * _n1 / _n as _oe",
+        "case when _n > 1 then _d * (_n1 / _n) * (1.0D - _n1 / _n)"
+        " * (_n - _d) / (_n - 1.0D) else 0.0D end as _v",
     )
     agg_cols = [
         F.sum("_oe").alias("_sum_oe"),
         F.sum("_v").alias("_sum_v"),
     ]
     stats = terms.groupBy(*part).agg(*agg_cols) if part else terms.agg(*agg_cols)
-    chi2 = F.when(
-        F.col("_sum_v") > 0, F.col("_sum_oe") * F.col("_sum_oe") / F.col("_sum_v")
-    )
-    return stats.select(
-        *part,
-        chi2.alias("chi2"),
-        normal_sf_two_sided(F.sqrt(chi2)).alias("p_value"),
+    return stats.selectExpr(
+        *partq,
+        "case when _sum_v > 0 then _sum_oe * _sum_oe / _sum_v end as chi2",
+    ).selectExpr(
+        *partq,
+        "chi2",
+        NORMAL_SF_TWO_SIDED_SQL.format(z="sqrt(chi2)") + " as p_value",
     )
 
 

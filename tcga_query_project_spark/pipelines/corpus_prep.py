@@ -184,13 +184,16 @@ def prepare_training_corpus(
         stride=stride,
         carry_cols=("copy_idx", "split", "pred_lang"),
     )
-    # pack_shards' block-totals aggregate is an EAGER first consumer of
-    # the whole upstream chain; without a persist the final shard plan
-    # would re-execute dedup→gopher→scrub→mixture→chunk a second time
-    # (measured 2x wall at sf0.1). The cache is populated lazily by the
-    # totals job itself — one upstream execution total. Lifetime /
-    # release: operators/caching.py contract; at cluster scale this is
-    # the parquet checkpoint between prep and packing.
+    # pack_shards consumes the chain twice (block-totals aggregate +
+    # the row-level offset join); without a persist the final shard
+    # plan would re-execute dedup→gopher→scrub→mixture→chunk a second
+    # time (measured 2x wall at sf0.1). Both consumers now sit inside
+    # ONE lazy query (pack_shards' prefix sum went distributed in
+    # round 12), so the lazily-populated cache is filled by whichever
+    # subtree touches a partition first — one upstream execution
+    # total, zero jobs at plan-build time. Lifetime / release:
+    # operators/caching.py contract; at cluster scale this is the
+    # parquet checkpoint between prep and packing.
     from tcga_query_project_spark.operators.caching import materialize_shared
 
     chunks = materialize_shared(chunks, eager=False)

@@ -106,6 +106,12 @@ GLOBAL_WINDOW_ALLOWED = {
     # rows): a vocabulary is dimension-sized by definition — it has to
     # broadcast to every trainer worker anyway (text.build_vocab).
     "tx_vocab",
+    # pack_shards' lazy top-level prefix sum (round 12): the global
+    # window runs over SUPERBLOCK TOTALS — keyspace/(block_size ·
+    # superblock_factor) rows, the same bound the old eager driver
+    # collect enforced; one tiny task instead of a driver collect.
+    "pp_mixture_shards",
+    "pp_training_full",
 }
 
 
@@ -162,10 +168,11 @@ EAGER_BUILD_ALLOWED = {
     # column profiler: localCheckpoint of the (column, value) counts
     # consumed by both the roll-up and the mode resolution
     "qa_column_profile",
-    # pack_shards: dimension-sized shard roll-up collect (superblock
-    # prefix sum, sampling.py:107-143)
-    "pp_mixture_shards",
-    "pp_training_full",
+    # pack_shards with return_total=True: the PPS sampler's grid
+    # spacing / overflow guard need the grand total as a plan literal,
+    # so the superblock roll-up stays a driver collect there (the
+    # return_total=False path went lazy in round 12 — pp_mixture_shards
+    # / pp_training_full no longer run jobs at build)
     "pp_weighted_sample",
     # tokenizer training: histogram collect + driver EM/merges (the
     # model IS dimension-sized; documented one-corpus-shuffle contract)
@@ -428,12 +435,17 @@ def test_headline_shuffle_budgets(spark):
         # partitioning, line metrics are per-row array expressions,
         # and the totality join broadcasts or reuses
         "tx_repetition": 2,
-        # block-partitioned window + broadcast offset join (the global
-        # cumsum never plans a single-partition exchange). Round 7's
+        # block-partitioned window + broadcast offset join. Round 7's
         # two-level prefix sum moved the block-offset recovery INTO the
         # plan (block-total agg + within-superblock window — both over
-        # dimension-sized block totals, not rows), +1 exchange
-        "pp_mixture_shards": 3,
+        # dimension-sized block totals, not rows); round 12 made the
+        # TOP level lazy too, so the superblock roll-up agg and its
+        # tiny single-partition prefix-sum window now also sit in the
+        # plan (+2 static exchanges, both superblock-cardinality-sized)
+        # instead of running as an eager driver-collect job at build
+        # time that the static count never saw — strictly less total
+        # work, more of it visible here
+        "pp_mixture_shards": 5,
         # (user,ts) dedup agg + user-keyed session window
         "tj_sessionize": 2,
         # bucketized equi-join broadcasts the interval side here; at

@@ -147,17 +147,40 @@ def test_pack_shards_superblock_invariance_and_cap(spark):
             ).collect()
         )
         assert got == ref, (bs, sbf)
-    # cap: fabricate a tiny cap via monkeypatching the module constant
+    # the default path is LAZY since round 12 (distributed superblock
+    # prefix sum): building the packing plan must not run the cap's
+    # eager collect — and must agree with the eager return_total path
+    lazy = sorted(
+        (r["k"], r["cum_tokens"], r["shard"])
+        for r in sampling.pack_shards(
+            df, "k", "tok", budget=700, block_size=1, superblock_factor=1
+        ).collect()
+    )
+    assert lazy == ref
+    # cap: applies to the EAGER path only (return_total=True — the PPS
+    # sampler needs the grand total as a driver literal). Fabricate a
+    # tiny cap via monkeypatching the module constant; fails loudly,
+    # not with an OOM.
     orig = sm._MAX_DRIVER_SUPERBLOCKS
     try:
         sm._MAX_DRIVER_SUPERBLOCKS = 10
         with _pytest.raises(ValueError, match="superblocks exceed"):
             sampling.pack_shards(
                 df, "k", "tok", budget=700, block_size=1,
-                superblock_factor=1,
+                superblock_factor=1, return_total=True,
             )
     finally:
         sm._MAX_DRIVER_SUPERBLOCKS = orig
+    # eager path still packs identically and reports the exact total
+    packed_eager, total = sampling.pack_shards(
+        df, "k", "tok", budget=700, block_size=4, superblock_factor=3,
+        return_total=True,
+    )
+    got_eager = sorted(
+        (r["k"], r["cum_tokens"], r["shard"]) for r in packed_eager.collect()
+    )
+    assert got_eager == ref
+    assert total == max(c for _, c, _ in ref)
 
 
 def test_pack_shards_overrun_bound(spark):
