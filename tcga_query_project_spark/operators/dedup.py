@@ -26,6 +26,29 @@ def normalized_text(text: Column) -> Column:
     return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
 
 
+def _norm_tokens_sql(text_col: str) -> str:
+    """SQL form of ``tokens(normalized_text(col))`` — one parsed
+    expression instead of a py4j Column chain; identical semantics."""
+    return (
+        "split(trim(lower(regexp_replace(trim(`"
+        + text_col
+        + "`), '\\\\s+', ' '))), '\\\\s+')"
+    )
+
+
+def _shingles_sql(k: int) -> str:
+    """SQL form of the k-gram shingle array over a materialized
+    ``_toks`` column (the guard mirrors the Column version: Spark's
+    sequence(1, 0) yields a DESCENDING [1, 0], not empty, so short
+    documents need an explicit empty-array branch)."""
+    return (
+        f"case when size(_toks) >= {k} then "
+        f"transform(sequence(1, size(_toks) - {k - 1}), "
+        f"i -> array_join(slice(_toks, i, {k}), ' ')) "
+        "else cast(array() as array<string>) end"
+    )
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup via hash-groupBy on normalized text: one row per
     distinct content with the keeper id (min id) and duplicate count.
@@ -64,22 +87,11 @@ def shingle_set(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFr
     already parallelizes.
     """
     df = fan_out(df, id_col)
-    toks_df = df.select(
-        F.col(id_col), tokens(normalized_text(F.col(text_col))).alias("_toks")
-    )
-    toks = F.col("_toks")
-    n = F.size(toks)
-    # guard: Spark's sequence(1, 0) yields a DESCENDING [1,0], not empty,
-    # so short documents need an explicit empty-array branch.
-    shingles = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return toks_df.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
+    return df.selectExpr(
+        f"`{id_col}`", _norm_tokens_sql(text_col) + " as _toks"
+    ).selectExpr(
+        f"`{id_col}`",
+        f"explode(array_distinct({_shingles_sql(k)})) as shingle",
     )
 
 
@@ -110,25 +122,21 @@ def shingle_rows(
     One doc-keyed window exchange; documents with fewer than ``k``
     tokens emit nothing.
     """
-    from pyspark.sql.window import Window
-
-    seq = fan_out(df, id_col).select(
-        F.col(id_col),
-        F.posexplode(
-            tokens(normalized_text(F.col(text_col)))
-        ).alias("_p", "_w"),
+    seq = fan_out(df, id_col).selectExpr(
+        f"`{id_col}`",
+        f"posexplode({_norm_tokens_sql(text_col)}) as (_p, _w)",
     )
     if k == 1:
         return seq.select(
             F.col(id_col), F.col("_w").alias("shingle")
         ).distinct()
-    w = Window.partitionBy(id_col).orderBy("_p")
-    leads = [F.lead("_w", i).over(w) for i in range(1, k)]
+    over = f"over (partition by `{id_col}` order by _p)"
+    leads = [f"lead(_w, {i}) {over}" for i in range(1, k)]
     return (
-        seq.select(
-            F.col(id_col),
-            F.concat_ws(" ", F.col("_w"), *leads).alias("shingle"),
-            leads[-1].alias("_last"),
+        seq.selectExpr(
+            f"`{id_col}`",
+            f"concat_ws(' ', _w, {', '.join(leads)}) as shingle",
+            f"{leads[-1]} as _last",
         )
         .filter(F.col("_last").isNotNull())
         .select(id_col, "shingle")
@@ -149,20 +157,10 @@ def shingle_array(
     bucket every short doc together).
     """
     df = fan_out(df, id_col)
-    toks_df = df.select(
-        F.col(id_col), tokens(normalized_text(F.col(text_col))).alias("_toks")
-    )
-    toks = F.col("_toks")
-    n = F.size(toks)
-    shingles = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return toks_df.select(
-        F.col(id_col), F.array_distinct(shingles).alias("shingles")
+    return df.selectExpr(
+        f"`{id_col}`", _norm_tokens_sql(text_col) + " as _toks"
+    ).selectExpr(
+        f"`{id_col}`", f"array_distinct({_shingles_sql(k)}) as shingles"
     )
 
 
@@ -237,20 +235,21 @@ def minhash_signature(
     """
     base = shingles.select(
         F.col(id_col),
-        F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10)
-        .cast("long")
-        .alias("_v"),
+        F.expr(
+            "cast(conv(substring(md5(shingle), 1, 8), 16, 10) as bigint)"
+        ).alias("_v"),
     )
-    v = F.col("_v")
+    # single-parse SQL aggregates (round 12 — the Column-object loop
+    # cost ~10 py4j round trips per seed at build time; identical
+    # analyzed plan). The offset is a 64-bit literal (L suffix): an
+    # IntegerType `i * 1000003` would wrap past int32 for
+    # num_hashes >= 2148 (ANSI mode: throw).
     return base.groupBy(id_col).agg(
         *[
-            # offset computed as a Python int and cast to long: an
-            # IntegerType `i * lit(1000003)` would wrap past int32 for
-            # num_hashes >= 2148 (ANSI mode: throw).
-            F.min(
-                ((2 * i + 1) * v + F.lit(i * 1000003).cast("long"))
-                % F.lit(MINHASH_PRIME)
-            ).alias(f"_mh{i}")
+            F.expr(
+                f"min(({2 * i + 1} * _v + {i * 1000003}L) % "
+                f"{MINHASH_PRIME}L) as _mh{i}"
+            )
             for i in range(1, num_hashes + 1)
         ]
     )
@@ -271,28 +270,20 @@ def _band_signatures(
     bands = [
         seeds[j : j + band_size] for j in range(0, len(seeds), band_size)
     ]
-    return signatures.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).cast("long").alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"_mh{i}").cast("string")
-                                    for i in grp
-                                ],
-                            )
-                        ).alias("band_sig"),
-                    )
-                    for j, grp in enumerate(bands)
-                ]
-            )
-        ).alias("_b"),
-    ).select(F.col(id_col), F.col("_b.band"), F.col("_b.band_sig"))
+    # one SQL-parsed inline() over the per-band struct array (round 12
+    # — replaces a ~50-py4j-call Column forest per build; inline is
+    # explode-then-field-select in one generator, identical output)
+    parts = ", ".join(
+        "struct(cast({j} as bigint) as band, "
+        "md5(concat_ws('|', {cols})) as band_sig)".format(
+            j=j,
+            cols=", ".join(f"cast(_mh{i} as string)" for i in grp),
+        )
+        for j, grp in enumerate(bands)
+    )
+    return signatures.selectExpr(
+        f"`{id_col}`", f"inline(array({parts}))"
+    )
 
 
 def lsh_candidates(
@@ -1008,33 +999,30 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     output, engine-portable hex parsing).
     """
     df = fan_out(df, id_col)
-    toks = df.select(
-        F.col(id_col), F.explode(tokens(normalized_text(F.col(text_col)))).alias("_t")
+    toks = df.selectExpr(
+        f"`{id_col}`",
+        f"explode({_norm_tokens_sql(text_col)}) as _t",
     )
     # bit b (our numbering: b//4 = hex-char index, 3 - b%4 = bit within
     # nibble) is bit (15 - b) of the integer value of the 4-char prefix.
-    hashed = toks.select(
-        F.col(id_col),
-        F.conv(F.substring(F.md5(F.col("_t")), 1, 4), 16, 10)
-        .cast("long")
-        .alias("_v"),
+    # Single-parse SQL aggregates (round 12 — the 16-column Column loop
+    # cost ~200 py4j round trips per build; identical analyzed plan).
+    hashed = toks.selectExpr(
+        f"`{id_col}`",
+        "cast(conv(substring(md5(_t), 1, 4), 16, 10) as bigint) as _v",
     )
     bit_sums = hashed.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("_n"),
+        F.expr("count(1) as _n"),
         *[
-            F.sum(F.shiftright(F.col("_v"), 15 - b).bitwiseAND(F.lit(1))).alias(
-                f"_b{b}"
-            )
+            F.expr(f"sum(shiftright(_v, {15 - b}) & 1) as _b{b}")
             for b in range(16)
         ],
     )
-    simhash = None
-    for b in range(16):
-        term = F.when(
-            F.col(f"_b{b}") * 2 > F.col("_n"), F.lit(1 << b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        simhash = term if simhash is None else simhash + term
-    return bit_sums.select(F.col(id_col), simhash.alias("simhash"))
+    simhash = " + ".join(
+        f"case when _b{b} * 2 > _n then {1 << b}L else 0L end"
+        for b in range(16)
+    )
+    return bit_sums.selectExpr(f"`{id_col}`", f"{simhash} as simhash")
 
 
 def decontaminate(

@@ -424,6 +424,12 @@ def column_profile(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     # exchange reuse fires. Materialize the distribution ONCE — the
     # triangle_counts lineage discipline; distribution-sized, not
     # corpus-sized (reliable checkpoint() on a real cluster).
+    # Round-12 note: evaluated making this lazy (shared persist) — a
+    # DataFrame localCheckpoint executes its AQE stages at call time
+    # even with eager=False, and the persist form kept runtime work
+    # identical (the subtree executes exactly once per action either
+    # way) while replicating the subtree in the static plan metrics;
+    # the eager checkpoint stays as the honest-static-plan form.
     counted = counted.localCheckpoint(eager=True)
     nn = F.when(F.col("_v").isNotNull(), F.col("_c"))
     stats = counted.groupBy("column").agg(

@@ -126,7 +126,6 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        _norm_batch(F.col(vec_col)).alias("_qn"),
     )
     # the candidate side carries the per-pair dot-product work; a
     # single-split scan would run it on one core (fan_out is a no-op
@@ -134,8 +133,14 @@ def cosine_topk(
     c = fan_out(candidates, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        _norm_batch(F.col(vec_col)).alias("_cn"),
     )
+    # dot AND both norms in the SAME post-join projection (round 12):
+    # three independent pandas UDFs in one Project collapse into ONE
+    # ArrowEvalPython stage — one Python worker round trip per batch
+    # instead of three (norms in the join-input projections each got
+    # their own Python stage). Norms recompute per pair, but the numpy
+    # einsum over an Arrow batch is memory-bandwidth work; the Python
+    # boundary latency was the cost. Same float64 ops, same bits.
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -145,7 +150,7 @@ def cosine_topk(
             "neighbor_id",
             F.round(
                 _dot_batch(F.col("_qv"), F.col("_cv"))
-                / (F.col("_qn") * F.col("_cn")),
+                / (_norm_batch(F.col("_qv")) * _norm_batch(F.col("_cv"))),
                 4,
             ).alias("cosine"),
         )

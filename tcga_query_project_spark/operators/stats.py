@@ -141,25 +141,20 @@ def vst_fitted(
     regression inputs across engines so the DuckDB oracle agrees
     exactly (catalog determinism conventions); None = full precision.
 
-    **Eager contract:** unlike the other operators in this module,
-    *calling this function runs Spark jobs immediately* — one to inline
-    the size-factor table (``sf.collect()``) and one to fit the trend
-    (``trend.first()``) — so that the returned plan embeds the
-    coefficients as literals and the final transform is a single
-    map-side pass over ``fact`` (no cross join, no re-derivation of the
-    size-factor shuffles at 100 TB). Consequence: the trend fit and the
-    returned transform scan ``fact`` in *separate actions*; if the
-    source can change between them, pass a persisted/checkpointed
-    ``fact`` so the coefficients and the transformed rows see the same
-    snapshot.
+    LAZY since round 12: the trend fit rides the SAME action as the
+    transform — the one-row coefficient table enters as a broadcast
+    cross join (exactly how the DuckDB oracle phrases it) and the
+    degenerate-trend fallback becomes a CASE on the broadcast columns
+    instead of a Python branch. Calling this function runs NO Spark
+    jobs; the old eager contract (sf.collect() + trend.first(), two
+    full fact scans in separate driver-blocking jobs before the plan
+    even existed) bought literal coefficients at the price of charging
+    every caller two extra scans at build time. The identical
+    size-factor subtree feeds both the trend branch and the transform
+    branch, so exchange reuse computes it once per action; coefficient
+    VALUES are bit-identical either way (same doubles, same
+    expression tree).
     """
-    # Materialize the per-sample size-factor table once, driver-side.
-    # sf is one row per sample — the samples dimension, broadcastable by
-    # definition (SURVEY §4). Inlining it as a literal local table means
-    # the two downstream passes over the fact (trend fit, final
-    # transform) reuse it instead of each re-running the two
-    # size-factor shuffles embedded in its lineage.
-    sf = fact.sparkSession.createDataFrame(sf.collect(), sf.schema)
     q_tbl = fact.join(F.broadcast(sf), sample).select(
         F.col(gene),
         F.col(sample),
@@ -238,30 +233,28 @@ def vst_fitted(
             .alias("a0"),
         )
     )
-    # The trend is a single row of two doubles — collect it and embed
-    # the coefficients as literals. The final transform then needs no
-    # cross join and exactly one scan of the fact; at 100 TB the trend
-    # job aggregates per-gene partials (tiny) and the big pass stays a
-    # single map-side expression.
-    coef = trend.first()
-    a0_v, a1_v = float(coef["a0"]), float(coef["a1"])
+    # The trend is a single row of two doubles — broadcast it as a
+    # cross join (one-row build side; the big pass stays a single
+    # map-side expression over fact). The a0 <= 0 degenerate fallback
+    # (data at/below the Poisson noise floor -> the v1 transform) is a
+    # CASE over the broadcast column, as in the SQL mirror.
     q = F.col("_q")
-    if a0_v > 0:
-        vst_expr = F.log2(
+    a0, a1 = F.col("a0"), F.col("a1")
+    vst_expr = F.when(
+        a0 > 0,
+        F.log2(
             (
                 1.0
-                + a1_v
-                + 2.0 * a0_v * q
-                + 2.0 * F.sqrt(a0_v * q * (1.0 + a1_v + a0_v * q))
+                + a1
+                + 2.0 * a0 * q
+                + 2.0 * F.sqrt(a0 * q * (1.0 + a1 + a0 * q))
             )
-            / (4.0 * a0_v)
-        )
-    else:
-        # Degenerate trend: data at/below the Poisson noise floor —
-        # fall back to the v1 transform (see docstring).
-        vst_expr = F.log2(q + 1.0)
+            / (4.0 * a0)
+        ),
+    ).otherwise(F.log2(q + 1.0))
     return (
-        q_tbl.withColumn(out, vst_expr)
+        q_tbl.crossJoin(F.broadcast(trend))
+        .withColumn(out, vst_expr)
         .select(gene, sample, "_q", out)
         .withColumnRenamed("_q", "normalized_count")
     )
@@ -829,6 +822,19 @@ def poisson1_weight_hex(slice8: Column) -> Column:
     return w
 
 
+def poisson1_weight_hex_sql(slice_expr: str) -> str:
+    """SQL-string form of :func:`poisson1_weight_hex` (round 12): a
+    searched CASE whose conditions test the thresholds in ascending
+    order — exactly the evaluation order of the nested when/otherwise
+    chain, one parsed expression instead of ~20 py4j round trips per
+    replicate slice."""
+    whens = " ".join(
+        f"when {slice_expr} <= '{t}' then {k}"
+        for k, t in enumerate(POISSON1_CDF_HEX)
+    )
+    return f"case {whens} else {len(POISSON1_CDF_HEX)} end"
+
+
 def bootstrap_ci(
     df: DataFrame,
     group_cols: list[str],
@@ -922,12 +928,12 @@ def bootstrap_ci(
             ).alias("_g"),
         )
         .withColumn("_dig", dig)
-        .select(
-            *group_cols,
+        .selectExpr(
+            *[f"`{g}`" for g in group_cols],
             "_x",
             "_g",
             *[
-                F.substring(F.col("_dig"), 8 * s + 1, 8).alias(f"_sl{s}")
+                f"substring(_dig, {8 * s + 1}, 8) as _sl{s}"
                 for s in range(4)
             ],
         )
@@ -937,30 +943,28 @@ def bootstrap_ci(
                 agg
                 for s in range(4)
                 for agg in (
-                    F.sum(
-                        poisson1_weight_hex(F.col(f"_sl{s}")).cast("double")
-                        * F.col("_x")
-                    ).alias(f"_sw{s}"),
-                    F.sum(
-                        poisson1_weight_hex(F.col(f"_sl{s}")).cast("double")
-                    ).alias(f"_n{s}"),
+                    F.expr(
+                        "sum(cast("
+                        + poisson1_weight_hex_sql(f"_sl{s}")
+                        + f" as double) * _x) as _sw{s}"
+                    ),
+                    F.expr(
+                        "sum(cast("
+                        + poisson1_weight_hex_sql(f"_sl{s}")
+                        + f" as double)) as _n{s}"
+                    ),
                 )
             ]
         )
     )
-    rep_structs = F.array(
-        *[
-            F.struct(
-                (F.col("_g") * 4 + F.lit(s)).alias("_b"),
-                F.col(f"_sw{s}").alias("_sw"),
-                F.col(f"_n{s}").alias("_n"),
-            )
-            for s in range(4)
-        ]
+    rep_structs = ", ".join(
+        f"struct(_g * 4 + {s} as _b, _sw{s} as _sw, _n{s} as _n)"
+        for s in range(4)
     )
     per_rep = (
-        per_rep_wide.select(
-            *group_cols, F.explode(rep_structs).alias("_r")
+        per_rep_wide.selectExpr(
+            *[f"`{g}`" for g in group_cols],
+            f"explode(array({rep_structs})) as _r",
         )
         .filter(F.col("_r._b") < n_boot)
         .select(
@@ -1048,94 +1052,110 @@ def cuped_ab(
     user-keyed aggregate, the whole readout is two shuffles at any
     event volume.
     """
-    a = F.when(F.col(arm_col) == "A", 1.0).otherwise(0.0)
-    b = F.when(F.col(arm_col) == "B", 1.0).otherwise(0.0)
-    x = F.coalesce(F.col(x_col).cast("double"), F.lit(0.0))
-    y = F.coalesce(F.col(y_col).cast("double"), F.lit(0.0))
+    # Single-parse SQL expressions throughout (round 12): the Column-
+    # object forest here cost ~3,300 py4j round trips per build (~0.7s
+    # of driver wall per bench rep) for a query whose execution is a
+    # quarter of that. Intermediate named columns hold exactly the
+    # doubles the inlined tree produced (materializing a subexpression
+    # never changes its IEEE value), so outputs are bit-identical.
+    a = f"case when `{arm_col}` = 'A' then 1.0D else 0.0D end"
+    b = f"case when `{arm_col}` = 'B' then 1.0D else 0.0D end"
+    x = f"coalesce(cast(`{x_col}` as double), 0.0D)"
+    y = f"coalesce(cast(`{y_col}` as double), 0.0D)"
     sums = df.agg(
-        F.sum(a).alias("na"),
-        F.sum(b).alias("nb"),
-        F.sum(x).alias("sx"),
-        F.sum(y).alias("sy"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(x * y).alias("sxy"),
-        F.sum(a * x).alias("sxa"),
-        F.sum(b * x).alias("sxb"),
-        F.sum(a * y).alias("sya"),
-        F.sum(b * y).alias("syb"),
-        F.sum(a * y * y).alias("syya"),
-        F.sum(b * y * y).alias("syyb"),
-        F.sum(a * x * x).alias("sxxa"),
-        F.sum(b * x * x).alias("sxxb"),
-        F.sum(a * x * y).alias("sxya"),
-        F.sum(b * x * y).alias("sxyb"),
+        F.expr(f"sum({a}) as na"),
+        F.expr(f"sum({b}) as nb"),
+        F.expr(f"sum({x}) as sx"),
+        F.expr(f"sum({y}) as sy"),
+        F.expr(f"sum({x} * {x}) as sxx"),
+        F.expr(f"sum({x} * {y}) as sxy"),
+        F.expr(f"sum({a} * {x}) as sxa"),
+        F.expr(f"sum({b} * {x}) as sxb"),
+        F.expr(f"sum({a} * {y}) as sya"),
+        F.expr(f"sum({b} * {y}) as syb"),
+        F.expr(f"sum({a} * {y} * {y}) as syya"),
+        F.expr(f"sum({b} * {y} * {y}) as syyb"),
+        F.expr(f"sum({a} * {x} * {x}) as sxxa"),
+        F.expr(f"sum({b} * {x} * {x}) as sxxb"),
+        F.expr(f"sum({a} * {x} * {y}) as sxya"),
+        F.expr(f"sum({b} * {x} * {y}) as sxyb"),
     )
 
-    def _div(num, den):
-        return num / F.nullif(den, F.lit(0.0))
+    def _div(num: str, den: str) -> str:
+        return f"({num}) / nullif({den}, 0.0D)"
 
-    def _clamp0(v):
+    def _clamp0(v: str) -> str:
         # variances derived from power sums can go ~-1e-12 via float
         # cancellation (e.g. a constant-metric arm); clamp at 0 but
-        # PRESERVE NULL (single-unit arm) — when(NULL < 0) falls to
-        # otherwise(v)=NULL in both Spark and the DuckDB oracle's CASE
-        return F.when(v < 0, F.lit(0.0)).otherwise(v)
+        # PRESERVE NULL (single-unit arm) — CASE WHEN NULL < 0 falls to
+        # ELSE v = NULL in both Spark and the DuckDB oracle's CASE
+        return f"case when ({v}) < 0 then 0.0D else ({v}) end"
 
-    n = F.col("na") + F.col("nb")
+    n = "(na + nb)"
     # pooled theta from centered sums; zero covariate variance -> 0
-    varx = F.col("sxx") - _div(F.col("sx") * F.col("sx"), n)
-    covxy = F.col("sxy") - _div(F.col("sx") * F.col("sy"), n)
-    theta = F.coalesce(_div(covxy, F.nullif(varx, F.lit(0.0))), F.lit(0.0))
-    xbar = _div(F.col("sx"), n)
+    varx = f"sxx - {_div('sx * sx', n)}"
+    covxy = f"sxy - {_div('sx * sy', n)}"
+    base = sums.selectExpr(
+        "*",
+        f"coalesce({_div(covxy, f'nullif({varx}, 0.0D)')}, 0.0D) as _theta",
+        _div("sx", n) + " as _xbar",
+    )
 
-    def arm(tag):
-        na = F.col(f"n{tag}")
-        my = _div(F.col(f"sy{tag}"), na)
-        mx = _div(F.col(f"sx{tag}"), na)
-        # sample variance of y within the arm
+    # per-arm means / variances from the same power sums, as named
+    # intermediate columns (one selectExpr pass per derivation level)
+    arm_exprs = []
+    for t in ("a", "b"):
+        my = _div(f"sy{t}", f"n{t}")
+        mx = _div(f"sx{t}", f"n{t}")
         vy = _clamp0(
-            _div(
-                F.col(f"syy{tag}") - _div(F.col(f"sy{tag}") ** 2, na),
-                na - 1,
-            )
+            _div(f"syy{t} - {_div(f'power(sy{t}, 2)', f'n{t}')}",
+                 f"n{t} - 1")
         )
-        # var(y - theta x) within the arm, from the same power sums
-        vxa = F.col(f"sxx{tag}") - _div(F.col(f"sx{tag}") ** 2, na)
-        cxy = F.col(f"sxy{tag}") - _div(
-            F.col(f"sx{tag}") * F.col(f"sy{tag}"), na
-        )
-        syy = F.col(f"syy{tag}") - _div(F.col(f"sy{tag}") ** 2, na)
+        vxa = f"sxx{t} - {_div(f'power(sx{t}, 2)', f'n{t}')}"
+        cxy = f"sxy{t} - {_div(f'sx{t} * sy{t}', f'n{t}')}"
+        syy = f"syy{t} - {_div(f'power(sy{t}, 2)', f'n{t}')}"
         vc = _clamp0(
             _div(
-                syy - 2 * F.col("_theta") * cxy + F.col("_theta") ** 2 * vxa,
-                na - 1,
+                f"({syy}) - 2 * _theta * ({cxy})"
+                f" + power(_theta, 2) * ({vxa})",
+                f"n{t} - 1",
             )
         )
-        mc = my - F.col("_theta") * (mx - F.col("_xbar"))
-        return na, my, vy, mc, vc
-
-    base = sums.withColumn("_theta", theta).withColumn("_xbar", xbar)
-    na, mya, vya, mca, vca = arm("a")
-    nb, myb, vyb, mcb, vcb = arm("b")
-    z_raw = _div(myb - mya, F.sqrt(_div(vya, na) + _div(vyb, nb)))
-    z_cu = _div(mcb - mca, F.sqrt(_div(vca, na) + _div(vcb, nb)))
+        mc = f"({my}) - _theta * (({mx}) - _xbar)"
+        arm_exprs += [
+            f"{my} as _my{t}",
+            f"{vy} as _vy{t}",
+            f"{mc} as _mc{t}",
+            f"{vc} as _vc{t}",
+        ]
+    step = base.selectExpr("*", *arm_exprs)
+    z_raw = _div(
+        "_myb - _mya", f"sqrt({_div('_vya', 'na')} + {_div('_vyb', 'nb')})"
+    )
+    z_cu = _div(
+        "_mcb - _mca", f"sqrt({_div('_vca', 'na')} + {_div('_vcb', 'nb')})"
+    )
     # pooled variance reduction: 1 - var(cuped)/var(raw), from the
     # pooled WITHIN-arm variances so the treatment effect itself does
     # not count as "variance explained"
-    pooled_raw = _div((na - 1) * vya + (nb - 1) * vyb, n - 2)
-    pooled_cu = _div((na - 1) * vca + (nb - 1) * vcb, n - 2)
-    red = 100.0 * (1.0 - _div(pooled_cu, F.nullif(pooled_raw, F.lit(0.0))))
-    return base.select(
-        na.cast("long").alias("n_a"),
-        nb.cast("long").alias("n_b"),
-        F.round(mya, 6).alias("mean_a_raw"),
-        F.round(myb, 6).alias("mean_b_raw"),
-        F.round(myb - mya, 6).alias("lift_raw"),
-        F.round(z_raw, 4).alias("z_raw"),
-        F.round(F.col("_theta"), 6).alias("theta"),
-        F.round(mca, 6).alias("mean_a_cuped"),
-        F.round(mcb, 6).alias("mean_b_cuped"),
-        F.round(mcb - mca, 6).alias("lift_cuped"),
-        F.round(z_cu, 4).alias("z_cuped"),
-        F.round(red, 4).alias("var_reduction_pct"),
+    pooled_raw = _div("(na - 1) * _vya + (nb - 1) * _vyb", f"{n} - 2")
+    pooled_cu = _div("(na - 1) * _vca + (nb - 1) * _vcb", f"{n} - 2")
+    red = (
+        "100.0D * (1.0D - "
+        + _div(pooled_cu, f"nullif({pooled_raw}, 0.0D)")
+        + ")"
+    )
+    return step.selectExpr(
+        "cast(na as long) as n_a",
+        "cast(nb as long) as n_b",
+        "round(_mya, 6) as mean_a_raw",
+        "round(_myb, 6) as mean_b_raw",
+        "round(_myb - _mya, 6) as lift_raw",
+        f"round({z_raw}, 4) as z_raw",
+        "round(_theta, 6) as theta",
+        "round(_mca, 6) as mean_a_cuped",
+        "round(_mcb, 6) as mean_b_cuped",
+        "round(_mcb - _mca, 6) as lift_cuped",
+        f"round({z_cu}, 4) as z_cuped",
+        f"round({red}, 4) as var_reduction_pct",
     )

@@ -78,9 +78,15 @@ def asof_join(
             else col.cast("double")
         )
     # right payloads travel under reserved names so a left column with
-    # the same name never conflates with them in the union
-    l_tagged = left.withColumn("_side", F.lit(1)).withColumn(
-        "_ets", F.col(left_ts)
+    # the same name never conflates with them in the union. Single
+    # select per side (round 12 — the previous per-column withColumn
+    # chain built one projection plan per added column, a py4j round
+    # trip apiece; identical columns, identical analyzed plan).
+    l_tagged = left.select(
+        "*",
+        F.lit(1).alias("_side"),
+        F.col(left_ts).alias("_ets"),
+        *[F.lit(None).alias(f"_r_{c}") for c in payload_cols],
     )
     # SQL equi-join key semantics: a NULL key matches NOTHING. The
     # union-tag window groups NULL keys into one partition (window
@@ -90,16 +96,18 @@ def asof_join(
     # produces. Dropping NULL-key RIGHT rows makes the NULL-key
     # partition all-left: those rows emit with NULL payloads, exactly
     # the left-join convention (round-9 NULL-group fuzz finding).
+    r_base_cols = {on, "_ets", *(f"_r_{c}" for c in payload_cols), "_side"}
     r_tagged = right.filter(F.col(on).isNotNull()).select(
         F.col(on),
         F.col(right_ts).alias("_ets"),
         *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
-    ).withColumn("_side", F.lit(0))
-    for c in left.columns:
-        if c not in r_tagged.columns:
-            r_tagged = r_tagged.withColumn(c, F.lit(None))
-    for c in payload_cols:
-        l_tagged = l_tagged.withColumn(f"_r_{c}", F.lit(None))
+        F.lit(0).alias("_side"),
+        *[
+            F.lit(None).alias(c)
+            for c in left.columns
+            if c not in r_base_cols
+        ],
+    )
     unioned = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
 
     # carry the whole right payload as ONE struct: the struct is

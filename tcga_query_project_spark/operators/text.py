@@ -139,34 +139,54 @@ def doc_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     operators by join would tokenize 4x and shuffle 3x; this form is a
     single narrow map over the scan, no shuffle at all.
     """
-    toks_df = df.select(F.col(id_col), F.col(text_col), tokens(F.col(text_col)).alias("_toks"))
-    toks = F.col("_toks")
-    dtoks = F.array_distinct(toks)
-    n = F.size(toks).cast("double")
-    n_types = F.size(dtoks).cast("double")
-    total_chars = F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", ""))
-    stop = stopword_count(F.col(text_col)).cast("double")
-    ttr = n_types / n
-    stop_ratio = stop / n
-    length_ok = F.when((n >= 10) & (n <= 1000), 1.0).otherwise(0.0)
-    score = F.round(
-        0.4 * length_ok + 0.3 * F.least(stop_ratio * 4.0, F.lit(1.0)) + 0.3 * ttr, 6
+    # Single-parse SQL expressions (round 12): same analyzed plan as
+    # the previous Column forest, ~10x fewer py4j round trips per build.
+    idq, tq = f"`{id_col}`", f"`{text_col}`"
+    toks_df = df.selectExpr(
+        idq, tq, f"split(trim({tq}), '\\\\s+') as _toks"
     )
-    pred = F.lit("und")
+    n = "cast(size(_toks) as double)"
+    n_types = "cast(size(array_distinct(_toks)) as double)"
+    total_chars = f"length(regexp_replace(trim({tq}), '\\\\s+', ''))"
+    # stopword_count as one codegen'd regex pass (see stopword_count)
+    padded = (
+        f"concat(' ', regexp_replace(trim({tq}), '\\\\s+', ' '), ' ')"
+    )
+    pattern = " (" + "|".join(STOPWORDS) + ")(?= )"
+    stop = f"cast(regexp_count({padded}, '{pattern}') as double)"
+    ttr = f"({n_types}) / ({n})"
+    stop_ratio = f"({stop}) / ({n})"
+    length_ok = (
+        f"case when ({n}) >= 10 and ({n}) <= 1000 then 1.0D else 0.0D end"
+    )
+    score = (
+        f"round(0.4D * ({length_ok})"
+        f" + 0.3D * least(({stop_ratio}) * 4.0D, 1.0D)"
+        f" + 0.3D * ({ttr}), 6)"
+    )
+    pred = "'und'"
     for lang, markers in reversed(LANG_MARKERS):
-        hit = F.arrays_overlap(dtoks, F.array(*[F.lit(m) for m in markers]))
-        pred = F.when(hit, F.lit(lang)).otherwise(pred)
-    return toks_df.select(
-        F.col(id_col),
-        F.element_at(toks, 1).alias("first_token"),
-        n.cast("long").alias("n_tokens"),
-        F.size(bpe_tokens(F.col(text_col))).cast("long").alias("n_tokens_bpe"),
-        n_types.cast("long").alias("n_types"),
-        F.round(ttr, 6).alias("ttr"),
-        F.round(total_chars.cast("double") / n, 6).alias("mean_token_len"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        score.alias("quality_score"),
-        pred.alias("pred_lang"),
+        arr = ", ".join(f"'{m}'" for m in markers)
+        pred = (
+            f"case when arrays_overlap(array_distinct(_toks), array({arr}))"
+            f" then '{lang}' else {pred} end"
+        )
+    # double the backslashes: Spark's SQL string literal unescape
+    # strips unknown escapes like \s, so the regex must arrive as \\s
+    bpe_pat = BPE_TOKEN_PATTERN.replace("\\", "\\\\")
+    bpe = f"regexp_extract_all({tq}, '{bpe_pat}', 0)"
+    return toks_df.selectExpr(
+        idq,
+        "element_at(_toks, 1) as first_token",
+        f"cast({n} as long) as n_tokens",
+        f"cast(size({bpe}) as long) as n_tokens_bpe",
+        f"cast({n_types} as long) as n_types",
+        f"round({ttr}, 6) as ttr",
+        f"round(cast({total_chars} as double) / ({n}), 6)"
+        " as mean_token_len",
+        f"round({stop_ratio}, 6) as stopword_ratio",
+        f"{score} as quality_score",
+        f"{pred} as pred_lang",
     )
 
 
@@ -796,134 +816,115 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     All ratio denominators go through nullif so ANSI mode never
     divides by zero.
     """
-    from pyspark.sql.window import Window
-
-    from tcga_query_project_spark.operators.dedup import normalized_text
+    # Single-parse SQL expressions throughout (round 12): this
+    # builder's Column/lambda forest cost ~2,300 py4j round trips per
+    # build. The SQL strings inline shared subtrees (srt, the norm
+    # tokenizer) exactly where the Column version's expression reuse
+    # inlined the same trees, so the analyzed plan — and every output
+    # bit — is unchanged.
+    idq, tq = f"`{id_col}`", f"`{text_col}`"
+    norm_toks = (
+        f"split(trim(lower(regexp_replace(trim({tq}), '\\\\s+', ' ')))"
+        ", '\\\\s+')"
+    )
 
     # --- per-row line-duplication metrics (array expressions) ---
-    raw_lines = F.filter(
-        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
-        lambda x: x != F.lit(""),
+    srt = (
+        f"array_sort(filter(transform(split({tq}, '\\\\n'), x -> trim(x))"
+        ", x -> x != ''))"
     )
-    srt = F.array_sort(raw_lines)
-    L = F.size(srt)
-
-    def _nospace_len(x: Column) -> Column:
-        return F.length(F.regexp_replace(x, " ", "")).cast("double")
-
     # occurrence i duplicates iff equal to its sorted predecessor or
-    # successor; element_at is guarded by when() (ANSI: index 0 errors)
-    def _is_dup(x: Column, i: Column) -> Column:
-        prev = F.when(i > 0, F.element_at(srt, i))
-        nxt = F.when(i < L - 1, F.element_at(srt, i + 2))
-        return F.coalesce(x == prev, F.lit(False)) | F.coalesce(
-            x == nxt, F.lit(False)
+    # successor; element_at is guarded by CASE (ANSI: index 0 errors)
+    dup_cond = (
+        f"coalesce(x = (case when i > 0 then element_at({srt}, i) end)"
+        ", false)"
+        f" or coalesce(x = (case when i < size({srt}) - 1"
+        f" then element_at({srt}, i + 2) end), false)"
+    )
+    dup_lines = f"filter({srt}, (x, i) -> {dup_cond})"
+
+    def sum_len(arr: str) -> str:
+        return (
+            f"aggregate({arr}, 0.0D, (acc, x) -> acc"
+            " + cast(length(regexp_replace(x, ' ', '')) as double))"
         )
 
-    dup_lines = F.filter(srt, _is_dup)
-    sum_len = lambda arr: F.aggregate(  # noqa: E731
-        arr, F.lit(0.0), lambda acc, x: acc + _nospace_len(x)
-    )
-
-    base = df.select(
-        F.col(id_col),
-        tokens(normalized_text(F.col(text_col))).alias("_toks"),
-        F.length(
-            F.regexp_replace(F.trim(F.col(text_col)), r"\s+", "")
-        ).cast("double").alias("_total_chars"),
-        L.cast("double").alias("_ln_tot"),
-        F.size(dup_lines).cast("double").alias("_ln_dup"),
-        sum_len(srt).alias("_ln_chars"),
-        sum_len(dup_lines).alias("_ln_dup_chars"),
+    base = df.selectExpr(
+        idq,
+        f"{norm_toks} as _toks",
+        f"cast(length(regexp_replace(trim({tq}), '\\\\s+', ''))"
+        " as double) as _total_chars",
+        f"cast(size({srt}) as double) as _ln_tot",
+        f"cast(size({dup_lines}) as double) as _ln_dup",
+        f"{sum_len(srt)} as _ln_chars",
+        f"{sum_len(dup_lines)} as _ln_dup_chars",
     )
 
     # --- n-gram branch: posexplode + lead window, partitioning reused ---
-    pos_w = Window.partitionBy(id_col).orderBy("_pos")
-    ex = df.select(
-        F.col(id_col),
-        F.posexplode(tokens(normalized_text(F.col(text_col)))).alias(
-            "_pos", "_tok"
-        ),
-    )
-    led = ex.select(
-        F.col(id_col),
+    ex = df.selectExpr(idq, f"posexplode({norm_toks}) as (_pos, _tok)")
+    over = f"over (partition by {idq} order by _pos)"
+    led = ex.selectExpr(
+        idq,
         "_tok",
-        F.lead("_tok", 1).over(pos_w).alias("_n1"),
-        F.lead("_tok", 2).over(pos_w).alias("_n2"),
+        f"lead(_tok, 1) {over} as _n1",
+        f"lead(_tok, 2) {over} as _n2",
     )
-    n1, n2 = F.col("_n1"), F.col("_n2")
     grams = (
-        led.select(
-            F.col(id_col),
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit("w2").alias("kind"),
-                        F.concat_ws(" ", F.col("_tok"), n1).alias("unit"),
-                        n1.isNotNull().alias("ok"),
-                    ),
-                    F.struct(
-                        F.lit("w3").alias("kind"),
-                        F.concat_ws(" ", F.col("_tok"), n1, n2).alias("unit"),
-                        n2.isNotNull().alias("ok"),
-                    ),
-                )
-            ).alias("_u"),
+        led.selectExpr(
+            idq,
+            "explode(array("
+            "struct('w2' as kind, concat_ws(' ', _tok, _n1) as unit,"
+            " _n1 is not null as ok), "
+            "struct('w3' as kind, concat_ws(' ', _tok, _n1, _n2) as unit,"
+            " _n2 is not null as ok))) as _u",
         )
         .filter(F.col("_u.ok"))
-        .select(
-            id_col,
-            F.col("_u.kind").alias("kind"),
-            F.col("_u.unit").alias("unit"),
-        )
+        .selectExpr(idq, "_u.kind as kind", "_u.unit as unit")
     )
 
-    cnt = F.col("cnt")
-    ulen = F.length(F.regexp_replace(F.col("unit"), " ", "")).cast("double")
     c = grams.groupBy(id_col, "kind", "unit").agg(
-        F.count(F.lit(1)).cast("double").alias("cnt")
+        F.expr("cast(count(1) as double) as cnt")
     )
-
-    def _k(kind: str, cond=None):
-        p = F.col("kind") == kind
-        if cond is not None:
-            p = p & cond
-        return p
-
+    ulen = "cast(length(regexp_replace(unit, ' ', '')) as double)"
     m = c.groupBy(id_col).agg(
-        F.max(F.when(_k("w2"), cnt * ulen)).alias("_top2"),
-        F.sum(F.when(_k("w2"), cnt)).alias("_w2_tot"),
-        F.sum(F.when(_k("w2", cnt > 1), cnt)).alias("_w2_dup"),
-        F.max(F.when(_k("w3"), cnt * ulen)).alias("_top3"),
-        F.sum(F.when(_k("w3"), cnt)).alias("_w3_tot"),
-        F.sum(F.when(_k("w3", cnt > 1), cnt)).alias("_w3_dup"),
+        F.expr(
+            f"max(case when kind = 'w2' then cnt * {ulen} end) as _top2"
+        ),
+        F.expr("sum(case when kind = 'w2' then cnt end) as _w2_tot"),
+        F.expr(
+            "sum(case when kind = 'w2' and cnt > 1 then cnt end) as _w2_dup"
+        ),
+        F.expr(
+            f"max(case when kind = 'w3' then cnt * {ulen} end) as _top3"
+        ),
+        F.expr("sum(case when kind = 'w3' then cnt end) as _w3_tot"),
+        F.expr(
+            "sum(case when kind = 'w3' and cnt > 1 then cnt end) as _w3_dup"
+        ),
     )
 
-    def ratio(num, den):
-        return F.coalesce(
-            F.round(num / F.nullif(den, F.lit(0.0)), 6), F.lit(0.0)
-        )
+    def ratio(num: str, den: str) -> str:
+        return f"coalesce(round(({num}) / nullif({den}, 0.0D), 6), 0.0D)"
 
-    ntoks = F.size("_toks").cast("double")
-    ntypes = F.size(F.array_distinct("_toks")).cast("double")
     out = base.join(m, id_col, "left")
-    top2 = ratio(F.col("_top2"), F.col("_total_chars"))
-    top3 = ratio(F.col("_top3"), F.col("_total_chars"))
-    dline = ratio(F.col("_ln_dup"), F.col("_ln_tot"))
-    dline_c = ratio(F.col("_ln_dup_chars"), F.col("_ln_chars"))
-    return out.select(
-        F.col(id_col),
-        ratio(ntoks - ntypes, ntoks).alias("dup_word_frac"),
-        top2.alias("top2gram_char_frac"),
-        ratio(F.col("_w2_dup"), F.col("_w2_tot")).alias("dup2gram_frac"),
-        top3.alias("top3gram_char_frac"),
-        ratio(F.col("_w3_dup"), F.col("_w3_tot")).alias("dup3gram_frac"),
-        dline.alias("dup_line_frac"),
-        dline_c.alias("dup_line_char_frac"),
-        (
-            (top2 <= 0.20) & (top3 <= 0.18)
-            & (dline <= 0.30) & (dline_c <= 0.20)
-        ).alias("passes_gopher"),
+    ntoks = "cast(size(_toks) as double)"
+    ntypes = "cast(size(array_distinct(_toks)) as double)"
+    top2 = ratio("_top2", "_total_chars")
+    top3 = ratio("_top3", "_total_chars")
+    dline = ratio("_ln_dup", "_ln_tot")
+    dline_c = ratio("_ln_dup_chars", "_ln_chars")
+    return out.selectExpr(
+        idq,
+        f"{ratio(f'{ntoks} - {ntypes}', ntoks)} as dup_word_frac",
+        f"{top2} as top2gram_char_frac",
+        f"{ratio('_w2_dup', '_w2_tot')} as dup2gram_frac",
+        f"{top3} as top3gram_char_frac",
+        f"{ratio('_w3_dup', '_w3_tot')} as dup3gram_frac",
+        f"{dline} as dup_line_frac",
+        f"{dline_c} as dup_line_char_frac",
+        f"({top2}) <= 0.20D and ({top3}) <= 0.18D"
+        f" and ({dline}) <= 0.30D and ({dline_c}) <= 0.20D"
+        " as passes_gopher",
     )
 
 

@@ -145,11 +145,14 @@ EAGER_BUILD_ALLOWED = {
     # IRLS GLM: per-gene grouped-map fit needs the trend/dispersion
     # priors fitted first (first/collect on gene-cardinality aggregates)
     "a6_nb_glm_wald",
-    # VST: mean-dispersion trend fit collects a gene-sized aggregate
-    # (stats.py:131/215 — documented eager contract)
-    "a7_normalize_vst",
     # persisted-index ANN: builds + caches the bucketed index once
     "ann_lsh_bucketed",
+    # triangle counting: localCheckpoint of the oriented edge list
+    # (13 static scans -> 0; multiply-consumed frontier)
+    "gq_triangles",
+    # column profiler: localCheckpoint of the (column, value) counts
+    # consumed by both the roll-up and the mode resolution
+    "qa_column_profile",
     # connected components: iterative large-star/small-star with
     # localCheckpoint truncation + converged-frontier collect guard
     "dd_dup_clusters",
@@ -162,12 +165,6 @@ EAGER_BUILD_ALLOWED = {
     "dd_jaccard_prefix_join",
     # iterative PageRank: per-iteration checkpoint + convergence check
     "gq_pagerank",
-    # triangle counting: localCheckpoint of the oriented edge list
-    # (13 static scans -> 0; multiply-consumed frontier)
-    "gq_triangles",
-    # column profiler: localCheckpoint of the (column, value) counts
-    # consumed by both the roll-up and the mode resolution
-    "qa_column_profile",
     # pack_shards with return_total=True: the PPS sampler's grid
     # spacing / overflow guard need the grand total as a plan literal,
     # so the superblock roll-up stays a driver collect there (the
@@ -425,7 +422,13 @@ def test_headline_shuffle_budgets(spark):
     budgets = {
         "q1_pricing_summary": 1,    # one agg exchange
         "q5_local_supplier_volume": 1,  # ONE fact shuffle, dims broadcast
-        "a7_normalize_vst": 0,      # coefficients inlined -> pure map pass
+        # round 12: the trend fit rides the same action as the
+        # transform (broadcast cross join of the one-row coefficient
+        # table, as in the oracle SQL) — the size-factor/trend
+        # aggregates' exchanges are now IN the static plan instead of
+        # in two eager build-time jobs the count never saw; all five
+        # are gene/sample-dimension-sized
+        "a7_normalize_vst": 5,
         "tx_doc_metrics": 0,        # fused narrow projection, no shuffle
         "mm_binary_meta": 0,        # metadata agg partials, AQE-coalesced
         "dd_embedding_neardup": 1,  # single explode -> kernel groupBy
