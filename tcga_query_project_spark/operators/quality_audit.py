@@ -198,19 +198,25 @@ def audit_passed(report: DataFrame) -> bool:
 # =====================================================================
 
 
-def _bin_label(col: str, edges: Sequence[float]) -> Column:
+def _bin_label_sql(col: str, edges: Sequence[float]) -> str:
     """Portable bin label for a numeric column given ascending edges:
     ``'b' || (number of edges <= value)`` — a branch-free form whose
     SQL mirror is a sum of boolean casts, so Spark and any oracle
-    engine bin identically (NULL → ``'__null__'``)."""
-    c = F.col(col)
-    idx = None
-    for e in edges:
-        t = (c >= F.lit(float(e))).cast("int")
-        idx = t if idx is None else idx + t
-    return F.when(c.isNull(), F.lit("__null__")).otherwise(
-        F.concat(F.lit("b"), idx.cast("string"))
+    engine bin identically (NULL → ``'__null__'``). Single parsed SQL
+    string (round 12 — was a per-edge Column loop)."""
+    idx = " + ".join(
+        f"cast((`{col}` >= {float(e)!r}D) as int)" for e in edges
     )
+    return (
+        f"case when `{col}` is null then '__null__' "
+        f"else concat('b', cast({idx} as string)) end"
+    )
+
+
+def _bin_label(col: str, edges: Sequence[float]) -> Column:
+    """Column form of :func:`_bin_label_sql` (kept for callers holding
+    Column-level pipelines)."""
+    return F.expr(_bin_label_sql(col, edges))
 
 
 def psi_drift(
@@ -286,26 +292,17 @@ def binned_features(
     data-independent ascending edges, categorical by value, NULL its
     own ``'__null__'`` bin). One explode per row (rows x n_features),
     still a zero-shuffle map-side pass."""
-    pairs = []
-    for col, edges in (numeric or {}).items():
-        pairs.append(
-            F.struct(
-                F.lit(col).alias("feature"),
-                _bin_label(col, edges).alias("bin"),
-            )
-        )
-    for col in categorical or []:
-        pairs.append(
-            F.struct(
-                F.lit(col).alias("feature"),
-                F.coalesce(
-                    F.col(col).cast("string"), F.lit("__null__")
-                ).alias("bin"),
-            )
-        )
-    return df.select(
-        *[F.col(c) for c in extra_cols],
-        F.explode(F.array(*pairs)).alias("fb"),
+    pairs = [
+        f"struct('{col}' as feature, {_bin_label_sql(col, edges)} as bin)"
+        for col, edges in (numeric or {}).items()
+    ] + [
+        f"struct('{col}' as feature, "
+        f"coalesce(cast(`{col}` as string), '__null__') as bin)"
+        for col in categorical or []
+    ]
+    return df.selectExpr(
+        *[f"`{c}`" for c in extra_cols],
+        f"explode(array({', '.join(pairs)})) as fb",
     ).select(*extra_cols, "fb.feature", "fb.bin")
 
 
@@ -331,26 +328,22 @@ def psi_from_counts(
     totals = counts.groupBy(*gcols).agg(
         F.sum("ref_n").alias("_rt"), F.sum("cur_n").alias("_ct")
     )
-    p = F.greatest(
-        F.when(F.col("_rt") > 0, F.col("ref_n") / F.col("_rt")).otherwise(
-            F.lit(0.0)
-        ),
-        F.lit(epsilon),
+    eps = f"{float(epsilon)!r}D"
+    p = (
+        "greatest(case when _rt > 0 then ref_n / _rt else 0.0D end, "
+        f"{eps})"
     )
-    q = F.greatest(
-        F.when(F.col("_ct") > 0, F.col("cur_n") / F.col("_ct")).otherwise(
-            F.lit(0.0)
-        ),
-        F.lit(epsilon),
+    q = (
+        "greatest(case when _ct > 0 then cur_n / _ct else 0.0D end, "
+        f"{eps})"
     )
-    term = (p - q) * F.log(p / q)
-    psi = F.round(F.sum(term), 6)
+    term = f"(({p}) - ({q})) * ln(({p}) / ({q}))"
     return (
         counts.join(F.broadcast(totals), gcols)
         .groupBy(*gcols)
         .agg(
-            psi.alias("psi"),
-            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.expr(f"round(sum({term}), 6) as psi"),
+            F.expr("cast(count(1) as bigint) as n_bins"),
         )
         .withColumn("drifted", F.col("psi") > F.lit(threshold))
     )

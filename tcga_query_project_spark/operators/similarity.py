@@ -344,6 +344,9 @@ def cosine_topk_bucketed(
     # not per branch, and the broadcast build never races a cold cache
     # (the in-memory cache plays the role the bucketed table layout
     # plays at cluster scale; caching contract: see _materialize_shared).
+    # Round-12 note: a lazy variant measured WORSE here (1.3s -> 1.8s
+    # wall at sf0.1) — the broadcast build's first touch serializes the
+    # population the eager count parallelizes across all cores.
     based = _materialize_shared(
         fan_out(df.select(F.col(id_col), F.col(vec_col)), id_col).select(
             F.col(id_col),

@@ -159,10 +159,6 @@ EAGER_BUILD_ALLOWED = {
     "er_entity_clusters",
     # dedup index build (corpus hashed once into the persisted index)
     "dd_index_dedup",
-    # exact PPJoin: eager population of the flat postings/prefix
-    # caches (six consumers race a cold cache otherwise —
-    # dedup.jaccard_prefix_join scale-shape note)
-    "dd_jaccard_prefix_join",
     # iterative PageRank: per-iteration checkpoint + convergence check
     "gq_pagerank",
     # pack_shards with return_total=True: the PPS sampler's grid
