@@ -589,26 +589,48 @@ def _emit(detail: dict) -> None:
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
     print("DETAIL " + json.dumps(detail))
+    # Final one-line driver contract. The driver captures the LAST
+    # ~2000 chars of stdout and parses the last line — round 5 lost its
+    # perf record to a 3-dict line, and rounds 7-12 self-truncated to
+    # "queries": {} (which blinded PERF's per-query and scaling
+    # comparisons, round-12 judge ask #1). A 97-entry map with real
+    # names is >=2400 chars under ANY JSON formatting (names alone sum
+    # to ~1600), so the full map can never fit; renaming queries is
+    # forbidden by the driver contract. Compromise (round 13): emit the
+    # per-query exec medians (the gate estimator, same numbers as the
+    # DETAIL line) with COMPACT separators, slowest queries first, and
+    # drop entries from the fast tail only until the line fits —
+    # "queries_omitted" counts what fell off; BENCH_DETAIL.json always
+    # has all of them. Slowest-first maximizes the information the
+    # driver's per-query/scaling tables see.
     out = {
         "metric": "headline_query_wall_time_total",
         "value": detail["value"],
         "unit": "sec",
-        "queries": detail["queries"],
+        "queries": {},
         "value_exec_only": detail["value_exec_only"],
         "sf": detail["sf"],
         "cpus": CPUS,
         "n_queries": detail["n_queries"],
         "n_sessions": detail["n_sessions"],
         "session_totals_exec": detail["session_totals_exec"],
+        "queries_omitted": 0,
         "detail": "BENCH_DETAIL.json",
     }
-    line = json.dumps(out)
-    if len(line) > 1900:
-        # stay under the driver's ~2000-char tail capture: drop the
-        # per-query dict before sacrificing the parse (detail file
-        # still has everything)
-        out["queries"] = {}
-        line = json.dumps(out)
+    est = detail["queries_exec_med_sessions"]
+    ranked = sorted(est, key=lambda n: (-est[n], n))
+    budget = 1900 - len(json.dumps(out, separators=(",", ":")))
+    q_out: dict[str, float] = {}
+    used = 0
+    for name in ranked:
+        entry = len(json.dumps({name: est[name]}, separators=(",", ":"))) - 1
+        if used + entry > budget:
+            break
+        q_out[name] = est[name]
+        used += entry
+    out["queries"] = q_out
+    out["queries_omitted"] = len(est) - len(q_out)
+    line = json.dumps(out, separators=(",", ":"))
     print(line)
     sys.stdout.flush()
 

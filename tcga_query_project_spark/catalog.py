@@ -3653,24 +3653,20 @@ def tj_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
     )
-    old = base.filter(F.col("o_orderkey") % 7 != 0)
-    new = base.filter(F.col("o_orderkey") % 5 != 0).select(
+    old = base.filter("o_orderkey % 7 != 0")
+    new = base.filter("o_orderkey % 5 != 0").selectExpr(
         "o_orderkey",
         "o_orderstatus",
-        F.when(
-            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 100.0
-        )
-        .otherwise(F.col("o_totalprice"))
-        .alias("o_totalprice"),
-        F.when(F.col("o_orderkey") % 11 == 0, F.lit("9-RECHECK"))
-        .otherwise(F.col("o_orderpriority"))
-        .alias("o_orderpriority"),
+        "CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0D"
+        " ELSE o_totalprice END AS o_totalprice",
+        "CASE WHEN o_orderkey % 11 = 0 THEN '9-RECHECK'"
+        " ELSE o_orderpriority END AS o_orderpriority",
     )
     d = temporal.diff_snapshots(old, new, "o_orderkey")
-    return d.select(
+    return d.selectExpr(
         "o_orderkey",
         "change",
-        F.array_join("changed_cols", ",").alias("changed_cols"),
+        "array_join(changed_cols, ',') AS changed_cols",
     )
 
 
@@ -5040,39 +5036,37 @@ def tj_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "value"
     )
     base = temporal.grouped_agg_snapshot(ev, ["event_type"], "value")
-    is_del = F.col("event_id") % 37 == 0
-    is_upd = (F.col("event_id") % 37 != 0) & (F.col("event_id") % 5 == 0)
-    is_ins = F.col("event_id") % 7 == 0
-    deletes = ev.filter(is_del).select(
-        F.lit("D").alias("op"),
-        F.col("event_type").alias("before_event_type"),
-        F.col("value").alias("before_x"),
-        F.lit(None).cast("string").alias("after_event_type"),
-        F.lit(None).cast("double").alias("after_x"),
+    deletes = ev.filter("event_id % 37 = 0").selectExpr(
+        "'D' AS op",
+        "event_type AS before_event_type",
+        "value AS before_x",
+        "CAST(NULL AS STRING) AS after_event_type",
+        "CAST(NULL AS DOUBLE) AS after_x",
     )
-    updates = ev.filter(is_upd).select(
-        F.lit("U").alias("op"),
-        F.col("event_type").alias("before_event_type"),
-        F.col("value").alias("before_x"),
-        F.when(F.col("event_id") % 10 == 0, F.lit("view"))
-        .otherwise(F.col("event_type"))
-        .alias("after_event_type"),
-        (F.col("value") + 100).alias("after_x"),
+    updates = ev.filter(
+        "event_id % 37 != 0 AND event_id % 5 = 0"
+    ).selectExpr(
+        "'U' AS op",
+        "event_type AS before_event_type",
+        "value AS before_x",
+        "CASE WHEN event_id % 10 = 0 THEN 'view'"
+        " ELSE event_type END AS after_event_type",
+        "value + 100 AS after_x",
     )
-    inserts = ev.filter(is_ins).select(
-        F.lit("I").alias("op"),
-        F.lit(None).cast("string").alias("before_event_type"),
-        F.lit(None).cast("double").alias("before_x"),
-        F.lit("signup").alias("after_event_type"),
-        (F.col("value") * 0.5).alias("after_x"),
+    inserts = ev.filter("event_id % 7 = 0").selectExpr(
+        "'I' AS op",
+        "CAST(NULL AS STRING) AS before_event_type",
+        "CAST(NULL AS DOUBLE) AS before_x",
+        "'signup' AS after_event_type",
+        "value * 0.5D AS after_x",
     )
     log = deletes.unionByName(updates).unionByName(inserts)
     out = temporal.maintain_grouped_agg(base, log, ["event_type"])
-    return out.select(
+    return out.selectExpr(
         "event_type",
         "cnt",
-        F.round(F.col("sum_x"), 4).alias("sum_x"),
-        F.round(F.col("avg_x"), 6).alias("avg_x"),
+        "round(sum_x, 4) AS sum_x",
+        "round(avg_x, 6) AS avg_x",
     )
 
 
@@ -6032,28 +6026,29 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject."""
     li = _t(spark, sf_dir, "lineitem")
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+        F.expr("min(l_extendedprice / l_quantity) AS unit_cost")
     )
     nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    region = _t(spark, sf_dir, "region").filter("r_name = 'EUROPE'")
     eu = (
         _t(spark, sf_dir, "supplier")
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(nation), F.expr("s_nationkey = n_nationkey"))
+        .join(F.broadcast(region), F.expr("n_regionkey = r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     parts = _t(spark, sf_dir, "part").filter(
-        F.col("p_size").between(_Q2_SIZE_LO, _Q2_SIZE_HI)
-        & (F.col("p_type") == "STANDARD")
+        f"p_size BETWEEN {_Q2_SIZE_LO} AND {_Q2_SIZE_HI}"
+        " AND p_type = 'STANDARD'"
     ).select("p_partkey", "p_name")
     cand = (
-        ps.join(eu, ps["l_suppkey"] == eu["s_suppkey"])
-        .join(parts, ps["l_partkey"] == parts["p_partkey"])
+        ps.join(eu, F.expr("l_suppkey = s_suppkey"))
+        .join(parts, F.expr("l_partkey = p_partkey"))
     )
-    w = Window.partitionBy("p_partkey")
     return (
-        cand.withColumn("_min_cost", F.min("unit_cost").over(w))
-        .filter(F.col("unit_cost") == F.col("_min_cost"))
+        cand.selectExpr(
+            "*", "min(unit_cost) OVER (PARTITION BY p_partkey) AS _min_cost"
+        )
+        .filter("unit_cost = _min_cost")
         .select(
             "p_partkey",
             "p_name",
@@ -6097,21 +6092,20 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max statistics skip everything outside the ship-year; the agg
     is a two-phase partial/final with a one-row result. Discount bounds
     compare raw stored doubles (bit-identical in both engines)."""
-    lo = F.lit(_Q6_LO).cast("timestamp_ntz")
-    hi = F.lit(_Q6_HI).cast("timestamp_ntz")
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= lo)
-            & (F.col("l_shipdate") < hi)
-            & (F.col("l_discount") >= 0.05)
-            & (F.col("l_discount") <= 0.07)
-            & (F.col("l_quantity") < 24)
+            f"l_shipdate >= TIMESTAMP_NTZ '{_Q6_LO}'"
+            f" AND l_shipdate < TIMESTAMP_NTZ '{_Q6_HI}'"
+            " AND l_discount >= 0.05D AND l_discount <= 0.07D"
+            " AND l_quantity < 24"
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4)
-            .alias("revenue_effect"),
-            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.expr(
+                "round(sum(l_extendedprice * l_discount), 4)"
+                " AS revenue_effect"
+            ),
+            F.expr("CAST(count(1) AS BIGINT) AS n_items"),
         )
     )
 
@@ -6158,35 +6152,36 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "nation")
         .join(
             F.broadcast(_t(spark, sf_dir, "region")),
-            F.col("n_regionkey") == F.col("r_regionkey"),
+            F.expr("n_regionkey = r_regionkey"),
         )
         .select("n_nationkey", "r_name")
     )
-    nr_s = nr.select(
-        F.col("n_nationkey").alias("_snk"), F.col("r_name").alias("supp_region")
+    nr_s = nr.selectExpr(
+        "n_nationkey AS _snk", "r_name AS supp_region"
     )
-    nr_c = nr.select(
-        F.col("n_nationkey").alias("_cnk"), F.col("r_name").alias("cust_region")
+    nr_c = nr.selectExpr(
+        "n_nationkey AS _cnk", "r_name AS cust_region"
     )
     return (
-        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
-        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(cust, orders["o_custkey"] == cust["c_custkey"])
-        .join(F.broadcast(nr_s), F.col("s_nationkey") == F.col("_snk"))
-        .join(F.broadcast(nr_c), F.col("c_nationkey") == F.col("_cnk"))
+        li.join(supp, F.expr("l_suppkey = s_suppkey"))
+        .join(orders, F.expr("l_orderkey = o_orderkey"))
+        .join(cust, F.expr("o_custkey = c_custkey"))
+        .join(F.broadcast(nr_s), F.expr("s_nationkey = _snk"))
+        .join(F.broadcast(nr_c), F.expr("c_nationkey = _cnk"))
         .filter(
-            ((F.col("supp_region") == "ASIA") & (F.col("cust_region") == "EUROPE"))
-            | ((F.col("supp_region") == "EUROPE") & (F.col("cust_region") == "ASIA"))
+            "(supp_region = 'ASIA' AND cust_region = 'EUROPE')"
+            " OR (supp_region = 'EUROPE' AND cust_region = 'ASIA')"
         )
         .groupBy(
             "supp_region",
             "cust_region",
-            F.year("l_shipdate").cast("long").alias("l_year"),
+            F.expr("CAST(year(l_shipdate) AS BIGINT) AS l_year"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+            F.expr(
+                "round(sum(l_extendedprice * (1 - l_discount)), 4)"
+                " AS revenue"
+            )
         )
     )
 
@@ -6229,7 +6224,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
     )
-    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+    part = _t(spark, sf_dir, "part").filter("p_type = 'ECONOMY'").select(
         "p_partkey"
     )
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -6238,38 +6233,32 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    region = _t(spark, sf_dir, "region").filter("r_name = 'AMERICA'")
     nc = nation.join(
-        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
-    ).select(F.col("n_nationkey").alias("_cnk"))
-    ns = nation.select(
-        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+        F.broadcast(region), F.expr("n_regionkey = r_regionkey")
+    ).selectExpr("n_nationkey AS _cnk")
+    ns = nation.selectExpr(
+        "n_nationkey AS _snk", "n_name AS supp_nation"
     )
     vol = (
-        li.join(part, li["l_partkey"] == part["p_partkey"])
-        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
-        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(cust, orders["o_custkey"] == cust["c_custkey"])
-        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("_cnk"))
-        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("_snk"))
-        .select(
-            F.year("o_orderdate").cast("long").alias("o_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "volume"
-            ),
+        li.join(part, F.expr("l_partkey = p_partkey"))
+        .join(supp, F.expr("l_suppkey = s_suppkey"))
+        .join(orders, F.expr("l_orderkey = o_orderkey"))
+        .join(cust, F.expr("o_custkey = c_custkey"))
+        .join(F.broadcast(nc), F.expr("c_nationkey = _cnk"))
+        .join(F.broadcast(ns), F.expr("s_nationkey = _snk"))
+        .selectExpr(
+            "CAST(year(o_orderdate) AS BIGINT) AS o_year",
+            "l_extendedprice * (1 - l_discount) AS volume",
             "supp_nation",
         )
     )
     return vol.groupBy("o_year").agg(
-        F.round(
-            F.sum(
-                F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
-                .otherwise(0.0)
-            )
-            / F.sum("volume"),
-            6,
-        ).alias("mkt_share"),
-        F.round(F.sum("volume"), 4).alias("total_volume"),
+        F.expr(
+            "round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume"
+            " ELSE 0.0D END) / sum(volume), 6) AS mkt_share"
+        ),
+        F.expr("round(sum(volume), 4) AS total_volume"),
     )
 
 
@@ -6304,28 +6293,28 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey", "l_orderkey",
         "l_extendedprice", "l_discount", "l_quantity",
     )
-    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+    part = _t(spark, sf_dir, "part").filter("p_name LIKE '%red%'").select(
         "p_partkey", "p_retailprice"
     )
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    nation = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("nation")
+    nation = _t(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey AS _snk", "n_name AS nation"
     )
     return (
-        li.join(part, li["l_partkey"] == part["p_partkey"])
-        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
-        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("_snk"))
-        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        li.join(part, F.expr("l_partkey = p_partkey"))
+        .join(supp, F.expr("l_suppkey = s_suppkey"))
+        .join(orders, F.expr("l_orderkey = o_orderkey"))
+        .join(F.broadcast(nation), F.expr("s_nationkey = _snk"))
+        .groupBy(
+            "nation", F.expr("CAST(year(o_orderdate) AS BIGINT) AS o_year")
+        )
         .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                    - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
-                ),
-                4,
-            ).alias("sum_profit")
+            F.expr(
+                "round(sum((l_extendedprice * (1 - l_discount))"
+                " - ((0.5D * p_retailprice) * l_quantity)), 4)"
+                " AS sum_profit"
+            )
         )
     )
 
@@ -6362,12 +6351,11 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped revenue keys on custkey and the customer/nation dims
     broadcast in before the group-by. Top-k is TakeOrderedAndProject on
     rounded revenue with a unique-key tiebreak."""
-    lo = F.lit(_Q10_LO).cast("timestamp_ntz")
-    hi = F.lit(_Q10_HI).cast("timestamp_ntz")
     orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+        f"o_orderdate >= TIMESTAMP_NTZ '{_Q10_LO}'"
+        f" AND o_orderdate < TIMESTAMP_NTZ '{_Q10_HI}'"
     ).select("o_orderkey", "o_custkey")
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+    li = _t(spark, sf_dir, "lineitem").filter("l_returnflag = 'R'").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     cust = _t(spark, sf_dir, "customer").select(
@@ -6375,14 +6363,15 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(cust, orders["o_custkey"] == cust["c_custkey"])
-        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        li.join(orders, F.expr("l_orderkey = o_orderkey"))
+        .join(cust, F.expr("o_custkey = c_custkey"))
+        .join(F.broadcast(nation), F.expr("c_nationkey = n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+            F.expr(
+                "round(sum(l_extendedprice * (1 - l_discount)), 4)"
+                " AS revenue"
+            )
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
@@ -6424,29 +6413,28 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
     )
     nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    region = _t(spark, sf_dir, "region").filter("r_name = 'EUROPE'")
     eu_supp = (
         _t(spark, sf_dir, "supplier")
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(nation), F.expr("s_nationkey = n_nationkey"))
+        .join(F.broadcast(region), F.expr("n_regionkey = r_regionkey"))
         .select("s_suppkey")
     )
     pv = (
-        li.join(eu_supp, li["l_suppkey"] == eu_supp["s_suppkey"])
+        li.join(eu_supp, F.expr("l_suppkey = s_suppkey"))
         .groupBy("l_partkey")
         .agg(
-            F.sum(
-                F.round(
-                    F.col("l_extendedprice") * F.col("l_quantity") * 100, 0
-                ).cast("long")
-            ).alias("value_c")
+            F.expr(
+                "sum(CAST(round((l_extendedprice * l_quantity) * 100, 0)"
+                " AS BIGINT)) AS value_c"
+            )
         )
     )
-    tot = pv.agg(F.sum("value_c").alias("total_c"))
+    tot = pv.agg(F.expr("sum(value_c) AS total_c"))
     return (
         pv.join(F.broadcast(tot))
-        .filter(F.col("value_c") * 1000 > F.col("total_c"))
-        .select("l_partkey", (F.col("value_c") / 100.0).alias("part_value"))
+        .filter("value_c * 1000 > total_c")
+        .selectExpr("l_partkey", "value_c / 100.0D AS part_value")
     )
 
 
@@ -6477,17 +6465,20 @@ def q12_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    high = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
     return (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .filter(
-            F.col("l_shipdate")
-            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-        )
+        li.join(orders, F.expr("l_orderkey = o_orderkey"))
+        .filter("l_shipdate > o_orderdate + INTERVAL 90 DAYS")
         .groupBy("l_linestatus")
         .agg(
-            F.sum(high.cast("int")).cast("long").alias("high_line_count"),
-            F.sum((~high).cast("int")).cast("long").alias("low_line_count"),
+            F.expr(
+                f"CAST(sum(CAST(({high}) AS INT)) AS BIGINT)"
+                " AS high_line_count"
+            ),
+            F.expr(
+                f"CAST(sum(CAST((NOT ({high})) AS INT)) AS BIGINT)"
+                " AS low_line_count"
+            ),
         )
     )
 
@@ -6520,15 +6511,15 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny second exchange on the count value."""
     cust = _t(spark, sf_dir, "customer").select("c_custkey")
     orders = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") != "1-URGENT"
+        "o_orderpriority != '1-URGENT'"
     ).select("o_custkey", "o_orderkey")
     per_cust = (
-        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        cust.join(orders, F.expr("c_custkey = o_custkey"), "left")
         .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+        .agg(F.expr("CAST(count(o_orderkey) AS BIGINT) AS c_count"))
     )
     return per_cust.groupBy("c_count").agg(
-        F.count(F.lit(1)).cast("long").alias("custdist")
+        F.expr("CAST(count(1) AS BIGINT) AS custdist")
     )
 
 
@@ -6558,23 +6549,21 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerator and denominator are computed in
     the SAME single aggregation (one pass, no self-join); the ratio
     rounds to 6 as an FP-accumulation path."""
-    lo = F.lit(_Q14_LO).cast("timestamp_ntz")
-    hi = F.lit(_Q14_HI).cast("timestamp_ntz")
     li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+        f"l_shipdate >= TIMESTAMP_NTZ '{_Q14_LO}'"
+        f" AND l_shipdate < TIMESTAMP_NTZ '{_Q14_HI}'"
     ).select("l_partkey", "l_extendedprice", "l_discount")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = "l_extendedprice * (1 - l_discount)"
     return (
-        li.join(part, li["l_partkey"] == part["p_partkey"])
+        li.join(part, F.expr("l_partkey = p_partkey"))
         .agg(
-            F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
-                6,
-            ).alias("promo_revenue_pct"),
-            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.expr(
+                "round((100.0D * sum(CASE WHEN p_type = 'PROMO'"
+                f" THEN {rev} ELSE 0.0D END)) / sum({rev}), 6)"
+                " AS promo_revenue_pct"
+            ),
+            F.expr("CAST(count(1) AS BIGINT) AS n_items"),
         )
     )
 
@@ -6613,8 +6602,6 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-row MAX reuses that aggregate and broadcasts back as the join
     filter (hinted: provably one row); the SF-scaled supplier dim is
     AQE size-decided."""
-    lo = F.lit(_Q15_LO).cast("timestamp_ntz")
-    hi = F.lit(_Q15_HI).cast("timestamp_ntz")
     # The explicit isNotNull matters for the PLAN, not the data (TPC-H
     # keys are non-null): the later inner join against supplier infers
     # it into the join branch's scan only, which de-canonicalizes the
@@ -6622,26 +6609,25 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan+aggregate would run twice (pinned:
     # test_aggregate_self_joins_reuse_exchange).
     li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= lo)
-        & (F.col("l_shipdate") < hi)
-        & F.col("l_suppkey").isNotNull()
+        f"l_shipdate >= TIMESTAMP_NTZ '{_Q15_LO}'"
+        f" AND l_shipdate < TIMESTAMP_NTZ '{_Q15_HI}'"
+        " AND l_suppkey IS NOT NULL"
     ).select("l_suppkey", "l_extendedprice", "l_discount")
     rev = li.groupBy("l_suppkey").agg(
-        F.sum(
-            F.round(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
-            ).cast("long")
-        ).alias("revenue_c")
+        F.expr(
+            "sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0)"
+            " AS BIGINT)) AS revenue_c"
+        )
     )
-    mx = rev.agg(F.max("revenue_c").alias("max_c"))
+    mx = rev.agg(F.expr("max(revenue_c) AS max_c"))
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        rev.join(F.broadcast(mx), rev["revenue_c"] == mx["max_c"])
-        .join(supp, rev["l_suppkey"] == supp["s_suppkey"])
-        .select(
+        rev.join(F.broadcast(mx), F.expr("revenue_c = max_c"))
+        .join(supp, F.expr("l_suppkey = s_suppkey"))
+        .selectExpr(
             "s_suppkey",
             "s_name",
-            (F.col("revenue_c") / 100.0).alias("total_revenue"),
+            "revenue_c / 100.0D AS total_revenue",
         )
     )
 
@@ -6676,17 +6662,22 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     not); COUNT(DISTINCT) expands to the standard
     two-phase partial-distinct plan on the group keys."""
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
-        F.col("s_suppkey").alias("l_suppkey")
+    bad = _t(spark, sf_dir, "supplier").filter("s_acctbal < 0").selectExpr(
+        "s_suppkey AS l_suppkey"
     )
+    sizes = ", ".join(str(s) for s in _Q16_SIZES)
     part = _t(spark, sf_dir, "part").filter(
-        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(*_Q16_SIZES)
+        f"p_brand != 'Brand#1' AND p_size IN ({sizes})"
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     return (
         li.join(bad, "l_suppkey", "left_anti")
-        .join(part, F.col("l_partkey") == part["p_partkey"])
+        .join(part, F.expr("l_partkey = p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.count_distinct(F.col("l_suppkey")).cast("long").alias("supplier_cnt"))
+        .agg(
+            F.expr(
+                "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt"
+            )
+        )
     )
 
 
@@ -6719,20 +6710,23 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
     )
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
     disj = (
-        ((brand == "Brand#1") & size.between(1, 15) & qty.between(1, 20))
-        | ((brand == "Brand#2") & size.between(1, 25) & qty.between(10, 30))
-        | ((brand == "Brand#3") & size.between(1, 35) & qty.between(20, 40))
+        "(p_brand = 'Brand#1' AND (p_size BETWEEN 1 AND 15)"
+        " AND (l_quantity BETWEEN 1 AND 20))"
+        " OR (p_brand = 'Brand#2' AND (p_size BETWEEN 1 AND 25)"
+        " AND (l_quantity BETWEEN 10 AND 30))"
+        " OR (p_brand = 'Brand#3' AND (p_size BETWEEN 1 AND 35)"
+        " AND (l_quantity BETWEEN 20 AND 40))"
     )
     return (
-        li.join(part, li["l_partkey"] == part["p_partkey"])
+        li.join(part, F.expr("l_partkey = p_partkey"))
         .filter(disj)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue"),
-            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.expr(
+                "round(sum(l_extendedprice * (1 - l_discount)), 4)"
+                " AS revenue"
+            ),
+            F.expr("CAST(count(1) AS BIGINT) AS n_items"),
         )
     )
 
@@ -6781,32 +6775,31 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare (quantities are integral, summed as BIGINT — 2*qty >
     total, no 0.5 float); the dominant-supplier set semi-joins into
     the supplier dim, region filter broadcast."""
-    lo = F.lit(_Q20_LO).cast("timestamp_ntz")
-    hi = F.lit(_Q20_HI).cast("timestamp_ntz")
-    small = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select(
+    small = _t(spark, sf_dir, "part").filter("p_name LIKE 'small%'").select(
         "p_partkey"
     )
     li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+        f"l_shipdate >= TIMESTAMP_NTZ '{_Q20_LO}'"
+        f" AND l_shipdate < TIMESTAMP_NTZ '{_Q20_HI}'"
     ).select("l_partkey", "l_suppkey", "l_quantity")
     ps = (
-        li.join(small, F.col("l_partkey") == small["p_partkey"])
+        li.join(small, F.expr("l_partkey = p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .agg(F.expr("sum(CAST(l_quantity AS BIGINT)) AS qty"))
     )
-    tot = ps.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    tot = ps.groupBy("l_partkey").agg(F.expr("sum(qty) AS total_qty"))
     dom = (
         ps.join(tot, "l_partkey")
-        .filter(2 * F.col("qty") > F.col("total_qty"))
+        .filter("2 * qty > total_qty")
         .select("l_suppkey")
         .distinct()
     )
     nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    region = _t(spark, sf_dir, "region").filter("r_name = 'AFRICA'")
     return (
         _t(spark, sf_dir, "supplier")
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(nation), F.expr("s_nationkey = n_nationkey"))
+        .join(F.broadcast(region), F.expr("n_regionkey = r_regionkey"))
         .join(
             dom.withColumnRenamed("l_suppkey", "s_suppkey"),
             "s_suppkey",

@@ -13,6 +13,16 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def qident(name: str) -> str:
+    """Backtick-quote an identifier for interpolation into a SQL-string
+    expression (the round-12/13 single-parse builders): backticks in
+    the name double, so ANY column name round-trips — the raw
+    f-string interpolations a backtick-bearing name could break out
+    of (round-12 ADVICE) all route through here.
+    """
+    return "`" + name.replace("`", "``") + "`"
+
+
 def signif_bin(padj: Column) -> Column:
     """A9/F7: p-value → significance symbol.
 

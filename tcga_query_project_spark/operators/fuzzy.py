@@ -38,63 +38,69 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _delete1(s: Column) -> Column:
+def _delete1_sql(s: str) -> str:
     """Array of all strings obtained by deleting exactly ONE character
-    — pure expression form: transform over the position sequence."""
-    return F.when(F.length(s) <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.length(s)),
-            lambda i: F.concat(
-                s.substr(F.lit(1), i - 1),
-                s.substr(i + 1, F.length(s)),
-            ),
-        )
+    — pure expression form: transform over the position sequence.
+    ``s`` is a SQL expression string (round 13 single-parse builders:
+    one parse instead of a py4j round trip per substring op)."""
+    return (
+        f"CASE WHEN length({s}) <= 0 THEN CAST(array() AS ARRAY<STRING>) "
+        f"ELSE transform(sequence(1, length({s})), "
+        f"i -> concat(substr({s}, 1, i - 1), "
+        f"substr({s}, i + 1, length({s})))) END"
     )
 
 
-def delete_variants(s: Column, max_dist: int) -> Column:
-    """The deletion neighborhood of ``s`` up to ``max_dist`` deletions
-    (including ``s`` itself), deduplicated. ``max_dist`` in {1, 2}:
-    d=2 already covers the typo/OCR regime entity resolution targets,
-    and O(L^3) variant counts at d=3 stop paying for themselves."""
+def delete_variants_sql(s: str, max_dist: int) -> str:
+    """The deletion neighborhood of ``s`` (a SQL expression string) up
+    to ``max_dist`` deletions (including ``s`` itself), deduplicated.
+    ``max_dist`` in {1, 2}: d=2 already covers the typo/OCR regime
+    entity resolution targets, and O(L^3) variant counts at d=3 stop
+    paying for themselves."""
     if max_dist not in (1, 2):
         raise ValueError("delete_variants supports max_dist 1 or 2")
-    v0 = F.array(s)
-    v1 = _delete1(s)
+    v0 = f"array({s})"
+    v1 = _delete1_sql(s)
     if max_dist == 1:
-        return F.array_distinct(F.concat(v0, v1))
+        return f"array_distinct(concat({v0}, {v1}))"
     # d=2: delete positions i < j of the ORIGINAL string in one
     # expression (substring stitching), avoiding a nested explode.
-    n = F.length(s)
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, n),
-                lambda j: F.concat(
-                    s.substr(F.lit(1), i - 1),
-                    s.substr(i + 1, j - i - 1),
-                    s.substr(j + 1, n),
-                ),
-            ),
-        )
+    pairs = (
+        f"flatten(transform(sequence(1, length({s}) - 1), "
+        f"i -> transform(sequence(i + 1, length({s})), "
+        f"j -> concat(substr({s}, 1, i - 1), "
+        f"substr({s}, i + 1, j - i - 1), "
+        f"substr({s}, j + 1, length({s}))))))"
     )
-    v2 = F.when(n >= 2, pairs).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(F.concat(v0, v1, v2))
+    v2 = (
+        f"CASE WHEN length({s}) >= 2 THEN {pairs} "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    return f"array_distinct(concat({v0}, {v1}, {v2}))"
+
+
+def delete_variants(name: str, max_dist: int) -> Column:
+    """Column form of :func:`delete_variants_sql` over the column
+    ``name`` (round 13: takes the column NAME — Column objects have no
+    stable SQL rendering to interpolate)."""
+    from tcga_query_project_spark.functions.scalar import qident
+
+    return F.expr(delete_variants_sql(qident(name), max_dist))
 
 
 def _variant_table(
     df: DataFrame, col: str, max_dist: int, out: str
 ) -> DataFrame:
+    from tcga_query_project_spark.functions.scalar import qident
+
+    oq = qident(out)
     return (
         df.select(F.col(col).alias(out))
         .filter(F.col(out).isNotNull())
         .distinct()
-        .select(
-            out,
-            F.explode(delete_variants(F.col(out), max_dist)).alias(
-                "_variant"
-            ),
+        .selectExpr(
+            oq,
+            f"explode({delete_variants_sql(oq, max_dist)}) AS _variant",
         )
     )
 

@@ -25,10 +25,29 @@ def fan_out(df: DataFrame, key: str | None = None, target: int | None = None) ->
     fires when the scan produced too few splits to keep the cores busy.
     ``key`` hash-partitions (deterministic placement, and pre-aligns a
     following groupBy on the same key); without it Spark round-robins.
+
+    The partition probe (``df.rdd.getNumPartitions()``) compiles the
+    subtree to an RDD — ~0.1 s of physical planning per call, paid at
+    PLAN-BUILD time by every operator that guards a CPU stage. Round
+    13 memoizes it per (session, semanticHash): the count is a
+    deterministic function of the plan within a session, and the memo
+    can only ever influence the parallelism DECISION, never a result
+    (a repartition is row-preserving), so this is metadata caching in
+    the metastore sense, not result caching.
     """
-    sc = df.sparkSession.sparkContext
+    spark = df.sparkSession
+    sc = spark.sparkContext
     target = target or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    memo = getattr(spark, "_fanout_npart_memo", None)
+    if memo is None:
+        memo = {}
+        spark._fanout_npart_memo = memo
+    mkey = df.semanticHash()
+    nparts = memo.get(mkey)
+    if nparts is None:
+        nparts = df.rdd.getNumPartitions()
+        memo[mkey] = nparts
+    if nparts >= target:
         return df
     return df.repartition(target, F.col(key)) if key else df.repartition(target)
 

@@ -424,49 +424,46 @@ def column_profile(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     # way) while replicating the subtree in the static plan metrics;
     # the eager checkpoint stays as the honest-static-plan form.
     counted = counted.localCheckpoint(eager=True)
-    nn = F.when(F.col("_v").isNotNull(), F.col("_c"))
+    # single-parse SQL aggregates (round 13): same expression trees,
+    # ~5x fewer py4j round trips per build
+    nn = "CASE WHEN _v IS NOT NULL THEN _c END"
     stats = counted.groupBy("column").agg(
-        F.sum("_c").cast("long").alias("n"),
-        F.coalesce(
-            F.sum(F.when(F.col("_v").isNull(), F.col("_c"))), F.lit(0)
-        )
-        .cast("long")
-        .alias("n_null"),
-        F.count(nn).cast("long").alias("n_distinct"),
-        F.sum(nn).cast("long").alias("_nn"),
-        F.sum(nn.cast("double") * F.log(nn.cast("double"))).alias("_slnc"),
-        F.max(nn).alias("_maxc"),
+        F.expr("CAST(sum(_c) AS BIGINT) AS n"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN _v IS NULL THEN _c END), 0)"
+            " AS BIGINT) AS n_null"
+        ),
+        F.expr(f"CAST(count({nn}) AS BIGINT) AS n_distinct"),
+        F.expr(f"CAST(sum({nn}) AS BIGINT) AS _nn"),
+        F.expr(
+            f"sum(CAST({nn} AS DOUBLE) * ln(CAST({nn} AS DOUBLE)))"
+            " AS _slnc"
+        ),
+        F.expr(f"max({nn}) AS _maxc"),
     )
     mode = (
-        counted.filter(F.col("_v").isNotNull())
+        counted.filter("_v IS NOT NULL")
         .join(
             F.broadcast(stats.select("column", "_maxc")),
             ["column"],
         )
-        .filter(F.col("_c") == F.col("_maxc"))
+        .filter("_c = _maxc")
         .groupBy("column")
-        .agg(F.min("_v").alias("top_value"))
+        .agg(F.expr("min(_v) AS top_value"))
     )
     return (
         stats.join(F.broadcast(mode), ["column"], "left")
-        .select(
+        .selectExpr(
             "column",
             "n",
             "n_null",
             "n_distinct",
-            F.when(
-                F.col("_nn") > 0,
-                F.round(
-                    F.log(F.col("_nn").cast("double"))
-                    - F.col("_slnc") / F.col("_nn"),
-                    6,
-                ),
-            ).alias("entropy"),
+            "CASE WHEN _nn > 0 THEN"
+            " round(ln(CAST(_nn AS DOUBLE)) - (_slnc / _nn), 6)"
+            " END AS entropy",
             "top_value",
-            F.when(
-                F.col("_nn") > 0,
-                F.round(F.col("_maxc") / F.col("_nn"), 6),
-            ).alias("top_share"),
+            "CASE WHEN _nn > 0 THEN round(_maxc / _nn, 6)"
+            " END AS top_share",
         )
     )
 

@@ -205,16 +205,27 @@ def pack_shards(
         # these totals, then AGAIN at execution), and Spark's cache
         # sharing still computes a persisted upstream only once per
         # action.
-        run = 0
-        w_sb_prev = (
-            Window.orderBy("_sb")
-            .rowsBetween(Window.unboundedPreceding, -1)
+        #
+        # Round 13 (ADVICE): the lazy path enforces the SAME
+        # _MAX_DRIVER_SUPERBLOCKS bound the eager collect does — as a
+        # row_number guard inside the one window pass (the single
+        # prefix-sum task is exactly the state the cap protects), so a
+        # pathological keyspace/(block_size·superblock_factor) fails
+        # loudly instead of funneling into one unbounded task.
+        cap = int(_MAX_DRIVER_SUPERBLOCKS)
+        guard = (
+            f"CASE WHEN (row_number() OVER (ORDER BY _sb ASC)) > {cap}"
+            " THEN CAST(raise_error('pack_shards: superblock count "
+            f"exceeds the prefix-sum cap ({cap}); raise block_size or "
+            "superblock_factor so keyspace/(block_size*superblock_"
+            "factor) stays bounded') AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
         )
-        sb_off_df = sb_totals_df.select(
+        sb_off_df = sb_totals_df.selectExpr(
             "_sb",
-            F.coalesce(F.sum("_sbtot").over(w_sb_prev), F.lit(0))
-            .cast("long")
-            .alias("_sb_offset"),
+            "CAST(coalesce(sum(_sbtot) OVER (ORDER BY _sb ASC ROWS "
+            "BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)"
+            f" + {guard} AS _sb_offset",
         )
     w_sb = (
         Window.partitionBy("_sb")

@@ -123,9 +123,22 @@ def cosine_topk(
     candidate scan never shuffles; the only shuffle is the tiny per-query
     top-k window. Norms are precomputed per row (not per pair).
     """
+    # query norms precompute on the BROADCAST side (round 13): the
+    # extra ArrowEvalPython stage runs over |Q| rows inside the
+    # broadcast build — microseconds — and removes the |Q|·|C|·d
+    # redundant per-pair query-norm flops of the round-12 single-stage
+    # form. The candidate norm stays FUSED with the dot in the one
+    # streamed Python stage: precomputing it on the candidate side
+    # costs a second Python boundary crossing in the big-side path,
+    # which round 12 measured worse at sf0.1 and round 13 re-measured
+    # worse at 200k candidates (see OPTIMIZATION_r13.md — boundary
+    # latency and the extra Arrow transpose beat the d-flops saved).
+    # norm(_qv) is the same float64 reduction on the same input either
+    # way — bit-identical cosine.
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
+        _norm_batch(F.col(vec_col)).alias("_qn"),
     )
     # the candidate side carries the per-pair dot-product work; a
     # single-split scan would run it on one core (fan_out is a no-op
@@ -134,13 +147,6 @@ def cosine_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
     )
-    # dot AND both norms in the SAME post-join projection (round 12):
-    # three independent pandas UDFs in one Project collapse into ONE
-    # ArrowEvalPython stage — one Python worker round trip per batch
-    # instead of three (norms in the join-input projections each got
-    # their own Python stage). Norms recompute per pair, but the numpy
-    # einsum over an Arrow batch is memory-bandwidth work; the Python
-    # boundary latency was the cost. Same float64 ops, same bits.
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -150,7 +156,7 @@ def cosine_topk(
             "neighbor_id",
             F.round(
                 _dot_batch(F.col("_qv"), F.col("_cv"))
-                / (_norm_batch(F.col("_qv")) * _norm_batch(F.col("_cv"))),
+                / (F.col("_qn") * _norm_batch(F.col("_cv"))),
                 4,
             ).alias("cosine"),
         )

@@ -50,39 +50,43 @@ def size_factors(
     ZERO spill (this form; 56 s inside the full ten-query stress
     sequence, still zero spill — BENCH_STRESS.json).
     """
+    # Single-parse SQL expressions (round 13): identical analyzed plan
+    # to the previous Column forest (hash-checked), ~5x fewer py4j
+    # round trips per build. Literal spellings matter for plan
+    # equality: bare ints stay ints, 0.5D/1.0D are the double literals
+    # the Python floats produced, F.log == ln.
+    vq, sq = f"`{value}`", f"`{sample}`"
     per_gene = (
         fact.groupBy(gene)
         .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.sum(F.when(F.col(value) > 0, 1).otherwise(0)).alias("_n_pos"),
-            F.avg(F.when(F.col(value) > 0, F.log(F.col(value)))).alias("_log_geomean"),
+            F.expr("count(1) AS _n"),
+            F.expr(
+                f"sum(CASE WHEN {vq} > 0 THEN 1 ELSE 0 END) AS _n_pos"
+            ),
+            F.expr(
+                f"avg(CASE WHEN {vq} > 0 THEN ln({vq}) END)"
+                " AS _log_geomean"
+            ),
         )
-        .filter(F.col("_n_pos") == F.col("_n"))  # all-positive genes only
+        .filter("_n_pos = _n")  # all-positive genes only
         .select(gene, "_log_geomean")
     )
-    ratios = fact.join(per_gene, gene).select(
-        F.col(sample),
-        (F.log(F.col(value)) - F.col("_log_geomean")).alias("_lr"),
+    ratios = fact.join(per_gene, gene).selectExpr(
+        sq, f"ln({vq}) - _log_geomean AS _lr"
     )
-    w_rank = Window.partitionBy(sample).orderBy(F.col("_lr").asc())
-    w_all = Window.partitionBy(sample)
-    mids = (
-        ratios.withColumn("_rn", F.row_number().over(w_rank))
-        .withColumn("_cnt", F.count(F.lit(1)).over(w_all))
-        .filter(
-            (F.col("_rn") == F.floor((F.col("_cnt") + 1) / 2))
-            | (F.col("_rn") == F.ceil((F.col("_cnt") + 1) / 2))
-        )
+    over_rank = f"OVER (PARTITION BY {sq} ORDER BY _lr ASC)"
+    over_all = f"OVER (PARTITION BY {sq})"
+    mids = ratios.selectExpr(
+        "*",
+        f"row_number() {over_rank} AS _rn",
+        f"count(1) {over_all} AS _cnt",
+    ).filter(
+        "_rn = floor((_cnt + 1) / 2) OR _rn = ceil((_cnt + 1) / 2)"
     )
     return (
         mids.groupBy(sample)
-        .agg(F.min("_lr").alias("_lo"), F.max("_lr").alias("_hi"))
-        .select(
-            F.col(sample),
-            F.exp(
-                F.col("_lo") + 0.5 * (F.col("_hi") - F.col("_lo"))
-            ).alias("size_factor"),
-        )
+        .agg(F.expr("min(_lr) AS _lo"), F.expr("max(_lr) AS _hi"))
+        .selectExpr(sq, "exp(_lo + 0.5D * (_hi - _lo)) AS size_factor")
     )
 
 
@@ -155,82 +159,55 @@ def vst_fitted(
     VALUES are bit-identical either way (same doubles, same
     expression tree).
     """
-    q_tbl = fact.join(F.broadcast(sf), sample).select(
-        F.col(gene),
-        F.col(sample),
-        (F.col(value) / F.col("size_factor")).alias("_q"),
-        (1.0 / F.col("size_factor")).alias("_inv_sf"),
+    # Single-parse SQL expressions (round 13): identical optimized
+    # plan to the previous Column forest (diff-checked in-session),
+    # ~10x fewer py4j round trips per build. Double literals spelled
+    # with D suffixes to match what the Python floats produced; bare
+    # ints stay ints.
+    gq, sq, vq = f"`{gene}`", f"`{sample}`", f"`{value}`"
+    q_tbl = fact.join(F.broadcast(sf), sample).selectExpr(
+        gq,
+        sq,
+        f"{vq} / size_factor AS _q",
+        "1.0D / size_factor AS _inv_sf",
     )
     per_gene = q_tbl.groupBy(gene).agg(
-        F.avg("_q").alias("_mu"),
-        F.var_samp("_q").alias("_s2"),
-        F.avg("_inv_sf").alias("_xi"),
+        F.expr("avg(_q) AS _mu"),
+        F.expr("var_samp(_q) AS _s2"),
+        F.expr("avg(_inv_sf) AS _xi"),
     )
-    alpha_expr = F.greatest(
-        (F.col("_s2") - F.col("_mu") * F.col("_xi"))
-        / (F.col("_mu") * F.col("_mu")),
-        F.lit(0.0),
-    )
-    mu_expr = F.col("_mu")
+    alpha_s = "greatest((_s2 - (_mu * _xi)) / (_mu * _mu), 0.0D)"
+    mu_s = "_mu"
     if round_intermediates is not None:
-        alpha_expr = F.round(alpha_expr, round_intermediates)
-        mu_expr = F.round(mu_expr, round_intermediates)
-    disp = per_gene.select(
-        F.col(gene),
-        mu_expr.alias("_mu"),
-        alpha_expr.alias("_alpha"),
-    ).filter((F.col("_mu") > 0) & F.col("_alpha").isNotNull())
-    # least-squares alpha ~ a0 + a1 * (1/mu) over genes with alpha > 0
+        alpha_s = f"round({alpha_s}, {int(round_intermediates)})"
+        mu_s = f"round({mu_s}, {int(round_intermediates)})"
+    disp = per_gene.selectExpr(
+        gq, f"{mu_s} AS _mu", f"{alpha_s} AS _alpha"
+    ).filter("_mu > 0 AND _alpha IS NOT NULL")
+    # least-squares alpha ~ a0 + a1 * (1/mu) over genes with alpha > 0.
+    # a1 clamped >= 0: DESeq2's parametric trend enforces positive
+    # coefficients; a negative a1 would make the closed form's log
+    # argument negative at q=0.
+    slope_s = (
+        "greatest(CASE WHEN ((_n * _sxx) - (_sx * _sx)) > 0"
+        " THEN ((_n * _sxy) - (_sx * _sy)) / ((_n * _sxx) - (_sx * _sx))"
+        " ELSE 0.0D END, 0.0D)"
+    )
     trend = (
-        disp.filter(F.col("_alpha") > 0)
-        .select((1.0 / F.col("_mu")).alias("_x"), F.col("_alpha").alias("_y"))
+        disp.filter("_alpha > 0")
+        .selectExpr("1.0D / _mu AS _x", "_alpha AS _y")
         .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.sum("_x").alias("_sx"),
-            F.sum("_y").alias("_sy"),
-            F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
-            F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+            F.expr("count(1) AS _n"),
+            F.expr("sum(_x) AS _sx"),
+            F.expr("sum(_y) AS _sy"),
+            F.expr("sum(_x * _y) AS _sxy"),
+            F.expr("sum(_x * _x) AS _sxx"),
         )
-        .select(
-            # a1 clamped >= 0: DESeq2's parametric trend enforces
-            # positive coefficients; a negative a1 would make the
-            # closed form's log argument negative at q=0.
-            F.greatest(
-                F.when(
-                    F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
-                    > 0,
-                    (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
-                    / (
-                        F.col("_n") * F.col("_sxx")
-                        - F.col("_sx") * F.col("_sx")
-                    ),
-                ).otherwise(F.lit(0.0)),
-                F.lit(0.0),
-            ).alias("a1"),
-            F.when(
-                F.col("_n") > 0,
-                F.col("_sy") / F.col("_n")
-                - F.greatest(
-                    F.when(
-                        F.col("_n") * F.col("_sxx")
-                        - F.col("_sx") * F.col("_sx")
-                        > 0,
-                        (
-                            F.col("_n") * F.col("_sxy")
-                            - F.col("_sx") * F.col("_sy")
-                        )
-                        / (
-                            F.col("_n") * F.col("_sxx")
-                            - F.col("_sx") * F.col("_sx")
-                        ),
-                    ).otherwise(F.lit(0.0)),
-                    F.lit(0.0),
-                )
-                * F.col("_sx")
-                / F.col("_n"),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("a0"),
+        .selectExpr(
+            f"{slope_s} AS a1",
+            "CASE WHEN _n > 0"
+            f" THEN (_sy / _n) - (({slope_s} * _sx) / _n)"
+            " ELSE 0.0D END AS a0",
         )
     )
     # The trend is a single row of two doubles — broadcast it as a
@@ -238,23 +215,16 @@ def vst_fitted(
     # map-side expression over fact). The a0 <= 0 degenerate fallback
     # (data at/below the Poisson noise floor -> the v1 transform) is a
     # CASE over the broadcast column, as in the SQL mirror.
-    q = F.col("_q")
-    a0, a1 = F.col("a0"), F.col("a1")
-    vst_expr = F.when(
-        a0 > 0,
-        F.log2(
-            (
-                1.0
-                + a1
-                + 2.0 * a0 * q
-                + 2.0 * F.sqrt(a0 * q * (1.0 + a1 + a0 * q))
-            )
-            / (4.0 * a0)
-        ),
-    ).otherwise(F.log2(q + 1.0))
+    vst_s = (
+        "CASE WHEN a0 > 0 THEN"
+        " log2((((1.0D + a1) + ((2.0D * a0) * _q))"
+        " + (2.0D * sqrt(((a0 * _q) * ((1.0D + a1) + (a0 * _q))))))"
+        " / (4.0D * a0))"
+        " ELSE log2(_q + 1.0D) END"
+    )
     return (
         q_tbl.crossJoin(F.broadcast(trend))
-        .withColumn(out, vst_expr)
+        .withColumn(out, F.expr(vst_s))
         .select(gene, sample, "_q", out)
         .withColumnRenamed("_q", "normalized_count")
     )

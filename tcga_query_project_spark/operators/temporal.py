@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from tcga_query_project_spark.functions.scalar import qident
+
 
 def asof_join(
     left: DataFrame,
@@ -67,26 +69,39 @@ def asof_join(
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction: {direction!r}")
+    # the _side/_ets/_r_* names are RESERVED (docstring): a left column
+    # with one of those names would silently duplicate under the
+    # round-12 select form (withColumn used to replace it) — fail loud
+    # instead (round-12 ADVICE)
+    reserved = {"_side", "_ets", *(f"_r_{c}" for c in payload_cols)}
+    collisions = sorted(set(left.columns) & reserved)
+    if collisions:
+        raise ValueError(
+            f"asof_join: left columns {collisions} collide with the "
+            "reserved _side/_ets/_r_<payload> names — rename them first"
+        )
     _ts_is_timestamp = dict(left.dtypes)[left_ts].startswith("timestamp")
 
-    def _num(col: Column) -> Column:
+    def _num(col: str) -> str:
         # exact time arithmetic: integer micros for timestamps (a
         # double epoch-seconds cast cannot represent µs differences)
         return (
-            F.unix_micros(col).cast("double")
+            f"CAST(unix_micros({col}) AS DOUBLE)"
             if _ts_is_timestamp
-            else col.cast("double")
+            else f"CAST({col} AS DOUBLE)"
         )
-    # right payloads travel under reserved names so a left column with
-    # the same name never conflates with them in the union. Single
-    # select per side (round 12 — the previous per-column withColumn
-    # chain built one projection plan per added column, a py4j round
-    # trip apiece; identical columns, identical analyzed plan).
-    l_tagged = left.select(
+
+    # Single-parse SQL expressions (round 13 — one parse per side
+    # instead of a py4j round trip per column; identical plans,
+    # hash-checked). Right payloads travel under reserved names so a
+    # left column with the same name never conflates with them in the
+    # union.
+    q = qident
+    l_tagged = left.selectExpr(
         "*",
-        F.lit(1).alias("_side"),
-        F.col(left_ts).alias("_ets"),
-        *[F.lit(None).alias(f"_r_{c}") for c in payload_cols],
+        "1 AS _side",
+        f"{q(left_ts)} AS _ets",
+        *[f"NULL AS {q(f'_r_{c}')}" for c in payload_cols],
     )
     # SQL equi-join key semantics: a NULL key matches NOTHING. The
     # union-tag window groups NULL keys into one partition (window
@@ -97,16 +112,12 @@ def asof_join(
     # partition all-left: those rows emit with NULL payloads, exactly
     # the left-join convention (round-9 NULL-group fuzz finding).
     r_base_cols = {on, "_ets", *(f"_r_{c}" for c in payload_cols), "_side"}
-    r_tagged = right.filter(F.col(on).isNotNull()).select(
-        F.col(on),
-        F.col(right_ts).alias("_ets"),
-        *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
-        F.lit(0).alias("_side"),
-        *[
-            F.lit(None).alias(c)
-            for c in left.columns
-            if c not in r_base_cols
-        ],
+    r_tagged = right.filter(f"{q(on)} IS NOT NULL").selectExpr(
+        q(on),
+        f"{q(right_ts)} AS _ets",
+        *[f"{q(c)} AS {q(f'_r_{c}')}" for c in payload_cols],
+        "0 AS _side",
+        *[f"NULL AS {q(c)}" for c in left.columns if c not in r_base_cols],
     )
     unioned = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
 
@@ -114,28 +125,22 @@ def asof_join(
     # non-null for every right row even when individual payload fields
     # are null, so ignorenulls skips left rows only — a null payload in
     # the matched right row is carried faithfully.
-    payload_struct = F.when(
-        F.col("_side") == 0,
-        F.struct(
-            F.col("_ets").alias("_ts"),
-            *[F.col(f"_r_{c}").alias(c) for c in payload_cols],
-        ),
+    fields = ", ".join(
+        ["_ets AS _ts"] + [f"{q(f'_r_{c}')} AS {q(c)}" for c in payload_cols]
     )
+    payload_struct = f"CASE WHEN _side = 0 THEN struct({fields}) END"
 
-    def running(desc: bool):
+    def running(desc: bool) -> str:
         # right rows (side 0) sort before left rows at equal ts in BOTH
         # orderings → a right row at exactly left.ts is visible to that
         # left row (inclusive semantics); ascending order carries the
         # latest-at-or-before, descending the earliest-at-or-after
-        w = (
-            Window.partitionBy(on)
-            .orderBy(
-                F.col("_ets").desc() if desc else F.col("_ets").asc(),
-                F.col("_side").asc(),
-            )
-            .rowsBetween(Window.unboundedPreceding, 0)
+        order = "_ets DESC" if desc else "_ets ASC"
+        return (
+            f"last({payload_struct}, true) OVER (PARTITION BY {q(on)} "
+            f"ORDER BY {order}, _side ASC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         )
-        return F.last(payload_struct, ignorenulls=True).over(w)
 
     if direction == "backward":
         asof = running(desc=False)
@@ -143,34 +148,37 @@ def asof_join(
         asof = running(desc=True)
     else:
         bwd, fwd = running(desc=False), running(desc=True)
-        lts = _num(F.col("_ets"))
-        bd = lts - _num(bwd["_ts"])
-        fd = _num(fwd["_ts"]) - lts
+        lts = _num("_ets")
+        bd = f"({lts} - {_num(f'({bwd})._ts')})"
+        fd = f"({_num(f'({fwd})._ts')} - {lts})"
         asof = (
-            F.when(bwd.isNull(), fwd)
-            .when(fwd.isNull(), bwd)
-            .when(bd <= fd, bwd)
-            .otherwise(fwd)
+            f"CASE WHEN ({bwd}) IS NULL THEN {fwd} "
+            f"WHEN ({fwd}) IS NULL THEN {bwd} "
+            f"WHEN {bd} <= {fd} THEN {bwd} "
+            f"ELSE {fwd} END"
         )
-    carried = unioned.select(
-        *[c for c in left.columns],
-        F.col("_side"),
-        asof.alias("_asof"),
+    carried = unioned.selectExpr(
+        *[q(c) for c in left.columns],
+        "_side",
+        f"{asof} AS _asof",
     )
     out = carried.filter(F.col("_side") == 1).drop("_side")
     if tolerance is not None:
         out = out.withColumn(
             "_asof",
             F.when(
-                F.abs(_num(F.col(left_ts)) - _num(F.col("_asof._ts")))
+                F.abs(
+                    F.expr(_num(q(left_ts)))
+                    - F.expr(_num("_asof._ts"))
+                )
                 <= tolerance,
                 F.col("_asof"),
             ),
         )
-    return out.select(
-        *left.columns,
-        F.col("_asof._ts").alias("asof_ts"),
-        *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in payload_cols],
+    return out.selectExpr(
+        *[q(c) for c in left.columns],
+        "_asof._ts AS asof_ts",
+        *[f"_asof.{q(c)} AS {q(f'asof_{c}')}" for c in payload_cols],
     )
 
 

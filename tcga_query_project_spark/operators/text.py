@@ -13,6 +13,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from tcga_query_project_spark.functions.scalar import qident
+
 #: words = whitespace-split of trimmed text. Kept as a shared expression
 #: (and mirrored in catalog oracle SQL as string_split_regex) so Spark
 #: and DuckDB tokenize identically.
@@ -129,7 +131,9 @@ def langid_heuristic(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), pred.alias("pred_lang"))
 
 
-def doc_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def doc_metrics(
+    df: DataFrame, id_col: str, text_col: str, carry_text: bool = False
+) -> DataFrame:
     """Fused per-document text-metric projection: token stats
     (:func:`token_stats`), quality score (:func:`quality_score`),
     language ID (:func:`langid_heuristic`) and the first token (O3,
@@ -175,6 +179,12 @@ def doc_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # strips unknown escapes like \s, so the regex must arrive as \\s
     bpe_pat = BPE_TOKEN_PATTERN.replace("\\", "\\\\")
     bpe = f"regexp_extract_all({tq}, '{bpe_pat}', 0)"
+    # carry_text appends the raw text column AFTER the metric schema —
+    # a pure projection passthrough for pipeline callers that need the
+    # payload downstream (pipelines/corpus_prep round 13: carrying text
+    # here removes a corpus-wide re-join by id); the default output
+    # schema (batch == streaming contract) is unchanged.
+    extra = [tq] if carry_text else []
     return toks_df.selectExpr(
         idq,
         "element_at(_toks, 1) as first_token",
@@ -187,6 +197,7 @@ def doc_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         f"round({stop_ratio}, 6) as stopword_ratio",
         f"{score} as quality_score",
         f"{pred} as pred_lang",
+        *extra,
     )
 
 
@@ -688,24 +699,62 @@ def bm25_scores(
     ``score(d) = Σ_t idf(t) · tf · (k1+1) / (tf + k1·(1−b+b·len_d/avg_len))``
 
     with the standard idf ``ln(1 + (N − df + 0.5)/(df + 0.5))``. The
-    query is literal-sized, so it broadcasts; document lengths and the
-    average length are one aggregate over the postings (no second text
-    scan); output is one row per matching document, descending score
-    with id tiebreak. At scale this is a broadcast-semi-join of the
-    postings — only rows for query terms survive the first filter.
+    query is literal-sized, so it broadcasts; output is one row per
+    matching document, descending score with id tiebreak.
+
+    Scale shape (round 13): the corpus-wide postings NEVER shuffle.
+    Document length = Σ_t tf — i.e. the doc's non-empty token count —
+    so it computes NARROWLY per input row (size of the token array)
+    and aggregates as (id, long) pairs: the exchange carries 16-byte
+    rows instead of the full inverted index. The term filter applies
+    BEFORE the (id, term) aggregate (it commutes with grouping on the
+    filtered key), so the only postings that ever reach an exchange
+    are the query terms'. The previous form aggregated the full
+    postings TWICE (once per branch — ReusedExchange could not dedup
+    them because the term filter pushed below one aggregate); at
+    corpus scale those were the two dominant shuffles.
     """
-    postings = term_frequencies(df, id_col, text_col)
-    doclen = postings.groupBy(id_col).agg(
-        F.sum("tf").alias("_len")
+    toks = tokens(F.lower(F.col(text_col)))
+    # non-empty token count per row == what explode+filter(term != '')
+    # yields: split of a trimmed NON-empty string on \s+ emits no empty
+    # tokens, and a NULL/whitespace-only text emits none at all.
+    row_len = F.when(
+        F.trim(F.lower(F.col(text_col))) == "", F.lit(0)
+    ).otherwise(F.size(toks)).cast("double")
+    doclen = (
+        df.select(F.col(id_col), row_len.alias("_rl"))
+        .groupBy(id_col)
+        .agg(F.sum("_rl").alias("_len"))
+        .filter(F.col("_len") > 0)
     )
     stats = doclen.agg(
         F.avg("_len").alias("_avg_len"),
         F.count(F.lit(1)).cast("double").alias("_n"),
     )
     qterms = [t.lower() for t in query_terms]
-    matched = postings.filter(F.col("term").isin(qterms))
+    # grouped (term, id) — the same key ORDER the collapsed dfreq
+    # aggregate below uses — and with id-notnull EXPLICIT (null-id
+    # rows can never reach the output: they miss the doclen inner
+    # join, and dfreq's countDistinct skips them — but without the
+    # explicit filter Catalyst infers isnotnull on the tf branch only,
+    # and the two subtrees stop canonicalizing equal), so AQE reuses
+    # ONE shuffle for both tf and dfreq.
+    matched = (
+        df.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col), F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+        .filter(F.col("term").isin(qterms))
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    # matched has exactly one row per (doc, term), so the document
+    # frequency is a plain COUNT — phrasing it as count(1) (instead of
+    # countDistinct, which re-groups by (term, id) in the opposite key
+    # order) lets the second aggregate derive from matched's own
+    # (id, term) exchange, which AQE then reuses instead of
+    # re-exploding the corpus.
     dfreq = matched.groupBy("term").agg(
-        F.countDistinct(id_col).cast("double").alias("_df")
+        F.count(F.lit(1)).cast("double").alias("_df")
     )
     idf = (
         F.log(
@@ -1229,8 +1278,20 @@ def repeated_span_cuts(
     norm = F.regexp_replace(
         F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
     )
-    toks = df.select(
-        F.col(id_col), F.posexplode(F.split(norm, " ")).alias("_p0", "_tok")
+    # Shuffle DOC rows, not token rows (round 13, guide §2.3): the
+    # doc-keyed gram window needs hash(id) clustering either way, but
+    # an explicit repartition BEFORE the posexplode puts the exchange
+    # under the generator, so it carries one (id, token-array) row per
+    # document instead of one (id, pos, tok) row per token — the same
+    # bytes of text without the ~20-byte-per-token row overhead (2-4x
+    # fewer shuffle bytes; the window then reuses the partitioning and
+    # only adds a local sort). Generate preserves its child's
+    # partitioning, so no second exchange appears.
+    arr = df.select(
+        F.col(id_col), F.split(norm, " ").alias("_ts")
+    ).repartition(F.col(id_col))
+    toks = arr.select(
+        F.col(id_col), F.posexplode("_ts").alias("_p0", "_tok")
     ).select(F.col(id_col), (F.col("_p0") + 1).alias("pos"), "_tok")
     w_doc = Window.partitionBy(id_col).orderBy("pos")
     gram_cols = [F.col("_tok")] + [
@@ -1301,20 +1362,19 @@ def remove_repeated_spans(
     joined = base.select(
         F.col(id_col), F.split(F.col("_norm"), " ").alias("_ts")
     ).join(per_doc, id_col)
-    indexed = F.expr("transform(_ts, (t, j) -> struct(t AS tok, j + 1 AS p))")
-    kept = F.filter(
-        indexed,
-        lambda s: ~F.exists(
-            F.col("_cuts"), lambda c: (s["p"] >= c) & (s["p"] <= c + (k - 1))
-        ),
+    # single-parse SQL form of the rebuild lambdas (round 13): same
+    # expression tree as the previous Column/lambda forest
+    kept = (
+        "filter(transform(_ts, (t, j) -> struct(t AS tok, j + 1 AS p)), "
+        "s -> NOT exists(_cuts, "
+        f"c -> (s.p >= c) AND (s.p <= c + {int(k) - 1})))"
     )
-    touched = joined.select(
-        F.col(id_col),
-        F.concat_ws(" ", F.transform(kept, lambda s: s["tok"])).alias(
-            text_col
-        ),
-        (F.size("_ts") - F.size(kept)).cast("long").alias("n_tokens_removed"),
-        F.col("n_grams_cut"),
+    touched = joined.selectExpr(
+        qident(id_col),
+        f"concat_ws(' ', transform({kept}, s -> s.tok))"
+        f" AS {qident(text_col)}",
+        f"CAST(size(_ts) - size({kept}) AS BIGINT) AS n_tokens_removed",
+        "n_grams_cut",
     )
     return touched.unionByName(untouched)
 

@@ -32,6 +32,7 @@ def corpus_clean(
     langs: tuple[str, ...] = ("en",),
     decontaminate_against: DataFrame | None = None,
     decontaminate_threshold: float = 0.5,
+    keep_text: bool = False,
 ) -> DataFrame:
     """Cleaned corpus with per-document features.
 
@@ -52,20 +53,39 @@ def corpus_clean(
     """
     # The dedup key is the md5 of the normalized content, not the
     # content itself: the shuffle then partitions/sorts on a fixed
-    # 32-char key instead of arbitrary-length documents (at corpus
-    # scale, comparing full texts in the sort dominates; a 128-bit
+    # 32-char key instead of arbitrary-length documents (a 128-bit
     # digest collides with probability ~2^-64 — the standard exact-dedup
     # key). Grouping is identical to grouping by the text.
+    #
+    # Round 13 (guide §8/§2.3 — decide with small rows, never shuffle
+    # the payload): the first-arrival decision needs only (id, key), so
+    # ONLY (id, key) goes through the content exchange; the full text
+    # stays on the scan side and the decision re-attaches as a
+    # broadcast ANTI join on the LOSERS (rn > 1) — the duplicate rows
+    # an exact-dedup pass removes are the sparse minority by contract
+    # (a corpus that is mostly copies is what upstream crawl dedup
+    # exists for), so the loser id list is the small side even when
+    # the survivor set is corpus-sized. Keeping rows with id NOT IN
+    # losers is row-identical to keeping rn == 1 whenever ids are
+    # unique (they are the primary key; with duplicated ids both forms
+    # were already tie-ambiguous). If duplication is ever dense enough
+    # that loser ids outgrow a broadcast, drop the broadcast() hint
+    # below and the planner falls back to a shuffled anti join — the
+    # same id-keyed text shuffle the old window form paid for EVERY
+    # input.
     w = Window.partitionBy("_key").orderBy(F.col(id_col).asc())
-    kept = (
-        fan_out(docs, id_col)
-        .select(
+    losers = (
+        docs.select(
             F.col(id_col),
-            F.col(text_col),
             F.md5(normalized_text(F.col(text_col))).alias("_key"),
         )
         .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") > 1)
+        .select(id_col)
+    )
+    kept = (
+        fan_out(docs, id_col)
+        .join(F.broadcast(losers), id_col, "left_anti")
         .select(id_col, text_col)
     )
     # the fused feature projection is text.doc_metrics — the SAME code
@@ -73,7 +93,15 @@ def corpus_clean(
     # runs, so batch and stream outputs share one schema:
     # (id, first_token, n_tokens, n_tokens_bpe, n_types, ttr,
     #  mean_token_len, stopword_ratio, quality_score, pred_lang, split)
-    feats = doc_metrics(kept, id_col, text_col).withColumn(
+    # keep_text=True (round 13, pipeline callers only): the features
+    # are a pure projection, so the payload rides along for free and
+    # prepare_training_corpus no longer re-joins the corpus by id to
+    # recover it (two exchanges gone at any scale). The default output
+    # schema — the oracle-declared pp_corpus_clean contract and the
+    # streaming schema — is unchanged.
+    feats = doc_metrics(
+        kept, id_col, text_col, carry_text=keep_text
+    ).withColumn(
         # deterministic hash split (stable across runs/engines/order) —
         # the downstream trainer's train/val/test membership
         "split",
@@ -148,24 +176,28 @@ def prepare_training_corpus(
         repetition_metrics,
     )
 
-    cleaned = corpus_clean(
+    # keep_text=True: the cleaned frame carries the payload out of the
+    # feature projection, so the old corpus-wide re-join by id (docs ⋈
+    # cleaned — two exchanges of text at any scale) is gone (round 13).
+    base = corpus_clean(
         docs, id_col, text_col, min_quality=min_quality, langs=langs,
         decontaminate_against=decontaminate_against,
         decontaminate_threshold=decontaminate_threshold,
-    ).select(id_col, "split", "pred_lang")
-    base = cleaned.join(
-        docs.select(id_col, text_col), id_col
-    )
+        keep_text=True,
+    ).select(id_col, "split", "pred_lang", text_col)
     if gopher:
         # metrics over the SURVIVORS only — the n-gram explode is the
         # costliest stage, so docs already dropped by dedup/quality/
-        # language must not flow through it
-        rep = repetition_metrics(
+        # language must not flow through it. The gate re-attaches as a
+        # broadcast ANTI join on the FAILERS (round 13, guide §8):
+        # repetition_metrics is total (a row per input, passes_gopher
+        # never NULL), so inner-join + filter(passes) ≡ anti-join on
+        # NOT passes — and the failer id list is the sparse side, so
+        # the corpus text no longer shuffles by id to meet the metrics.
+        fails = repetition_metrics(
             base.select(id_col, text_col), id_col, text_col
-        ).select(id_col, "passes_gopher")
-        base = base.join(rep, id_col).filter(F.col("passes_gopher")).drop(
-            "passes_gopher"
-        )
+        ).filter(~F.col("passes_gopher")).select(id_col)
+        base = base.join(F.broadcast(fails), id_col, "left_anti")
     if scrub:
         # fused into the projection (pii_scrub_text expression) — a
         # per-row regex rewrite must not cost a corpus self-join

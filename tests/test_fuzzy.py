@@ -119,6 +119,6 @@ def test_delete_variants_cost_bound(spark):
 
     df = spark.createDataFrame([("abcdefghijkl",)], "s string")
     n = df.select(
-        F.size(fuzzy.delete_variants(F.col("s"), 2)).alias("n")
+        F.size(fuzzy.delete_variants("s", 2)).alias("n")
     ).first()["n"]
     assert n == 79  # all distinct for an all-distinct-chars string
