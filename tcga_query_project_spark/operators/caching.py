@@ -41,6 +41,19 @@ def materialize_shared(df: DataFrame, eager: bool = True) -> DataFrame:
     Pass ``eager=False`` for subtrees only consumed by sequential (never
     concurrent) branches, where lazy first-touch population is fine and
     the extra job is pure overhead.
+
+    Lazy MULTI-consumer persists (round-12/13 clarification, ADVICE):
+    acceptable when MEASURED faster at the call site and the race cost
+    is bounded — there are NO partition-level cache locks; a broadcast
+    build racing a streamed scan over a cold cache can compute the same
+    cold partitions twice (sharp edge #1). The worst case of that race
+    is exactly the no-persist baseline (each branch computes the
+    subtree once), so a measured-lazy site trades a bounded worst case
+    for the common-case win of skipping the pre-population pass;
+    jaccard_prefix_join's postings spine is the canonical example
+    (5.0 -> 3.5 s at sf0.1, re-verified on the 10x rig). Sites where
+    the broadcast-build race DID serialize population keep eager=True
+    (ann_lsh_bucketed, measured worse lazy).
     """
     from pyspark import StorageLevel
 

@@ -501,9 +501,13 @@ def jaccard_prefix_join(
     # the FLAT postings spine: feeds the frequency agg, the key-sort
     # agg, and BOTH verify sides — persist it. LAZY since round 12:
     # the eager count() paid one full extra pass per cache just to
-    # pre-populate; within the query's own action the consumers share
-    # partition-level cache locks, so first-touch population computes
-    # each partition once (measured 5.0s -> 3.5s wall at sf0.1).
+    # pre-populate (measured 5.0s -> 3.5s wall at sf0.1). Round-13
+    # correction (ADVICE): there are NO partition-level cache locks —
+    # if AQE broadcasts the rk frequency table, its build can race the
+    # streamed scan over cold partitions and double-compute them; that
+    # worst case equals the no-persist baseline (each consumer computes
+    # the spine once), so lazy stays a measured win with a bounded
+    # downside. See caching.materialize_shared's contract note.
     post = materialize_shared(post0, eager=False)
     # rarest-first global order as a sortable string key: zero-padded
     # corpus count + the element itself (fixed 12-digit count field)

@@ -128,11 +128,13 @@ def cosine_topk(
     # broadcast build — microseconds — and removes the |Q|·|C|·d
     # redundant per-pair query-norm flops of the round-12 single-stage
     # form. The candidate norm stays FUSED with the dot in the one
-    # streamed Python stage: precomputing it on the candidate side
-    # costs a second Python boundary crossing in the big-side path,
-    # which round 12 measured worse at sf0.1 and round 13 re-measured
-    # worse at 200k candidates (see OPTIMIZATION_r13.md — boundary
-    # latency and the extra Arrow transpose beat the d-flops saved).
+    # streamed Python stage: round 13 measured all three placements at
+    # |C|=200k, d=64 (OPTIMIZATION_r13.md) — recompute-both 8.08 s,
+    # q-norm-precomputed 8.03 s, full-precompute 7.86 s min but with a
+    # second streamed Python stage and the widest rep spread — i.e.
+    # the variants are within host noise even at 10M pairs, so the
+    # q-norm form wins on dominance: it never adds a big-side boundary
+    # crossing and never recomputes a norm the broadcast already has.
     # norm(_qv) is the same float64 reduction on the same input either
     # way — bit-identical cosine.
     q = queries.select(

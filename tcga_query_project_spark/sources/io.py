@@ -42,9 +42,28 @@ from pyspark.sql.types import StructType
 _SCHEMA_MEMO: dict[tuple[str, int], StructType] = {}
 
 
-def _schema_memo_key(path: str) -> tuple[str, int] | None:
+def _schema_memo_key(path: str) -> tuple | None:
+    """Memo key = (abs path, root mtime_ns, sorted child names + their
+    mtimes). Round-12 ADVICE: the root mtime alone misses in-place file
+    rewrites (``cp`` over an existing part file) and rewrites inside
+    subdirectories — neither bumps the parent directory's mtime, and a
+    stale explicit schema would then silently null out columns added
+    since memoization. Including each child's (name, mtime_ns)
+    invalidates on any file replaced, added, or removed one level down;
+    writers must still replace (not patch) files below that level,
+    which every Spark/parquet writer does."""
     try:
-        return (os.path.abspath(path), os.stat(path).st_mtime_ns)
+        root = os.path.abspath(path)
+        st = os.stat(root)
+        children: tuple = ()
+        if os.path.isdir(root):
+            children = tuple(
+                sorted(
+                    (name, os.stat(os.path.join(root, name)).st_mtime_ns)
+                    for name in os.listdir(root)
+                )
+            )
+        return (root, st.st_mtime_ns, children)
     except OSError:
         return None
 
